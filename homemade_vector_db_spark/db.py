@@ -1,0 +1,274 @@
+"""`VectorDatabase` facade — the reference's class shape on Spark.
+
+Mirrors the public API of /root/reference/local_db.py:11 (`add`,
+`query_text`, `query_vector`, `query_metadata`, `hybrid_search`,
+`get_document`, `get_metadata`, `save`, `load`, `__len__`) so reference
+users can port call sites 1:1, while every method compiles to a declarative
+DataFrame plan.
+
+State: one `documents` DataFrame (doc_id, text, embedding, meta columns)
+plus derived BM25 stats — the Spark analogue of the reference's parallel
+lists (local_db.py:35-38). `add` is unionByName + stats invalidation instead
+of the reference's full-rebuild-per-add (README.md:152); persistence is
+parquet + a JSON manifest instead of pickle sniffing (local_db.py:210-265).
+
+index_type: 'flat' → exact brute-force (default; the only hash-checkable
+path, mirroring test_local_db.py:155-157's "flat is exact" stance);
+'lsh' (HNSW role) and 'ivf' (IVF-PQ role) → ann.py, recall-tested.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from homemade_vector_db_spark.operators import bm25, hybrid, knn
+
+_INDEX_TYPES = ("flat", "lsh", "ivf")
+
+
+class VectorDatabase:
+    def __init__(
+        self,
+        spark: SparkSession,
+        dim: int,
+        index_type: str = "flat",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        vec_col: str = "embedding",
+    ):
+        # parity: reject unknown index types (local_db.py:53-54)
+        if index_type not in _INDEX_TYPES:
+            raise ValueError(
+                f"index_type must be one of {_INDEX_TYPES}, got {index_type!r}"
+            )
+        self.spark = spark
+        self.dim = dim
+        self.index_type = index_type
+        self.id_col, self.text_col, self.vec_col = id_col, text_col, vec_col
+        self._df: DataFrame | None = None
+        self._stats: bm25.BM25Stats | None = None
+        self._n = 0
+
+    # ------------------------------------------------------------------ ingest
+    def add(
+        self,
+        docs: Sequence[str],
+        vectors: Sequence[Sequence[float]],
+        metas: Sequence[Mapping[str, Any]] | None = None,
+    ) -> None:
+        """Append rows with dense insertion-ordered ids (local_db.py:56-80).
+
+        Unlike the reference, BM25 stats are invalidated lazily, not rebuilt
+        eagerly per batch.
+        """
+        if len(docs) != len(vectors):
+            raise ValueError("docs and vectors must have equal length")
+        for v in vectors:
+            if len(v) != self.dim:
+                raise ValueError(f"vector dim {len(v)} != {self.dim}")
+        metas = list(metas) if metas is not None else [{} for _ in docs]
+        start = self._n
+        rows = [
+            (start + i, d, [float(x) for x in v], {k: str(val) for k, val in m.items()})
+            for i, (d, v, m) in enumerate(zip(docs, vectors, metas))
+        ]
+        schema = T.StructType(
+            [
+                T.StructField(self.id_col, T.LongType()),
+                T.StructField(self.text_col, T.StringType()),
+                T.StructField(self.vec_col, T.ArrayType(T.FloatType())),
+                T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+            ]
+        )
+        new = self.spark.createDataFrame(rows, schema)
+        self._df = new if self._df is None else self._df.unionByName(new)
+        self._n += len(rows)
+        self._stats = None  # derived state invalidated, rebuilt lazily
+
+    def attach(self, df: DataFrame, n: int | None = None) -> "VectorDatabase":
+        """Wrap an existing documents DataFrame (bulk path — preferred at scale)."""
+        self._df = df
+        self._n = n if n is not None else df.count()
+        self._stats = None
+        return self
+
+    # ------------------------------------------------------------------ queries
+    def _require_df(self) -> DataFrame:
+        if self._df is None or self._n == 0:
+            raise RuntimeError("database is empty")
+        return self._df
+
+    def _bm25_stats(self) -> bm25.BM25Stats:
+        if self._stats is None:
+            self._stats = bm25.build_bm25_stats(
+                self._require_df(), self.id_col, self.text_col
+            ).cache()
+        return self._stats
+
+    def query_text(self, query: str, top_k: int = 5, return_scores: bool = False):
+        """BM25 top-k (local_db.py:115-135). Raises on empty corpus (parity)."""
+        df = self._require_df()  # parity: RuntimeError on empty (local_db.py:127)
+        res = bm25.query_text(
+            self.spark, df, query, top_k, self.id_col, self.text_col,
+            stats=self._bm25_stats(),
+        ).collect()
+        if return_scores:
+            return [(r.doc_id, r.score) for r in res]
+        return [r.doc_id for r in res]
+
+    def query_vector(
+        self,
+        vector: Sequence[float],
+        top_k: int = 5,
+        pre_filter: Column | Callable[[dict], bool] | None = None,
+        post_filter: Column | Callable[[dict], bool] | None = None,
+        return_scores: bool = False,
+    ):
+        """k-NN (local_db.py:137-200). Empty db returns [] (parity :159-160).
+
+        Filters may be Column predicates (fast path, pushdown-eligible) or
+        Python callables over the meta dict (reference parity, slow path).
+        """
+        if self._df is None or self._n == 0:
+            return []
+        df = self._df
+        pre = self._compile_filter(pre_filter)
+        post = self._compile_filter(post_filter)
+        res = knn.knn_exact(
+            df, list(vector), id_col=self.id_col, vec_col=self.vec_col,
+            k=top_k, pre_filter=pre, post_filter=post,
+        ).collect()
+        if return_scores:
+            return [(r[self.id_col], r.score) for r in res]
+        return [r[self.id_col] for r in res]
+
+    def _compile_filter(self, flt):
+        if flt is None or isinstance(flt, Column):
+            return flt
+        # Python callable over the meta dict → UDF (documented slow path)
+        udf = F.udf(lambda m: bool(flt(m or {})), T.BooleanType())
+        return udf(F.col("meta"))
+
+    def query_metadata(
+        self,
+        filter_func: Callable[[dict], bool] | None = None,
+        conditions: Mapping[str, Any] | None = None,
+        top_k: int | None = None,
+    ) -> list[int]:
+        """local_db.py:276-321 incl. conditions-shadows-filter_func and
+        positional top_k. Empty db → []."""
+        if self._df is None or self._n == 0:
+            return []
+        df = self._df
+        if conditions:
+            # conditions over the meta map (stringified values, parity with
+            # meta.get(k)==v); promoted columns used when present
+            pred = F.lit(True)
+            for k, v in conditions.items():
+                if k in df.columns:
+                    pred = pred & (F.col(k) == F.lit(v))
+                else:
+                    pred = pred & (F.col("meta").getItem(k) == F.lit(str(v)))
+            out = (
+                df.where(pred)
+                .select(self.id_col)
+                .orderBy(F.asc(self.id_col))
+            )
+            if top_k is not None and 0 < top_k:
+                out = out.limit(top_k)
+        elif filter_func is not None:
+            pred = self._compile_filter(filter_func)
+            out = df.where(pred).select(self.id_col).orderBy(F.asc(self.id_col))
+            if top_k is not None and 0 < top_k:
+                out = out.limit(top_k)
+        else:
+            out = df.select(self.id_col).orderBy(F.asc(self.id_col))
+            if top_k is not None and 0 < top_k:
+                out = out.limit(top_k)
+        return [r[self.id_col] for r in out.collect()]
+
+    def hybrid_search(
+        self,
+        query_text: str,
+        query_vector: Sequence[float],
+        top_k: int = 5,
+        vector_weight: float = 0.5,
+        filter_func: Column | Callable[[dict], bool] | None = None,
+        return_scores: bool = False,
+    ):
+        """local_db.py:323-401 (squared-L2 everywhere per SURVEY §2.3-1)."""
+        if self._df is None or self._n == 0:
+            return []
+        res = hybrid.hybrid_search(
+            self.spark,
+            self._df,
+            query_text,
+            list(query_vector),
+            top_k=top_k,
+            vector_weight=vector_weight,
+            filter_pred=self._compile_filter(filter_func),
+            id_col=self.id_col,
+            text_col=self.text_col,
+            vec_col=self.vec_col,
+            stats=self._bm25_stats(),
+        ).collect()
+        if return_scores:
+            return [(r.doc_id, r.score) for r in res]
+        return [r.doc_id for r in res]
+
+    # ------------------------------------------------------------------ lookup
+    def get_document(self, idx: int) -> str:
+        row = self._require_df().where(F.col(self.id_col) == idx).first()
+        if row is None:
+            raise IndexError(f"doc_id {idx} not found")
+        return row[self.text_col]
+
+    def get_metadata(self, idx: int) -> dict:
+        row = self._require_df().where(F.col(self.id_col) == idx).first()
+        if row is None:
+            raise IndexError(f"doc_id {idx} not found")
+        return dict(row["meta"] or {})
+
+    # ------------------------------------------------------------------ persist
+    def save(self, folder_path: str) -> None:
+        """Parquet + JSON manifest (vs pickle sniffing, local_db.py:210-222)."""
+        df = self._require_df()
+        df.write.mode("overwrite").parquet(os.path.join(folder_path, "documents"))
+        manifest = {
+            "dim": self.dim,
+            "index_type": self.index_type,
+            "n": self._n,
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+            "vec_col": self.vec_col,
+            "format_version": 1,
+        }
+        with open(os.path.join(folder_path, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, folder_path: str) -> "VectorDatabase":
+        with open(os.path.join(folder_path, "manifest.json")) as f:
+            m = json.load(f)
+        db = cls(
+            spark, m["dim"], m["index_type"],
+            id_col=m["id_col"], text_col=m["text_col"], vec_col=m["vec_col"],
+        )
+        df = spark.read.parquet(os.path.join(folder_path, "documents"))
+        return db.attach(df, m["n"])
+
+    # ------------------------------------------------------------------ misc
+    def __len__(self) -> int:
+        return self._n
+
+    def __repr__(self) -> str:
+        return (
+            f"VectorDatabase(n={self._n}, dim={self.dim}, "
+            f"index_type={self.index_type!r}, engine=pyspark)"
+        )

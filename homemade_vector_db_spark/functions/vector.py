@@ -1,0 +1,77 @@
+"""Vector distance kernels as Catalyst column expressions.
+
+The reference computes squared-L2 inside native index libraries
+(/root/reference/local_db.py:170,174 — hnswlib space='l2' and FAISS
+IndexFlatL2 both return *squared* euclidean) and maps distance→similarity
+as ``1/(1+d)`` (/root/reference/local_db.py:172,176).
+
+Here the same kernels are pure column expressions over ARRAY<FLOAT>
+(`zip_with` + `aggregate` higher-order functions), which keeps them inside
+whole-stage codegen — no Python boundary, no UDF. All arithmetic is DOUBLE
+so results are bit-comparable with the DuckDB oracle.
+
+For very wide vectors (≥ ~1k dims) a pandas_udf + numpy BLAS kernel can beat
+the HOF expression; `squared_l2_pandas` provides that path. The HOF version
+is the default because it is deterministic (strict left-to-right summation)
+and shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column | str) -> Column:
+    """Cast ARRAY<FLOAT> → ARRAY<DOUBLE> so accumulation happens in f64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def squared_l2(a: Column | str, b: Column | str) -> Column:
+    """Σ (aᵢ-bᵢ)² with strict left-to-right summation (deterministic)."""
+    diffs = F.zip_with(as_double(a), as_double(b), lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    prods = F.zip_with(as_double(a), as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def l2_to_similarity(dist: Column) -> Column:
+    """The reference's distance→similarity transform 1/(1+d)
+    (/root/reference/local_db.py:172,176)."""
+    return F.lit(1.0) / (F.lit(1.0) + dist)
+
+
+def squared_l2_pandas():
+    """Arrow-batched numpy kernel for the same squared-L2, for wide vectors.
+
+    Returns a pandas_udf (ARRAY<FLOAT>, ARRAY<FLOAT>) -> DOUBLE. Batch
+    transfer via Arrow; numpy does the row-block reduction. Use only when
+    profiling shows the HOF expression is the bottleneck — the HOF stays
+    JVM-side and is usually faster for dims ≤ a few hundred.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _sq_l2(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy()).astype("float64")
+        bm = np.stack(b.to_numpy()).astype("float64")
+        d = am - bm
+        return pd.Series(np.einsum("ij,ij->i", d, d))
+
+    return _sq_l2

@@ -1,0 +1,149 @@
+"""BM25 lexical search — reference `query_text` + BM25Okapi statistics.
+
+Reference (/root/reference/local_db.py:73-75,115-135): whitespace-tokenized
+corpus fed to rank_bm25's BM25Okapi with library defaults k1=1.5, b=0.75,
+epsilon=0.25; `query_text` whitespace-tokenizes the query, scores ALL docs,
+and takes top-k — returning exactly k rows even when scores are 0
+(np.argsort slice, local_db.py:130), tie-broken highest-doc_id-first.
+
+BM25Okapi scoring (published rank_bm25 semantics):
+    idf_raw(t) = ln((N - df(t) + 0.5) / (df(t) + 0.5))
+    idf(t)     = idf_raw(t) if idf_raw(t) >= 0 else epsilon * mean(idf_raw over vocab)
+    score(q,d) = Σ_{t∈q} idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 - b + b·dl(d)/avgdl))
+(query tokens contribute once per occurrence — duplicates in the query
+multiply the term's contribution.)
+
+Spark-first design — the stats are three tiny derived relations, the exact
+analogue of the reference's `_bm25` object being derived state:
+    postings(doc_id, term, tf)   — one shuffle: groupBy(doc_id, term) with
+                                   map-side partial aggregation
+    term_stats(term, df, idf)    — groupBy(term), then the epsilon floor via
+                                   one broadcast global avg
+    corpus_stats(N, avgdl)       — single global agg, broadcast
+Scoring a query is then: broadcast the (few) query terms against postings
+(broadcast hash join — no shuffle of the corpus), groupBy(doc_id) partial
+sum, top-k via TakeOrderedAndProject. At 100 TB the only big shuffle is the
+one-time postings build, which is the unavoidable inverted-index
+construction; per-query cost is a broadcast-join scan of the postings for
+the query's terms only (parquet predicate pushdown on `term` makes this a
+tiny fraction of the index when postings are stored term-partitioned).
+
+Unlike the reference, the stats do NOT need a full rebuild per append
+(README.md:152) — see streaming/ingest.py for incremental maintenance.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.functions.text import py_tokenize, tokenize
+
+K1 = 1.5
+B = 0.75
+EPSILON = 0.25
+
+
+@dataclass
+class BM25Stats:
+    """Derived index state (the Spark analogue of local_db.py:38 `_bm25`)."""
+
+    postings: DataFrame  # (doc_id, term, tf)
+    doc_len: DataFrame  # (doc_id, dl)
+    term_stats: DataFrame  # (term, df, idf)  — idf already epsilon-floored
+    corpus_stats: DataFrame  # (N, avgdl) — 1 row
+
+    def cache(self) -> "BM25Stats":
+        self.postings.cache()
+        self.doc_len.cache()
+        self.term_stats.cache()
+        self.corpus_stats.cache()
+        return self
+
+
+def build_bm25_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> BM25Stats:
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tokens"))
+    doc_len = toks.select("doc_id", F.size("tokens").alias("dl"))
+    postings = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus_stats = doc_len.agg(
+        F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
+    )
+    term_df = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    raw = term_df.crossJoin(F.broadcast(corpus_stats)).withColumn(
+        "raw_idf",
+        F.log((F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    )
+    avg_idf = raw.agg(F.avg("raw_idf").alias("avg_idf"))
+    term_stats = (
+        raw.crossJoin(F.broadcast(avg_idf))
+        .withColumn(
+            "idf",
+            F.when(F.col("raw_idf") < 0, F.lit(EPSILON) * F.col("avg_idf")).otherwise(
+                F.col("raw_idf")
+            ),
+        )
+        .select("term", "df", "idf")
+    )
+    return BM25Stats(postings, doc_len, term_stats, corpus_stats)
+
+
+def bm25_scores(
+    spark: SparkSession, stats: BM25Stats, query: str, k1: float = K1, b: float = B
+) -> DataFrame:
+    """(doc_id, score) for every doc with ≥1 query term; others implicitly 0."""
+    qcounts = Counter(py_tokenize(query))
+    if not qcounts:
+        raise ValueError("empty query")  # parity: local_db.py raises on no tokens
+    qterms = spark.createDataFrame(
+        [(t, int(c)) for t, c in qcounts.items()], "term STRING, qtf INT"
+    )
+    matched = (
+        stats.postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(stats.term_stats.join(F.broadcast(qterms), "term").select("term", "idf")), "term")
+        .join(stats.doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats.corpus_stats))
+    )
+    contrib = (
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return matched.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
+
+
+def query_text(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stats: BM25Stats | None = None,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Top-k (doc_id, score). Parity: returns exactly top_k rows even for
+    zero-score docs (local_db.py:130); ties highest-doc_id-first
+    (SURVEY.md §2.3-5)."""
+    if stats is None:
+        stats = build_bm25_stats(docs, id_col, text_col)
+    scores = bm25_scores(spark, stats, query)
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    score = F.coalesce(F.col("score"), F.lit(0.0))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        all_docs.join(scores, "doc_id", "left")
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(top_k)
+    )

@@ -1,0 +1,306 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond reference parity (the reference has no dedup), these are the
+first-class corpus-hygiene ops a 100 TB text pipeline needs:
+
+- exact_dedup          — hash-groupBy on the dedup key. One shuffle with
+                         map-side partial agg; at scale group by a 128-bit
+                         content hash instead of raw text so shuffle rows
+                         stay small (`key_hash=True`).
+- ngram_jaccard_pairs  — exact near-dup: shingle → inverted index self-join
+                         → Jaccard. The shingle join is the classic
+                         candidate generator; `max_shingle_freq` prunes
+                         stop-shingles that would otherwise create a
+                         quadratic hot key at scale (skew control).
+- minhash_lsh_pairs    — approximate near-dup at scale: MinHash signatures
+                         (universal hashing over 64-bit shingle hashes),
+                         banded LSH so only docs sharing a band bucket are
+                         compared, then exact-Jaccard verification of the
+                         candidates. Shuffle cost is O(docs × bands), not
+                         O(pairs).
+- simhash_pairs        — Hamming-ball near-dup over 64-bit SimHash
+                         fingerprints; bands of 16 bits as the candidate
+                         blocking key.
+- embedding_neardup_pairs — cosine near-dup over the embedding column.
+
+Everything is pure column expressions (whole-stage codegen); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.functions.text import tokenize
+from homemade_vector_db_spark.functions.vector import cosine
+
+# Mersenne prime 2^31-1: (a·x + b) mod p stays in int64 for a,x < p.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    key_hash: bool = False,
+) -> DataFrame:
+    """(keep_id, n_copies) per distinct key; keep_id = min id (stable winner).
+
+    key_hash=True groups by xxhash64(key) — at 100 TB this shrinks shuffle
+    rows from document-sized to 8 bytes (collision risk 2^-64 per pair).
+    """
+    key = [F.xxhash64(*key_cols)] if key_hash else [F.col(c) for c in key_cols]
+    return (
+        df.groupBy(*key)
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as ARRAY<STRING>."""
+    toks = tokenize(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    toks = tokenize(text_col)
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("shingles"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact near-dup pairs (a_id < b_id, jaccard ≥ threshold).
+
+    Candidate generation via inverted shingle index self-join. At scale set
+    `max_shingle_freq` to drop shingles appearing in more than that many
+    docs — a stop-shingle shared by 1M docs creates a 10^12-row join key;
+    pruning it loses only pairs whose *entire* overlap is stop-shingles.
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("shingle"), F.size("shingles").alias("n_sh")
+    )
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+        ex = ex.join(
+            freq.where(F.col("freq") <= max_shingle_freq).select("shingle"), "shingle"
+        )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n_sh")).alias("na"),
+            F.first(F.col("b.n_sh")).alias("nb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.where(jac >= threshold)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def minhash_signature(
+    shingle_col: Column | str, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """ARRAY<BIGINT> MinHash signature from an ARRAY<STRING> shingle column.
+
+    h_i(s) = (a_i · (xxhash64(s) mod p) + b_i) mod p with fixed per-i
+    coefficients derived from `seed` — fully deterministic, JVM-side.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    base = F.transform(c, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    mins = [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)))
+        )
+        for (a, b) in coeffs
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs via banded MinHash-LSH + exact verification.
+
+    bands=8 × rows=4 over 32 hashes → collision prob ≈ 1-(1-j⁴)⁸, steep
+    around j≈0.55. Candidates (docs sharing ≥1 band bucket) are verified
+    with exact Jaccard on the shingle sets, so the threshold is exact —
+    LSH only bounds recall. Shuffles: one groupBy per signature build is
+    avoided entirely (signatures are per-row expressions); the only wide
+    exchange is the band-bucket self-join.
+    """
+    rows = num_hashes // bands
+    sh = _shingled(df, id_col, text_col, n)
+    sig = sh.withColumn("sig", minhash_signature("shingles", num_hashes, seed))
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.slice("sig", i * rows + 1, rows).cast("string"))
+                for i in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.shingles").alias("sa"),
+            F.col("b.shingles").alias("sb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    jac = inter / union
+    return (
+        cand.where(jac >= threshold)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def simhash64(text_col: Column | str) -> Column:
+    """64-bit SimHash over tokens: per-bit ±1 votes from xxhash64(token)."""
+    toks = tokenize(text_col)
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        toks,
+        F.transform(bit_idx, lambda _: F.lit(0)),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(
+                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # fold sign bits into a single BIGINT
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Blocking: 4 bands of 16 bits — two docs within Hamming ≤ 3 of each other
+    must share a band (pigeonhole); for larger radii more bands/permuted
+    tables would be needed. Candidates verified exactly with bit_count(xor).
+    """
+    sh = df.select(F.col(id_col).alias("doc_id"), simhash64(text_col).alias("sh"))
+    banded = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
+        .orderBy("a_id", "b_id")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cosine near-dup pairs. All-pairs form — use only for verification or
+    small partitions; the scale path is LSH-bucketed (see ann.py) so the
+    self-join key is the bucket, not the full cross product."""
+    a, b = df.alias("a"), df.alias("b")
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("a_id", "b_id")
+    )

@@ -1,0 +1,92 @@
+"""Exact k-NN — the reference's 'flat' index path, Spark-first.
+
+Reference semantics (/root/reference/local_db.py:137-200): reshape the query
+to (1, dim) float32, run FAISS IndexFlatL2 exact scan, convert squared-L2
+distance to similarity ``1/(1+d)``, return top-k (doc_id, score).
+
+Spark plan: broadcast the 1-row query vector, compute the distance as a
+codegen'd column expression over every row, then ``ORDER BY score DESC LIMIT
+k`` — Catalyst plans this as TakeOrderedAndProject: each partition keeps a
+local k-heap, the driver merges k·numPartitions candidates. No global sort,
+no shuffle of the data. At 100 TB this is a single scan-side pass; with a
+selective pre-filter the parquet reader never materializes pruned row groups.
+
+Deliberate divergences (SURVEY.md §2.3):
+- D2: the reference's `pre_filter` actually runs AFTER the index search
+  (/root/reference/local_db.py:169-185) and can return < k rows even when k
+  matching docs exist. We filter BEFORE ranking (a true pre-filter, strictly
+  stronger: every returned row satisfies the predicate AND we return
+  min(k, n_matching) rows).
+- D3: FAISS pads with -1 ids when k > n (/root/reference/local_db.py:174);
+  we return min(k, n) real rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.functions.vector import (
+    cosine,
+    l2_to_similarity,
+    squared_l2,
+)
+
+QVEC = "__qvec"
+
+
+def with_query_vector(df: DataFrame, query: DataFrame | Sequence[float]) -> DataFrame:
+    """Attach the query vector to every row via a broadcast 1-row cross join.
+
+    `query` is either a literal python sequence or a 1-row DataFrame whose
+    single array column is the vector (e.g. `embeddings.where(vec_id==0)
+    .select('embedding')`). Keeping it a DataFrame avoids a collect on the
+    driver and lets the query itself be the result of another Spark job.
+    """
+    if isinstance(query, DataFrame):
+        cols = query.columns
+        if len(cols) != 1:
+            raise ValueError("query DataFrame must have exactly one array column")
+        qdf = query.select(F.col(cols[0]).alias(QVEC)).limit(1)
+        return df.crossJoin(F.broadcast(qdf))
+    qcol = F.array(*[F.lit(float(v)) for v in query]).alias(QVEC)
+    return df.withColumn(QVEC, qcol)
+
+
+def knn_exact(
+    df: DataFrame,
+    query: DataFrame | Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    pre_filter: Column | None = None,
+    post_filter: Column | None = None,
+    metric: str = "sqeuclidean",
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by similarity. Returns (id_col, score) ordered desc.
+
+    metric: 'sqeuclidean' → score = 1/(1+d²) (reference parity path);
+            'cosine'      → score = cosine similarity.
+    Ties broken by ascending id (deterministic; see SURVEY.md §2.3-5).
+    """
+    if pre_filter is not None:
+        df = df.where(pre_filter)
+    scored = with_query_vector(df, query)
+    if metric == "sqeuclidean":
+        score = l2_to_similarity(squared_l2(vec_col, QVEC))
+    elif metric == "cosine":
+        score = cosine(vec_col, QVEC)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    scored = scored.withColumn("score", score)
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    if post_filter is not None:
+        # Parity with the reference: post_filter runs on the k results
+        # (/root/reference/local_db.py:188-195) and may return < k rows.
+        topk = topk.where(post_filter)
+    return topk.select(F.col(id_col), F.col("score"))

@@ -1,0 +1,488 @@
+"""Query catalog: one entry per implemented operator (SURVEY.md §2), each a
+(Spark callable, DuckDB oracle SQL) pair with identical literals, column
+names and rounding, so the driver's order-insensitive value-hash matches.
+
+Conventions (SURVEY.md §7.3):
+- all scores computed in DOUBLE, rounded to 6 decimals in the query itself
+  on BOTH sides;
+- every computed column aliased identically on both sides;
+- deterministic tie-breaks pinned per SURVEY.md §2.3-5 (text: score DESC,
+  doc_id DESC; vector/hybrid: score DESC, id ASC).
+
+Fixed query literals (FIXTURES.md F3): the query vector is the embedding of
+vec_id=0 (self-join — identical bytes on both engines at any sf); the text
+query is a fixed string sharing tokens with the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.functions.vector import cosine, l2_to_similarity, squared_l2
+from homemade_vector_db_spark.operators import bm25, dedup, hybrid, knn, metadata, textstats
+from homemade_vector_db_spark.sources.tables import (
+    docs_with_embeddings,
+    load_documents,
+    load_embeddings,
+    load_table,
+)
+
+TEXT_QUERY = "spark join query vector the"
+HYBRID_TEXT_QUERY = "spark join query"
+TOP_K = 10
+HYBRID_W = 0.6
+JACCARD_NGRAM = 3
+JACCARD_THRESHOLD = 0.6
+
+# DuckDB fragment: squared-L2 in double between two FLOAT[] columns.
+_SQL_SQL2 = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))^2))"
+)
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _qvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_embeddings(spark, sf_dir).where(F.col("vec_id") == 0).select("embedding")
+    )
+
+
+# --------------------------------------------------------------------- queries
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 flat path: exact squared-L2 top-k (local_db.py:137-200)."""
+    return knn.knn_exact(
+        load_embeddings(spark, sf_dir), _qvec(spark, sf_dir), k=TOP_K
+    )
+
+
+def q_knn_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4a with true-pre-filter semantics (SURVEY.md §2.3 D2)."""
+    return knn.knn_exact(
+        load_embeddings(spark, sf_dir),
+        _qvec(spark, sf_dir),
+        k=TOP_K,
+        pre_filter=F.col("label") == 3,
+    )
+
+
+def q_knn_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4b: filter applied to the top-k results (local_db.py:188-195)."""
+    return knn.knn_exact(
+        load_embeddings(spark, sf_dir),
+        _qvec(spark, sf_dir),
+        k=TOP_K,
+        post_filter=F.col("label") != 0,
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity top-k (ANN baseline for the similarity-search tier)."""
+    return knn.knn_exact(
+        load_embeddings(spark, sf_dir), _qvec(spark, sf_dir), k=TOP_K, metric="cosine"
+    )
+
+
+def q_meta_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: conditions-dict conjunctive equality + positional top_k
+    (local_db.py:306-319)."""
+    return metadata.query_metadata(
+        load_documents(spark, sf_dir),
+        conditions={"lang": "en", "source": "src7"},
+        top_k=TOP_K,
+    )
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: positional fetch (local_db.py:202-208)."""
+    return load_documents(spark, sf_dir).where(F.col("doc_id") == 42)
+
+
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11: __len__ (local_db.py:267-268)."""
+    return load_documents(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3+O10: BM25Okapi scoring incl. epsilon idf floor (local_db.py:115-135)."""
+    return bm25.query_text(
+        spark, load_documents(spark, sf_dir), TEXT_QUERY, top_k=TOP_K
+    )
+
+
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: weighted fusion, exact squared-L2 path (local_db.py:323-401)."""
+    corpus = docs_with_embeddings(spark, sf_dir)
+    return hybrid.hybrid_search(
+        spark,
+        corpus,
+        HYBRID_TEXT_QUERY,
+        _qvec(spark, sf_dir),
+        top_k=TOP_K,
+        vector_weight=HYBRID_W,
+    )
+
+
+def q_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 with metadata mask (local_db.py:390-392)."""
+    corpus = docs_with_embeddings(spark, sf_dir)
+    return hybrid.hybrid_search(
+        spark,
+        corpus,
+        HYBRID_TEXT_QUERY,
+        _qvec(spark, sf_dir),
+        top_k=TOP_K,
+        vector_weight=HYBRID_W,
+        filter_pred=F.col("lang") == "en",
+    )
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational agg coverage (§2.2): TPC-H Q1-style pricing summary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join coverage (§2.2): revenue per customer, broadcast dim join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"), "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(TOP_K)
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed agg (batch twin of the streaming path): tumbling 1h window."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text, representative = min id."""
+    return dedup.exact_dedup(load_documents(spark, sf_dir), key_cols=["text"])
+
+
+def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: n-gram shingle Jaccard over all candidate pairs."""
+    return dedup.ngram_jaccard_pairs(
+        load_documents(spark, sf_dir),
+        n=JACCARD_NGRAM,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: per-doc token count (str.split parity tokenizer)."""
+    return textstats.token_counts(load_documents(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: length/stopword/uniqueness quality signals."""
+    return textstats.quality_scores(load_documents(spark, sf_dir))
+
+
+# --------------------------------------------------------------------- oracles
+def _bm25_cte(table: str = "documents", query_terms: str = TEXT_QUERY) -> str:
+    """DuckDB CTE block computing BM25 scores; ends with `scores(doc_id, s)`."""
+    from collections import Counter
+
+    qvals = ", ".join(
+        f"('{t}', {c})" for t, c in Counter(query_terms.split()).items()
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM {table}
+),
+doclen AS (SELECT doc_id, len(tokens) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, unnest(tokens) AS term FROM toks
+),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY 1),
+cstats AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM doclen),
+rawidf AS (
+  SELECT term, ln((N - df + 0.5) / (df + 0.5)) AS raw FROM dfc, cstats
+),
+avgidf AS (SELECT avg(raw) AS av FROM rawidf),
+idf AS (
+  SELECT term, CASE WHEN raw < 0 THEN 0.25 * av ELSE raw END AS idf
+  FROM rawidf, avgidf
+),
+qterms(term, qtf) AS (VALUES {qvals}),
+scores AS (
+  SELECT t.doc_id,
+         SUM(q.qtf * i.idf * t.tf * 2.5 / (t.tf + 1.5 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))) AS s
+  FROM tfc t
+  JOIN qterms q USING (term)
+  JOIN idf i USING (term)
+  JOIN doclen d USING (doc_id),
+  cstats c
+  GROUP BY t.doc_id
+)"""
+
+
+_ORACLES: dict[str, str] = {}
+
+_ORACLES["knn_exact"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.qv')}), 6) AS score
+FROM embeddings e, q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+_ORACLES["knn_prefilter"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.qv')}), 6) AS score
+FROM embeddings e, q
+WHERE e.label = 3
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+_ORACLES["knn_postfilter"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+topk AS (
+  SELECT e.vec_id, e.label,
+         round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.qv')}), 6) AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT {TOP_K}
+)
+SELECT vec_id, score FROM topk WHERE label <> 0
+"""
+
+_ORACLES["cosine_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         {_SQL_DOT.format(a='e.embedding', b='q.qv')} AS d,
+         sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')}) AS na,
+         sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')}) AS nb
+  FROM embeddings e, q
+)
+SELECT vec_id,
+       round(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) ELSE 0.0 END, 6) AS score
+FROM s
+ORDER BY score DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+_ORACLES["meta_conditions"] = f"""
+SELECT doc_id FROM documents
+WHERE lang = 'en' AND source = 'src7'
+ORDER BY doc_id ASC
+LIMIT {TOP_K}
+"""
+
+_ORACLES["point_lookup"] = "SELECT * FROM documents WHERE doc_id = 42"
+
+_ORACLES["count"] = "SELECT count(*) AS n FROM documents"
+
+_ORACLES["bm25_topk"] = f"""
+WITH {_bm25_cte('documents', TEXT_QUERY)}
+SELECT d.doc_id, round(coalesce(s.s, 0.0), 6) AS score
+FROM documents d LEFT JOIN scores s USING (doc_id)
+ORDER BY score DESC, d.doc_id DESC
+LIMIT {TOP_K}
+"""
+
+_HYBRID_CORE = f"""
+corpus AS (
+  SELECT d.doc_id, d.text, d.lang, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+{{bm25}},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT c.doc_id,
+         1.0 / (1.0 + {_SQL_SQL2.format(a='c.embedding', b='q.qv')}) AS vs
+  FROM corpus c, q
+),
+fused AS (
+  SELECT c.doc_id, c.lang,
+         coalesce(v.vs, 0.0) AS vs,
+         coalesce(s.s, 0.0) AS ts
+  FROM corpus c
+  LEFT JOIN vec v USING (doc_id)
+  LEFT JOIN scores s USING (doc_id)
+),
+maxes AS (SELECT max(vs) AS vmax, max(ts) AS tmax FROM fused),
+normed AS (
+  SELECT doc_id, lang,
+         CASE WHEN vmax > 0 THEN vs / vmax ELSE vs END AS vn,
+         CASE WHEN tmax > 0 THEN ts / tmax ELSE ts END AS tn
+  FROM fused, maxes
+)"""
+
+
+def _hybrid_sql(extra_where: str) -> str:
+    bm25_block = _bm25_cte("corpus", HYBRID_TEXT_QUERY)
+    # _bm25_cte emits leading "\ntoks AS (...)" — usable inline after a comma
+    core = _HYBRID_CORE.format(bm25=bm25_block.strip().rstrip())
+    return f"""
+WITH {core}
+SELECT doc_id,
+       round({HYBRID_W} * vn + {1 - HYBRID_W} * tn, 6) AS score
+FROM normed
+WHERE ({HYBRID_W} * vn + {1 - HYBRID_W} * tn) > 0 {extra_where}
+ORDER BY score DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
+_ORACLES["hybrid_topk"] = _hybrid_sql("")
+_ORACLES["hybrid_filtered"] = _hybrid_sql("AND lang = 'en'")
+
+_ORACLES["lineitem_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_ORACLES["top_customers"] = f"""
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       round(sum(o.o_totalprice), 6) AS revenue,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, custkey ASC
+LIMIT {TOP_K}
+"""
+
+_ORACLES["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS total
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+_ORACLES["dedup_exact"] = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY text
+ORDER BY keep_id
+"""
+
+_ORACLES["ngram_jaccard_neardup"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens) - {JACCARD_NGRAM - 2}),
+           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
+  FROM toks
+  WHERE len(tokens) >= {JACCARD_NGRAM}
+),
+e AS (SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         count(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+_ORACLES["token_count"] = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+_ORACLES["quality_score"] = """
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+)
+SELECT doc_id,
+       len(tokens) AS n_tokens,
+       round(CAST(n_chars AS DOUBLE) / len(tokens), 6) AS avg_token_len,
+       round(CAST(len(list_filter(tokens, t -> t IN ('the', 'a'))) AS DOUBLE)
+             / len(tokens), 6) AS stopword_ratio,
+       round(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens), 6)
+         AS type_token_ratio
+FROM toks
+ORDER BY doc_id
+"""
+
+
+def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "knn_exact": q_knn_exact,
+        "knn_prefilter": q_knn_prefilter,
+        "knn_postfilter": q_knn_postfilter,
+        "cosine_topk": q_cosine_topk,
+        "meta_conditions": q_meta_conditions,
+        "point_lookup": q_point_lookup,
+        "count": q_count,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_topk": q_hybrid_topk,
+        "hybrid_filtered": q_hybrid_filtered,
+        "lineitem_pricing": q_lineitem_pricing,
+        "top_customers": q_top_customers,
+        "events_hourly": q_events_hourly,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+    }
+
+
+def oracles() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every `queries()` entry on Spark at sf0.01 and its `oracle_sql()` twin
+on DuckDB over the same parquet, then compares row count, column names, and
+an order-insensitive value hash (columns sorted by name, rows sorted by all
+values, floats as written — both sides round inside the query).
+
+Usage: python scripts/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        # normalize int-like (spark long vs duckdb int32/hugeint) to int64
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    return hashlib.sha256(
+        df.to_csv(index=False, float_format="%.6f").encode()
+    ).hexdigest()[:16]
+
+
+def main() -> int:
+    import __spark_entry__ as ent
+    from homemade_vector_db_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="correctness-check", cpus=8, shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = ent.queries()
+    oracles = ent.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        spark_pdf = fn(spark, SF_DIR).toPandas()
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:28s} rows-only: {len(spark_pdf)} rows  ({t_spark:.1f}s)")
+            continue
+        ora_pdf = con.execute(oracles[name]).df()
+        a, b = norm_frame(spark_pdf), norm_frame(ora_pdf)
+        ok_rows = len(a) == len(b)
+        ok_cols = list(a.columns) == list(b.columns)
+        ok_hash = ok_rows and ok_cols and value_hash(a) == value_hash(b)
+        status = "OK  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        print(
+            f"  {name:28s} {status} rows={len(a)}/{len(b)} cols={ok_cols} "
+            f"hash={ok_hash}  ({t_spark:.1f}s)"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            print(f"    spark cols: {list(a.columns)}  oracle cols: {list(b.columns)}")
+            merged = a.merge(b, how="outer", indicator=True)
+            diff = merged[merged["_merge"] != "both"]
+            print(diff.head(12).to_string())
+    spark.stop()
+    if failures:
+        print(f"\nFAILED: {failures}")
+        return 1
+    print("\nall checked queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

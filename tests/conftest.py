@@ -1,0 +1,13 @@
+import pytest
+
+from homemade_vector_db_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="hvdb-tests", cpus=8, shuffle_partitions=8)
+    yield s
+    s.stop()
