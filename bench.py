@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Per query: 1 warmup + N timed runs, median reported. `value` is the sum of
+per-query medians (total headline seconds — lower is better).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from homemade_vector_db_spark import queries as Q
+from homemade_vector_db_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = int(os.environ.get("BENCH_RUNS", "5"))
+
+# Headline set: one per operator family (SURVEY.md §2).
+HEADLINE = [
+    "knn_exact",
+    "cosine_topk",
+    "knn_prefilter",
+    "meta_conditions",
+    "bm25_topk",
+    "hybrid_topk",
+    "dedup_exact",
+    "ngram_jaccard_neardup",
+    "token_count",
+    "quality_score",
+    "lineitem_pricing",
+    "top_customers",
+    "events_hourly",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="hvdb-bench",
+        cpus=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = Q.registry()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        fn(spark, SF_DIR).collect()  # warmup: JIT, parquet footer cache
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+    spark.stop()
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,10 +69,14 @@ def build_bm25_stats(
 ) -> BM25Stats:
     toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tokens"))
     doc_len = toks.select("doc_id", F.size("tokens").alias("dl"))
+    # dl rides along through the postings groupBy (constant per doc_id) so
+    # scoring never needs a second shuffle join against doc_len.
     postings = (
-        toks.select("doc_id", F.explode("tokens").alias("term"))
+        toks.select(
+            "doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term")
+        )
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     corpus_stats = doc_len.agg(
         F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
@@ -108,8 +112,12 @@ def bm25_scores(
     )
     matched = (
         stats.postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(stats.term_stats.join(F.broadcast(qterms), "term").select("term", "idf")), "term")
-        .join(stats.doc_len, "doc_id")
+        .join(
+            F.broadcast(
+                stats.term_stats.join(F.broadcast(qterms), "term").select("term", "idf")
+            ),
+            "term",
+        )
         .crossJoin(F.broadcast(stats.corpus_stats))
     )
     contrib = (

@@ -59,21 +59,31 @@ def exact_dedup(
 
 
 def shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as ARRAY<STRING>."""
+    """Distinct word n-gram shingles as ARRAY<STRING>; empty when < n tokens.
+
+    Built as a zip of n shifted slices of the token array rather than
+    `transform(sequence(...), i -> slice(tokens, i, n))`: Catalyst inlines
+    the tokenizer into lambda bodies, so the per-position form re-ran the
+    regex split once per shingle (O(len²) regex work per doc — measured 2.4×
+    slower end-to-end at sf0.1). The slice-zip form evaluates the split a
+    constant ~n+1 times per row.
+    """
     toks = tokenize(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, length)
+    for j in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(toks, j, length), lambda x, y: F.concat(x, F.lit(" "), y)
         )
-    )
+    return F.array_distinct(acc)
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    toks = tokenize(text_col)
-    return (
-        df.where(F.size(toks) >= n)
-        .select(F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("shingles"))
+    # no size filter needed: < n tokens → empty shingle array → explode
+    # drops the row (and avoids a Filter node that would re-evaluate the
+    # whole shingle expression a second time)
+    return df.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("shingles")
     )
 
 
@@ -93,9 +103,15 @@ def ngram_jaccard_pairs(
     pruning it loses only pairs whose *entire* overlap is stop-shingles.
     """
     sh = _shingled(df, id_col, text_col, n)
+    # Shuffle int64 shingle hashes, not strings: ~8 bytes/row vs shingle
+    # text — at 100 TB this is the difference between a manageable exchange
+    # and a corpus-sized one. xxhash64 collisions (~2^-64/pair) are noise
+    # relative to the threshold decision.
     ex = sh.select(
-        "doc_id", F.explode("shingles").alias("shingle"), F.size("shingles").alias("n_sh")
-    )
+        "doc_id",
+        F.explode("shingles").alias("shingle"),
+        F.size("shingles").alias("n_sh"),
+    ).select("doc_id", F.xxhash64("shingle").alias("shingle"), "n_sh")
     if max_shingle_freq is not None:
         freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
         ex = ex.join(
