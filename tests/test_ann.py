@@ -1,0 +1,69 @@
+"""ANN tier: recall@k against the exact operator — mirrors the reference's
+'flat is exact, HNSW/IVFPQ may vary' stance (test_local_db.py:155-157)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.operators import ann
+from homemade_vector_db_spark.operators.knn import knn_exact
+from homemade_vector_db_spark.sources.tables import load_embeddings
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_embeddings(spark, SF_SMOKE).cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(embs):
+    return list(embs.where(F.col("vec_id") == 7).first().embedding)
+
+
+def recall(approx_ids, exact_ids):
+    return len(set(approx_ids) & set(exact_ids)) / len(exact_ids)
+
+
+def test_ivf_recall(spark, embs, qvec):
+    exact = [r.vec_id for r in knn_exact(embs, qvec, k=10).collect()]
+    idx = ann.build_ivf(embs, nlist=16)
+    got = [r.vec_id for r in ann.ivf_search(idx, qvec, k=10, nprobe=4).collect()]
+    assert len(got) == 10
+    # embeddings are label-clustered; 4/16 cells must recover most of top-10
+    assert recall(got, exact) >= 0.5
+    # full probe == exact
+    got_all = [r.vec_id for r in ann.ivf_search(idx, qvec, k=10, nprobe=16).collect()]
+    assert got_all == exact
+
+
+def test_ivf_tiny_corpus_shrink(spark, embs, qvec):
+    # O2a parity: nlist shrinks instead of failing on tiny corpora
+    tiny = embs.limit(3)
+    idx = ann.build_ivf(tiny, nlist=100)
+    assert idx.nlist <= 1 or idx.nlist <= 3 // 2
+    got = ann.ivf_search(idx, qvec, k=5).collect()
+    assert 0 < len(got) <= 3
+
+
+def test_ivf_empty_raises(spark, embs):
+    with pytest.raises(ValueError):
+        ann.build_ivf(embs.where(F.lit(False)))
+
+
+def test_lsh_recall(spark, embs, qvec):
+    exact = [r.vec_id for r in knn_exact(embs, qvec, k=10).collect()]
+    idx = ann.build_lsh(embs, bucket_length=2.0, num_hash_tables=3)
+    got = [r.vec_id for r in ann.lsh_search(idx, qvec, k=10).collect()]
+    assert len(got) == 10
+    assert recall(got, exact) >= 0.5
+    scores = [r.score for r in ann.lsh_search(idx, qvec, k=10).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_lsh_similarity_join_finds_near_pairs(spark, embs):
+    idx = ann.build_lsh(embs, bucket_length=2.0, num_hash_tables=3)
+    pairs = ann.lsh_similarity_join(idx, max_l2=1.2).collect()
+    # all returned pairs respect the distance bound and ordering contract
+    for r in pairs:
+        assert r.a_id < r.b_id
+        assert r.l2_dist <= 1.2

@@ -1,0 +1,143 @@
+"""VectorDatabase facade — mirrors the reference test suite's categories
+(/root/reference/test_local_db.py): construction, operator behavior,
+persistence round-trip, empty-db edges, return-shape contracts."""
+
+import pytest
+
+from homemade_vector_db_spark.db import VectorDatabase
+
+DOCS = [
+    "meeting scheduled with the team tomorrow",
+    "invoice for services rendered",
+    "project proposal deadline next week",
+    "system alert critical error",
+    "quarterly report financial summary",
+]
+VECS = [
+    [0.1, 0.2, 0.3, 0.4],
+    [0.9, 0.8, 0.7, 0.6],
+    [0.2, 0.2, 0.3, 0.5],
+    [0.5, 0.5, 0.5, 0.5],
+    [0.3, 0.1, 0.4, 0.2],
+]
+METAS = [
+    {"type": "meeting", "priority": "high", "sender": "alice"},
+    {"type": "invoice", "priority": "medium", "amount": 1250.75},
+    {"type": "proposal", "priority": "high", "deadline": "2025-06-01"},
+    {"type": "system", "priority": "low"},
+    {"type": "report", "priority": "medium"},
+]
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    d = VectorDatabase(spark, dim=4)
+    d.add(DOCS, VECS, METAS)
+    return d
+
+
+def test_init_invalid_index_type(spark):
+    with pytest.raises(ValueError):
+        VectorDatabase(spark, dim=4, index_type="bogus")
+
+
+def test_len_and_repr(db):
+    assert len(db) == 5
+    assert "n=5" in repr(db)
+
+
+def test_query_text_shapes(db):
+    ids = db.query_text("meeting team", top_k=3)
+    assert len(ids) == 3 and all(isinstance(i, int) for i in ids)
+    scored = db.query_text("meeting team", top_k=3, return_scores=True)
+    assert all(0.0 <= s for _, s in scored)
+    assert scored[0][0] == 0  # doc 0 has both terms
+
+
+def test_query_vector_scores_in_unit_interval(db):
+    scored = db.query_vector([0.1, 0.2, 0.3, 0.4], top_k=5, return_scores=True)
+    assert scored[0] == (0, 1.0)  # exact match → squared-L2 0 → score 1
+    assert all(0.0 <= s <= 1.0 for _, s in scored)
+
+
+def test_query_vector_filters(db):
+    ids = db.query_vector(
+        [0.1, 0.2, 0.3, 0.4], top_k=5,
+        pre_filter=lambda m: m.get("priority") == "high",
+    )
+    assert set(ids) == {0, 2}
+    ids2 = db.query_vector(
+        [0.1, 0.2, 0.3, 0.4], top_k=2,
+        post_filter=lambda m: m.get("type") != "meeting",
+    )
+    assert 0 not in ids2 and len(ids2) <= 2
+
+
+def test_query_metadata_modes(db):
+    assert db.query_metadata(conditions={"priority": "high"}) == [0, 2]
+    # conditions shadows filter_func (parity local_db.py:306-312)
+    assert db.query_metadata(
+        conditions={"priority": "high"},
+        filter_func=lambda m: False,
+    ) == [0, 2]
+    assert db.query_metadata(filter_func=lambda m: "amount" in m) == [1]
+    # positional top_k (parity local_db.py:317-319)
+    assert db.query_metadata(top_k=2) == [0, 1]
+    assert db.query_metadata() == [0, 1, 2, 3, 4]
+
+
+def test_hybrid_weights(db):
+    r_vec = db.hybrid_search("meeting", VECS[1], top_k=1, vector_weight=1.0)
+    assert r_vec == [1]
+    r_txt = db.hybrid_search("invoice services", VECS[0], top_k=1, vector_weight=0.0)
+    assert r_txt == [1]
+
+
+def test_point_lookup(db):
+    assert db.get_document(2) == DOCS[2]
+    assert db.get_metadata(1)["amount"] == "1250.75"  # stringified map
+    with pytest.raises(IndexError):
+        db.get_document(99)
+
+
+def test_save_load_roundtrip(db, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dbsave"))
+    db.save(path)
+    db2 = VectorDatabase.load(spark, path)
+    assert len(db2) == len(db)
+    assert db2.get_document(0) == DOCS[0]
+    # flat index is deterministic → exact result equality
+    # (parity test_local_db.py:152-162)
+    assert db2.query_text("meeting team", top_k=3) == db.query_text(
+        "meeting team", top_k=3
+    )
+    assert db2.query_vector([0.5, 0.5, 0.5, 0.5], top_k=3) == db.query_vector(
+        [0.5, 0.5, 0.5, 0.5], top_k=3
+    )
+
+
+def test_empty_db_edges(spark):
+    empty = VectorDatabase(spark, dim=4)
+    assert empty.query_vector([0, 0, 0, 0]) == []
+    assert empty.query_metadata(conditions={"a": "b"}) == []
+    assert empty.hybrid_search("x", [0, 0, 0, 0]) == []
+    with pytest.raises(RuntimeError):
+        empty.query_text("x")
+    assert len(empty) == 0
+
+
+def test_add_validates_dim(spark):
+    d = VectorDatabase(spark, dim=4)
+    with pytest.raises(ValueError):
+        d.add(["x"], [[1.0, 2.0]])
+    with pytest.raises(ValueError):
+        d.add(["x", "y"], [[1.0, 2.0, 3.0, 4.0]])
+
+
+def test_incremental_add(spark):
+    d = VectorDatabase(spark, dim=2)
+    d.add(["first doc"], [[0.0, 0.0]])
+    d.add(["second doc"], [[1.0, 1.0]])
+    assert len(d) == 2
+    assert d.query_vector([0.9, 0.9], top_k=1) == [1]
+    assert d.get_document(1) == "second doc"

@@ -1,0 +1,109 @@
+"""Dedup operators on the sf0.001 corpus (driver plants ~5% near-dup docs
+whose text is another doc's text + ' dup')."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.operators import dedup
+from homemade_vector_db_spark.sources.tables import load_documents
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_documents(spark, SF_SMOKE).cache()
+
+
+@pytest.fixture(scope="module")
+def planted(docs):
+    """Ground-truth near-dup pairs: text b == text a + ' dup'."""
+    a, b = docs.alias("a"), docs.alias("b")
+    rows = a.join(
+        b, F.col("b.text") == F.concat(F.col("a.text"), F.lit(" dup"))
+    ).select(
+        F.least("a.doc_id", "b.doc_id").alias("x"),
+        F.greatest("a.doc_id", "b.doc_id").alias("y"),
+    ).collect()
+    return {(r.x, r.y) for r in rows}
+
+
+def test_exact_dedup_no_dupes_on_distinct_corpus(spark, docs):
+    out = dedup.exact_dedup(docs, key_cols=["text"]).collect()
+    assert all(r.n_copies == 1 for r in out)
+    assert len(out) == docs.count()
+
+
+def test_exact_dedup_finds_planted_copies(spark, docs):
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    out = dedup.exact_dedup(doubled, key_cols=["text"]).collect()
+    assert all(r.n_copies == 2 for r in out)
+    # representative is the stable minimum id
+    assert all(r.keep_id < 100000 for r in out)
+
+
+def test_exact_dedup_hashed_key_same_groups(spark, docs):
+    plain = dedup.exact_dedup(docs, key_cols=["text"]).collect()
+    hashed = dedup.exact_dedup(docs, key_cols=["text"], key_hash=True).collect()
+    assert sorted((r.keep_id, r.n_copies) for r in plain) == sorted(
+        (r.keep_id, r.n_copies) for r in hashed
+    )
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, docs, planted):
+    assert planted, "fixture corpus should contain planted near-dups"
+    got = {
+        (r.a_id, r.b_id)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    # superset: the corpus also contains coincidental near-dup chains
+    # (e.g. dup-of-dup clusters) that a correct operator must report too
+    assert got >= planted
+
+
+def test_minhash_matches_exact_jaccard(spark, docs, planted):
+    exact = {
+        (r.a_id, r.b_id)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.6).collect()
+    }
+    assert got == exact
+
+
+def test_minhash_jaccard_values_match_exact(spark, docs):
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.6).collect()
+    }
+    assert exact == approx  # verification recomputes exact jaccard
+
+
+def test_simhash_recall_on_planted(spark, docs, planted):
+    got = {
+        (r.a_id, r.b_id)
+        for r in dedup.simhash_pairs(docs, max_hamming=6).collect()
+    }
+    rec = len(got & planted) / len(planted)
+    assert rec >= 0.6
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(0, "one two"), (1, "a b c d")], "doc_id LONG, text STRING")
+    out = df.select(dedup.shingles("text", 3).alias("s")).collect()
+    assert out[0].s == []
+    assert out[1].s == ["a b c", "b c d"]
+
+
+def test_embedding_neardup_self_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = dedup.embedding_neardup_pairs(df, threshold=0.99).collect()
+    assert [(r.a_id, r.b_id) for r in out] == [(0, 1)]

@@ -1,0 +1,109 @@
+"""Streaming ingest: incremental BM25 state must equal a from-scratch batch
+build over the same corpus (the invariant the reference violates by
+rebuilding, local_db.py:73-75)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.operators import bm25
+from homemade_vector_db_spark.streaming.ingest import (
+    IncrementalCorpus,
+    windowed_event_counts,
+)
+
+BATCH1 = [(0, "alpha beta gamma"), (1, "beta gamma delta")]
+BATCH2 = [(2, "gamma delta epsilon"), (3, "alpha zeta")]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_incremental_equals_batch_rebuild(spark, tmp_path):
+    corpus = IncrementalCorpus(spark, str(tmp_path / "corpus"))
+    corpus.ingest_batch(_df(spark, BATCH1), 0)
+    corpus.ingest_batch(_df(spark, BATCH2), 1)
+
+    all_docs = _df(spark, BATCH1 + BATCH2)
+    batch_stats = bm25.build_bm25_stats(all_docs)
+
+    inc_ts = {r.term: (r.df, round(r.idf, 9)) for r in corpus.term_stats().collect()}
+    bat_ts = {
+        r.term: (r.df, round(r.idf, 9)) for r in batch_stats.term_stats.collect()
+    }
+    assert inc_ts == bat_ts
+
+    inc_c = corpus.corpus_stats().first()
+    bat_c = batch_stats.corpus_stats.first()
+    assert inc_c.N == bat_c.N and inc_c.avgdl == pytest.approx(bat_c.avgdl)
+
+    # end-to-end: scoring through the incremental stats matches batch
+    q_inc = bm25.query_text(
+        spark, all_docs, "gamma delta", top_k=4, stats=corpus.bm25_stats()
+    ).collect()
+    q_bat = bm25.query_text(
+        spark, all_docs, "gamma delta", top_k=4, stats=batch_stats
+    ).collect()
+    assert [(r.doc_id, r.score) for r in q_inc] == [
+        (r.doc_id, r.score) for r in q_bat
+    ]
+
+
+def test_streaming_file_source_foreachbatch(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    corpus = IncrementalCorpus(spark, str(tmp_path / "scorpus"))
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(str(src))
+    )
+    q = corpus.attach_stream(stream, checkpoint=str(tmp_path / "ckpt"))
+    try:
+        _df(spark, BATCH1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        _df(spark, BATCH2).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    docs = spark.read.parquet(corpus.docs_path)
+    assert docs.count() == 4
+    ts = {r.term: r.df for r in corpus.term_stats().collect()}
+    assert ts["gamma"] == 3 and ts["zeta"] == 1
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    rows = [
+        ("2026-01-01 10:05:00", "click", 1.0),
+        ("2026-01-01 10:45:00", "click", 2.0),
+        ("2026-01-01 11:05:00", "view", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts_s STRING, event_type STRING, value DOUBLE").select(
+        F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+    )
+    df.write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE").parquet(str(src))
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): (r.n, r.total)
+            for r in spark.sql("SELECT * FROM wincounts").collect()
+        }
+    finally:
+        q.stop()
+    assert got[("2026-01-01 10:00:00", "click")] == (2, 3.0)
+    assert got[("2026-01-01 11:00:00", "view")] == (1, 3.0)
