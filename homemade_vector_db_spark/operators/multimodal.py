@@ -1,0 +1,157 @@
+"""Multimodal (image/audio/video) column handling for training-data pipelines.
+
+Media are opaque BINARY columns with typed metadata — the parquet-native
+pattern (no media codecs needed to plan/filter/shuffle). The Spark plumbing
+(schemas, Arrow batch shape, partition sizing) is real and tested; the
+actual codec calls are STUBBED behind `_decode_image_bytes` /
+`_extract_audio_features` because no image/audio libraries exist in this
+container — swap those two functions for PIL/torchaudio/ffmpeg in a real
+deployment and nothing else changes.
+
+Scale notes:
+- decode work is a `mapInPandas` over Arrow record batches: rows stream
+  through Python in columnar batches (spark.sql.execution.arrow.
+  maxRecordsPerBatch controls batch height) — never row-at-a-time pickling.
+- media rows are large; repartition by byte budget, not row count:
+  `repartition_for_media` targets bytes/partition so an executor never
+  materializes more than ~budget of raw media at once.
+- derived features (embeddings, thumbnails) should be written to a SEPARATE
+  table keyed by media_id, not appended as columns — avoids rewriting the
+  heavy binary column on every feature iteration.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),  # images/video
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),  # audio/video
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id LONG, width INT, height INT, n_bytes INT, "
+    "mean_luma DOUBLE, feature ARRAY<FLOAT>"
+)
+
+FRAME_SCHEMA = "media_id LONG, frame_idx INT, frame_bytes BINARY"
+
+
+def _decode_image_bytes(content: bytes) -> "tuple[int, int, float]":
+    """STUB decode — deterministic fake standing in for PIL/turbojpeg.
+
+    Returns (width, height, mean_luma). Real deployments replace this body
+    with `PIL.Image.open(io.BytesIO(content))`; the Spark-side contract
+    (bytes in, scalars out, called inside an Arrow batch loop) is what the
+    pipeline tests pin down.
+    """
+    if content is None or len(content) == 0:
+        raise NotImplementedError(
+            "real image decode requires an imaging library (PIL/libjpeg); "
+            "empty payloads have no deterministic fake"
+        )
+    # deterministic fake derived from the payload so tests can assert
+    w = 1 + (len(content) % 64)
+    h = 1 + (content[0] if isinstance(content[0], int) else ord(content[0])) % 64
+    luma = (sum(content[:16]) % 255) / 255.0
+    return w, h, luma
+
+
+def image_features(
+    df: DataFrame, dim: int = 8, batch_note: str | None = None
+) -> DataFrame:
+    """Decode + feature-extract images via mapInPandas (Arrow batches).
+
+    Output: (media_id, width, height, n_bytes, mean_luma, feature) where
+    `feature` is a dim-length embedding (stub: luma-seeded deterministic
+    values; real: a vision model forward pass on the decoded tensor).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                w, h, luma = _decode_image_bytes(data)
+                feat = [
+                    float(((luma * 997 + i * 31) % 100) / 100.0) for i in range(dim)
+                ]
+                rows.append((mid, w, h, len(data), luma, feat))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_bytes", "mean_luma", "feature",
+                ],
+            )
+
+    src = df.where(F.col("kind") == "image").select("media_id", "content")
+    return src.mapInPandas(extract, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video rows: emits (media_id, frame_idx,
+    frame_bytes) — 1→N row fan-out through mapInPandas, the exact shape a
+    real ffmpeg-backed sampler produces. Stub slices the payload
+    deterministically instead of decoding a container format."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                if not data:
+                    raise NotImplementedError(
+                        "real frame sampling requires ffmpeg; empty payload"
+                    )
+                n = min(max_frames, max(1, len(data) // every_n))
+                for i in range(n):
+                    lo = i * every_n
+                    out.append((mid, i, data[lo : lo + every_n]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_bytes"]
+            )
+
+    src = df.where(F.col("kind") == "video").select("media_id", "content")
+    return src.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Pure-SQL metadata aggregation over media — no decode needed, runs at
+    full scan speed: per kind, count/bytes/dimension stats."""
+    return (
+        df.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("content")).alias("total_bytes"),
+            F.round(F.avg(F.length("content")), 6).alias("avg_bytes"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("duration_ms"), 6).alias("avg_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
+def repartition_for_media(
+    df: DataFrame, target_bytes_per_partition: int = 256 * 1024 * 1024
+) -> DataFrame:
+    """Partition by byte budget (one Spark job to size, then repartition).
+
+    Row-count-based partitioning is wrong for media: 1000 rows can be 4 KB
+    thumbnails or 4 GB videos. This keeps any executor's in-flight media
+    under the budget regardless of row size distribution.
+    """
+    total = df.agg(F.sum(F.length("content"))).first()[0] or 0
+    parts = max(1, int(total // target_bytes_per_partition) + 1)
+    return df.repartition(parts)

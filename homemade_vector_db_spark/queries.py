@@ -41,6 +41,7 @@ from homemade_vector_db_spark.sources.tables import (
 TEXT_QUERY = "spark join query vector the"
 HYBRID_TEXT_QUERY = "spark join query"
 TOP_K = 10
+EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA)
 HYBRID_W = 0.6
 JACCARD_NGRAM = 3
 JACCARD_THRESHOLD = 0.6
@@ -67,7 +68,7 @@ def _qvec(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 flat path: exact squared-L2 top-k (local_db.py:137-200)."""
     return knn.knn_exact(
-        load_embeddings(spark, sf_dir), _qvec(spark, sf_dir), k=TOP_K
+        load_embeddings(spark, sf_dir), _qvec(spark, sf_dir), k=TOP_K, dim=EMB_DIM
     )
 
 
@@ -78,6 +79,7 @@ def q_knn_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qvec(spark, sf_dir),
         k=TOP_K,
         pre_filter=F.col("label") == 3,
+        dim=EMB_DIM,
     )
 
 
@@ -88,13 +90,15 @@ def q_knn_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qvec(spark, sf_dir),
         k=TOP_K,
         post_filter=F.col("label") != 0,
+        dim=EMB_DIM,
     )
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-similarity top-k (ANN baseline for the similarity-search tier)."""
     return knn.knn_exact(
-        load_embeddings(spark, sf_dir), _qvec(spark, sf_dir), k=TOP_K, metric="cosine"
+        load_embeddings(spark, sf_dir), _qvec(spark, sf_dir), k=TOP_K,
+        metric="cosine", dim=EMB_DIM,
     )
 
 
@@ -224,6 +228,52 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(load_documents(spark, sf_dir))
 
 
+def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage (§2.2): per-group top-N via row_number —
+    partition-local rank, one hash exchange on the group key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        load_documents(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+def q_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: running sum per user over event time."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    return (
+        ev.withColumn("running_total", F.round(F.sum("value").over(w), 6))
+        .select("user_id", "event_id", "running_total")
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: letter-runs / digit-runs / single
+    punctuation, the pre-merge word-split of byte-pair tokenizers."""
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    return (
+        load_documents(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: stopword-marker language-ID heuristic."""
     return textstats.lang_id(load_documents(spark, sf_dir))
@@ -244,13 +294,16 @@ def q_knn_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
         pre_filter=F.col("label").isin(1, 2, 3, 4),
         post_filter=F.col("vec_id") % 2 == 0,
+        dim=EMB_DIM,
     )
 
 
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (all-pairs verification form)."""
     return dedup.embedding_neardup_pairs(
-        load_embeddings(spark, sf_dir), threshold=COSINE_NEARDUP_THRESHOLD
+        load_embeddings(spark, sf_dir),
+        threshold=COSINE_NEARDUP_THRESHOLD,
+        dim=EMB_DIM,
     )
 
 
@@ -605,6 +658,34 @@ ORDER BY a_id, b_id
 # argument) — so the exact SQL is its oracle.
 _ORACLES["minhash_neardup"] = _ORACLES["ngram_jaccard_neardup"]
 
+_ORACLES["top_docs_per_lang"] = """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, rn
+FROM ranked WHERE rn <= 3
+ORDER BY lang, rn
+"""
+
+_ORACLES["user_running_total"] = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
+FROM events
+WHERE user_id < 20
+ORDER BY user_id, event_id
+"""
+
+_ORACLES["token_count_bpe"] = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -627,6 +708,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "user_running_total": q_user_running_total,
+        "token_count_bpe": q_token_count_bpe,
         "knn_prepost": q_knn_prepost,
         "cosine_neardup": q_cosine_neardup,
         "minhash_neardup": q_minhash_neardup,

@@ -1,0 +1,66 @@
+"""Multimodal plumbing: schemas, Arrow batch shape, fan-out — the decode
+itself is a documented stub (no imaging libs in this container)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", bytes(range(64)) * 4, "image/png", 16, 16, None),
+        (1, "image", bytes([7, 8, 9] * 50), "image/jpeg", 32, 8, None),
+        (2, "audio", bytes([1, 2] * 100), "audio/wav", None, None, 2000),
+        (3, "video", bytes(range(120)), "video/mp4", 64, 48, 5000),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).cache()
+
+
+def test_image_features_schema_and_determinism(spark, media):
+    out = multimodal.image_features(media, dim=8)
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,width:int,height:int,n_bytes:int,"
+        "mean_luma:double,feature:array<float>>"
+    )
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {0, 1}  # only image rows
+    assert all(len(r.feature) == 8 for r in rows.values())
+    # deterministic: second run identical
+    rows2 = {r.media_id: r for r in multimodal.image_features(media, dim=8).collect()}
+    assert rows[0].feature == rows2[0].feature
+    assert rows[1].n_bytes == 150
+
+
+def test_sample_frames_fanout(spark, media):
+    out = multimodal.sample_frames(media, every_n=30, max_frames=4).collect()
+    assert all(r.media_id == 3 for r in out)
+    assert [r.frame_idx for r in out] == list(range(4))
+    assert all(len(r.frame_bytes) <= 30 for r in out)
+    # frames tile the payload without overlap
+    joined = b"".join(bytes(r.frame_bytes) for r in out)
+    assert joined == bytes(range(120))
+
+
+def test_media_stats_pure_sql(spark, media):
+    stats = {r.kind: r for r in multimodal.media_stats(media).collect()}
+    assert stats["image"].n == 2
+    assert stats["image"].total_bytes == 256 + 150
+    assert stats["audio"].avg_duration_ms == 2000.0
+    assert stats["video"].avg_width == 64.0
+
+
+def test_repartition_by_byte_budget(spark, media):
+    out = multimodal.repartition_for_media(media, target_bytes_per_partition=200)
+    assert out.rdd.getNumPartitions() >= 3  # ~730 bytes total / 200
+    assert out.count() == 4
+
+
+def test_empty_payload_raises_stub_marker(spark):
+    df = spark.createDataFrame(
+        [(9, "image", b"", "image/png", None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        multimodal.image_features(df).collect()

@@ -1,0 +1,71 @@
+"""Physical-plan contracts: the properties that make operators scale are
+plan shapes, and a refactor must not silently lose them."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.operators.knn import knn_exact
+from homemade_vector_db_spark.plans.explain import (
+    has_operator,
+    has_pushed_filter,
+    physical_plan,
+)
+from homemade_vector_db_spark import queries as Q
+from homemade_vector_db_spark.sources.tables import load_documents, load_embeddings
+from tests.conftest import SF_SMOKE
+
+
+def test_meta_conditions_pushdown(spark):
+    df = Q.q_meta_conditions(spark, SF_SMOKE)
+    # conjunctive equality must reach the parquet reader
+    assert has_pushed_filter(df, "EqualTo(lang,en)")
+    assert has_pushed_filter(df, "EqualTo(source,src7)")
+
+
+def test_knn_prefilter_pushdown(spark):
+    df = Q.q_knn_prefilter(spark, SF_SMOKE)
+    assert has_pushed_filter(df, "EqualTo(label,3)")
+
+
+def test_knn_topk_avoids_full_sort(spark):
+    embs = load_embeddings(spark, SF_SMOKE)
+    df = knn_exact(embs, [0.0] * 64, k=10)
+    # ORDER BY+LIMIT must plan as TakeOrderedAndProject (partition-local
+    # heaps + driver merge), never a global Sort
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_point_lookup_pushdown(spark):
+    df = Q.q_point_lookup(spark, SF_SMOKE)
+    assert has_pushed_filter(df, "EqualTo(doc_id,42)")
+
+
+def test_top_customers_broadcasts_dim(spark):
+    df = Q.q_top_customers(spark, SF_SMOKE)
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_scan_prunes_columns(spark):
+    docs = load_documents(spark, SF_SMOKE).select("doc_id")
+    plan = physical_plan(docs)
+    # projecting one column must not read the text column
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("text" not in l for l in scan_lines)
+
+
+def test_bm25_query_scoring_broadcasts_query_terms(spark):
+    df = Q.q_bm25_topk(spark, SF_SMOKE)
+    # query terms join against postings must be broadcast, not shuffled
+    assert has_operator(df, "BroadcastHashJoin")
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_whole_stage_codegen_on_distance_kernel(spark):
+    from homemade_vector_db_spark.plans.explain import codegen_operators
+
+    embs = load_embeddings(spark, SF_SMOKE)
+    # fixed-dim kernel (dim known) must keep the scoring Project inside
+    # whole-stage codegen; the HOF fold is CodegenFallback and must not be
+    # reintroduced on this path
+    df = knn_exact(embs, [0.0] * 64, k=5)
+    assert "Project" in codegen_operators(df)
