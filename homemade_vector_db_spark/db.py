@@ -53,6 +53,7 @@ class VectorDatabase:
         self.id_col, self.text_col, self.vec_col = id_col, text_col, vec_col
         self._df: DataFrame | None = None
         self._stats: bm25.BM25Stats | None = None
+        self._ann_index = None  # LSHIndex | IVFIndex, built lazily
         self._n = 0
 
     # ------------------------------------------------------------------ ingest
@@ -90,12 +91,14 @@ class VectorDatabase:
         self._df = new if self._df is None else self._df.unionByName(new)
         self._n += len(rows)
         self._stats = None  # derived state invalidated, rebuilt lazily
+        self._ann_index = None
 
     def attach(self, df: DataFrame, n: int | None = None) -> "VectorDatabase":
         """Wrap an existing documents DataFrame (bulk path — preferred at scale)."""
         self._df = df
         self._n = n if n is not None else df.count()
         self._stats = None
+        self._ann_index = None
         return self
 
     # ------------------------------------------------------------------ queries
@@ -140,13 +143,46 @@ class VectorDatabase:
         df = self._df
         pre = self._compile_filter(pre_filter)
         post = self._compile_filter(post_filter)
-        res = knn.knn_exact(
-            df, list(vector), id_col=self.id_col, vec_col=self.vec_col,
-            k=top_k, pre_filter=pre, post_filter=post,
-        ).collect()
+        if self.index_type == "flat" or pre is not None:
+            # filters always take the exact path: a true pre-filter must see
+            # the un-pruned corpus (SURVEY.md §2.3 D2), which ANN cells/
+            # buckets cannot guarantee
+            res_df = knn.knn_exact(
+                df, list(vector), id_col=self.id_col, vec_col=self.vec_col,
+                k=top_k, pre_filter=pre, post_filter=post, dim=self.dim,
+            )
+        else:
+            res_df = self._ann_search(list(vector), top_k)
+            if post is not None:
+                ids = res_df.select(self.id_col)
+                res_df = (
+                    df.join(F.broadcast(ids), self.id_col)
+                    .where(post)
+                    .join(res_df, self.id_col)
+                    .select(self.id_col, "score")
+                    .orderBy(F.desc("score"), F.asc(self.id_col))
+                )
+        res = res_df.collect()
         if return_scores:
             return [(r[self.id_col], r.score) for r in res]
         return [r[self.id_col] for r in res]
+
+    def _ann_search(self, vector: list[float], top_k: int):
+        from homemade_vector_db_spark.operators import ann
+
+        if self._ann_index is None:
+            if self.index_type == "lsh":
+                self._ann_index = ann.build_lsh(
+                    self._df, id_col=self.id_col, vec_col=self.vec_col
+                )
+            else:  # ivf
+                self._ann_index = ann.build_ivf(
+                    self._df, id_col=self.id_col, vec_col=self.vec_col,
+                    nlist=min(100, max(1, self._n // 2)),
+                )
+        if self.index_type == "lsh":
+            return ann.lsh_search(self._ann_index, vector, k=top_k)
+        return ann.ivf_search(self._ann_index, vector, k=top_k)
 
     def _compile_filter(self, flt):
         if flt is None or isinstance(flt, Column):

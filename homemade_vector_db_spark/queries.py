@@ -204,6 +204,145 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk similarity search: 5 query vectors × corpus, per-query top-5 —
+    broadcast the query block, rank with a window partitioned by query id.
+    This is the 100 TB batch-serving shape: one corpus scan for Q queries."""
+    from pyspark.sql.window import Window
+
+    embs = load_embeddings(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from homemade_vector_db_spark.functions.vector import squared_l2_fixed
+
+    scored = embs.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            1.0 / (1.0 + squared_l2_fixed("embedding", "qv", EMB_DIM)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "score", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (§2.2 extension): latest click value at or before each
+    purchase, per user — union+window form, one shuffle."""
+    from homemade_vector_db_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(purchases, clicks, on="user_id", ts_col="ts", value_cols=["click_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("click_value_right"), 6).alias("click_value"),
+    ).orderBy("event_id")
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage (§2.2): ROLLUP subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q_clickers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op coverage (§2.2): EXCEPT — users with a high-value click but no
+    high-value purchase. (subtract = EXCEPT DISTINCT; exceptAll would be
+    multiset semantics and wrong here.)"""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = (
+        ev.where((F.col("event_type") == "click") & (F.col("value") > 90))
+        .select("user_id")
+        .distinct()
+    )
+    buyers = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .select("user_id")
+        .distinct()
+    )
+    return clickers.subtract(buyers).orderBy("user_id")
+
+
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function coverage (§2.2): parse events.props, aggregate field k."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_k_gt50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-agg coverage (§2.2): exact count(DISTINCT) per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compressed-domain ADC top-k (rows-only; recall in tests/test_pq.py)."""
+    from homemade_vector_db_spark.operators import pq as pqmod
+
+    embs = load_embeddings(spark, sf_dir)
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    idx = pqmod.build_pq(embs, m=8, codebook_size=64, dim=EMB_DIM, cache=False)
+    return pqmod.pq_search(idx, q, k=TOP_K)
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ pipeline (reference O1 'ivfpq' role): probe nprobe cells,
+    ADC-score, exact rerank (rows-only; recall in tests)."""
+    from homemade_vector_db_spark.operators import pq as pqmod
+
+    embs = load_embeddings(spark, sf_dir)
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    ivf = ann.build_ivf(embs, nlist=16, cache=False)
+    import numpy as np
+
+    cents = np.asarray(ivf.centroids)
+    probe = [
+        int(c)
+        for c in np.argsort(((cents - np.asarray(q)) ** 2).sum(axis=1))[:4]
+    ]
+    cells = ivf.assignments.where(F.col("cluster").isin(probe)).drop("cluster")
+    idx = pqmod.build_pq(cells, m=8, codebook_size=64, dim=EMB_DIM, cache=False)
+    return pqmod.pq_rerank_search(idx, cells, q, k=TOP_K)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on text, representative = min id."""
     return dedup.exact_dedup(load_documents(spark, sf_dir), key_cols=["text"])
@@ -658,6 +797,70 @@ ORDER BY a_id, b_id
 # argument) — so the exact SQL is its oracle.
 _ORACLES["minhash_neardup"] = _ORACLES["ngram_jaccard_neardup"]
 
+_ORACLES["knn_batch"] = f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.qv')}), 6) AS score
+  FROM embeddings e, qs q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score, rn FROM ranked WHERE rn <= 5
+ORDER BY query_id, rn
+"""
+
+_ORACLES["asof_click_before_purchase"] = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id AS u, ts AS rts, max(value) AS cv
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, round(c.cv, 6) AS click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.u AND p.ts >= c.rts
+ORDER BY p.event_id
+"""
+
+_ORACLES["pricing_rollup"] = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+_ORACLES["clickers_not_buyers"] = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 90
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+ORDER BY user_id
+"""
+
+_ORACLES["props_json_stats"] = """
+SELECT event_type,
+       round(avg(CAST(props->>'k' AS INTEGER)), 6) AS avg_k,
+       CAST(sum(CASE WHEN CAST(props->>'k' AS INTEGER) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt50
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_ORACLES["distinct_users_per_type"] = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 _ORACLES["top_docs_per_lang"] = """
 WITH ranked AS (
   SELECT lang, doc_id, n_chars,
@@ -717,6 +920,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "knn_batch": q_knn_batch,
+        "asof_click_before_purchase": q_asof_click_before_purchase,
+        "pricing_rollup": q_pricing_rollup,
+        "clickers_not_buyers": q_clickers_not_buyers,
+        "props_json_stats": q_props_json_stats,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
     }
 
 

@@ -141,3 +141,17 @@ def test_incremental_add(spark):
     assert len(d) == 2
     assert d.query_vector([0.9, 0.9], top_k=1) == [1]
     assert d.get_document(1) == "second doc"
+
+
+@pytest.mark.parametrize("index_type", ["flat", "lsh", "ivf"])
+def test_query_vector_all_index_types(spark, index_type):
+    # reference test style: parametrize over index types
+    # (/root/reference/test_local_db.py:47); exact match must surface for
+    # all of them on a tiny corpus
+    d = VectorDatabase(spark, dim=4, index_type=index_type)
+    d.add(DOCS, VECS, METAS)
+    ids = d.query_vector(VECS[2], top_k=3)
+    assert ids[0] == 2  # self-match first
+    assert len(ids) <= 3
+    scored = d.query_vector(VECS[2], top_k=3, return_scores=True)
+    assert all(0.0 <= s <= 1.0 for _, s in scored)

@@ -15,6 +15,15 @@ from homemade_vector_db_spark.sources.tables import load_documents, load_embeddi
 from tests.conftest import SF_SMOKE
 
 
+@pytest.fixture(autouse=True)
+def fresh_scans(spark):
+    # other modules cache() the same parquet tables; the CacheManager then
+    # rewrites matching plan subtrees to InMemoryTableScan, hiding the
+    # parquet PushedFilters/ReadSchema these tests assert on
+    spark.catalog.clearCache()
+    yield
+
+
 def test_meta_conditions_pushdown(spark):
     df = Q.q_meta_conditions(spark, SF_SMOKE)
     # conjunctive equality must reach the parquet reader

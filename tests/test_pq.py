@@ -1,0 +1,61 @@
+"""PQ tier: compression contract + ADC recall vs exact (reference ANN
+stance: approximate indexes are recall-tested, not hash-tested)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.operators import pq
+from homemade_vector_db_spark.operators.knn import knn_exact
+from homemade_vector_db_spark.sources.tables import load_embeddings
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_embeddings(spark, SF_SMOKE).cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(embs):
+    return list(embs.where(F.col("vec_id") == 3).first().embedding)
+
+
+@pytest.fixture(scope="module")
+def index(embs):
+    # 500 vectors → codebook_size clamps to 250
+    return pq.build_pq(embs, m=8, codebook_size=256, dim=64)
+
+
+def test_codes_shape_and_range(spark, embs, index):
+    rows = index.codes.collect()
+    assert len(rows) == embs.count()
+    ks = [len(cb) for cb in index.codebooks]
+    for r in rows:
+        assert len(r.codes) == 8
+        assert all(0 <= c < ks[i] for i, c in enumerate(r.codes))
+
+
+def test_adc_recall_and_rerank(spark, embs, index, qvec):
+    exact = [r.vec_id for r in knn_exact(embs, qvec, k=10).collect()]
+    adc = [r.vec_id for r in pq.pq_search(index, qvec, k=10).collect()]
+    assert len(adc) == 10
+    adc_recall = len(set(adc) & set(exact)) / 10
+    assert adc_recall >= 0.5  # compressed-domain recall
+
+    rr = [r.vec_id for r in pq.pq_rerank_search(index, embs, qvec, k=10).collect()]
+    rr_recall = len(set(rr) & set(exact)) / 10
+    assert rr_recall >= adc_recall  # rerank can only improve
+    assert rr_recall >= 0.8
+
+
+def test_tiny_corpus_codebook_shrink(spark, embs, qvec):
+    tiny = embs.limit(4)
+    idx = pq.build_pq(tiny, m=8, codebook_size=256, dim=64)
+    assert all(len(cb) <= 2 for cb in idx.codebooks)  # clamped to n//2
+    got = pq.pq_search(idx, qvec, k=10).collect()
+    assert len(got) == 4  # min(k, n), no padding (divergence D3)
+
+
+def test_dim_not_divisible_raises(spark, embs):
+    with pytest.raises(ValueError):
+        pq.build_pq(embs, m=7, dim=64)
