@@ -272,10 +272,30 @@ class VectorDatabase:
         return dict(row["meta"] or {})
 
     # ------------------------------------------------------------------ persist
-    def save(self, folder_path: str) -> None:
-        """Parquet + JSON manifest (vs pickle sniffing, local_db.py:210-222)."""
+    def save(self, folder_path: str, include_index: bool = True) -> None:
+        """Parquet + JSON manifest (vs pickle sniffing, local_db.py:210-222).
+
+        include_index=True also persists the derived BM25 relations
+        (postings / term_stats / corpus_stats) so `load` skips the
+        re-tokenize the reference performs on every load
+        (local_db.py:257). Index-type discovery comes from the manifest,
+        not file sniffing (cleaner than local_db.py:233-248).
+        """
         df = self._require_df()
         df.write.mode("overwrite").parquet(os.path.join(folder_path, "documents"))
+        has_stats = False
+        if include_index and self._stats is not None:
+            s = self._stats
+            s.postings.write.mode("overwrite").parquet(
+                os.path.join(folder_path, "bm25", "postings")
+            )
+            s.term_stats.write.mode("overwrite").parquet(
+                os.path.join(folder_path, "bm25", "term_stats")
+            )
+            s.corpus_stats.write.mode("overwrite").parquet(
+                os.path.join(folder_path, "bm25", "corpus_stats")
+            )
+            has_stats = True
         manifest = {
             "dim": self.dim,
             "index_type": self.index_type,
@@ -283,7 +303,8 @@ class VectorDatabase:
             "id_col": self.id_col,
             "text_col": self.text_col,
             "vec_col": self.vec_col,
-            "format_version": 1,
+            "has_bm25_stats": has_stats,
+            "format_version": 2,
         }
         with open(os.path.join(folder_path, "manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -297,7 +318,18 @@ class VectorDatabase:
             id_col=m["id_col"], text_col=m["text_col"], vec_col=m["vec_col"],
         )
         df = spark.read.parquet(os.path.join(folder_path, "documents"))
-        return db.attach(df, m["n"])
+        db.attach(df, m["n"])
+        if m.get("has_bm25_stats"):
+            p = os.path.join(folder_path, "bm25")
+            db._stats = bm25.BM25Stats(
+                postings=spark.read.parquet(os.path.join(p, "postings")),
+                doc_len=spark.read.parquet(os.path.join(p, "postings")).select(
+                    "doc_id", "dl"
+                ).distinct(),
+                term_stats=spark.read.parquet(os.path.join(p, "term_stats")),
+                corpus_stats=spark.read.parquet(os.path.join(p, "corpus_stats")),
+            )
+        return db
 
     # ------------------------------------------------------------------ misc
     def __len__(self) -> int:

@@ -313,6 +313,80 @@ def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join coverage (§2.2): parts that appear in any lineitem —
+    LEFT SEMI shuffles only keys, never widens rows."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+        .limit(50)
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage (§2.2): customers with no high-value order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (§2.2 aggregation depth)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.stddev_samp("value"), 6).alias("sd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global heavy-hitters over the corpus vocabulary: explode → two-phase
+    count (map-side partial aggregation absorbs the term skew) → top-20."""
+    from homemade_vector_db_spark.functions.text import tokenize
+
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join coverage (§2.2): clicks within 10 minutes after any error
+    — interval join bucketed by time slice so the cross product is bounded
+    per bucket (operators/joins.range_join_bucketed), not |L|·|R|."""
+    from homemade_vector_db_spark.operators.joins import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    joined = range_join_bucketed(clicks, errors, "ts", "w_start", "w_end", 600)
+    return joined.select("event_id", "error_id").orderBy("event_id", "error_id")
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compressed-domain ADC top-k (rows-only; recall in tests/test_pq.py)."""
     from homemade_vector_db_spark.operators import pq as pqmod
@@ -861,6 +935,54 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+_ORACLES["parts_with_lineitems"] = """
+SELECT p_partkey, p_name FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+ORDER BY p_partkey
+LIMIT 50
+"""
+
+_ORACLES["customers_without_orders"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+ORDER BY c_custkey
+"""
+
+_ORACLES["value_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(stddev_samp(value), 6) AS sd
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_ORACLES["top_terms"] = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS n
+FROM toks
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT 20
+"""
+
+_ORACLES["clicks_after_errors"] = """
+SELECT c.event_id, e.error_id
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT event_id AS error_id, ts AS w_start,
+             ts + INTERVAL 10 MINUTES AS w_end
+      FROM events WHERE event_type = 'error') e
+  ON c.ts >= e.w_start AND c.ts <= e.w_end
+ORDER BY c.event_id, e.error_id
+"""
+
 _ORACLES["top_docs_per_lang"] = """
 WITH ranked AS (
   SELECT lang, doc_id, n_chars,
@@ -928,6 +1050,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_per_type": q_distinct_users_per_type,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "parts_with_lineitems": q_parts_with_lineitems,
+        "customers_without_orders": q_customers_without_orders,
+        "value_percentiles": q_value_percentiles,
+        "top_terms": q_top_terms,
+        "clicks_after_errors": q_clicks_after_errors,
     }
 
 

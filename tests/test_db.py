@@ -155,3 +155,16 @@ def test_query_vector_all_index_types(spark, index_type):
     assert len(ids) <= 3
     scored = d.query_vector(VECS[2], top_k=3, return_scores=True)
     assert all(0.0 <= s <= 1.0 for _, s in scored)
+
+
+def test_save_load_with_bm25_stats(db, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dbsave_idx"))
+    db.query_text("meeting", top_k=2)  # forces stats build
+    db.save(path)
+    import json, os
+    with open(os.path.join(path, "manifest.json")) as f:
+        assert json.load(f)["has_bm25_stats"] is True
+    db2 = VectorDatabase.load(spark, path)
+    assert db2._stats is not None  # reloaded, not rebuilt
+    assert db2.query_text("meeting team", top_k=3, return_scores=True) == \
+        db.query_text("meeting team", top_k=3, return_scores=True)

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): Spark operators vs pure-python models
+on randomized inputs — the fuzz layer the reference suite lacks.
+
+Examples are kept small (each runs Spark jobs); deadline disabled because
+JVM latency is not the property under test.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from homemade_vector_db_spark.functions.text import tokenize
+from homemade_vector_db_spark.operators import bm25
+from homemade_vector_db_spark.operators.knn import knn_exact
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+
+doc_strategy = st.lists(st.sampled_from(WORDS), min_size=1, max_size=8).map(" ".join)
+corpus_strategy = st.lists(doc_strategy, min_size=1, max_size=6)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def py_bm25(corpus, query, k1=1.5, b=0.75, epsilon=0.25):
+    toks = [d.split() for d in corpus]
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks) / N
+    dfreq = {}
+    for t in toks:
+        for w in set(t):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    raw = {w: math.log((N - f + 0.5) / (f + 0.5)) for w, f in dfreq.items()}
+    avg = sum(raw.values()) / len(raw)
+    idf = {w: (epsilon * avg if v < 0 else v) for w, v in raw.items()}
+    out = []
+    for t in toks:
+        dl = len(t)
+        s = 0.0
+        for q in query.split():
+            tf = t.count(q)
+            if tf and q in idf:
+                s += idf[q] * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        out.append(s)
+    return out
+
+
+@SETTINGS
+@given(corpus=corpus_strategy, query=st.lists(st.sampled_from(WORDS), min_size=1, max_size=3).map(" ".join))
+def test_bm25_matches_python_model(spark, corpus, query):
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id LONG, text STRING"
+    )
+    got = {
+        r.doc_id: r.score
+        for r in bm25.query_text(spark, docs, query, top_k=len(corpus)).collect()
+    }
+    expected = py_bm25(corpus, query)
+    for i, e in enumerate(expected):
+        assert got[i] == pytest.approx(round(e, 6), abs=2e-6)
+
+
+@SETTINGS
+@given(
+    data=st.lists(
+        st.lists(st.integers(-5, 5), min_size=3, max_size=3),
+        min_size=1,
+        max_size=8,
+        unique_by=tuple,
+    ),
+    q=st.lists(st.integers(-5, 5), min_size=3, max_size=3),
+)
+def test_knn_matches_numpy(spark, data, q):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(data)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    k = min(3, len(data))
+    got = [r.vec_id for r in knn_exact(df, [float(x) for x in q], k=k).collect()]
+    arr = np.asarray(data, dtype="float64")
+    d2 = ((arr - np.asarray(q, dtype="float64")) ** 2).sum(axis=1)
+    # same ordering contract: score desc (dist asc), id asc on ties
+    order = sorted(range(len(data)), key=lambda i: (d2[i], i))[:k]
+    assert got == order
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet=" \t\nabz", min_size=0, max_size=20), min_size=1, max_size=10
+    )
+)
+def test_tokenizer_matches_str_split(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "i LONG, text STRING")
+    got = {r.i: list(r.t) for r in df.select("i", tokenize("text").alias("t")).collect()}
+    for i, s in enumerate(texts):
+        assert got[i] == s.split(), repr(s)
