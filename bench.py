@@ -40,6 +40,11 @@ HEADLINE = [
     "lineitem_pricing",
     "top_customers",
     "events_hourly",
+    "minhash_neardup",
+    "knn_batch",
+    "asof_click_before_purchase",
+    "top_terms",
+    "user_running_total",
 ]
 
 

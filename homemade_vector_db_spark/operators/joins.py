@@ -72,6 +72,33 @@ def asof_join(
     return filled.where(F.col("__is_left") == 1).drop("__is_left")
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: hot keys on the big side would send one
+    reducer 1000× the work of the rest; salting splits each key into
+    `num_salts` shards. The big side gets a deterministic per-row salt
+    (hash of all columns, so re-runs shard identically); the small side is
+    replicated across all salts (explode — acceptable because the small
+    side is small). Join key becomes (on, salt).
+
+    AQE's skew-join handles sort-merge skew automatically; use this when
+    AQE can't help — e.g. a skewed aggregation feeding a join, or a
+    deliberately partitioned downstream write.
+    """
+    salt_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(num_salts)).cast("int")
+    )
+    salt_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return salt_big.join(salt_small, [on, "__salt"], how).drop("__salt")
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -1,0 +1,77 @@
+"""Table-layout contracts: partition pruning and shuffle-free bucketed joins
+— the physical properties that hold the engine together at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.plans.explain import count_exchanges, physical_plan
+from homemade_vector_db_spark.sources.persist import (
+    read_table,
+    write_bucketed,
+    write_partitioned,
+)
+from homemade_vector_db_spark.sources.tables import load_documents, load_embeddings
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    docs = load_documents(spark, SF_SMOKE)
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    back = spark.read.parquet(path).where(F.col("lang") == "en")
+    plan = physical_plan(back)
+    # the lang filter must be a PartitionFilter (directory pruning),
+    # not a row-level filter
+    assert "PartitionFilters" in plan
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "lang" in pf_line
+    assert back.count() == docs.where("lang = 'en'").count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS t_docs_b")
+    spark.sql("DROP TABLE IF EXISTS t_embs_b")
+    # the in-memory catalog forgets tables between sessions but the
+    # warehouse directories survive; clear them or saveAsTable refuses
+    for t in ("t_docs_b", "t_embs_b"):
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    docs = load_documents(spark, SF_SMOKE).select("doc_id", "lang")
+    embs = load_embeddings(spark, SF_SMOKE).select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    write_bucketed(docs, "t_docs_b", "doc_id", num_buckets=8)
+    write_bucketed(embs, "t_embs_b", "doc_id", num_buckets=8)
+
+    # disable auto-broadcast: at test scale Spark would broadcast the tiny
+    # table (a BroadcastExchange), masking the property under test — at
+    # real scale neither side fits a broadcast and bucketing is what
+    # removes the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "t_docs_b").join(
+            read_table(spark, "t_embs_b"), "doc_id"
+        )
+        # co-bucketed tables join without shuffling either side
+        assert count_exchanges(joined) == 0
+        assert joined.count() > 0
+
+        # control: the same join on raw parquet needs exchanges
+        raw = load_documents(spark, SF_SMOKE).select("doc_id", "lang").join(
+            load_embeddings(spark, SF_SMOKE).select(
+                F.col("vec_id").alias("doc_id"), "label"
+            ),
+            "doc_id",
+        )
+        assert count_exchanges(raw) > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, tmp_path):
+    # groupBy on the bucket key reuses the bucketing — no shuffle
+    agg = read_table(spark, "t_docs_b").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    assert count_exchanges(agg) == 0

@@ -107,3 +107,43 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
         q.stop()
     assert got[("2026-01-01 10:00:00", "click")] == (2, 3.0)
     assert got[("2026-01-01 11:00:00", "view")] == (1, 3.0)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from homemade_vector_db_spark.streaming.dedup import dedup_exact_stream
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    rows1 = [(0, "alpha beta", "2026-01-01 10:00:00"),
+             (1, "alpha beta", "2026-01-01 10:00:10"),   # dup of 0
+             (2, "gamma delta", "2026-01-01 10:00:20")]
+    df1 = spark.createDataFrame(rows1, "doc_id LONG, text STRING, ts_s STRING").select(
+        "doc_id", "text", F.to_timestamp("ts_s").alias("ts")
+    )
+    df1.write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(str(src))
+    out = dedup_exact_stream(stream, key_cols=["text"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: one more dup and one new doc
+        rows2 = [(3, "alpha beta", "2026-01-01 10:05:00"),  # dup across batches
+                 (4, "epsilon", "2026-01-01 10:06:00")]
+        spark.createDataFrame(rows2, "doc_id LONG, text STRING, ts_s STRING").select(
+            "doc_id", "text", F.to_timestamp("ts_s").alias("ts")
+        ).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = sorted(r.doc_id for r in spark.sql("SELECT * FROM dd_out").collect())
+    finally:
+        q.stop()
+    # exactly one of the same-batch dups {0,1} survives (representative is
+    # arbitrary within a batch); cross-batch dup 3 is always dropped
+    assert len(got) == 3
+    assert len({0, 1} & set(got)) == 1
+    assert 2 in got and 4 in got and 3 not in got
