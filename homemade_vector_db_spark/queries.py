@@ -387,6 +387,136 @@ def q_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "error_id").orderBy("event_id", "error_id")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag + cumulative flag-sum per
+    user — the batch twin of streaming/sessions.py. One shuffle on user_id;
+    both window functions share the same partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(wsum))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "duration_s"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on real tables: documents' text re-materialized
+    as an opaque BINARY content column (the media pattern), byte stats per
+    lang — pure metadata aggregation, no decode (multimodal.media_stats
+    shape)."""
+    docs = load_documents(spark, sf_dir)
+    media = docs.select(
+        "lang", F.encode("text", "utf-8").alias("content")
+    )
+    return (
+        media.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("content")).alias("total_bytes"),
+            F.round(F.avg(F.length("content")), 6).alias("avg_bytes"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_top_orders_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-table join: customer ⋈ orders ⋈ lineitem,
+    revenue per order, top-10. No forced broadcasts: the filter on
+    customer keeps 20% of a table that grows with SF, so at 100 TB both
+    joins are shuffle joins on their keys (custkey, then orderkey) and AQE
+    downgrades to broadcast at small SF where a side fits. Column pruning
+    keeps the lineitem scan to 3 columns; the final top-10 is
+    TakeOrderedAndProject (no global sort)."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 5 == 0
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.date_format(F.first("o_orderdate"), "yyyy-MM-dd").alias("o_date"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(TOP_K)
+    )
+
+
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets over lineitem: all (returnflag × linestatus)
+    combos plus marginal and grand totals in ONE pass — Spark expands the
+    grouping sets map-side, so it stays a single shuffle (partial agg
+    before exchange), vs 4 separate scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def q_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op INTERSECT: users with both a click and a purchase. Spark
+    plans this as aggregate-distinct + left-semi hash join; at 100 TB the
+    filters push to the scan and each side pre-aggregates before the
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(purchases).orderBy("user_id")
+
+
+def q_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: ISO-week rollup of orders (date_trunc week =
+    Monday on both engines). Single shuffle on the truncated key."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+                "week"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+        .orderBy("week")
+    )
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compressed-domain ADC top-k (rows-only; recall in tests/test_pq.py)."""
     from homemade_vector_db_spark.operators import pq as pqmod
@@ -983,6 +1113,83 @@ JOIN (SELECT event_id AS error_id, ts AS w_start,
 ORDER BY c.event_id, e.error_id
 """
 
+_ORACLES["sessionize"] = """
+WITH ev AS (
+  SELECT user_id, event_id, ts FROM events WHERE user_id < 40
+),
+flagged AS (
+  -- floor(epoch) matches Spark unix_timestamp(), which truncates sub-seconds
+  SELECT user_id, event_id, ts,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+_ORACLES["media_bytes"] = """
+SELECT lang,
+       count(*) AS n,
+       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+       round(avg(octet_length(CAST(text AS BLOB))), 6) AS avg_bytes
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+_ORACLES["top_orders_q3"] = f"""
+SELECT l.l_orderkey AS o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       strftime(any_value(o.o_orderdate), '%Y-%m-%d') AS o_date
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey % 5 = 0
+GROUP BY l.l_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT {TOP_K}
+"""
+
+_ORACLES["cube_pricing"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+_ORACLES["users_intersect"] = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+_ORACLES["weekly_orders"] = """
+SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 6) AS revenue
+FROM orders
+GROUP BY 1
+ORDER BY week
+"""
+
 _ORACLES["top_docs_per_lang"] = """
 WITH ranked AS (
   SELECT lang, doc_id, n_chars,
@@ -1055,6 +1262,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "top_terms": q_top_terms,
         "clicks_after_errors": q_clicks_after_errors,
+        "sessionize": q_sessionize,
+        "media_bytes": q_media_bytes,
+        "top_orders_q3": q_top_orders_q3,
+        "cube_pricing": q_cube_pricing,
+        "users_intersect": q_users_intersect,
+        "weekly_orders": q_weekly_orders,
     }
 
 

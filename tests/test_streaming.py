@@ -147,3 +147,83 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert len(got) == 3
     assert len({0, 1} & set(got)) == 1
     assert 2 in got and 4 in got and 3 not in got
+
+
+def _ts_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id LONG, ts_s STRING"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+
+
+def test_session_window_agg_streaming(spark, tmp_path):
+    from homemade_vector_db_spark.streaming.sessions import session_window_agg
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    rows1 = [
+        (1, "2026-01-01 10:00:00"),
+        (1, "2026-01-01 10:10:00"),   # same session (gap 10m < 30m)
+        (1, "2026-01-01 11:30:00"),   # new session (gap 80m)
+        (2, "2026-01-01 10:00:00"),
+    ]
+    _ts_events(spark, rows1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(str(src))
+    out = session_window_agg(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past all sessions so they close
+        _ts_events(spark, [(9, "2026-01-02 00:00:00")]).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = {
+            (r.user_id, str(r.session_start), r.n_events)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, "2026-01-01 10:00:00", 2) in got
+    assert (1, "2026-01-01 11:30:00", 1) in got
+    assert (2, "2026-01-01 10:00:00", 1) in got
+
+
+def test_sessionize_stateful_streaming(spark, tmp_path):
+    from homemade_vector_db_spark.streaming.sessions import sessionize_stateful
+
+    src = tmp_path / "st_src"
+    src.mkdir()
+    rows1 = [
+        (1, "2026-01-01 10:00:00"),
+        (1, "2026-01-01 10:10:00"),
+        (1, "2026-01-01 11:30:00"),   # closes session 1 in-batch (gap 80m)
+    ]
+    _ts_events(spark, rows1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(str(src))
+    out = sessionize_stateful(stream, gap_s=1800, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("st_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark moves past 11:30 + gap -> timeout closes the open session
+        _ts_events(spark, [(9, "2026-01-02 00:00:00")]).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        _ts_events(spark, [(9, "2026-01-03 00:00:00")]).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in spark.sql("SELECT * FROM st_out").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, "2026-01-01 10:00:00", "2026-01-01 10:10:00", 2) in got
+    assert (1, "2026-01-01 11:30:00", "2026-01-01 11:30:00", 1) in got
