@@ -517,6 +517,91 @@ def q_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: hour-of-day × event-type count matrix. The explicit value
+    list keeps it one pass (no extra distinct-values job) and one shuffle
+    on the 24-row group key; missing cells coalesce to 0 so the dtype
+    stays integral."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.hour("ts").alias("hour"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "hour",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES],
+    ).orderBy("hour")
+
+
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders pricier than the global mean. The 1-row
+    aggregate is broadcast into the filter (no shuffle of the fact side
+    beyond the scan); TakeOrderedAndProject caps the output."""
+    o = load_table(spark, sf_dir, "orders")
+    avg = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", F.round("o_totalprice", 6).alias("price"))
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(TOP_K)
+    )
+
+
+def q_parties_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of heterogeneous dims (customer + supplier) into one
+    party relation, counted per (nation, kind). Union is plan-only (no
+    shuffle); the single shuffle is the groupBy, partial-aggregated
+    map-side."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.lit("supplier").alias("kind"),
+    )
+    return (
+        cust.unionByName(supp)
+        .groupBy("nationkey", "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey", "kind")
+    )
+
+
+def q_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY.md §2.2 UDF/UDAF/UDTF row): a
+    table-valued function lateral-joined per document, emitting word
+    bigrams with positions. UDTFs run arrow-batched per partition — the
+    Python cost scales with the partition, not the driver; the same query
+    is expressible with posexplode for the JVM-only fast path (the UDTF is
+    the surface being exercised here)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos BIGINT, bigram STRING")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i + 1, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    load_documents(spark, sf_dir).where(F.col("doc_id") < 20).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM _udtf_docs d, LATERAL bigrams_udtf(d.text) b
+        ORDER BY d.doc_id, b.pos
+        """
+    )
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compressed-domain ADC top-k (rows-only; recall in tests/test_pq.py)."""
     from homemade_vector_db_spark.operators import pq as pqmod
@@ -1190,6 +1275,50 @@ GROUP BY 1
 ORDER BY week
 """
 
+_ORACLES["pivot_events"] = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY 1
+ORDER BY hour
+"""
+
+_ORACLES["orders_above_avg"] = f"""
+SELECT o_orderkey, round(o_totalprice, 6) AS price
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+ORDER BY price DESC, o_orderkey ASC
+LIMIT {TOP_K}
+"""
+
+_ORACLES["parties_by_nation"] = """
+WITH party AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT CAST(s_nationkey AS BIGINT) AS nationkey, 'supplier' AS kind FROM supplier
+)
+SELECT nationkey, kind, count(*) AS n
+FROM party
+GROUP BY nationkey, kind
+ORDER BY nationkey, kind
+"""
+
+_ORACLES["bigrams_udtf"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id,
+       CAST(unnest(range(1, len(toks))) AS BIGINT) AS pos,
+       unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+FROM t
+ORDER BY doc_id, pos
+"""
+
 _ORACLES["top_docs_per_lang"] = """
 WITH ranked AS (
   SELECT lang, doc_id, n_chars,
@@ -1268,6 +1397,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_pricing": q_cube_pricing,
         "users_intersect": q_users_intersect,
         "weekly_orders": q_weekly_orders,
+        "pivot_events": q_pivot_events,
+        "orders_above_avg": q_orders_above_avg,
+        "parties_by_nation": q_parties_by_nation,
+        "bigrams_udtf": q_bigrams_udtf,
     }
 
 
