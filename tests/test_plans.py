@@ -78,3 +78,44 @@ def test_whole_stage_codegen_on_distance_kernel(spark):
     # reintroduced on this path
     df = knn_exact(embs, [0.0] * 64, k=5)
     assert "Project" in codegen_operators(df)
+
+
+def test_top_orders_q3_topk_and_pruning(spark):
+    df = Q.q_top_orders_q3(spark, SF_SMOKE)
+    # top-10 must be a heap merge, not a global sort of the aggregate
+    assert has_operator(df, "TakeOrderedAndProject")
+    # lineitem scan must be pruned to the 3 needed columns (the wide
+    # columns can only come from the lineitem scan, so absence from the
+    # whole plan proves pruning)
+    plan = physical_plan(df)
+    assert "lineitem.parquet" in plan
+    assert "l_comment" not in plan and "l_shipmode" not in plan
+
+
+def test_cube_single_expand_no_multi_scan(spark):
+    df = Q.q_cube_pricing(spark, SF_SMOKE)
+    import re
+
+    plan = physical_plan(df)
+    # CUBE = one Expand over one scan, not 4 separate scans (each physical
+    # scan gets exactly one "(n) Scan parquet" detail block)
+    assert plan.count("Expand") >= 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_sessionize_single_shuffle_for_both_windows(spark):
+    df = Q.q_sessionize(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    # lag + running-sum share the user_id partitioning: exactly one
+    # exchange below the final (ordered) output
+    body = plan.split("AdaptiveSparkPlan")[0] + plan
+    n_exchanges = body.count("Exchange hashpartitioning(user_id")
+    assert n_exchanges <= 1, plan
+
+
+def test_orders_above_avg_broadcasts_scalar(spark):
+    df = Q.q_orders_above_avg(spark, SF_SMOKE)
+    assert has_operator(df, "BroadcastNestedLoopJoin") or has_operator(
+        df, "BroadcastExchange"
+    )
+    assert has_operator(df, "TakeOrderedAndProject")
