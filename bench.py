@@ -45,6 +45,9 @@ HEADLINE = [
     "asof_click_before_purchase",
     "top_terms",
     "user_running_total",
+    "top_orders_q3",
+    "sessionize",
+    "cube_pricing",
 ]
 
 

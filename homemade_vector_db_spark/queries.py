@@ -602,6 +602,31 @@ def q_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface (SURVEY.md §2.2): grouped-agg pandas UDF computing the
+    geometric mean of doc length per lang. Grouped-agg UDFs get the WHOLE
+    group (no partial agg — all group rows shuffle to one task), so this is
+    the expressiveness escape hatch; when the aggregate is algebraic like
+    this one, the scale path is the built-in exp(avg(ln(x))) which partial-
+    aggregates map-side. Both forms match the oracle exactly in double."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit eval type: the module's `from __future__ import annotations`
+    # defeats the type-hint-based inference for locally-imported pandas
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.astype("float64")).mean()))
+
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .groupBy("lang")
+        .agg(F.round(geomean("n_chars"), 6).alias("geomean_chars"))
+        .orderBy("lang")
+    )
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compressed-domain ADC top-k (rows-only; recall in tests/test_pq.py)."""
     from homemade_vector_db_spark.operators import pq as pqmod
@@ -1319,6 +1344,14 @@ FROM t
 ORDER BY doc_id, pos
 """
 
+_ORACLES["geomean_udaf"] = """
+SELECT lang, round(exp(avg(ln(n_chars))), 6) AS geomean_chars
+FROM documents
+WHERE n_chars > 0
+GROUP BY lang
+ORDER BY lang
+"""
+
 _ORACLES["top_docs_per_lang"] = """
 WITH ranked AS (
   SELECT lang, doc_id, n_chars,
@@ -1401,6 +1434,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_avg": q_orders_above_avg,
         "parties_by_nation": q_parties_by_nation,
         "bigrams_udtf": q_bigrams_udtf,
+        "geomean_udaf": q_geomean_udaf,
     }
 
 
