@@ -29,32 +29,54 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from homemade_vector_db_spark.functions.vector import (
-    cosine,
-    cosine_fixed,
+    dot,
+    dot_fixed,
     l2_to_similarity,
     squared_l2,
     squared_l2_fixed,
 )
 
 QVEC = "__qvec"
+QNORM = "__qnorm"
 
 
-def with_query_vector(df: DataFrame, query: DataFrame | Sequence[float]) -> DataFrame:
+def with_query_vector(
+    df: DataFrame,
+    query: DataFrame | Sequence[float],
+    with_norm: bool = False,
+    dim: int | None = None,
+) -> DataFrame:
     """Attach the query vector to every row via a broadcast 1-row cross join.
 
     `query` is either a literal python sequence or a 1-row DataFrame whose
     single array column is the vector (e.g. `embeddings.where(vec_id==0)
     .select('embedding')`). Keeping it a DataFrame avoids a collect on the
     driver and lets the query itself be the result of another Spark job.
+
+    `with_norm` adds a `__qnorm` column computed on the 1-row side BEFORE
+    the broadcast — the Project under BroadcastExchange evaluates once per
+    query, not once per corpus row (for a literal query the norm constant-
+    folds). The per-row cosine then needs only 2 dim-term reductions
+    instead of 3.
     """
+    qdot = (
+        (lambda c: dot_fixed(c, c, dim)) if dim is not None else (lambda c: dot(c, c))
+    )
     if isinstance(query, DataFrame):
         cols = query.columns
         if len(cols) != 1:
             raise ValueError("query DataFrame must have exactly one array column")
         qdf = query.select(F.col(cols[0]).alias(QVEC)).limit(1)
+        if with_norm:
+            qdf = qdf.select(QVEC, F.sqrt(qdot(QVEC)).alias(QNORM))
         return df.crossJoin(F.broadcast(qdf))
-    qcol = F.array(*[F.lit(float(v)) for v in query]).alias(QVEC)
-    return df.withColumn(QVEC, qcol)
+    # literal query: stay a plain Project — the array (and its norm) are
+    # literal expressions that constant-fold instead of joining
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    out = df.withColumn(QVEC, qcol)
+    if with_norm:
+        out = out.withColumn(QNORM, F.sqrt(qdot(QVEC)))
+    return out
 
 
 def knn_exact(
@@ -84,7 +106,7 @@ def knn_exact(
         df = df.where(pre_filter)
     if dim is None and not isinstance(query, DataFrame):
         dim = len(query)
-    scored = with_query_vector(df, query)
+    scored = with_query_vector(df, query, with_norm=(metric == "cosine"), dim=dim)
     if metric == "sqeuclidean":
         d2 = (
             squared_l2_fixed(vec_col, QVEC, dim)
@@ -93,11 +115,17 @@ def knn_exact(
         )
         score = l2_to_similarity(d2)
     elif metric == "cosine":
-        score = (
-            cosine_fixed(vec_col, QVEC, dim)
-            if dim is not None
-            else cosine(vec_col, QVEC)
-        )
+        # query norm hoisted to the broadcast side (__qnorm); per corpus
+        # row: one dot(a,b) + one dot(a,a). Same arithmetic order as
+        # cosine_fixed, so scores are bit-identical to the oracle.
+        if dim is not None:
+            na = F.sqrt(dot_fixed(vec_col, vec_col, dim))
+            num = dot_fixed(vec_col, QVEC, dim)
+        else:
+            na = F.sqrt(dot(vec_col, vec_col))
+            num = dot(vec_col, QVEC)
+        nb = F.col(QNORM)
+        score = F.when((na > 0) & (nb > 0), num / (na * nb)).otherwise(F.lit(0.0))
     else:
         raise ValueError(f"unknown metric {metric!r}")
     if score_decimals is not None:
