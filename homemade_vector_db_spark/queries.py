@@ -602,6 +602,25 @@ def q_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LAPSED_CUTOFF = "2000-01-01"
+
+
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op EXCEPT (distinct): customers who ordered before the cutoff
+    but not since. Planned as distinct partial-aggs + left-anti hash join
+    — both sides pre-aggregate to distinct custkeys map-side, so the
+    exchange carries key cardinality, not order volume; the date filters
+    push to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    before = o.where(F.col("o_orderdate") < LAPSED_CUTOFF).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    since = o.where(F.col("o_orderdate") >= LAPSED_CUTOFF).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return before.subtract(since).orderBy("custkey")
+
+
 def q_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDAF surface (SURVEY.md §2.2): grouped-agg pandas UDF computing the
     geometric mean of doc length per lang. Grouped-agg UDFs get the WHOLE
@@ -1344,6 +1363,13 @@ FROM t
 ORDER BY doc_id, pos
 """
 
+_ORACLES["lapsed_customers"] = f"""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < '{LAPSED_CUTOFF}'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= '{LAPSED_CUTOFF}'
+ORDER BY custkey
+"""
+
 _ORACLES["geomean_udaf"] = """
 SELECT lang, round(exp(avg(ln(n_chars))), 6) AS geomean_chars
 FROM documents
@@ -1435,6 +1461,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parties_by_nation": q_parties_by_nation,
         "bigrams_udtf": q_bigrams_udtf,
         "geomean_udaf": q_geomean_udaf,
+        "lapsed_customers": q_lapsed_customers,
     }
 
 

@@ -227,3 +227,38 @@ def test_sessionize_stateful_streaming(spark, tmp_path):
         q.stop()
     assert (1, "2026-01-01 10:00:00", "2026-01-01 10:10:00", 2) in got
     assert (1, "2026-01-01 11:30:00", "2026-01-01 11:30:00", 1) in got
+
+
+def test_stream_stream_join(spark, tmp_path):
+    from homemade_vector_db_spark.streaming.joins import clicks_to_purchases_stream
+
+    csrc, psrc = tmp_path / "cl_src", tmp_path / "pu_src"
+    csrc.mkdir(); psrc.mkdir()
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id LONG, event_id LONG, ts_s STRING"
+        ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"))
+
+    ev([(1, 10, "2026-01-01 10:00:00"),
+        (1, 11, "2026-01-01 10:50:00"),
+        (2, 12, "2026-01-01 08:00:00")]).write.mode("append").parquet(str(csrc))
+    ev([(1, 20, "2026-01-01 10:55:00"),     # joins clicks 10 (55m) and 11 (5m)? 10 is 55m <= 1h yes
+        (2, 21, "2026-01-01 09:30:00")]).write.mode("append").parquet(str(psrc))  # click 12 is 90m before -> out of range
+
+    schema = "user_id LONG, event_id LONG, ts TIMESTAMP"
+    clicks = spark.readStream.schema(schema).parquet(str(csrc))
+    purchases = spark.readStream.schema(schema).parquet(str(psrc))
+    out = clicks_to_purchases_stream(clicks, purchases, within="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.purchase_id, r.click_id) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    finally:
+        q.stop()
+    assert got == {(20, 10), (20, 11)}
