@@ -602,6 +602,35 @@ def q_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-map pandas API (applyInPandas): per-label embedding centroid,
+    emitted long-form (label, i, v) — the shape IVF coarse-quantizer
+    training consumes. Arrow moves each group as one batch; numpy does the
+    column mean in float64. One shuffle on label. All rows of a group land
+    in one task — the group-map contract; for billions of rows per label
+    the algebraic form (explode + groupBy(label, i).avg) partial-aggregates
+    instead."""
+    import numpy as np
+    import pandas as pd
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64").mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "i": np.arange(1, len(m) + 1, dtype="int64"),
+                "v": np.round(m, 6),
+            }
+        )
+
+    return (
+        load_embeddings(spark, sf_dir)
+        .groupBy("label")
+        .applyInPandas(centroid, schema="label long, i long, v double")
+        .orderBy("label", "i")
+    )
+
+
 LAPSED_CUTOFF = "2000-01-01"
 
 
@@ -1363,6 +1392,15 @@ FROM t
 ORDER BY doc_id, pos
 """
 
+_ORACLES["label_centroids"] = f"""
+SELECT label,
+       CAST(i AS BIGINT) AS i,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+FROM embeddings, unnest(range(1, {EMB_DIM} + 1)) AS t(i)
+GROUP BY label, i
+ORDER BY label, i
+"""
+
 _ORACLES["lapsed_customers"] = f"""
 SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < '{LAPSED_CUTOFF}'
 EXCEPT
@@ -1462,6 +1500,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigrams_udtf": q_bigrams_udtf,
         "geomean_udaf": q_geomean_udaf,
         "lapsed_customers": q_lapsed_customers,
+        "label_centroids": q_label_centroids,
     }
 
 
