@@ -31,7 +31,11 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from homemade_vector_db_spark.functions.vector import l2_to_similarity, squared_l2
+from homemade_vector_db_spark.functions.vector import (
+    l2_to_similarity,
+    squared_l2,
+    squared_l2_fixed,
+)
 from homemade_vector_db_spark.operators.bm25 import BM25Stats, bm25_scores, build_bm25_stats
 from homemade_vector_db_spark.operators.knn import QVEC, with_query_vector
 
@@ -49,20 +53,29 @@ def hybrid_search(
     vec_col: str = "embedding",
     stats: BM25Stats | None = None,
     score_decimals: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Top-k (doc_id, score) by weighted fused score; zero-score rows dropped."""
+    """Top-k (doc_id, score) by weighted fused score; zero-score rows dropped.
+
+    Pass `dim` when known to use the codegen'd fixed-dim distance kernel
+    instead of the interpreted HOF fold (same summation order, bit-identical
+    — functions/vector.squared_l2_fixed)."""
     if stats is None:
         stats = build_bm25_stats(corpus, id_col, text_col)
+    if dim is None and not isinstance(query_vector, DataFrame):
+        dim = len(query_vector)
 
     text_scores = bm25_scores(spark, stats, query_text).withColumnRenamed(
         "score", "text_score"
     )
+    d2 = (
+        squared_l2_fixed(vec_col, QVEC, dim)
+        if dim is not None
+        else squared_l2(vec_col, QVEC)
+    )
     vec_scores = (
         with_query_vector(corpus.select(F.col(id_col).alias("doc_id"), vec_col), query_vector)
-        .select(
-            "doc_id",
-            l2_to_similarity(squared_l2(vec_col, QVEC)).alias("vec_score"),
-        )
+        .select("doc_id", l2_to_similarity(d2).alias("vec_score"))
     )
 
     fused = vec_scores.join(text_scores, "doc_id", "full_outer").select(

@@ -160,6 +160,7 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=TOP_K,
         vector_weight=HYBRID_W,
         stats=_bm25_stats(spark, sf_dir),
+        dim=EMB_DIM,
     )
 
 
@@ -175,6 +176,7 @@ def q_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         vector_weight=HYBRID_W,
         filter_pred=F.col("lang") == "en",
         stats=_bm25_stats(spark, sf_dir),
+        dim=EMB_DIM,
     )
 
 
