@@ -97,47 +97,79 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact near-dup pairs (a_id < b_id, jaccard ≥ threshold).
 
-    Candidate generation via inverted shingle index self-join. At scale set
+    Candidate generation via prefix-filtered inverted index self-join
+    (PPJoin family), verification over full shingle sets. At scale set
     `max_shingle_freq` to drop shingles appearing in more than that many
     docs — a stop-shingle shared by 1M docs creates a 10^12-row join key;
-    pruning it loses only pairs whose *entire* overlap is stop-shingles.
+    capped shingles leave the sets entirely so jaccard stays consistent
+    over the pruned universe.
     """
     sh = _shingled(df, id_col, text_col, n)
-    # Shuffle int64 shingle hashes, not strings: ~8 bytes/row vs shingle
-    # text — at 100 TB this is the difference between a manageable exchange
-    # and a corpus-sized one. xxhash64 collisions (~2^-64/pair) are noise
-    # relative to the threshold decision.
-    ex = sh.select(
-        "doc_id",
-        F.explode("shingles").alias("shingle"),
-        F.size("shingles").alias("n_sh"),
-    ).select("doc_id", F.xxhash64("shingle").alias("shingle"), "n_sh")
+    # Hash shingle strings to int64 ONCE, and persist the per-doc hash
+    # arrays: every downstream branch (frequency table, rarity ranking,
+    # prefix index, verification) re-reads ~16 bytes/shingle instead of
+    # re-running tokenize→slice-zip→distinct→hash — shingling is the
+    # dominant cost of this operator, and an unpersisted plan re-executes
+    # it once per branch. Spills to disk at scale; 8-byte hashes (not
+    # shingle text) also keep the exchanges small. xxhash64 collisions
+    # (~2^-64/pair) are noise relative to the threshold decision.
+    hashed = sh.select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
+    ).persist()
+    ex = hashed.select("doc_id", F.explode("hs").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     if max_shingle_freq is not None:
-        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-        ex = ex.join(
-            freq.where(F.col("freq") <= max_shingle_freq).select("shingle"), "shingle"
+        freq = freq.where(F.col("freq") <= max_shingle_freq)
+        ex = ex.join(freq.select("shingle"), "shingle")
+
+    # Prefix filtering (PPJoin family): under a rarity-first canonical
+    # order, two sets with jaccard ≥ t MUST share a shingle among each
+    # one's first |d| - ceil(t·|d|) + 1 elements — so only prefixes are
+    # exploded into the candidate self-join. Rare shingles lead the order,
+    # which keeps stop-shingles out of prefixes: candidate volume drops
+    # by orders of magnitude while staying EXACT (verification below
+    # recomputes true jaccard over the full sets).
+    ranked = ex.join(freq, "shingle").select(
+        "doc_id", F.struct(F.col("freq"), F.col("shingle")).alias("fs")
+    )
+    sets = (
+        ranked.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("fs")).alias("fss"))
+        .select(
+            "doc_id",
+            F.transform("fss", lambda x: x.shingle).alias("sset"),
+            F.size("fss").alias("nsh"),
         )
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
+        .persist()  # read by the two prefix sides + two verification joins
+    )
+    prefix_len = F.col("nsh") - F.ceil(F.lit(float(threshold)) * F.col("nsh")) + 1
+    pref = sets.select(
+        "doc_id", "nsh", F.explode(F.slice("sset", F.lit(1), prefix_len)).alias("shingle")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # length filter: jac ≥ t also requires t·na ≤ nb ≤ na/t
+    cands = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.nsh") * float(threshold) <= F.col("a.nsh"))
+            & (F.col("a.nsh") * float(threshold) <= F.col("b.nsh")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("a.n_sh")).alias("na"),
-            F.first(F.col("b.n_sh")).alias("nb"),
-        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
     )
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    verified = cands.join(
+        sets.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("sa"), F.col("nsh").alias("na")),
+        "a_id",
+    ).join(
+        sets.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("sb"), F.col("nsh").alias("nb")),
+        "b_id",
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     return (
-        pairs.where(jac >= threshold)
+        verified.where(jac >= threshold)
         .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .orderBy("a_id", "b_id")
     )
