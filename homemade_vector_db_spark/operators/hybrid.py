@@ -83,6 +83,16 @@ def hybrid_search(
         F.coalesce("vec_score", F.lit(0.0)).alias("vec_score"),
         F.coalesce("text_score", F.lit(0.0)).alias("text_score"),
     )
+    # Max-normalization is inherently two-pass, and `fused` feeds both the
+    # global-max aggregate and the normalize branch — without a barrier the
+    # whole scoring pipeline (wide embedding scan + distance kernel + BM25
+    # joins) executes once per branch. localCheckpoint materializes the
+    # NARROW score relation (16 B/row vs 100s of bytes for the embedding
+    # column) exactly once per query; unlike persist() it is scoped to this
+    # DataFrame's RDD, not plan-matched across calls, so repeated queries
+    # honestly recompute. Also truncates a ~150-node adaptive plan, cutting
+    # driver re-planning cost.
+    fused = fused.localCheckpoint(eager=False)
     maxes = fused.agg(
         F.max("vec_score").alias("vmax"), F.max("text_score").alias("tmax")
     )
