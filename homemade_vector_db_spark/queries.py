@@ -512,6 +512,89 @@ def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (§2.2 grouping sets — the third of the
+    rollup/cube/sets trio): per-returnflag and per-linestatus marginals in
+    ONE scan. Spark's Expand produces both grouping keys map-side, so this
+    stays a single shuffle with partial aggregation, where two separate
+    GROUP BYs would scan lineitem twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# Multiplicative hash sampling constants: doc_id is reduced mod a prime
+# before the Knuth-constant multiply so the product stays inside int64 at
+# any corpus size (1000002 * 2654435761 < 2^63).
+SAMPLE_MOD = 1000003
+SAMPLE_MULT = 2654435761
+SAMPLE_PCT = 10
+
+
+def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (training-pipeline downsampling): keep
+    ~10% of documents by multiplicative hash of doc_id, then profile per
+    lang. Unlike TABLESAMPLE / .sample(), the kept set is a pure function
+    of the key — reproducible across engines, runs, and repartitionings,
+    which is what a 100 TB pipeline needs for resumable sampled passes
+    (and what makes it oracle-checkable). The predicate is plain int64
+    arithmetic, so it stays inside whole-stage codegen."""
+    docs = load_documents(spark, sf_dir)
+    bucket = (F.col("doc_id") % SAMPLE_MOD) * F.lit(SAMPLE_MULT) % 100
+    return (
+        docs.where(bucket < SAMPLE_PCT)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (corpus profiling for a
+    training pipeline). Bucket index by arithmetic rather than
+    width_bucket so the expression is portable to the oracle verbatim;
+    one partial-agg shuffle over ≤20 groups at any scale."""
+    docs = load_documents(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("n_chars") / 200), F.lit(19)).cast("bigint")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+def q_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate count-distinct (§2.2 approximate operators):
+    per-type distinct users at 2% target rsd. At 100 TB this replaces the
+    exact distinct's shuffle of every user_id with fixed-size mergeable
+    sketches — bytes per partition instead of rows. Rows-only driver
+    check (sketch estimates are engine-specific); accuracy vs the exact
+    count is asserted in tests/test_db.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op INTERSECT: users with both a click and a purchase. Spark
     plans this as aggregate-distinct + left-semi hash join; at 100 TB the
@@ -1224,6 +1307,33 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """
 
+_ORACLES["grouping_sets_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(sum(l_extendedprice), 6) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+_ORACLES["hash_sample_docs"] = """
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents
+WHERE (doc_id % 1000003) * 2654435761 % 100 < 10
+GROUP BY lang
+ORDER BY lang
+"""
+
+_ORACLES["length_histogram"] = """
+SELECT least(CAST(floor(n_chars / 200.0) AS BIGINT), 19) AS bucket,
+       count(*) AS n_docs
+FROM documents
+GROUP BY bucket
+ORDER BY bucket
+"""
+
 _ORACLES["clickers_not_buyers"] = """
 SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 90
 EXCEPT
@@ -1516,6 +1626,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_bytes": q_media_bytes,
         "top_orders_q3": q_top_orders_q3,
         "cube_pricing": q_cube_pricing,
+        "grouping_sets_pricing": q_grouping_sets_pricing,
+        "hash_sample_docs": q_hash_sample_docs,
+        "length_histogram": q_length_histogram,
+        "ndv_sketch": q_ndv_sketch,
         "users_intersect": q_users_intersect,
         "weekly_orders": q_weekly_orders,
         "pivot_events": q_pivot_events,

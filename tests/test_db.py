@@ -168,3 +168,23 @@ def test_save_load_with_bm25_stats(db, spark, tmp_path_factory):
     assert db2._stats is not None  # reloaded, not rebuilt
     assert db2.query_text("meeting team", top_k=3, return_scores=True) == \
         db.query_text("meeting team", top_k=3, return_scores=True)
+
+
+def test_ndv_sketch_accuracy(spark):
+    """HLL++ estimate within 5% of exact count-distinct per group
+    (q_ndv_sketch is rows-only at the driver gate, so accuracy is
+    pinned here instead)."""
+    from homemade_vector_db_spark import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in Q.q_ndv_sketch(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in Q.q_distinct_users_per_type(spark, sf).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(1, 0.05 * n)
