@@ -55,6 +55,7 @@ class BM25Stats:
     doc_len: DataFrame  # (doc_id, dl)
     term_stats: DataFrame  # (term, df, idf)  — idf already epsilon-floored
     corpus_stats: DataFrame  # (N, avgdl) — 1 row
+    _scalars: "tuple[float, float] | None" = None  # collected (N, avgdl)
 
     def cache(self) -> "BM25Stats":
         self.postings.cache()
@@ -62,6 +63,15 @@ class BM25Stats:
         self.term_stats.cache()
         self.corpus_stats.cache()
         return self
+
+    def scalars(self) -> "tuple[float, float]":
+        """(N, avgdl) as Python floats, collected once. Two scalars per
+        corpus: inlining them as literals saves a broadcast-exchange job
+        per scoring query vs crossJoin(broadcast(corpus_stats))."""
+        if self._scalars is None:
+            row = self.corpus_stats.first()
+            self._scalars = (float(row["N"]), float(row["avgdl"]))
+        return self._scalars
 
 
 def build_bm25_stats(
@@ -110,21 +120,19 @@ def bm25_scores(
     qterms = spark.createDataFrame(
         [(t, int(c)) for t, c in qcounts.items()], "term STRING, qtf INT"
     )
-    matched = (
-        stats.postings.join(F.broadcast(qterms), "term")
-        .join(
-            F.broadcast(
-                stats.term_stats.join(F.broadcast(qterms), "term").select("term", "idf")
-            ),
-            "term",
-        )
-        .crossJoin(F.broadcast(stats.corpus_stats))
+    # One broadcast build for the whole query side (qtf ⋈ idf — both tiny);
+    # N/avgdl inlined as literals (stats.scalars). The main job is then a
+    # single broadcast hash join over postings + one partial-sum groupBy.
+    _, avgdl = stats.scalars()
+    qside = (
+        stats.term_stats.join(F.broadcast(qterms), "term").select("term", "idf", "qtf")
     )
+    matched = stats.postings.join(F.broadcast(qside), "term")
     contrib = (
         F.col("qtf")
         * F.col("idf")
         * (F.col("tf") * (k1 + 1))
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
     )
     return matched.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
 

@@ -202,7 +202,14 @@ def minhash_signatures(
     per-row `transform` form is a trap: Catalyst inlines the shingle
     array into every one of the H lambdas, re-tokenizing H times.
     """
-    sh = _shingled(df, id_col, text_col, n)
+    return _signatures_from_shingled(
+        _shingled(df, id_col, text_col, n), num_hashes, seed
+    )
+
+
+def _signatures_from_shingled(
+    sh: DataFrame, num_hashes: int, seed: int
+) -> DataFrame:
     ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h")
     )
@@ -236,7 +243,11 @@ def minhash_lsh_pairs(
     verification baseline.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # Shingle sets feed BOTH signature building and exact verification —
+    # tokenization is the dominant scan cost, so materialize it once
+    # (same pattern as ngram_jaccard_pairs' persisted hash sets).
+    sh = _shingled(df, id_col, text_col, n).persist()
+    sig = _signatures_from_shingled(sh, num_hashes, seed)
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -264,7 +275,6 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["a_id", "b_id"])
     )
-    sh = _shingled(df, id_col, text_col, n)
     cand = (
         cand.join(sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa")), "a_id")
         .join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb")), "b_id")

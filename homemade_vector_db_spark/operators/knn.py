@@ -90,6 +90,7 @@ def knn_exact(
     metric: str = "sqeuclidean",
     score_decimals: int | None = 6,
     dim: int | None = None,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k by similarity. Returns (id_col, score) ordered desc.
 
@@ -101,6 +102,11 @@ def knn_exact(
     expression instead of the interpreted HOF fold (same summation order,
     bit-identical result — see functions/vector.squared_l2_fixed).
     A literal-list query infers dim automatically.
+
+    `norm_col` (cosine only): name of a precomputed per-row L2-norm column
+    on `df`. Halves the per-query reduction work — the analogue of the
+    reference storing vectors in its index at add-time so queries pay
+    only the query-side dot product (local_db.py:78-80,113).
     """
     if pre_filter is not None:
         df = df.where(pre_filter)
@@ -118,7 +124,10 @@ def knn_exact(
         # query norm hoisted to the broadcast side (__qnorm); per corpus
         # row: one dot(a,b) + one dot(a,a). Same arithmetic order as
         # cosine_fixed, so scores are bit-identical to the oracle.
-        if dim is not None:
+        if norm_col is not None:
+            na = F.col(norm_col)
+            num = dot_fixed(vec_col, QVEC, dim) if dim is not None else dot(vec_col, QVEC)
+        elif dim is not None:
             na = F.sqrt(dot_fixed(vec_col, vec_col, dim))
             num = dot_fixed(vec_col, QVEC, dim)
         else:

@@ -21,7 +21,12 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from homemade_vector_db_spark.functions.vector import cosine, l2_to_similarity, squared_l2
+from homemade_vector_db_spark.functions.vector import (
+    cosine,
+    dot_fixed,
+    l2_to_similarity,
+    squared_l2,
+)
 from homemade_vector_db_spark.operators import (
     ann,
     bm25,
@@ -80,6 +85,37 @@ def _bm25_stats(spark: SparkSession, sf_dir: str) -> "bm25.BM25Stats":
     return _BM25_STATS[sf_dir]
 
 
+# Embeddings with the per-row L2 norm materialized once per session — the
+# Spark analogue of the reference inserting vectors into its index at
+# add-time (local_db.py:78-80,113) so queries pay only the query-side dot.
+# cache() is MEMORY_AND_DISK: at 100 TB this is a spillable derived table
+# (and the in-memory columnar form prunes to just the probed columns).
+_EMB_NORMED: dict[str, DataFrame] = {}
+
+
+def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _EMB_NORMED:
+        _EMB_NORMED[sf_dir] = (
+            load_embeddings(spark, sf_dir)
+            .withColumn("__nrm", F.sqrt(dot_fixed("embedding", "embedding", EMB_DIM)))
+            .cache()
+        )
+    return _EMB_NORMED[sf_dir]
+
+
+# documents ⋈ embeddings materialized once per session — the analogue of
+# the reference holding _docs/_metas/_vectors resident in parallel arrays
+# (local_db.py:35-37). Hybrid queries then score without re-running the
+# id join or the parquet scans on every call.
+_CORPUS: dict[str, DataFrame] = {}
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _CORPUS:
+        _CORPUS[sf_dir] = docs_with_embeddings(spark, sf_dir).cache()
+    return _CORPUS[sf_dir]
+
+
 # --------------------------------------------------------------------- queries
 def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 flat path: exact squared-L2 top-k (local_db.py:137-200)."""
@@ -113,8 +149,8 @@ def q_knn_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-similarity top-k (ANN baseline for the similarity-search tier)."""
     return knn.knn_exact(
-        load_embeddings(spark, sf_dir), _qvec(spark, sf_dir), k=TOP_K,
-        metric="cosine", dim=EMB_DIM,
+        _emb_with_norm(spark, sf_dir), _qvec(spark, sf_dir), k=TOP_K,
+        metric="cosine", dim=EMB_DIM, norm_col="__nrm",
     )
 
 
@@ -151,7 +187,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6: weighted fusion, exact squared-L2 path (local_db.py:323-401)."""
-    corpus = docs_with_embeddings(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
     return hybrid.hybrid_search(
         spark,
         corpus,
@@ -166,7 +202,7 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 with metadata mask (local_db.py:390-392)."""
-    corpus = docs_with_embeddings(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
     return hybrid.hybrid_search(
         spark,
         corpus,

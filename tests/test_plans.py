@@ -119,3 +119,23 @@ def test_orders_above_avg_broadcasts_scalar(spark):
         df, "BroadcastExchange"
     )
     assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_grouping_sets_single_expand_no_multi_scan(spark):
+    df = Q.q_grouping_sets_pricing(spark, SF_SMOKE)
+    import re
+
+    plan = physical_plan(df)
+    # GROUPING SETS = one Expand over one scan + one partial-agg shuffle,
+    # not two separate GROUP BY scans of lineitem
+    assert plan.count("Expand") >= 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_hash_sample_filter_in_codegen(spark):
+    df = Q.q_hash_sample_docs(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    # sampling predicate is pure int64 arithmetic: must stay a codegen
+    # Filter (no BatchEvalPython / python UDF stage in the plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Filter" in plan
