@@ -614,6 +614,45 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-fractions over
+    the same multiplicative key hash as hash_sample_docs (en kept at 20%,
+    other langs at 5%) — the 'rebalance the language mix' op of a training
+    pipeline. Reproducible across runs, engines, and repartitionings,
+    unlike .sampleBy(); the predicate is codegen'd int64 arithmetic, so
+    at 100 TB it's a scan-side filter with no extra pass."""
+    docs = load_documents(spark, sf_dir)
+    bucket = (F.col("doc_id") % SAMPLE_MOD) * F.lit(SAMPLE_MULT) % 100
+    frac = F.when(F.col("lang") == "en", F.lit(20)).otherwise(F.lit(5))
+    return (
+        docs.where(bucket < frac)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window agg: 1h windows every 30 min — each event
+    lands in size/slide = 2 windows. Spark expands the window list
+    map-side (no self-union of the input), so it stays one partial-agg
+    shuffle; the oracle reconstructs the epoch-aligned starts by
+    duplicating events against k∈{0,1}."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            "total",
+        )
+        .orderBy("window_start")
+    )
+
+
 def q_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate count-distinct (§2.2 approximate operators):
     per-type distinct users at 2% target rsd. At 100 TB this replaces the
@@ -1362,6 +1401,28 @@ GROUP BY lang
 ORDER BY lang
 """
 
+_ORACLES["stratified_sample"] = """
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE (doc_id % 1000003) * 2654435761 % 100
+      < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
+GROUP BY lang
+ORDER BY lang
+"""
+
+_ORACLES["events_sliding"] = """
+SELECT strftime(
+         TIMESTAMP '1970-01-01'
+           + (1800 * CAST(floor(epoch(ts) / 1800) AS BIGINT) - 1800 * k.k)
+             * INTERVAL '1 second',
+         '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n,
+       round(sum(value), 6) AS total
+FROM events, (SELECT unnest([0, 1]) AS k) AS k
+GROUP BY window_start
+ORDER BY window_start
+"""
+
 _ORACLES["length_histogram"] = """
 SELECT least(CAST(floor(n_chars / 200.0) AS BIGINT), 19) AS bucket,
        count(*) AS n_docs
@@ -1666,6 +1727,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": q_hash_sample_docs,
         "length_histogram": q_length_histogram,
         "ndv_sketch": q_ndv_sketch,
+        "stratified_sample": q_stratified_sample,
+        "events_sliding": q_events_sliding,
         "users_intersect": q_users_intersect,
         "weekly_orders": q_weekly_orders,
         "pivot_events": q_pivot_events,

@@ -129,13 +129,17 @@ def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Streaming tumbling-window aggregation with late-data handling —
-    apply to a readStream of the events schema; same result shape as the
-    batch q_events_hourly."""
+    """Streaming windowed aggregation with late-data handling — apply to a
+    readStream of the events schema. Default is tumbling (same result
+    shape as batch q_events_hourly); pass `slide` for hopping windows
+    (twin of q_events_sliding) — state grows by window/slide entries per
+    key, still bounded by the watermark horizon."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events_stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(w.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),

@@ -262,3 +262,43 @@ def test_stream_stream_join(spark, tmp_path):
     finally:
         q.stop()
     assert got == {(20, 10), (20, 11)}
+
+
+def test_sliding_window_counts_streaming(spark, tmp_path):
+    src = tmp_path / "ev_src_slide"
+    src.mkdir()
+    rows = [
+        ("2026-01-01 10:05:00", "click", 1.0),
+        ("2026-01-01 10:45:00", "click", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_s STRING, event_type STRING, value DOUBLE"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    df.write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    ).parquet(str(src))
+    out = windowed_event_counts(
+        stream, window="1 hour", watermark="2 hours", slide="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slidecounts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ev_slide_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): (r.n, r.total)
+            for r in spark.sql("SELECT * FROM slidecounts").collect()
+        }
+    finally:
+        q.stop()
+    # 10:05 → windows [09:30,10:30) and [10:00,11:00); 10:45 → [10:30,11:30)
+    # and [10:00,11:00): the [10:00,11:00) window sees both events.
+    assert got[("2026-01-01 09:30:00", "click")] == (1, 1.0)
+    assert got[("2026-01-01 10:00:00", "click")] == (2, 3.0)
+    assert got[("2026-01-01 10:30:00", "click")] == (1, 2.0)
