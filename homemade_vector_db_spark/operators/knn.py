@@ -146,3 +146,82 @@ def knn_exact(
         # (/root/reference/local_db.py:188-195) and may return < k rows.
         topk = topk.where(post_filter)
     return topk.select(F.col(id_col), F.col("score"))
+
+
+def knn_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qv",
+    k: int = 5,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Bulk exact k-NN: Q queries × corpus in ONE scan, per-query top-k.
+
+    Returns (query_id, id, score, rn) with rn = 1..k per query, ordered by
+    (query_id, rn). Scale shape: the query block (small by definition — it
+    is the thing being broadcast) is collected into a numpy matrix and
+    shipped inside a mapInPandas kernel; each input partition computes its
+    Q×B distance block with BLAS and emits only its LOCAL top-k per query.
+    The shuffle after the scan therefore carries Q × num_partitions × k
+    candidate rows — never the Q×N scored relation — and the final
+    per-query top-k is a cheap window over that candidate set. A window
+    straight over the scored crossJoin would shuffle and fully sort all
+    Q×N rows: the difference between gigabytes and kilobytes at 100 TB.
+
+    Determinism: scores are rounded to `score_decimals` BEFORE local
+    selection, and both local and final selection order by
+    (score desc, id asc) — same tie rule as knn_exact (SURVEY.md §2.3-5),
+    so the result is reproducible and oracle-checkable.
+
+    (reference: query_vector called per query, local_db.py:137-200; this
+    operator is its batch-amortized form.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    qrows = queries.select(query_id_col, qvec_col).collect()
+    if not qrows:
+        raise ValueError("empty query block")
+    qids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[qvec_col], dtype=np.float64) for r in qrows])
+
+    id_dtype = "long"
+    out_schema = (
+        f"{query_id_col} long, {id_col} {id_dtype}, score double"
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # B×D
+            ids = pdf[id_col].to_numpy()
+            # B×Q×D diff block; chunk over B if Q×D grows — at B=10k,
+            # Q=16, D=1k this is ~1.2 GB: keep batches bounded via
+            # spark.sql.execution.arrow.maxRecordsPerBatch at wide dims.
+            d = ((A[:, None, :] - qmat[None, :, :]) ** 2).sum(axis=2)
+            scores = np.round(1.0 / (1.0 + d), score_decimals)
+            kk = min(k, len(ids))
+            for j in range(len(qids)):
+                sj = scores[:, j]
+                order = np.lexsort((ids, -sj))[:kk]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.full(kk, qids[j]),
+                        id_col: ids[order],
+                        "score": sj[order],
+                    }
+                )
+
+    cand = df.select(id_col, vec_col).mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .orderBy(query_id_col, "rn")
+    )

@@ -265,31 +265,16 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bulk similarity search: 5 query vectors × corpus, per-query top-5 —
-    broadcast the query block, rank with a window partitioned by query id.
-    This is the 100 TB batch-serving shape: one corpus scan for Q queries."""
-    from pyspark.sql.window import Window
-
+    """Bulk similarity search: 5 query vectors × corpus, per-query top-5.
+    Partition-local numpy top-k (operators.knn.knn_batch) — the shuffle
+    carries only partitions×Q×k candidate rows, never the Q×N scored
+    relation. This is the 100 TB batch-serving shape: one corpus scan
+    for Q queries."""
     embs = load_embeddings(spark, sf_dir)
     qs = embs.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    from homemade_vector_db_spark.functions.vector import squared_l2_fixed
-
-    scored = embs.crossJoin(F.broadcast(qs)).select(
-        "query_id",
-        "vec_id",
-        F.round(
-            1.0 / (1.0 + squared_l2_fixed("embedding", "qv", EMB_DIM)), 6
-        ).alias("score"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select("query_id", "vec_id", "score", "rn")
-        .orderBy("query_id", "rn")
-    )
+    return knn.knn_batch(embs, qs, k=5)
 
 
 def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

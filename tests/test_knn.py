@@ -76,3 +76,18 @@ def test_knn_empty_corpus(spark, embs):
 def test_knn_cosine_metric(spark, embs):
     rows = knn_exact(embs, query_df(embs), k=5, metric="cosine").collect()
     assert rows[0].vec_id == 0 and abs(rows[0].score - 1.0) < 1e-6
+
+
+def test_knn_batch_matches_per_query_exact(spark, embs):
+    from homemade_vector_db_spark.operators.knn import knn_batch
+
+    qs = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    batch = knn_batch(embs, qs, k=4).collect()
+    assert [r.rn for r in batch] == [1, 2, 3, 4] * 3
+    for qid in range(3):
+        got = [(r.vec_id, r.score) for r in batch if r.query_id == qid]
+        q = embs.where(F.col("vec_id") == qid).select("embedding")
+        want = [(r.vec_id, r.score) for r in knn_exact(embs, q, k=4).collect()]
+        assert got == want
