@@ -155,3 +155,49 @@ def repartition_for_media(
     total = df.agg(F.sum(F.length("content"))).first()[0] or 0
     parts = max(1, int(total // target_bytes_per_partition) + 1)
     return df.repartition(parts)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id LONG, duration_ms INT, n_bytes INT, rms DOUBLE, mfcc ARRAY<FLOAT>"
+)
+
+
+def _extract_audio_features(content: bytes) -> "tuple[float, list[float]]":
+    """STUB audio decode — deterministic fake standing in for
+    librosa/torchaudio. Returns (rms, mfcc-like coefficients). Real
+    deployments replace this body with a resample + MFCC pipeline; the
+    Spark contract (bytes in, fixed-width floats out, Arrow-batched) is
+    what the tests pin down."""
+    if content is None or len(content) == 0:
+        raise NotImplementedError(
+            "real audio decode requires an audio library (librosa/ffmpeg); "
+            "empty payloads have no deterministic fake"
+        )
+    rms = (sum(content[:32]) % 1000) / 1000.0
+    mfcc = [float(((rms * 131 + i * 17) % 20) - 10.0) for i in range(13)]
+    return rms, mfcc
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio rows via mapInPandas (Arrow batches):
+    (media_id, duration_ms, n_bytes, rms, mfcc[13]). Same batched shape as
+    image_features — swap the stub for a real DSP call and the plan,
+    partitioning, and schema are unchanged."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, dur, content in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["content"]
+            ):
+                data = bytes(content) if content is not None else b""
+                rms, mfcc = _extract_audio_features(data)
+                rows.append((mid, dur, len(data), rms, mfcc))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "duration_ms", "n_bytes", "rms", "mfcc"]
+            )
+
+    src = df.where(F.col("kind") == "audio").select(
+        "media_id", "duration_ms", "content"
+    )
+    return src.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)

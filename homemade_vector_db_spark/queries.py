@@ -638,6 +638,43 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512  # tokens per training bin
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign docs (in doc_id
+    order, per lang) to contiguous token bins via an exclusive running
+    sum — bin = floor(tokens_before / budget). Contiguous packing, not
+    true bin-packing: a bin can overflow by < one doc, but assignment is
+    a single window pass. Partitioned by lang so the running sums
+    parallelize — an unpartitioned cumsum funnels the whole table
+    through one task at 100 TB (shard by a hash bucket when strata are
+    few). Returns per-bin fill stats."""
+    from pyspark.sql.window import Window
+
+    from homemade_vector_db_spark.functions.text import tokenize
+
+    docs = load_documents(spark, sf_dir)
+    toks = docs.select("doc_id", "lang", F.size(tokenize("text")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = toks.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
 def q_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate count-distinct (§2.2 approximate operators):
     per-type distinct users at 2% target rsd. At 100 TB this replaces the
@@ -1408,6 +1445,26 @@ GROUP BY window_start
 ORDER BY window_start
 """
 
+_ORACLES["pack_sequences"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens
+  FROM documents
+), binned AS (
+  SELECT lang, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 512.0) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT lang, bin, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM binned
+GROUP BY lang, bin
+ORDER BY lang, bin
+"""
+
 _ORACLES["length_histogram"] = """
 SELECT least(CAST(floor(n_chars / 200.0) AS BIGINT), 19) AS bucket,
        count(*) AS n_docs
@@ -1714,6 +1771,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndv_sketch": q_ndv_sketch,
         "stratified_sample": q_stratified_sample,
         "events_sliding": q_events_sliding,
+        "pack_sequences": q_pack_sequences,
         "users_intersect": q_users_intersect,
         "weekly_orders": q_weekly_orders,
         "pivot_events": q_pivot_events,

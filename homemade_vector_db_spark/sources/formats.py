@@ -80,3 +80,20 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
         if f.name in arrays:
             df = df.withColumn(f.name, F.from_json(F.col(f.name), f.dataType))
     return df.select(*[f.name for f in schema.fields])
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    ecosystems). Columnar with min/max statistics like parquet, so reads
+    keep predicate pushdown and column pruning."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC source. Schema optional: ORC embeds its schema in the footer
+    (no inference pass over the data, unlike JSONL/CSV); pass one only to
+    assert/narrow the expected shape."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

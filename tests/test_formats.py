@@ -39,3 +39,54 @@ def test_documents_csv_roundtrip(spark, tmp_path):
     formats.write_csv(docs, p)
     back = formats.read_csv(spark, p, formats.DOCUMENTS_SCHEMA)
     assert _rows(back, 0) == _rows(docs, 0)
+
+
+def test_orc_roundtrip_documents(spark, tmp_path):
+    from homemade_vector_db_spark.sources.formats import read_orc, write_orc
+    from homemade_vector_db_spark.sources.tables import load_documents
+
+    docs = load_documents(spark, SF_SMOKE)
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = {r.doc_id: r.text for r in docs.collect()}
+    b = {r.doc_id: r.text for r in back.collect()}
+    assert a == b
+
+
+def test_orc_roundtrip_embeddings_arrays(spark, tmp_path):
+    from homemade_vector_db_spark.sources.formats import read_orc, write_orc
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+
+    embs = load_embeddings(spark, SF_SMOKE)
+    path = str(tmp_path / "embs_orc")
+    write_orc(embs, path)
+    back = read_orc(spark, path)
+    assert back.count() == embs.count()
+    r0 = back.where(back.vec_id == 0).first()
+    e0 = embs.where(embs.vec_id == 0).first()
+    assert list(r0.embedding) == list(e0.embedding)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from homemade_vector_db_spark.sources.maintenance import compact_parquet
+    from homemade_vector_db_spark.sources.tables import load_documents
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    docs = load_documents(spark, SF_SMOKE)
+    docs.repartition(16).write.parquet(src)  # simulate 16 tiny appends
+
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 16
+    n_out = compact_parquet(spark, src, dst, target_file_mb=256)
+    assert n_out == 1
+    assert len(glob.glob(dst + "/*.parquet")) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }

@@ -64,3 +64,19 @@ def test_empty_payload_raises_stub_marker(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|imaging library"):
         multimodal.image_features(df).collect()
+
+
+def test_audio_features_schema_and_determinism(spark, media):
+    out = multimodal.audio_features(media)
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,duration_ms:int,n_bytes:int,"
+        "rms:double,mfcc:array<float>>"
+    )
+    rows = out.collect()
+    assert [r.media_id for r in rows] == [2]  # only the audio row
+    r = rows[0]
+    assert r.duration_ms == 2000 and r.n_bytes == 200
+    assert len(r.mfcc) == 13
+    # deterministic stub: same input → same features
+    again = multimodal.audio_features(media).collect()[0]
+    assert again.rms == r.rms and list(again.mfcc) == list(r.mfcc)
