@@ -296,6 +296,19 @@ class VectorDatabase:
                 os.path.join(folder_path, "bm25", "corpus_stats")
             )
             has_stats = True
+        has_ann = False
+        if include_index and self._ann_index is not None:
+            # O8 parity for the native index files (hnsw.idx / faiss.idx,
+            # local_db.py:218-221) — but cluster-partitioned parquet /
+            # MLWriter instead of opaque native blobs.
+            from homemade_vector_db_spark.operators import ann
+
+            ann_path = os.path.join(folder_path, "ann")
+            if self.index_type == "lsh":
+                ann.save_lsh(self._ann_index, ann_path)
+            elif self.index_type == "ivf":
+                ann.save_ivf(self._ann_index, ann_path)
+            has_ann = self.index_type in ("lsh", "ivf")
         manifest = {
             "dim": self.dim,
             "index_type": self.index_type,
@@ -304,6 +317,7 @@ class VectorDatabase:
             "text_col": self.text_col,
             "vec_col": self.vec_col,
             "has_bm25_stats": has_stats,
+            "has_ann_index": has_ann,
             "format_version": 2,
         }
         with open(os.path.join(folder_path, "manifest.json"), "w") as f:
@@ -329,6 +343,14 @@ class VectorDatabase:
                 term_stats=spark.read.parquet(os.path.join(p, "term_stats")),
                 corpus_stats=spark.read.parquet(os.path.join(p, "corpus_stats")),
             )
+        if m.get("has_ann_index"):
+            from homemade_vector_db_spark.operators import ann
+
+            ann_path = os.path.join(folder_path, "ann")
+            if m["index_type"] == "lsh":
+                db._ann_index = ann.load_lsh(spark, ann_path, df)
+            elif m["index_type"] == "ivf":
+                db._ann_index = ann.load_ivf(spark, ann_path)
         return db
 
     # ------------------------------------------------------------------ misc

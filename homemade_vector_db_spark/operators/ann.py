@@ -191,3 +191,64 @@ def lsh_similarity_join(
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# ------------------------------------------------------------------ persist
+def save_ivf(index: IVFIndex, path: str) -> None:
+    """Persist IVF state (O8 parity for faiss.idx, local_db.py:218-221):
+    assignments written `partitionBy(cluster)` so a reloaded index's
+    nprobe cell filter is parquet partition PRUNING — probing 10/100
+    cells reads 10% of the files, the same scan-fraction contract FAISS
+    nprobe gives in RAM; centroids (tiny) as JSON."""
+    import json
+    import os
+
+    index.assignments.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "assignments")
+    )
+    with open(os.path.join(path, "ivf.json"), "w") as f:
+        json.dump(
+            {
+                "centroids": index.centroids,
+                "id_col": index.id_col,
+                "vec_col": index.vec_col,
+            },
+            f,
+        )
+
+
+def load_ivf(spark: SparkSession, path: str) -> IVFIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "ivf.json")) as f:
+        m = json.load(f)
+    assignments = spark.read.parquet(os.path.join(path, "assignments"))
+    return IVFIndex(assignments, m["centroids"], m["id_col"], m["vec_col"])
+
+
+def save_lsh(index: LSHIndex, path: str) -> None:
+    """Persist the LSH model (hash planes; O8 parity for hnsw.idx). The
+    hashed table is derived — recomputed by one transform at load, which
+    is cheaper at scale than storing a second copy of every vector."""
+    import json
+    import os
+
+    index.model.write().overwrite().save(os.path.join(path, "model"))
+    with open(os.path.join(path, "lsh.json"), "w") as f:
+        json.dump({"id_col": index.id_col, "vec_col": index.vec_col}, f)
+
+
+def load_lsh(spark: SparkSession, path: str, df: DataFrame) -> LSHIndex:
+    """`df` is the corpus to re-hash (same relation the index was built
+    on — the model's planes make the hashing deterministic)."""
+    import json
+    import os
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSHModel
+
+    with open(os.path.join(path, "lsh.json")) as f:
+        m = json.load(f)
+    model = BucketedRandomProjectionLSHModel.load(os.path.join(path, "model"))
+    vdf = _to_vector_col(df, m["vec_col"], "__v")
+    return LSHIndex(model, model.transform(vdf), m["id_col"], m["vec_col"])

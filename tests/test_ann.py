@@ -67,3 +67,28 @@ def test_lsh_similarity_join_finds_near_pairs(spark, embs):
     for r in pairs:
         assert r.a_id < r.b_id
         assert r.l2_dist <= 1.2
+
+
+def test_ivf_save_load_roundtrip(spark, embs, qvec, tmp_path):
+    idx = ann.build_ivf(embs, nlist=16)
+    want = [(r.vec_id, r.score) for r in ann.ivf_search(idx, qvec, k=5).collect()]
+    path = str(tmp_path / "ivf_idx")
+    ann.save_ivf(idx, path)
+    idx2 = ann.load_ivf(spark, path)
+    assert idx2.nlist == idx.nlist
+    got = [(r.vec_id, r.score) for r in ann.ivf_search(idx2, qvec, k=5).collect()]
+    assert got == want
+    # cluster-partitioned layout: probe filter is partition pruning on disk
+    import glob
+
+    assert glob.glob(path + "/assignments/cluster=*"), "expected partitioned layout"
+
+
+def test_lsh_save_load_roundtrip(spark, embs, qvec, tmp_path):
+    idx = ann.build_lsh(embs)
+    want = [(r.vec_id, r.score) for r in ann.lsh_search(idx, qvec, k=5).collect()]
+    path = str(tmp_path / "lsh_idx")
+    ann.save_lsh(idx, path)
+    idx2 = ann.load_lsh(spark, path, embs)
+    got = [(r.vec_id, r.score) for r in ann.lsh_search(idx2, qvec, k=5).collect()]
+    assert got == want

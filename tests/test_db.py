@@ -188,3 +188,18 @@ def test_ndv_sketch_accuracy(spark):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(1, 0.05 * n)
+
+
+@pytest.mark.parametrize("index_type", ["lsh", "ivf"])
+def test_save_load_with_ann_index(spark, tmp_path_factory, index_type):
+    d = VectorDatabase(spark, dim=4, index_type=index_type)
+    d.add(DOCS, VECS, METAS)
+    before = d.query_vector(VECS[2], top_k=3, return_scores=True)  # builds index
+    path = str(tmp_path_factory.mktemp(f"dbsave_{index_type}"))
+    d.save(path)
+    import json, os
+    with open(os.path.join(path, "manifest.json")) as f:
+        assert json.load(f)["has_ann_index"] is True
+    d2 = VectorDatabase.load(spark, path)
+    assert d2._ann_index is not None  # reloaded, not rebuilt lazily
+    assert d2.query_vector(VECS[2], top_k=3, return_scores=True) == before
