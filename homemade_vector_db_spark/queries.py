@@ -1047,6 +1047,199 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_search(idx, q, k=TOP_K)
 
 
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: revenue per nation for one region,
+    where the supplier and the customer share a nation. Join order is
+    written smallest-out: region→nation (broadcast, ~rows=5/25 at any SF)
+    seeds supplier, then the two fact joins shuffle on their natural keys
+    (l_orderkey, o_custkey); the c_nationkey = s_nationkey predicate rides
+    the supplier join instead of a separate exchange. The date filter
+    pushes to the orders scan."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= Q5_DATE_LO) & (F.col("o_orderdate") < Q5_DATE_HI)
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional-aggregate ratio: share of one month's
+    revenue from PROMO-type parts. The shipdate filter pushes to the
+    lineitem scan (one month ≈ 1/80th of the table) before the partkey
+    shuffle join; both sums come out of a single aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def q_late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: orders in one quarter with at least one
+    lineitem shipped >90 days after the order date, counted per priority.
+    Planned as a left-semi hash join on l_orderkey with the correlated
+    date predicate evaluated inside the join (no distinct, no duplicate
+    inflation); the quarter filter prunes the orders scan first."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery, decorrelated: yearly
+    revenue from small-quantity orders of one brand, where 'small' is
+    relative to each part's own average quantity. The brand filter cuts
+    part to 1/25 before anything touches lineitem; the per-part average is
+    a partial-agg shuffle on l_partkey, then rejoined on the same key —
+    at scale both sides share the l_partkey partitioning so AQE can plan
+    the rejoin shuffle-local."""
+    pk = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(pk, li.l_partkey == pk.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = li_b.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li_b.join(avg_q, "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+def q_user_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window lag(): per-user event-to-event value deltas, profiled per
+    user. One shuffle on user_id serves both the lag window and the final
+    group-by (same partitioning, Catalyst reuses the exchange)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    return (
+        ev.withColumn("delta", delta)
+        .where(F.col("delta").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_deltas"),
+            F.round(F.avg(F.abs(F.col("delta"))), 6).alias("avg_abs_delta"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ntile(): price deciles within each order priority. The
+    window partitions on o_orderpriority so each group sorts locally
+    after one hash exchange — no global single-partition sort (the trap
+    with an unpartitioned ntile at 100 TB); the decile summary then
+    reuses the same key."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 6).alias("min_price"),
+            F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )
+
+
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-total: each nation's share of global order revenue.
+    Aggregate first (25 rows), then the share is a window-sum over the
+    tiny aggregate — the order volume is shuffled once, on c_custkey,
+    and nation joins broadcast."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    total = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("rev", 6).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(total), 6).alias("share"),
+    ).orderBy(F.desc("revenue"), F.asc("n_name"))
+
+
 # --------------------------------------------------------------------- oracles
 def _bm25_cte(table: str = "documents", query_terms: str = TEXT_QUERY) -> str:
     """DuckDB CTE block computing BM25 scores; ends with `scores(doc_id, s)`."""
@@ -1710,6 +1903,105 @@ WHERE user_id < 20
 ORDER BY user_id, event_id
 """
 
+_ORACLES["regional_supplier_volume"] = f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= '{Q5_DATE_LO}'
+  AND o_orderdate < '{Q5_DATE_HI}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+_ORACLES["promo_revenue"] = """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= '1997-03-01'
+  AND l_shipdate < '1997-04-01'
+"""
+
+_ORACLES["late_orders_by_priority"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= '1997-01-01'
+  AND o_orderdate < '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_ORACLES["small_qty_revenue"] = """
+SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+FROM lineitem l, part p
+WHERE p.p_partkey = l.l_partkey
+  AND p.p_brand = 'Brand#11'
+  AND l.l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+_ORACLES["user_value_delta"] = """
+WITH d AS (
+  SELECT user_id,
+         value - lag(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events
+)
+SELECT user_id, count(*) AS n_deltas,
+       round(avg(abs(delta)), 6) AS avg_abs_delta
+FROM d
+WHERE delta IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+_ORACLES["order_price_deciles"] = """
+WITH t AS (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+  FROM orders
+)
+SELECT o_orderpriority, decile, count(*) AS n_orders,
+       round(min(o_totalprice), 6) AS min_price,
+       round(max(o_totalprice), 6) AS max_price
+FROM t
+GROUP BY o_orderpriority, decile
+ORDER BY o_orderpriority, decile
+"""
+
+_ORACLES["nation_revenue_share"] = """
+WITH rev AS (
+  SELECT n_name, sum(o_totalprice) AS rev
+  FROM orders, customer, nation
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, round(rev, 6) AS revenue,
+       round(rev / sum(rev) OVER (), 6) AS share
+FROM rev
+ORDER BY revenue DESC, n_name
+"""
+
 _ORACLES["token_count_bpe"] = r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
@@ -1781,6 +2073,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geomean_udaf": q_geomean_udaf,
         "lapsed_customers": q_lapsed_customers,
         "label_centroids": q_label_centroids,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "promo_revenue": q_promo_revenue,
+        "late_orders_by_priority": q_late_orders_by_priority,
+        "small_qty_revenue": q_small_qty_revenue,
+        "user_value_delta": q_user_value_delta,
+        "order_price_deciles": q_order_price_deciles,
+        "nation_revenue_share": q_nation_revenue_share,
     }
 
 
