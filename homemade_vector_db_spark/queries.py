@@ -1240,6 +1240,61 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("revenue"), F.asc("n_name"))
 
 
+CORPUS_MIN_TOKENS = 20
+CORPUS_MIN_TTR = 0.35
+CORPUS_MAX_STOP = 0.2
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the north-star pipeline as
+    ONE declarative plan: language filter → quality gate (token count,
+    type-token ratio, stopword ratio) → exact dedup on normalized-text
+    fingerprint (keep lowest doc_id) → per-source profile. All gates are
+    pure column expressions fused into the parquet scan projection
+    (whole-stage codegen, no UDF); the only shuffles are the dedup
+    group-by on the md5 fingerprint and the final 20-key rollup. At
+    100 TB the fingerprint group-by is the cost center — it shuffles only
+    (fp, doc_id, source, n_tokens, ttr), not the text itself."""
+    from homemade_vector_db_spark.functions.text import tokenize
+
+    d = load_documents(spark, sf_dir)
+    toks = tokenize("text")
+    n = F.size(toks)
+    stop_r = F.size(F.filter(toks, lambda t: t.isin(textstats.STOPWORDS))) / n
+    ttr = F.size(F.array_distinct(toks)) / n
+    kept = (
+        d.where(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            "source",
+            n.alias("n_tokens"),
+            stop_r.alias("stop_ratio"),
+            ttr.alias("ttr"),
+            F.md5(F.concat_ws(" ", toks)).alias("fp"),
+        )
+        .where(
+            (F.col("n_tokens") >= CORPUS_MIN_TOKENS)
+            & (F.col("ttr") >= CORPUS_MIN_TTR)
+            & (F.col("stop_ratio") <= CORPUS_MAX_STOP)
+        )
+    )
+    rep = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        F.min_by("ttr", "doc_id").alias("ttr"),
+    )
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------- oracles
 def _bm25_cte(table: str = "documents", query_terms: str = TEXT_QUERY) -> str:
     """DuckDB CTE block computing BM25 scores; ends with `scores(doc_id, s)`."""
@@ -1903,6 +1958,43 @@ WHERE user_id < 20
 ORDER BY user_id, event_id
 """
 
+_ORACLES["corpus_prep"] = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+  WHERE lang = 'en'
+),
+scored AS (
+  SELECT doc_id, source,
+         len(tokens) AS n_tokens,
+         CAST(len(list_filter(tokens, t -> t IN ('the', 'a'))) AS DOUBLE)
+           / len(tokens) AS stop_ratio,
+         CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS ttr,
+         md5(array_to_string(tokens, ' ')) AS fp
+  FROM toks
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= {CORPUS_MIN_TOKENS}
+    AND ttr >= {CORPUS_MIN_TTR}
+    AND stop_ratio <= {CORPUS_MAX_STOP}
+),
+rep AS (
+  SELECT arg_min(source, doc_id) AS source,
+         arg_min(n_tokens, doc_id) AS n_tokens,
+         arg_min(ttr, doc_id) AS ttr
+  FROM kept
+  GROUP BY fp
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(ttr), 6) AS avg_ttr
+FROM rep
+GROUP BY source
+ORDER BY source
+"""
+
 _ORACLES["regional_supplier_volume"] = f"""
 SELECT n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
@@ -2080,6 +2172,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_delta": q_user_value_delta,
         "order_price_deciles": q_order_price_deciles,
         "nation_revenue_share": q_nation_revenue_share,
+        "corpus_prep": q_corpus_prep,
     }
 
 
