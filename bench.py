@@ -48,6 +48,8 @@ HEADLINE = [
     "top_orders_q3",
     "sessionize",
     "cube_pricing",
+    "regional_supplier_volume",
+    "corpus_prep",
 ]
 
 

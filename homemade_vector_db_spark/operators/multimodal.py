@@ -100,6 +100,34 @@ def image_features(
     return src.mapInPandas(extract, schema=IMAGE_FEATURE_SCHEMA)
 
 
+THUMB_SCHEMA = "media_id LONG, tw INT, th INT, thumb BINARY"
+
+
+def resize_images(df: DataFrame, target: int = 32) -> DataFrame:
+    """Resize/thumbnail plumbing: (media_id, tw, th, thumb) with the long
+    side scaled to `target`, aspect preserved. Stub 'resample' is a
+    deterministic byte downsample (every len/target-th byte) standing in
+    for PIL `Image.resize`; the pipeline contract — binary in, smaller
+    binary + new dims out, Arrow-batched, 1:1 rows — is real. Thumbnails
+    belong in their own output table keyed by media_id (see module
+    docstring), so this returns only the derived columns."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                w, h, _ = _decode_image_bytes(data)
+                scale = target / max(w, h)
+                tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+                step = max(1, len(data) // max(1, target))
+                rows.append((mid, tw, th, data[::step][:target]))
+            yield pd.DataFrame(rows, columns=["media_id", "tw", "th", "thumb"])
+
+    src = df.where(F.col("kind") == "image").select("media_id", "content")
+    return src.mapInPandas(resize, schema=THUMB_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing for video rows: emits (media_id, frame_idx,
     frame_bytes) — 1→N row fan-out through mapInPandas, the exact shape a

@@ -1240,6 +1240,21 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("revenue"), F.asc("n_name"))
 
 
+LSH_NEARDUP_MAX_L2 = 1.2
+
+
+def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: LSH-bucketed similarity SELF-JOIN
+    (`approxSimilarityJoin`) — candidate pairs come from hash-bucket
+    co-location, so the shuffle is per-bucket instead of the O(n²) cross
+    product the exact `cosine_neardup` path pays. Rows-only check (LSH is
+    probabilistic); the distance-bound and ordering contract is tested in
+    tests/test_ann.py."""
+    embs = load_embeddings(spark, sf_dir)
+    idx = ann.build_lsh(embs, bucket_length=2.0, num_hash_tables=3, cache=False)
+    return ann.lsh_similarity_join(idx, max_l2=LSH_NEARDUP_MAX_L2)
+
+
 CORPUS_MIN_TOKENS = 20
 CORPUS_MIN_TTR = 0.35
 CORPUS_MAX_STOP = 0.2
@@ -1278,14 +1293,18 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stop_ratio") <= CORPUS_MAX_STOP)
         )
     )
+    # min over a (doc_id-first) struct == arg-min on doc_id in ONE
+    # aggregation — partial agg combines duplicates map-side, so the
+    # exchange carries one row per (partition, fp). Spark plans struct
+    # min as SortAggregate (local partition sorts, no extra exchange);
+    # the alternative — min(doc_id) then a join back to fetch the
+    # representative's columns — would shuffle the kept rows twice.
     rep = kept.groupBy("fp").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("source", "doc_id").alias("source"),
-        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
-        F.min_by("ttr", "doc_id").alias("ttr"),
+        F.min(F.struct("doc_id", "source", "n_tokens", "ttr")).alias("r")
     )
     return (
-        rep.groupBy("source")
+        rep.select("r.source", "r.n_tokens", "r.ttr")
+        .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
@@ -2173,6 +2192,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_deciles": q_order_price_deciles,
         "nation_revenue_share": q_nation_revenue_share,
         "corpus_prep": q_corpus_prep,
+        "lsh_neardup": q_lsh_neardup,
     }
 
 

@@ -80,3 +80,17 @@ def test_audio_features_schema_and_determinism(spark, media):
     # deterministic stub: same input → same features
     again = multimodal.audio_features(media).collect()[0]
     assert again.rms == r.rms and list(again.mfcc) == list(r.mfcc)
+
+
+def test_resize_images_contract(spark, media):
+    rows = {r.media_id: r for r in multimodal.resize_images(media, target=16).collect()}
+    originals = {
+        r.media_id: r for r in media.where("kind = 'image'").collect()
+    }
+    assert set(rows) == set(originals)
+    for mid, r in rows.items():
+        assert 1 <= max(r.tw, r.th) <= 16
+        assert len(bytes(r.thumb)) <= 16
+    # deterministic stub: second run identical
+    rows2 = {r.media_id: r for r in multimodal.resize_images(media, target=16).collect()}
+    assert all(bytes(rows[m].thumb) == bytes(rows2[m].thumb) for m in rows)

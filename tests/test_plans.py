@@ -139,3 +139,29 @@ def test_hash_sample_filter_in_codegen(spark):
     # Filter (no BatchEvalPython / python UDF stage in the plan)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Filter" in plan
+
+
+def test_corpus_prep_fused_gates_two_shuffles(spark):
+    df = Q.q_corpus_prep(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    # lang/quality gates + fingerprint are pure column exprs — no Python
+    # workers anywhere in the pipeline
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly the two intended exchanges: fp dedup + per-source rollup
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_regional_supplier_volume_broadcasts_dims(spark):
+    df = Q.q_regional_supplier_volume(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    # region→nation and nation→supplier ride broadcasts; only the fact
+    # joins may shuffle
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_late_orders_plans_semi_join(spark):
+    df = Q.q_late_orders_by_priority(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    # EXISTS must stay a semi join (no duplicate-inflating inner join +
+    # distinct)
+    assert "LeftSemi" in plan, plan
