@@ -97,3 +97,54 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
     if schema is not None:
         r = r.schema(schema)
     return r.orc(path)
+
+
+# file-extension → (kind, mime) for the binaryFile media ingest path.
+MEDIA_EXT = {
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
+    "png": ("image", "image/png"),
+    "wav": ("audio", "audio/wav"),
+    "mp3": ("audio", "audio/mpeg"),
+    "mp4": ("video", "video/mp4"),
+    "mkv": ("video", "video/x-matroska"),
+}
+
+
+def read_media_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Ingest raw media files via Spark's built-in `binaryFile` source into
+    the multimodal MEDIA_SCHEMA shape (operators/multimodal.py): one row
+    per file, content as an opaque BINARY column, kind/mime derived from
+    the extension, width/height/duration left null until a decode pass
+    fills them.
+
+    Scale notes: binaryFile reads whole files as single rows — partition
+    count follows file count (maxPartitionBytes caps bin-packing of small
+    files), so pair with `repartition_for_media` before any decode stage;
+    `media_id = xxhash64(relative file name)` is deterministic across
+    re-ingests of the same tree, making downstream dedup/joins stable.
+    Unknown extensions map to kind='other', mime='application/octet-stream'
+    rather than erroring — corpus crawls always carry stragglers."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    kind_map = F.create_map(
+        *[F.lit(x) for kv in MEDIA_EXT.items() for x in (kv[0], kv[1][0])]
+    )
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in MEDIA_EXT.items() for x in (kv[0], kv[1][1])]
+    )
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    return raw.select(
+        F.xxhash64(fname).alias("media_id"),
+        F.coalesce(kind_map[ext], F.lit("other")).alias("kind"),
+        F.col("content"),
+        F.coalesce(mime_map[ext], F.lit("application/octet-stream")).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )

@@ -90,3 +90,26 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert {r.doc_id for r in back.select("doc_id").collect()} == {
         r.doc_id for r in docs.select("doc_id").collect()
     }
+
+
+def test_read_media_dir_binaryfile(spark, tmp_path):
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.jpg").write_bytes(b"\xff\xd8fakejpeg-bytes")
+    (d / "b.wav").write_bytes(b"RIFFfakewav")
+    (d / "c.unknownext").write_bytes(b"???")
+    df = formats.read_media_dir(spark, str(d))
+    rows = {r.kind: r for r in df.collect()}
+    assert set(rows) == {"image", "audio", "other"}
+    assert rows["image"].mime == "image/jpeg"
+    assert bytes(rows["image"].content) == b"\xff\xd8fakejpeg-bytes"
+    assert rows["other"].mime == "application/octet-stream"
+    # schema matches the multimodal MEDIA_SCHEMA column set
+    from homemade_vector_db_spark.operators.multimodal import MEDIA_SCHEMA
+    assert df.columns == [f.name for f in MEDIA_SCHEMA.fields]
+    # deterministic ids across re-ingest
+    again = {r.media_id for r in formats.read_media_dir(spark, str(d)).collect()}
+    assert again == {r.media_id for r in rows.values()}
+    # glob filter narrows to one extension
+    only_jpg = formats.read_media_dir(spark, str(d), glob="*.jpg").collect()
+    assert len(only_jpg) == 1 and only_jpg[0].kind == "image"
