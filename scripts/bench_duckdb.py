@@ -1,0 +1,69 @@
+"""Single-node proxy baseline: run the headline queries' own oracle SQL on
+DuckDB over the same parquet at the bench scale factor.
+
+The reference engine's stack (rank_bm25/hnswlib/faiss) is not installed in
+this container (BASELINE.md), so DuckDB — a state-of-the-art single-node
+OLAP engine executing the exact same semantics — stands in as the
+single-node throughput bar. Prints one JSON line mirroring bench.py.
+
+Usage: python scripts/bench_duckdb.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # headline list
+import __spark_entry__ as ent
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+THREADS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {THREADS}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    oracles = ent.oracle_sql()
+    timings: dict[str, float] = {}
+    skipped = []
+    for name in bench.HEADLINE:
+        if name not in oracles:
+            skipped.append(name)
+            continue
+        sql = oracles[name]
+        con.execute(sql).fetchall()  # warmup (buffer cache, plan)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
+    out = {
+        "metric": "duckdb_proxy_headline_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "skipped_no_oracle": skipped,
+        "sf": bench.sf_from_dir(SF_DIR),
+        "threads": THREADS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
