@@ -69,6 +69,22 @@ def _qvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fixed query vector (embedding of vec_id=0, FIXTURES.md F3) collected
+# once per session and inlined as a LITERAL into every scoring query: the
+# plan becomes scan → project → top-k with the query constant-folded —
+# no 1-row broadcast exchange per call. float32 parquet values round-trip
+# exactly through Python floats, so scores are bit-identical to the
+# DataFrame-join form (the oracle's self-join semantics).
+_QVEC_LIT: dict[str, list[float]] = {}
+
+
+def _qvec_list(spark: SparkSession, sf_dir: str) -> list[float]:
+    if sf_dir not in _QVEC_LIT:
+        row = _qvec(spark, sf_dir).first()
+        _QVEC_LIT[sf_dir] = [float(x) for x in row[0]]
+    return _QVEC_LIT[sf_dir]
+
+
 # Derived BM25 state per corpus, built once per session — the reference
 # builds its BM25 index at add-time (local_db.py:73-75) and query_text only
 # scores; rebuilding the inverted index inside every query would charge
@@ -120,7 +136,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 flat path: exact squared-L2 top-k (local_db.py:137-200)."""
     return knn.knn_exact(
-        load_embeddings(spark, sf_dir), _qvec(spark, sf_dir), k=TOP_K, dim=EMB_DIM
+        load_embeddings(spark, sf_dir), _qvec_list(spark, sf_dir), k=TOP_K, dim=EMB_DIM
     )
 
 
@@ -128,7 +144,7 @@ def q_knn_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4a with true-pre-filter semantics (SURVEY.md §2.3 D2)."""
     return knn.knn_exact(
         load_embeddings(spark, sf_dir),
-        _qvec(spark, sf_dir),
+        _qvec_list(spark, sf_dir),
         k=TOP_K,
         pre_filter=F.col("label") == 3,
         dim=EMB_DIM,
@@ -139,7 +155,7 @@ def q_knn_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4b: filter applied to the top-k results (local_db.py:188-195)."""
     return knn.knn_exact(
         load_embeddings(spark, sf_dir),
-        _qvec(spark, sf_dir),
+        _qvec_list(spark, sf_dir),
         k=TOP_K,
         post_filter=F.col("label") != 0,
         dim=EMB_DIM,
@@ -149,7 +165,7 @@ def q_knn_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-similarity top-k (ANN baseline for the similarity-search tier)."""
     return knn.knn_exact(
-        _emb_with_norm(spark, sf_dir), _qvec(spark, sf_dir), k=TOP_K,
+        _emb_with_norm(spark, sf_dir), _qvec_list(spark, sf_dir), k=TOP_K,
         metric="cosine", dim=EMB_DIM, norm_col="__nrm",
     )
 
@@ -192,7 +208,7 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         corpus,
         HYBRID_TEXT_QUERY,
-        _qvec(spark, sf_dir),
+        _qvec_list(spark, sf_dir),
         top_k=TOP_K,
         vector_weight=HYBRID_W,
         stats=_bm25_stats(spark, sf_dir),
@@ -207,7 +223,7 @@ def q_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         corpus,
         HYBRID_TEXT_QUERY,
-        _qvec(spark, sf_dir),
+        _qvec_list(spark, sf_dir),
         top_k=TOP_K,
         vector_weight=HYBRID_W,
         filter_pred=F.col("lang") == "en",
@@ -995,7 +1011,7 @@ def q_knn_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4a+O4b combined: true pre-filter then post-filter on the top-k."""
     return knn.knn_exact(
         load_embeddings(spark, sf_dir),
-        _qvec(spark, sf_dir),
+        _qvec_list(spark, sf_dir),
         k=TOP_K,
         pre_filter=F.col("label").isin(1, 2, 3, 4),
         post_filter=F.col("vec_id") % 2 == 0,
@@ -1238,6 +1254,26 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 6).alias("revenue"),
         F.round(F.col("rev") / F.sum("rev").over(total), 6).alias("share"),
     ).orderBy(F.desc("revenue"), F.asc("n_name"))
+
+
+def q_segment_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (spark.sql over temp views) — same Catalyst
+    plan as the DataFrame form: predicate pushdown, broadcast of the
+    pre-aggregated customer side, one shuffle per group-by. Demonstrates
+    that the engine surface is DataFrame AND SQL (SURVEY.md §7.1)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 6) AS revenue
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY segment
+        """
+    )
 
 
 LSH_NEARDUP_MAX_L2 = 1.2
@@ -1977,6 +2013,15 @@ WHERE user_id < 20
 ORDER BY user_id, event_id
 """
 
+_ORACLES["segment_revenue_sql"] = """
+SELECT c_mktsegment AS segment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 6) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
 _ORACLES["corpus_prep"] = f"""
 WITH toks AS (
   SELECT doc_id, source,
@@ -2193,6 +2238,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue_share": q_nation_revenue_share,
         "corpus_prep": q_corpus_prep,
         "lsh_neardup": q_lsh_neardup,
+        "segment_revenue_sql": q_segment_revenue_sql,
     }
 
 
