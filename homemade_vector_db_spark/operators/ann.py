@@ -32,6 +32,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from homemade_vector_db_spark.operators.knn import knn_exact
 
@@ -119,6 +120,53 @@ def ivf_search(
         cells, list(query), id_col=index.id_col, vec_col=index.vec_col,
         k=k, metric=metric,
     )
+
+
+def ivf_assign(index: IVFIndex, new_df: DataFrame) -> DataFrame:
+    """Assign NEW vectors to the existing coarse cells — no refit.
+
+    This is the streaming-ingest maintenance path (the reference refits
+    IVF from scratch inside `add`, local_db.py:82-111; an incremental
+    index is our improvement, mirroring FAISS's own add-after-train).
+    The centroid matrix (nlist × dim floats) travels in the task closure;
+    assignment is a vectorized numpy argmin inside mapInPandas — a pure
+    per-row map, ZERO shuffles at any scale (the pure-SQL alternative,
+    broadcast-join + min_by + rejoin, costs two exchanges).
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    cents = np.asarray(index.centroids, dtype="float64")
+    cn2 = (cents**2).sum(axis=1)  # precomputed ||c||² (argmin drops ||x||²)
+    vec_col = index.vec_col
+
+    def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].map(np.asarray)).astype("float64")
+            # argmin over ||x-c||² = argmin over ||c||² - 2·x·c
+            pdf = pdf.copy()
+            pdf["cluster"] = np.argmin(cn2 - 2.0 * (x @ cents.T), axis=1).astype(
+                "int32"
+            )
+            yield pdf
+
+    out_schema = T.StructType(
+        list(new_df.schema.fields) + [T.StructField("cluster", T.IntegerType())]
+    )
+    return new_df.mapInPandas(assign, schema=out_schema)
+
+
+def ivf_add(index: IVFIndex, new_df: DataFrame, cache: bool = True) -> IVFIndex:
+    """Extend the index with newly-ingested vectors (assign-only). Call
+    `build_ivf` afresh when drift makes the fixed centroids stale — the
+    classic rebuild-on-threshold policy; assignments are append-only
+    parquet in the meantime (save_ivf partitions by cluster, so appends
+    land in the right partitions)."""
+    extended = index.assignments.unionByName(ivf_assign(index, new_df))
+    if cache:
+        extended.cache()
+    return IVFIndex(extended, index.centroids, index.id_col, index.vec_col)
 
 
 # ----------------------------------------------------------------------- LSH

@@ -92,3 +92,27 @@ def test_lsh_save_load_roundtrip(spark, embs, qvec, tmp_path):
     idx2 = ann.load_lsh(spark, path, embs)
     got = [(r.vec_id, r.score) for r in ann.lsh_search(idx2, qvec, k=5).collect()]
     assert got == want
+
+
+def test_ivf_add_assigns_nearest_cell(spark, embs):
+    import numpy as np
+
+    base = embs.where("vec_id < 150")
+    new = embs.where("vec_id >= 150")
+    idx = ann.build_ivf(base, nlist=8)
+    extended = ann.ivf_add(idx, new)
+    # same centroids, more rows
+    assert extended.centroids == idx.centroids
+    assert extended.assignments.count() == embs.count()
+    # every new row landed in its true nearest cell
+    cents = np.asarray(idx.centroids)
+    got = extended.assignments.where("vec_id >= 150").collect()
+    assert len(got) > 0
+    for r in got:
+        x = np.asarray(r.embedding, dtype="float64")
+        want = int(np.argmin(((cents - x) ** 2).sum(axis=1)))
+        assert r.cluster == want
+    # a query for an added vector finds it via the extended index
+    target = new.orderBy("vec_id").first()
+    hits = ann.ivf_search(extended, list(target.embedding), k=1, nprobe=2).collect()
+    assert hits and hits[0].vec_id == target.vec_id
