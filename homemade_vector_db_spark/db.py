@@ -91,7 +91,15 @@ class VectorDatabase:
         self._df = new if self._df is None else self._df.unionByName(new)
         self._n += len(rows)
         self._stats = None  # derived state invalidated, rebuilt lazily
-        self._ann_index = None
+        if self._ann_index is not None and self.index_type == "ivf":
+            # incremental maintenance: assign the batch to existing cells
+            # (no refit) — vs the reference rebuilding per add
+            # (local_db.py:82-111)
+            from homemade_vector_db_spark.operators import ann
+
+            self._ann_index = ann.ivf_add(self._ann_index, new)
+        else:
+            self._ann_index = None
 
     def attach(self, df: DataFrame, n: int | None = None) -> "VectorDatabase":
         """Wrap an existing documents DataFrame (bulk path — preferred at scale)."""

@@ -203,3 +203,22 @@ def test_save_load_with_ann_index(spark, tmp_path_factory, index_type):
     d2 = VectorDatabase.load(spark, path)
     assert d2._ann_index is not None  # reloaded, not rebuilt lazily
     assert d2.query_vector(VECS[2], top_k=3, return_scores=True) == before
+
+
+def test_incremental_add_extends_ivf_without_refit(spark):
+    import random
+
+    rng = random.Random(7)
+    mk = lambda: [rng.random() for _ in range(8)]
+    db = VectorDatabase(spark, dim=8, index_type="ivf")
+    db.add([f"doc {i}" for i in range(20)], [mk() for _ in range(20)])
+    db.query_vector(mk(), top_k=3)  # force index build
+    idx_before = db._ann_index
+    assert idx_before is not None
+    target = mk()
+    db.add(["late arrival"], [target])
+    # same centroids object — assign-only, no refit
+    assert db._ann_index is not None
+    assert db._ann_index.centroids is idx_before.centroids
+    got = db.query_vector(target, top_k=1)
+    assert got == [20]
