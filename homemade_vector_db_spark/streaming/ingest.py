@@ -125,6 +125,92 @@ class IncrementalCorpus:
         )
 
 
+class IncrementalVectorIndex:
+    """Streaming ANN ingest — the vector twin of IncrementalCorpus.
+
+    Bootstrap fits the IVF coarse quantizer ONCE on a seed corpus; from
+    then on every micro-batch is assigned to the fixed cells
+    (`ann.ivf_assign`: vectorized numpy argmin inside mapInPandas, zero
+    shuffles) and appended to a `partitionBy(cluster)` parquet table —
+    so query-time nprobe cell selection is partition PRUNING on disk.
+    Centroid refresh is a policy decision (rebuild when drift crosses a
+    threshold), not a per-batch cost — vs the reference retraining inside
+    `add` (/root/reference/local_db.py:82-111).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        centroids: list[list[float]],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.root = root
+        self.centroids = centroids
+        self.id_col, self.vec_col = id_col, vec_col
+        self.assign_path = os.path.join(root, "assignments")
+
+    @classmethod
+    def bootstrap(
+        cls,
+        seed_df: DataFrame,
+        root: str,
+        nlist: int = 100,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IncrementalVectorIndex":
+        from homemade_vector_db_spark.operators import ann
+
+        idx = ann.build_ivf(
+            seed_df, id_col=id_col, vec_col=vec_col, nlist=nlist, cache=False
+        )
+        out = cls(seed_df.sparkSession, root, idx.centroids, id_col, vec_col)
+        idx.assignments.write.mode("overwrite").partitionBy("cluster").parquet(
+            out.assign_path
+        )
+        return out
+
+    def _stub_index(self):
+        from homemade_vector_db_spark.operators import ann
+
+        return ann.IVFIndex(None, self.centroids, self.id_col, self.vec_col)
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        from homemade_vector_db_spark.operators import ann
+
+        assigned = ann.ivf_assign(self._stub_index(), batch)
+        assigned.write.mode("append").partitionBy("cluster").parquet(self.assign_path)
+
+    def index(self):
+        from homemade_vector_db_spark.operators import ann
+
+        return ann.IVFIndex(
+            self.spark.read.parquet(self.assign_path),
+            self.centroids,
+            self.id_col,
+            self.vec_col,
+        )
+
+    def search(self, query, k: int = 10, nprobe: int | None = None) -> DataFrame:
+        from homemade_vector_db_spark.operators import ann
+
+        return ann.ivf_search(self.index(), query, k=k, nprobe=nprobe)
+
+    def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
+        """stream must have (id_col, vec_col); returns the StreamingQuery."""
+        return (
+            stream.writeStream.foreachBatch(self.ingest_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.root, "_vec_checkpoint"),
+            )
+            .outputMode("append")
+            .start()
+        )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

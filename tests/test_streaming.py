@@ -302,3 +302,36 @@ def test_sliding_window_counts_streaming(spark, tmp_path):
     assert got[("2026-01-01 09:30:00", "click")] == (1, 1.0)
     assert got[("2026-01-01 10:00:00", "click")] == (2, 3.0)
     assert got[("2026-01-01 10:30:00", "click")] == (1, 2.0)
+
+
+def test_streaming_vector_ingest_incremental_ivf(spark, tmp_path):
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+    from homemade_vector_db_spark.streaming.ingest import IncrementalVectorIndex
+    from tests.conftest import SF_SMOKE
+
+    embs = load_embeddings(spark, SF_SMOKE)
+    seed = embs.where("vec_id < 100")
+    late = embs.where("vec_id >= 100 AND vec_id < 140")
+
+    ivi = IncrementalVectorIndex.bootstrap(seed, str(tmp_path / "vidx"), nlist=8)
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<FLOAT>, label LONG"
+    ).parquet(str(src))
+    q = ivi.attach_stream(stream, checkpoint=str(tmp_path / "vckpt"))
+    try:
+        late.write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    idx = ivi.index()
+    assert idx.assignments.count() == 140
+    # cluster-partitioned layout on disk → nprobe probes prune partitions
+    parts = [p.name for p in (tmp_path / "vidx" / "assignments").iterdir()]
+    assert any(p.startswith("cluster=") for p in parts)
+    # a streamed-in vector is findable
+    target = late.orderBy("vec_id").first()
+    hits = ivi.search(list(target.embedding), k=1, nprobe=8).collect()
+    assert hits and hits[0].vec_id == target.vec_id
