@@ -241,6 +241,49 @@ def lsh_similarity_join(
     )
 
 
+def lsh_batch_search(
+    index: LSHIndex,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    qvec_col: str = "qv",
+    k: int = 5,
+    max_l2: float = 2.0,
+) -> DataFrame:
+    """Approximate BATCH k-NN: top-k corpus neighbors for EVERY query row
+    in one plan — the 100 TB serving path (knn.knn_batch is its exact
+    twin). Candidates come from `approxSimilarityJoin` bucket co-location
+    (cost ∝ bucket collisions, not |corpus|×|queries|); per-query ranking
+    is a window partitioned by query_id — local sorts after one exchange.
+    `max_l2` bounds the candidate radius; queries with no candidate in
+    radius return < k rows (recall/radius trade-off, recall-tested)."""
+    from pyspark.sql import Window
+
+    # the model hashes datasetB through its inputCol, so the query vector
+    # must carry the same name ("__v") the index was built with
+    qdf = _to_vector_col(queries, qvec_col, "__v").select(
+        F.col(query_id_col), F.col("__v")
+    )
+    joined = index.model.approxSimilarityJoin(
+        index.hashed, qdf, max_l2, distCol="__dist"
+    )
+    w = Window.partitionBy(f"datasetB.{query_id_col}").orderBy(
+        F.asc("__dist"), F.asc(f"datasetA.{index.id_col}")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col(f"datasetB.{query_id_col}").alias(query_id_col),
+            F.col(f"datasetA.{index.id_col}").alias(index.id_col),
+            F.round(1.0 / (1.0 + F.col("__dist") * F.col("__dist")), 6).alias(
+                "score"
+            ),
+            F.col("rn"),
+        )
+        .orderBy(query_id_col, "rn")
+    )
+
+
 # ------------------------------------------------------------------ persist
 def save_ivf(index: IVFIndex, path: str) -> None:
     """Persist IVF state (O8 parity for faiss.idx, local_db.py:218-221):

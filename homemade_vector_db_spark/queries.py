@@ -1256,6 +1256,18 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("revenue"), F.asc("n_name"))
 
 
+def q_ann_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate batch k-NN (LSH approxSimilarityJoin + per-query
+    ranking) — the ANN twin of knn_batch. Rows-only: recall vs the exact
+    batch operator is tested in tests/test_ann.py."""
+    embs = load_embeddings(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    idx = ann.build_lsh(embs, bucket_length=2.0, num_hash_tables=3, cache=False)
+    return ann.lsh_batch_search(idx, qs, k=5, max_l2=3.0)
+
+
 def q_segment_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry point (spark.sql over temp views) — same Catalyst
     plan as the DataFrame form: predicate pushdown, broadcast of the
@@ -2239,6 +2251,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "lsh_neardup": q_lsh_neardup,
         "segment_revenue_sql": q_segment_revenue_sql,
+        "ann_knn_batch": q_ann_knn_batch,
     }
 
 

@@ -116,3 +116,28 @@ def test_ivf_add_assigns_nearest_cell(spark, embs):
     target = new.orderBy("vec_id").first()
     hits = ann.ivf_search(extended, list(target.embedding), k=1, nprobe=2).collect()
     assert hits and hits[0].vec_id == target.vec_id
+
+
+def test_lsh_batch_search_recall_vs_exact(spark, embs):
+    from homemade_vector_db_spark.operators.knn import knn_batch
+
+    qs = embs.where("vec_id < 5").selectExpr(
+        "vec_id AS query_id", "embedding AS qv"
+    )
+    idx = ann.build_lsh(embs, bucket_length=2.0, num_hash_tables=3)
+    approx = ann.lsh_batch_search(idx, qs, k=5, max_l2=3.0).collect()
+    exact = knn_batch(embs, qs, k=5).collect()
+
+    by_q = lambda rows: {
+        q: {r.vec_id for r in rows if r.query_id == q} for q in range(5)
+    }
+    a, e = by_q(approx), by_q(exact)
+    # per-query shape contract
+    for q in range(5):
+        assert len(a[q]) <= 5
+        # the self-match (distance 0) must always be found
+        assert q in a[q]
+    # aggregate recall across queries
+    hits = sum(len(a[q] & e[q]) for q in range(5))
+    total = sum(len(e[q]) for q in range(5))
+    assert hits / total >= 0.5, (hits, total)
