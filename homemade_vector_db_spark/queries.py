@@ -1268,6 +1268,39 @@ def q_ann_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_batch_search(idx, qs, k=5, max_l2=3.0)
 
 
+EVENT_WEIGHTS = [
+    ("click", 0.1),
+    ("error", 5.0),
+    ("purchase", 10.0),
+    ("signup", 2.0),
+    ("view", 0.05),
+]
+
+
+def q_salted_event_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join (operators.joins.salted_join): events are
+    extremely skewed on event_type (5 keys for the whole table), the
+    classic case where one reducer gets the hot key. Salting shards each
+    key ×16 on the big side and replicates the 5-row dim across salts —
+    the result is EXACTLY the plain join (oracle-checked), but no reducer
+    can receive more than ~1/16 of a hot key. At this dim size a
+    broadcast join also works; salting is the pattern for when the dim is
+    too big to broadcast and AQE skew-split can't reach the shuffle."""
+    from homemade_vector_db_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    weights = spark.createDataFrame(EVENT_WEIGHTS, "event_type STRING, w DOUBLE")
+    return (
+        salted_join(ev, weights, on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.col("w")), 6).alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_segment_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry point (spark.sql over temp views) — same Catalyst
     plan as the DataFrame form: predicate pushdown, broadcast of the
@@ -2025,6 +2058,17 @@ WHERE user_id < 20
 ORDER BY user_id, event_id
 """
 
+_ORACLES["salted_event_weights"] = """
+SELECT e.event_type, count(*) AS n,
+       round(sum(e.value * w.w), 6) AS weighted_value
+FROM events e
+JOIN (VALUES ('click', 0.1), ('error', 5.0), ('purchase', 10.0),
+             ('signup', 2.0), ('view', 0.05)) AS w(event_type, w)
+  ON e.event_type = w.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
 _ORACLES["segment_revenue_sql"] = """
 SELECT c_mktsegment AS segment,
        count(*) AS n_orders,
@@ -2252,6 +2296,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_neardup": q_lsh_neardup,
         "segment_revenue_sql": q_segment_revenue_sql,
         "ann_knn_batch": q_ann_knn_batch,
+        "salted_event_weights": q_salted_event_weights,
     }
 
 
