@@ -68,28 +68,35 @@ def build_ivf(
 ) -> IVFIndex:
     """Fit the coarse quantizer and assign every row to a cell.
 
-    At 100 TB: fit KMeans on a sample (MLlib does its own sampling for
-    init), then `assignments.write.partitionBy('cluster')` so query-time
-    cell probes become partition pruning instead of a filter scan.
+    TRAINING is driver-side numpy Lloyd on a bounded sample (pq._lloyd —
+    the FAISS strategy: coarse quantizers train on samples, never the full
+    set, so this step is O(1) in corpus size). ASSIGNMENT is the
+    zero-shuffle distributed path (`ivf_assign`, vectorized argmin in
+    mapInPandas). At 100 TB: `assignments.write.partitionBy('cluster')`
+    so query-time cell probes become partition pruning instead of a
+    filter scan (save_ivf does exactly this).
     """
-    from pyspark.ml.clustering import KMeans
+    import numpy as np
+
+    from homemade_vector_db_spark.operators.pq import _lloyd
 
     n = df.count()
     if n == 0:
         raise ValueError("cannot build IVF index on empty table")
     # O2a parity: shrink nlist for tiny corpora instead of failing
     k = max(1, min(nlist, n // 2)) if n >= 2 else 1
-    vdf = _to_vector_col(df, vec_col, "__v")
     if k == 1:
         # single cell = flat fallback: every probe scans everything
         # (reference parity: IVFPQ train failure → flat, local_db.py:101-108)
-        assigned = df.withColumn("cluster", F.lit(0))
+        assigned = df.withColumn("cluster", F.lit(0).cast("int"))
         centroids = [[0.0] * len(df.select(vec_col).first()[0])]
     else:
-        km = KMeans(k=k, seed=seed, featuresCol="__v", predictionCol="cluster")
-        model = km.fit(vdf)
-        assigned = model.transform(vdf).drop("__v")
-        centroids = [c.tolist() for c in model.clusterCenters()]
+        sample = df.select(vec_col).orderBy(id_col).limit(min(n, 20_000)).collect()
+        X = np.asarray([r[0] for r in sample], dtype="float64")
+        centroids = _lloyd(X, k, seed).tolist()
+        assigned = ivf_assign(
+            IVFIndex(None, centroids, id_col, vec_col), df
+        )
     idx = IVFIndex(assigned, centroids, id_col, vec_col)
     if cache:
         idx.assignments.cache()

@@ -55,12 +55,20 @@ def build_pq(
 ) -> PQIndex:
     """Train per-subspace codebooks and encode every vector.
 
+    TRAINING runs driver-side on a bounded sample (`train_rows`, default
+    20k rows → 20k×m subvectors) with vectorized numpy Lloyd iterations —
+    the same strategy FAISS uses (train in memory on a sample, never on
+    the full set). Distributed KMeans per subspace would pay m fits ×
+    iters × per-job scheduling overhead to cluster data that fits in one
+    numpy array at ANY corpus size: the sample is capped, so this step is
+    O(1) in corpus scale. ENCODING (the O(n) part) stays fully
+    distributed (_encode).
+
     Parity with the reference's adaptive shrink (local_db.py:82-111):
     codebook_size is clamped to max(1, min(requested, n//2)) so tiny
     corpora train instead of failing.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     if dim is None:
         first = df.select(vec_col).first()
@@ -73,27 +81,55 @@ def build_pq(
     n = df.count()
     k = max(1, min(codebook_size, n // 2))
 
-    # one cached projection with all m subvectors; m KMeans fits read it
     subcols = [
         F.slice(F.col(vec_col), i * sub + 1, sub).cast("array<double>").alias(f"__s{i}")
         for i in range(m)
     ]
-    base = df.select(F.col(id_col), F.col(vec_col), *subcols)
-    vbase = base
-    for i in range(m):
-        vbase = vbase.withColumn(f"__v{i}", array_to_vector(F.col(f"__s{i}")))
-    vbase = vbase.cache()
+    base = df.select(F.col(id_col), *subcols)
 
+    # deterministic training sample: lowest train_rows ids (a top-k, not a
+    # full sort); 20k × dim doubles ≈ 10 MB driver-side at dim=64
+    train_rows = 20_000
+    sample = base.orderBy(id_col).limit(min(n, train_rows)).collect()
     codebooks: list[list[list[float]]] = []
     for i in range(m):
-        km = KMeans(k=k, seed=seed + i, featuresCol=f"__v{i}", predictionCol=f"__c{i}")
-        model = km.fit(vbase)
-        codebooks.append([c.tolist() for c in model.clusterCenters()])
+        X = np.asarray([r[f"__s{i}"] for r in sample], dtype="float64")
+        codebooks.append(_lloyd(X, k, seed + i).tolist())
 
-    codes = _encode(vbase, codebooks, sub, id_col, df.sparkSession)
+    codes = _encode(base, codebooks, sub, id_col, df.sparkSession)
     if cache:
         codes = codes.cache()
     return PQIndex(codes, codebooks, m, dim, id_col, vec_col)
+
+
+def _lloyd(X, k: int, seed: int, iters: int = 12):
+    """Vectorized Lloyd k-means on an in-memory sample (one subspace).
+    Empty clusters are re-seeded from the points farthest from their
+    centroid — the standard FAISS-style repair."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    cents = X[rng.choice(n, size=k, replace=False)].copy() if n >= k else np.resize(X, (k, X.shape[1])).astype("float64")
+    for _ in range(iters):
+        d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+        assign = np.argmin(d2, axis=1)
+        mind2 = d2[np.arange(n), assign]
+        moved = False
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                new = X[mask].mean(axis=0)
+                if not np.allclose(new, cents[c]):
+                    moved = True
+                cents[c] = new
+            else:
+                cents[c] = X[np.argmax(mind2)]
+                mind2[np.argmax(mind2)] = -np.inf
+                moved = True
+        if not moved:
+            break
+    return cents
 
 
 def _encode(base: DataFrame, codebooks, sub: int, id_col: str, spark) -> DataFrame:
