@@ -94,3 +94,27 @@ def test_resize_images_contract(spark, media):
     # deterministic stub: second run identical
     rows2 = {r.media_id: r for r in multimodal.resize_images(media, target=16).collect()}
     assert all(bytes(rows[m].thumb) == bytes(rows2[m].thumb) for m in rows)
+
+
+def test_media_pipeline_end_to_end(spark, tmp_path):
+    """binaryFile ingest → byte-budget repartition → decode/features →
+    thumbnails → metadata stats: the full multimodal path chained."""
+    from homemade_vector_db_spark.sources.formats import read_media_dir
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(4):
+        (d / f"img{i}.png").write_bytes(bytes([i + 1] * (50 + 10 * i)))
+    media = read_media_dir(spark, str(d))
+    media = multimodal.repartition_for_media(media, target_bytes_per_partition=128)
+
+    feats = multimodal.image_features(media, dim=4)
+    thumbs = multimodal.resize_images(media, target=8)
+    joined = feats.join(thumbs, "media_id")
+    rows = joined.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert len(r.feature) == 4
+        assert max(r.tw, r.th) <= 8
+    stats = {s.kind: s for s in multimodal.media_stats(media).collect()}
+    assert stats["image"].n == 4
