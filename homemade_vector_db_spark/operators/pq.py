@@ -223,3 +223,39 @@ def pq_rerank_search(
     return knn_exact(
         candidates, list(query), id_col=index.id_col, vec_col=index.vec_col, k=k
     )
+
+
+def save_pq(index: PQIndex, path: str) -> None:
+    """Persist PQ state (O8 parity for the IVFPQ half of faiss.idx,
+    /root/reference/local_db.py:218-221): codes as parquet (m bytes of
+    signal per row — the compressed representation IS the index), tiny
+    codebooks + geometry as JSON. The raw vector table is NOT duplicated
+    here; rerank joins back to the caller's corpus table by id."""
+    import json
+    import os
+
+    index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "pq.json"), "w") as f:
+        json.dump(
+            {
+                "codebooks": index.codebooks,
+                "m": index.m,
+                "dim": index.dim,
+                "id_col": index.id_col,
+                "vec_col": index.vec_col,
+            },
+            f,
+        )
+
+
+def load_pq(spark, path: str) -> PQIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "pq.json")) as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return PQIndex(
+        codes, meta["codebooks"], meta["m"], meta["dim"],
+        meta["id_col"], meta["vec_col"],
+    )

@@ -59,3 +59,15 @@ def test_tiny_corpus_codebook_shrink(spark, embs, qvec):
 def test_dim_not_divisible_raises(spark, embs):
     with pytest.raises(ValueError):
         pq.build_pq(embs, m=7, dim=64)
+
+
+def test_pq_save_load_roundtrip(spark, embs, index, qvec, tmp_path):
+    from homemade_vector_db_spark.operators.pq import load_pq, pq_search, save_pq
+
+    want = [(r.vec_id, r.score) for r in pq_search(index, qvec, k=5).collect()]
+    path = str(tmp_path / "pq_idx")
+    save_pq(index, path)
+    loaded = load_pq(spark, path)
+    assert loaded.m == index.m and loaded.dim == index.dim
+    got = [(r.vec_id, r.score) for r in pq_search(loaded, qvec, k=5).collect()]
+    assert got == want  # ADC is deterministic given codes + codebooks
