@@ -30,6 +30,12 @@ from pyspark.sql import types as T
 from homemade_vector_db_spark.operators import bm25, hybrid, knn
 
 _INDEX_TYPES = ("flat", "lsh", "ivf")
+# Reference spellings (local_db.py:24: 'hnsw' | 'flat' | 'ivfpq') map onto
+# the Spark-native tier that fills the same role, so reference call sites
+# port 1:1: HNSW's graph-ANN role → random-projection LSH; IVFPQ's
+# cell-probed role → KMeans-IVF (PQ compression available separately via
+# operators.pq on top of any tier).
+_INDEX_ALIASES = {"hnsw": "lsh", "ivfpq": "ivf"}
 
 
 class VectorDatabase:
@@ -42,10 +48,13 @@ class VectorDatabase:
         text_col: str = "text",
         vec_col: str = "embedding",
     ):
-        # parity: reject unknown index types (local_db.py:53-54)
+        # parity: reject unknown index types (local_db.py:53-54);
+        # reference spellings alias to their Spark-native tier
+        index_type = _INDEX_ALIASES.get(index_type, index_type)
         if index_type not in _INDEX_TYPES:
             raise ValueError(
-                f"index_type must be one of {_INDEX_TYPES}, got {index_type!r}"
+                f"index_type must be one of {_INDEX_TYPES} "
+                f"(or reference aliases {tuple(_INDEX_ALIASES)}), got {index_type!r}"
             )
         self.spark = spark
         self.dim = dim

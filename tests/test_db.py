@@ -222,3 +222,9 @@ def test_incremental_add_extends_ivf_without_refit(spark):
     assert db._ann_index.centroids is idx_before.centroids
     got = db.query_vector(target, top_k=1)
     assert got == [20]
+
+
+@pytest.mark.parametrize("ref_name,ours", [("hnsw", "lsh"), ("ivfpq", "ivf")])
+def test_reference_index_type_aliases(spark, ref_name, ours):
+    d = VectorDatabase(spark, dim=4, index_type=ref_name)
+    assert d.index_type == ours
