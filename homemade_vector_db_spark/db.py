@@ -47,7 +47,25 @@ class VectorDatabase:
         id_col: str = "doc_id",
         text_col: str = "text",
         vec_col: str = "embedding",
+        ef_construction: int = 200,
+        M: int = 16,
+        ivf_clusters: int = 100,
+        pq_code_size: int = 16,
+        ef_search: int = 50,
+        init_index: bool = True,
     ):
+        """Reference constructor shape (local_db.py:21-54) ports 1:1.
+
+        Tuning-kwarg mapping onto the Spark tiers:
+        - `ivf_clusters` → IVF nlist (same meaning as FAISS nlist);
+        - `ef_search` → IVF nprobe-style probe width at query time
+          (HNSW's beam width plays the same recall/cost role);
+        - `ef_construction` / `M` / `pq_code_size` are HNSW-graph / PQ
+          build params with no direct analogue in the LSH tier — accepted
+          and recorded so reference call sites run, documented as
+          inert (build_pq takes its own m/codebook_size);
+        - `init_index` is inert: all derived state here is lazy.
+        """
         # parity: reject unknown index types (local_db.py:53-54);
         # reference spellings alias to their Spark-native tier
         index_type = _INDEX_ALIASES.get(index_type, index_type)
@@ -60,6 +78,9 @@ class VectorDatabase:
         self.dim = dim
         self.index_type = index_type
         self.id_col, self.text_col, self.vec_col = id_col, text_col, vec_col
+        self.ef_construction, self.M, self.ef_search = ef_construction, M, ef_search
+        self.ivf_clusters, self.pq_code_size = ivf_clusters, pq_code_size
+        self.init_index = init_index
         self._df: DataFrame | None = None
         self._stats: bm25.BM25Stats | None = None
         self._ann_index = None  # LSHIndex | IVFIndex, built lazily
@@ -195,11 +216,14 @@ class VectorDatabase:
             else:  # ivf
                 self._ann_index = ann.build_ivf(
                     self._df, id_col=self.id_col, vec_col=self.vec_col,
-                    nlist=min(100, max(1, self._n // 2)),
+                    nlist=min(self.ivf_clusters, max(1, self._n // 2)),
                 )
         if self.index_type == "lsh":
             return ann.lsh_search(self._ann_index, vector, k=top_k)
-        return ann.ivf_search(self._ann_index, vector, k=top_k)
+        # ef_search plays the probe-width role (recall/cost knob): the
+        # reference default ef_search=50 → nprobe 5 ≈ FAISS's nlist//10
+        nprobe = max(1, min(self._ann_index.nlist, self.ef_search // 10))
+        return ann.ivf_search(self._ann_index, vector, k=top_k, nprobe=nprobe)
 
     def _compile_filter(self, flt):
         if flt is None or isinstance(flt, Column):

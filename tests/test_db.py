@@ -228,3 +228,20 @@ def test_incremental_add_extends_ivf_without_refit(spark):
 def test_reference_index_type_aliases(spark, ref_name, ours):
     d = VectorDatabase(spark, dim=4, index_type=ref_name)
     assert d.index_type == ours
+
+
+def test_reference_constructor_signature_ports(spark):
+    # the reference's full kwarg surface (local_db.py:21-33) must construct
+    d = VectorDatabase(
+        spark, dim=4, index_type="hnsw", ef_construction=100, M=8,
+        ivf_clusters=4, pq_code_size=8, ef_search=20, init_index=True,
+    )
+    assert d.index_type == "lsh" and d.ivf_clusters == 4
+    import random
+
+    rng = random.Random(3)
+    mk = lambda: [rng.random() for _ in range(4)]
+    d2 = VectorDatabase(spark, dim=4, index_type="ivfpq", ivf_clusters=4, ef_search=20)
+    d2.add([f"d{i}" for i in range(12)], [mk() for _ in range(12)])
+    got = d2.query_vector(mk(), top_k=3)
+    assert len(got) == 3
