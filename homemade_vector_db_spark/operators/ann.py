@@ -150,9 +150,15 @@ def ivf_assign(index: IVFIndex, new_df: DataFrame) -> DataFrame:
 
     def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                # empty Arrow batch (idle streaming micro-batches produce
+                # them) — np.stack would throw on an empty sequence
+                pdf["cluster"] = np.empty(0, dtype="int32")
+                yield pdf
+                continue
             x = np.stack(pdf[vec_col].map(np.asarray)).astype("float64")
             # argmin over ||x-c||² = argmin over ||c||² - 2·x·c
-            pdf = pdf.copy()
             pdf["cluster"] = np.argmin(cn2 - 2.0 * (x @ cents.T), axis=1).astype(
                 "int32"
             )

@@ -141,3 +141,11 @@ def test_lsh_batch_search_recall_vs_exact(spark, embs):
     hits = sum(len(a[q] & e[q]) for q in range(5))
     total = sum(len(e[q]) for q in range(5))
     assert hits / total >= 0.5, (hits, total)
+
+
+def test_ivf_assign_handles_empty_input(spark, embs):
+    idx = ann.build_ivf(embs.where("vec_id < 50"), nlist=4)
+    empty = embs.where("vec_id < 0")  # zero rows, same schema
+    out = ann.ivf_assign(idx, empty)
+    assert out.count() == 0
+    assert "cluster" in out.columns
