@@ -1268,6 +1268,44 @@ def q_ann_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_batch_search(idx, qs, k=5, max_l2=3.0)
 
 
+def q_clicks_except_all_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (§2.2 set ops — the bag-semantics variant the
+    distinct EXCEPT can't express): per-user click events minus view
+    events, keeping multiplicity. Planned as one hash exchange on the key
+    with counted multiplicities — no row-by-row anti join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    return (
+        clicks.exceptAll(views)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_excess_clicks"))
+        .orderBy("user_id")
+    )
+
+
+def q_pricing_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (the inverse of pivot): per-returnflag aggregate
+    columns melted into (flag, metric, value) rows. Spark's unpivot is a
+    zero-shuffle Expand over the 3-row aggregate — reshaping happens
+    after aggregation, so the fact table is scanned and shuffled once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return (
+        agg.unpivot(
+            "l_returnflag",
+            ["sum_qty", "sum_price", "avg_disc"],
+            "metric",
+            "value",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
 EVENT_WEIGHTS = [
     ("click", 0.1),
     ("error", 5.0),
@@ -2058,6 +2096,33 @@ WHERE user_id < 20
 ORDER BY user_id, event_id
 """
 
+_ORACLES["clicks_except_all_views"] = """
+WITH d AS (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT ALL
+  SELECT user_id FROM events WHERE event_type = 'view'
+)
+SELECT user_id, count(*) AS n_excess_clicks
+FROM d
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+_ORACLES["pricing_unpivot"] = """
+WITH agg AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 6) AS sum_qty,
+         round(sum(l_extendedprice), 6) AS sum_price,
+         round(avg(l_discount), 6) AS avg_disc
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM agg
+UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
+ORDER BY l_returnflag, metric
+"""
+
 _ORACLES["salted_event_weights"] = """
 SELECT e.event_type, count(*) AS n,
        round(sum(e.value * w.w), 6) AS weighted_value
@@ -2297,6 +2362,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_revenue_sql": q_segment_revenue_sql,
         "ann_knn_batch": q_ann_knn_batch,
         "salted_event_weights": q_salted_event_weights,
+        "clicks_except_all_views": q_clicks_except_all_views,
+        "pricing_unpivot": q_pricing_unpivot,
     }
 
 
