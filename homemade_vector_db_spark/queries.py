@@ -1306,6 +1306,31 @@ def q_pricing_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (§2.2 array/map): per-label L2-norm
+    profile of the embedding column. The norm is an `aggregate` HOF fold
+    — evaluated inside the scan projection, shuffled only as one double
+    per row into the 10-key rollup."""
+    embs = load_embeddings(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        embs.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
 EVENT_WEIGHTS = [
     ("click", 0.1),
     ("error", 5.0),
@@ -2096,6 +2121,21 @@ WHERE user_id < 20
 ORDER BY user_id, event_id
 """
 
+_ORACLES["vector_norm_stats"] = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       round(avg(nrm), 6) AS avg_norm,
+       round(max(nrm), 6) AS max_norm
+FROM n
+GROUP BY label
+ORDER BY label
+"""
+
 _ORACLES["clicks_except_all_views"] = """
 WITH d AS (
   SELECT user_id FROM events WHERE event_type = 'click'
@@ -2364,6 +2404,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_weights": q_salted_event_weights,
         "clicks_except_all_views": q_clicks_except_all_views,
         "pricing_unpivot": q_pricing_unpivot,
+        "vector_norm_stats": q_vector_norm_stats,
     }
 
 
