@@ -412,3 +412,61 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .orderBy("a_id", "b_id")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pairs → canonical duplicate CLUSTERS: (id, component) with
+    component = min doc_id reachable through the pair graph. This is the
+    step that turns pairwise detectors (jaccard/minhash/simhash/cosine)
+    into an actionable keep/drop decision — keep `id == component`, drop
+    the rest.
+
+    Min-label propagation: each round, every node takes the min of its own
+    label and its neighbors' labels — one equi-join + groupBy-min per
+    round, converging in O(graph diameter) rounds (dup clusters are
+    near-cliques, so diameter is tiny in practice; the large-star/
+    small-star variant [Kiveris et al.] gets O(log n) worst-case if ever
+    needed). Each round ends in localCheckpoint: lineage stays bounded —
+    without it round i replays rounds 0..i-1 and the plan grows
+    quadratically. The convergence check rides the same materialization.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == F.col("src"), "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+                F.col("comp").alias("old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(F.col("comp") != F.col("old")).count()
+        labels = new_labels.select("id", "comp")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    ).orderBy("doc_id")

@@ -1306,6 +1306,20 @@ def q_pricing_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: n-gram Jaccard pairs → connected components →
+    (doc_id, component=min reachable id). The keep/drop step of the dedup
+    pipeline (keep doc_id == component). Deterministic (exact pair set),
+    so the oracle is a recursive-CTE transitive closure over the same
+    pairs."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_documents(spark, sf_dir),
+        n=JACCARD_NGRAM,
+        threshold=JACCARD_THRESHOLD,
+    ).select("a_id", "b_id")
+    return dedup.connected_components(pairs)
+
+
 def q_vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions (§2.2 array/map): per-label L2-norm
     profile of the embedding column. The norm is an `aggregate` HOF fold
@@ -1678,6 +1692,46 @@ SELECT a_id, b_id,
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+_ORACLES["neardup_components"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens) - {JACCARD_NGRAM - 2}),
+           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
+  FROM toks
+  WHERE len(tokens) >= {JACCARD_NGRAM}
+),
+e AS (SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         count(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT a_id, b_id FROM cand
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM jpairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM jpairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT edges.src, reach.r FROM edges JOIN reach ON edges.dst = reach.id
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach
+GROUP BY id
+ORDER BY doc_id
 """
 
 _ORACLES["token_count"] = """
@@ -2405,6 +2459,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clicks_except_all_views": q_clicks_except_all_views,
         "pricing_unpivot": q_pricing_unpivot,
         "vector_norm_stats": q_vector_norm_stats,
+        "neardup_components": q_neardup_components,
     }
 
 

@@ -107,3 +107,21 @@ def test_embedding_neardup_self_excluded(spark):
     )
     out = dedup.embedding_neardup_pairs(df, threshold=0.99).collect()
     assert [(r.a_id, r.b_id) for r in out] == [(0, 1)]
+
+
+def test_connected_components_chains(spark):
+    # chain 1-2-3 plus isolated pair 5-6: two clusters, min-id canonical
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], "a_id LONG, b_id LONG"
+    )
+    got = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path: worst diameter for propagation, still converges
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a_id LONG, b_id LONG"
+    )
+    got = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 12
