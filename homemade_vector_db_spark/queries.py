@@ -1320,6 +1320,47 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+RESAMPLE_SLOT_S = 7200  # 2-hour resample grid
+
+
+def q_user_value_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (training-pipeline alignment): per
+    user, a REGULAR 2-hour grid between that user's first and last event,
+    slot value = max(value) in slot, gaps forward-filled from the last
+    observed slot. Grid generation is `sequence` + `explode` off the
+    per-user bounds (no driver loop); the slot agg and the forward-fill
+    window share the user_id partitioning so one exchange serves both.
+    At 100 TB the grid is data-proportional (bounds × slots), and
+    `last(ignorenulls)` is a streaming-friendly running state."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 12)
+    slot = F.floor(F.unix_timestamp("ts") / RESAMPLE_SLOT_S).cast("long")
+    per_slot = ev.select("user_id", slot.alias("slot_n"), "value").groupBy(
+        "user_id", "slot_n"
+    ).agg(F.max("value").alias("slot_max"))
+    bounds = per_slot.groupBy("user_id").agg(
+        F.min("slot_n").alias("lo"), F.max("slot_n").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("slot_n")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot_n")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(per_slot, ["user_id", "slot_n"], "left")
+        .select(
+            "user_id",
+            "slot_n",
+            F.round(F.last("slot_max", ignorenulls=True).over(w), 6).alias("v"),
+        )
+        .orderBy("user_id", "slot_n")
+    )
+
+
 def q_vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions (§2.2 array/map): per-label L2-norm
     profile of the embedding column. The norm is an `aggregate` HOF fold
@@ -1692,6 +1733,31 @@ SELECT a_id, b_id,
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+_ORACLES["user_value_resampled"] = f"""
+WITH per_slot AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / {RESAMPLE_SLOT_S}) AS BIGINT) AS slot_n,
+         max(value) AS slot_max
+  FROM events
+  WHERE user_id < 12
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(slot_n) AS lo, max(slot_n) AS hi
+  FROM per_slot GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS slot_n FROM bounds
+)
+SELECT g.user_id, g.slot_n,
+       round(last_value(p.slot_max IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.slot_n
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v
+FROM grid g
+LEFT JOIN per_slot p ON g.user_id = p.user_id AND g.slot_n = p.slot_n
+ORDER BY g.user_id, g.slot_n
 """
 
 _ORACLES["neardup_components"] = f"""
@@ -2460,6 +2526,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_unpivot": q_pricing_unpivot,
         "vector_norm_stats": q_vector_norm_stats,
         "neardup_components": q_neardup_components,
+        "user_value_resampled": q_user_value_resampled,
     }
 
 
