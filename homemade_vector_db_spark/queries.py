@@ -1320,6 +1320,34 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF signature terms (top-3 by (tf/dl)·idf) —
+    document keyword extraction reusing the SAME derived BM25 state the
+    scorer uses (postings carry dl; idf is the ε-floored BM25Okapi idf).
+    term_stats scales with vocabulary (not corpus), so the
+    postings⋈term_stats join shuffles on `term`; the per-doc top-3 is a
+    window over the doc_id partitioning."""
+    from pyspark.sql import Window
+
+    stats = _bm25_stats(spark, sf_dir)
+    scored = (
+        stats.postings.where(F.col("doc_id") < 50)
+        .join(stats.term_stats.select("term", "idf"), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round((F.col("tf") / F.col("dl")) * F.col("idf"), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
 RESAMPLE_SLOT_S = 7200  # 2-hour resample grid
 
 
@@ -1733,6 +1761,48 @@ SELECT a_id, b_id,
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+_ORACLES["tfidf_top_terms"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM postings GROUP BY doc_id, term
+),
+stats AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+corpus AS (SELECT count(*) AS n FROM toks),
+raw AS (
+  SELECT term, ln((n - df + 0.5) / (df + 0.5)) AS raw_idf
+  FROM stats, corpus
+),
+floored AS (
+  SELECT term,
+         CASE WHEN raw_idf < 0
+              THEN 0.25 * (SELECT avg(raw_idf) FROM raw)
+              ELSE raw_idf END AS idf
+  FROM raw
+),
+scored AS (
+  SELECT t.doc_id, t.term,
+         round((CAST(t.tf AS DOUBLE) / t.dl) * f.idf, 6) AS tfidf
+  FROM tf t JOIN floored f ON t.term = f.term
+  WHERE t.doc_id < 50
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
 """
 
 _ORACLES["user_value_resampled"] = f"""
@@ -2527,6 +2597,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norm_stats": q_vector_norm_stats,
         "neardup_components": q_neardup_components,
         "user_value_resampled": q_user_value_resampled,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
