@@ -1348,6 +1348,45 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EDIT_DIST_MAX = 60
+EDIT_BLOCK_CHARS = 50
+
+
+def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup (the short-text/title dedup workhorse) with
+    BLOCKING: candidates must share (lang, length-bucket) — near-identical
+    strings can't differ much in length, so the equi-join on the blocking
+    key prunes the O(n²) cross product to same-bucket pairs before any
+    Levenshtein runs (JVM codegen'd, no UDF). The blocking key is the
+    shuffle key — same pattern as LSH banding, with a deterministic key."""
+    d = (
+        load_documents(spark, sf_dir)
+        .where(F.col("doc_id") < 150)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.floor(F.col("n_chars") / EDIT_BLOCK_CHARS).cast("long").alias("bkt"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.levenshtein("a.text", "b.text").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= EDIT_DIST_MAX)
+        .orderBy("a_id", "b_id")
+    )
+
+
 RESAMPLE_SLOT_S = 7200  # 2-hour resample grid
 
 
@@ -1760,6 +1799,20 @@ SELECT a_id, b_id,
        round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+_ORACLES["edit_distance_neardup"] = f"""
+WITH d AS (
+  SELECT doc_id, text, lang,
+         CAST(floor(n_chars / {EDIT_BLOCK_CHARS}) AS BIGINT) AS bkt
+  FROM documents WHERE doc_id < 150
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.text, b.text) AS edit_dist
+FROM d a
+JOIN d b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {EDIT_DIST_MAX}
 ORDER BY a_id, b_id
 """
 
@@ -2598,6 +2651,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": q_neardup_components,
         "user_value_resampled": q_user_value_resampled,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "edit_distance_neardup": q_edit_distance_neardup,
     }
 
 
