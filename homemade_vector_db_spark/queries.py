@@ -1348,6 +1348,38 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_NGRAM = 5
+
+
+def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination primitive: documents sharing any word
+    5-gram with a document from a DIFFERENT source, counted per source
+    (eval-set leakage detection — the production version uses 13-grams,
+    same plan). The shingle equi-join shuffles (shingle, doc_id, source)
+    — 16 bytes + key per posting, never the text; the `a.source !=
+    b.source` predicate rides the join, and the distinct collapses
+    multi-shingle hits before the 20-key rollup."""
+    d = load_documents(spark, sf_dir).select(
+        "doc_id", "source", dedup.shingles("text", CONTAM_NGRAM).alias("sh")
+    )
+    e = d.select("doc_id", "source", F.explode("sh").alias("shingle"))
+    a, b = e.alias("a"), e.alias("b")
+    contaminated = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("a.source").alias("source"))
+        .distinct()
+    )
+    return (
+        contaminated.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .orderBy("source")
+    )
+
+
 EDIT_DIST_MAX = 60
 EDIT_BLOCK_CHARS = 50
 
@@ -1800,6 +1832,30 @@ SELECT a_id, b_id,
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+_ORACLES["cross_source_contamination"] = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(tokens) - {CONTAM_NGRAM - 2}),
+           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' '
+                || tokens[i+3] || ' ' || tokens[i+4])) AS shingles
+  FROM toks WHERE len(tokens) >= {CONTAM_NGRAM}
+),
+e AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+contaminated AS (
+  SELECT DISTINCT a.doc_id, a.source
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.source <> b.source
+)
+SELECT source, count(*) AS n_contaminated
+FROM contaminated
+GROUP BY source
+ORDER BY source
 """
 
 _ORACLES["edit_distance_neardup"] = f"""
@@ -2652,6 +2708,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_resampled": q_user_value_resampled,
         "tfidf_top_terms": q_tfidf_top_terms,
         "edit_distance_neardup": q_edit_distance_neardup,
+        "cross_source_contamination": q_cross_source_contamination,
     }
 
 
