@@ -1348,6 +1348,74 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GROUP_SAMPLE_K = 5
+
+
+def q_sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sampling: k docs per language, chosen by a
+    deterministic hash order (not doc_id order — that would bias toward
+    old documents). Window row_number per lang = one exchange on the
+    group key with partition-local top-k semantics; reproducible across
+    runs and engines because the order key is a pure function of doc_id."""
+    from pyspark.sql import Window
+
+    # engine-independent multiplicative hash (same family as
+    # hash_sample_docs) so the oracle reproduces the identical order
+    h = (F.col("doc_id") % SAMPLE_MOD) * SAMPLE_MULT % 1_000_000_007
+    d = load_documents(spark, sf_dir).select("doc_id", "lang", h.alias("h"))
+    w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= GROUP_SAMPLE_K)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+MIXTURE_ALPHA = 0.5  # temperature: flattens the source distribution
+MIXTURE_BUDGET = 200  # total docs to keep across sources
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (the multinomial mixture step of
+    LLM data pipelines): target share of source s ∝ n_s^α (α<1 upsamples
+    small sources relative to raw proportions), realized as a
+    deterministic per-source hash-keep threshold. Two-pass: the per-source
+    counts (20 rows) broadcast back onto the scan, so the fact table is
+    read once and filtered by a pure column predicate. Output: achieved
+    per-source kept counts vs integer target quota."""
+    d = load_documents(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum(F.pow("n", MIXTURE_ALPHA)).alias("wsum"))
+    quota = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            F.floor(
+                F.lit(MIXTURE_BUDGET) * F.pow("n", MIXTURE_ALPHA) / F.col("wsum")
+            ).cast("long").alias("target"),
+        )
+    )
+    # keep the target-many docs per source with the smallest doc-id hash:
+    # a per-source threshold rank — deterministic, engine-independent
+    from pyspark.sql import Window
+
+    h = (F.col("doc_id") % SAMPLE_MOD) * SAMPLE_MULT % 1_000_000_007
+    w = Window.partitionBy("source").orderBy(F.asc(h), F.asc("doc_id"))
+    kept = (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(quota), "source")
+        .where(F.col("rk") <= F.col("target"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.first("target").alias("target"))
+        .orderBy("source")
+    )
+
+
 CONTAM_NGRAM = 5
 
 
@@ -1832,6 +1900,46 @@ SELECT a_id, b_id,
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+_ORACLES["sample_k_per_lang"] = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         (doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT} % 1000000007 AS h
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
+  FROM d
+)
+SELECT lang, doc_id, rn FROM r WHERE rn <= {GROUP_SAMPLE_K}
+ORDER BY lang, rn
+"""
+
+_ORACLES["temperature_mixture"] = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+tot AS (SELECT sum(pow(n, {MIXTURE_ALPHA})) AS wsum FROM counts),
+quota AS (
+  SELECT source, n,
+         CAST(floor({MIXTURE_BUDGET} * pow(n, {MIXTURE_ALPHA}) / wsum) AS BIGINT) AS target
+  FROM counts, tot
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT} % 1000000007 ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+SELECT r.source, count(*) AS n_kept, any_value(q.target) AS target
+FROM ranked r JOIN quota q ON r.source = q.source
+WHERE r.rk <= q.target
+GROUP BY r.source
+ORDER BY r.source
 """
 
 _ORACLES["cross_source_contamination"] = f"""
@@ -2709,6 +2817,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "edit_distance_neardup": q_edit_distance_neardup,
         "cross_source_contamination": q_cross_source_contamination,
+        "sample_k_per_lang": q_sample_k_per_lang,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
