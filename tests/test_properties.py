@@ -100,3 +100,40 @@ def test_tokenizer_matches_str_split(spark, texts):
     got = {r.i: list(r.t) for r in df.select("i", tokenize("text").alias("t")).collect()}
     for i, s in enumerate(texts):
         assert got[i] == s.split(), repr(s)
+
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+def py_components(edges):
+    """Union-find reference: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(edges=edge_strategy)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    from homemade_vector_db_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a_id LONG, b_id LONG"
+    )
+    got = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == py_components(edges)
