@@ -20,8 +20,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    sort_cols: list[str] | None = None,
 ) -> None:
+    """Directory-partitioned parquet; optional `sort_cols` sorts rows
+    WITHIN each task's files (a narrow, shuffle-free sortWithinPartitions)
+    so parquet row-group min/max statistics become selective — a point
+    lookup or range filter on the sort key then skips most row groups
+    inside a file, the third pruning tier after directory partitioning
+    and file-level footer stats."""
+    if sort_cols:
+        # partition cols lead the sort: the dynamic-partition writer
+        # requires task-local ordering by partition columns and would
+        # otherwise re-sort (not order-preserving); with the prefix
+        # already satisfied, the writer's sort is elided and the
+        # sort_cols order survives into the files
+        df = df.sortWithinPartitions(*partition_cols, *sort_cols)
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 

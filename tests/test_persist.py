@@ -75,3 +75,24 @@ def test_bucketed_aggregation_has_no_exchange(spark, tmp_path):
     # groupBy on the bucket key reuses the bucketing — no shuffle
     agg = read_table(spark, "t_docs_b").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     assert count_exchanges(agg) == 0
+
+
+def test_write_partitioned_sorted_rowgroups(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from homemade_vector_db_spark.sources.persist import write_partitioned
+    from homemade_vector_db_spark.sources.tables import load_documents
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE).repartition(2)
+    out = str(tmp_path / "sorted_docs")
+    write_partitioned(docs, out, ["lang"], sort_cols=["doc_id"])
+    files = glob.glob(out + "/lang=*/*.parquet")
+    assert files
+    for f in files[:6]:
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids)  # min/max stats are selective per row group
+    # round-trip content unchanged
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
