@@ -1348,6 +1348,74 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped DISJUNCTIVE join predicate: revenue from three
+    (brand, size-range, quantity-range) bands OR-ed together. Catalyst
+    splits the common conjuncts out of the OR: the p_size/p_brand parts
+    push to the part scan, the l_quantity bounds to the lineitem scan
+    (PushedFilters shows the per-side disjunctions), and only the mixed
+    residual evaluates inside the join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+        )
+    )
+
+
+def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: above-average-balance customers with NO orders
+    since the cutoff, profiled per market segment. Three features in one
+    plan: a scalar subquery (1-row global avg, broadcast into the
+    filter), a date-conditioned NOT EXISTS (left-anti hash join on
+    o_custkey; the date filter pushes to the orders scan BEFORE the anti
+    join builds), and the final rollup."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= LAPSED_CUTOFF)
+        .select("o_custkey")
+    )
+    avg_bal = c.agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    inactive = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        inactive.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 6).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 GROUP_SAMPLE_K = 5
 
 
@@ -1900,6 +1968,34 @@ SELECT a_id, b_id,
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+_ORACLES["brand_quantity_revenue"] = """
+SELECT count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem l, part p
+WHERE p.p_partkey = l.l_partkey
+  AND (
+    (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+    OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+  )
+"""
+
+_ORACLES["rich_inactive_customers"] = f"""
+SELECT c_mktsegment, count(*) AS n_cust,
+       round(sum(c_acctbal), 6) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '{LAPSED_CUTOFF}'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """
 
 _ORACLES["sample_k_per_lang"] = f"""
@@ -2819,6 +2915,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_contamination": q_cross_source_contamination,
         "sample_k_per_lang": q_sample_k_per_lang,
         "temperature_mixture": q_temperature_mixture,
+        "brand_quantity_revenue": q_brand_quantity_revenue,
+        "rich_inactive_customers": q_rich_inactive_customers,
     }
 
 
