@@ -181,3 +181,12 @@ def test_loaded_ivf_probe_is_partition_pruning(spark, tmp_path_factory):
     # the nprobe cell filter must hit the cluster-partitioned parquet as
     # PartitionFilters (directory pruning), not a row-level filter scan
     assert "PartitionFilters: [cluster" in plan or "PartitionFilters: [isnotnull(cluster" in plan, plan
+
+
+def test_brand_quantity_disjunction_pushes_to_both_scans(spark):
+    df = Q.q_brand_quantity_revenue(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    # Catalyst must extract the per-side OR terms and push them into the
+    # parquet readers (Q19's planner feature)
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in plan, plan
