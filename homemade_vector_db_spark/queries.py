@@ -1416,6 +1416,39 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring (the CCNet-filter analogue with a
+    unigram LM): per-doc mean negative log-probability of its tokens
+    under the corpus unigram distribution — high = unusual/garbled text,
+    low = stereotypical. Reuses the BM25 postings (doc_id, term, tf):
+    the LM is just term totals over the same derived state, joined back
+    on `term`; docs are profiled per language in the rollup."""
+    stats = _bm25_stats(spark, sf_dir)
+    totals = stats.postings.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    corpus_tokens = totals.agg(F.sum("ctf").alias("T"))
+    lm = totals.crossJoin(F.broadcast(corpus_tokens)).select(
+        "term", (F.col("ctf") / F.col("T")).alias("p")
+    )
+    per_doc = (
+        stats.postings.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            (-F.sum(F.col("tf") * F.log("p")) / F.sum("tf")).alias("nll")
+        )
+    )
+    docs = load_documents(spark, sf_dir).select("doc_id", "lang")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.max("nll"), 6).alias("max_nll"),
+        )
+        .orderBy("lang")
+    )
+
+
 GROUP_SAMPLE_K = 5
 
 
@@ -1968,6 +2001,34 @@ SELECT a_id, b_id,
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+_ORACLES["unigram_logprob"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, lang, term, count(*) AS tf
+  FROM (SELECT doc_id, lang, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, lang, term
+),
+totals AS (SELECT term, sum(tf) AS ctf FROM postings GROUP BY term),
+corpus AS (SELECT sum(ctf) AS T FROM totals),
+lm AS (SELECT term, ctf / T AS p FROM totals, corpus),
+per_doc AS (
+  SELECT p0.doc_id, any_value(p0.lang) AS lang,
+         -sum(p0.tf * ln(lm.p)) / sum(p0.tf) AS nll
+  FROM postings p0 JOIN lm ON p0.term = lm.term
+  GROUP BY p0.doc_id
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(nll), 6) AS avg_nll,
+       round(max(nll), 6) AS max_nll
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
 """
 
 _ORACLES["brand_quantity_revenue"] = """
@@ -2917,6 +2978,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "brand_quantity_revenue": q_brand_quantity_revenue,
         "rich_inactive_customers": q_rich_inactive_customers,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
