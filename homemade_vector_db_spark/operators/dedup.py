@@ -435,11 +435,14 @@ def connected_components(
     without it round i replays rounds 0..i-1 and the plan grows
     quadratically. The convergence check rides the same materialization.
     """
+    # materialize the pair list ONCE: the symmetric union references
+    # `pairs` twice, and without a barrier the (possibly expensive)
+    # upstream candidate-generation pipeline would execute per branch
+    pairs = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-        .cache()
+        pairs.union(pairs.select(F.col("dst"), F.col("src"))).distinct().cache()
     )
     labels = (
         edges.select("src")
