@@ -1348,6 +1348,24 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_typed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON decode (`from_json` with an explicit schema — the
+    codegen'd path, vs q_props_json_stats' per-path extraction):
+    events.props parsed once into a struct, then a 10-wide histogram of
+    the `k` field. One parse per row feeding any number of field uses —
+    the right shape when several fields are consumed."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k INT").alias("p")
+    )
+    return (
+        parsed.select((F.floor(F.col("p.k") / 10) * 10).cast("long").alias("k_bin"))
+        .groupBy("k_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_bin")
+    )
+
+
 def q_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19-shaped DISJUNCTIVE join predicate: revenue from three
     (brand, size-range, quantity-range) bands OR-ed together. Catalyst
@@ -2001,6 +2019,14 @@ SELECT a_id, b_id,
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+_ORACLES["props_typed_histogram"] = """
+SELECT CAST(floor(CAST(props->>'k' AS INTEGER) / 10) * 10 AS BIGINT) AS k_bin,
+       count(*) AS n
+FROM events
+GROUP BY k_bin
+ORDER BY k_bin
 """
 
 _ORACLES["unigram_logprob"] = """
@@ -2979,6 +3005,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_quantity_revenue": q_brand_quantity_revenue,
         "rich_inactive_customers": q_rich_inactive_customers,
         "unigram_logprob": q_unigram_logprob,
+        "props_typed_histogram": q_props_typed_histogram,
     }
 
 
