@@ -131,6 +131,25 @@ class VectorDatabase:
         else:
             self._ann_index = None
 
+    def delete(self, ids: Sequence[int]) -> int:
+        """Delete documents by id — a capability the reference explicitly
+        lacks (its README:140 'no update/delete'); append-only storage
+        plus an anti-join tombstone is the standard columnar answer.
+        Derived state (BM25 stats, ANN index) is invalidated and rebuilt
+        lazily; ids of remaining docs are unchanged (no re-densification
+        — result contracts key on stable ids). Returns the number of
+        rows removed."""
+        df = self._require_df()
+        id_list = [int(i) for i in ids]
+        kept = df.where(~F.col(self.id_col).isin(id_list))
+        n_kept = kept.count()
+        removed = self._n - n_kept
+        self._df = kept
+        self._n = n_kept
+        self._stats = None
+        self._ann_index = None
+        return removed
+
     def attach(self, df: DataFrame, n: int | None = None) -> "VectorDatabase":
         """Wrap an existing documents DataFrame (bulk path — preferred at scale)."""
         self._df = df

@@ -245,3 +245,21 @@ def test_reference_constructor_signature_ports(spark):
     d2.add([f"d{i}" for i in range(12)], [mk() for _ in range(12)])
     got = d2.query_vector(mk(), top_k=3)
     assert len(got) == 3
+
+
+def test_delete_removes_and_invalidates(spark):
+    import random
+
+    rng = random.Random(11)
+    mk = lambda: [rng.random() for _ in range(4)]
+    db = VectorDatabase(spark, dim=4)
+    vecs = [mk() for _ in range(6)]
+    db.add([f"doc word{i}" for i in range(6)], vecs)
+    assert db.query_text("word2", top_k=1) == [2]
+    removed = db.delete([2, 4])
+    assert removed == 2 and len(db) == 4
+    # deleted ids never come back from any query surface
+    assert 2 not in db.query_text("word2 doc", top_k=4)
+    assert 2 not in db.query_vector(vecs[2], top_k=4)
+    # remaining ids are unchanged (stable-id contract)
+    assert db.get_document(5) == "doc word5"
