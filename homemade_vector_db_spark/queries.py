@@ -1348,6 +1348,34 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTI_SUPP_MIN = 5
+
+
+def q_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-flavored HAVING over a distinct-count: orders drawing
+    from ≥5 distinct suppliers, profiled per order priority. The
+    distinct count partial-aggregates per orderkey before the orders
+    join (the join input is one row per qualifying order, not the raw
+    lineitems); HAVING is a post-aggregation filter, evaluated before
+    anything joins or shuffles again."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    wide = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .where(F.col("n_supp") >= MULTI_SUPP_MIN)
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        wide.join(o, wide.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("n_supp"), 6).alias("avg_suppliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_props_typed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON decode (`from_json` with an explicit schema — the
     codegen'd path, vs q_props_json_stats' per-path extraction):
@@ -2019,6 +2047,20 @@ SELECT a_id, b_id,
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+_ORACLES["multi_supplier_orders"] = f"""
+WITH wide AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING count(DISTINCT l_suppkey) >= {MULTI_SUPP_MIN}
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(avg(n_supp), 6) AS avg_suppliers
+FROM wide JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """
 
 _ORACLES["props_typed_histogram"] = """
@@ -3006,6 +3048,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_inactive_customers": q_rich_inactive_customers,
         "unigram_logprob": q_unigram_logprob,
         "props_typed_histogram": q_props_typed_histogram,
+        "multi_supplier_orders": q_multi_supplier_orders,
     }
 
 
