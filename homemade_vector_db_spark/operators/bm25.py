@@ -117,15 +117,19 @@ def bm25_scores(
     qcounts = Counter(py_tokenize(query))
     if not qcounts:
         raise ValueError("empty query")  # parity: local_db.py raises on no tokens
-    qterms = spark.createDataFrame(
-        [(t, int(c)) for t, c in qcounts.items()], "term STRING, qtf INT"
-    )
-    # One broadcast build for the whole query side (qtf ⋈ idf — both tiny);
-    # N/avgdl inlined as literals (stats.scalars). The main job is then a
-    # single broadcast hash join over postings + one partial-sum groupBy.
+    # The query side is literals, not a DataFrame: term_stats filtered by
+    # an IN-list and qtf looked up from a literal map — one broadcast
+    # exchange total (the qside build), vs a createDataFrame + an extra
+    # broadcast join. N/avgdl inlined as literals (stats.scalars). The
+    # main job is then a single broadcast hash join over postings + one
+    # partial-sum groupBy.
     _, avgdl = stats.scalars()
+    qtf_map = F.create_map(
+        *[F.lit(x) for t, c in qcounts.items() for x in (t, int(c))]
+    )
     qside = (
-        stats.term_stats.join(F.broadcast(qterms), "term").select("term", "idf", "qtf")
+        stats.term_stats.where(F.col("term").isin(list(qcounts)))
+        .select("term", "idf", qtf_map[F.col("term")].alias("qtf"))
     )
     matched = stats.postings.join(F.broadcast(qside), "term")
     contrib = (
