@@ -85,6 +85,11 @@ class VectorDatabase:
         self._stats: bm25.BM25Stats | None = None
         self._ann_index = None  # LSHIndex | IVFIndex, built lazily
         self._n = 0
+        # high-water mark for id assignment: bumped by add, never reduced
+        # by delete, so deleted ids are never reissued to new documents
+        # (id reuse would silently alias two docs in BM25/knn results).
+        # None = unknown (attached/loaded df) → computed lazily as max(id)+1.
+        self._next_id: int | None = 0
 
     # ------------------------------------------------------------------ ingest
     def add(
@@ -104,7 +109,7 @@ class VectorDatabase:
             if len(v) != self.dim:
                 raise ValueError(f"vector dim {len(v)} != {self.dim}")
         metas = list(metas) if metas is not None else [{} for _ in docs]
-        start = self._n
+        start = self._ensure_next_id()
         rows = [
             (start + i, d, [float(x) for x in v], {k: str(val) for k, val in m.items()})
             for i, (d, v, m) in enumerate(zip(docs, vectors, metas))
@@ -120,6 +125,7 @@ class VectorDatabase:
         new = self.spark.createDataFrame(rows, schema)
         self._df = new if self._df is None else self._df.unionByName(new)
         self._n += len(rows)
+        self._next_id = start + len(rows)
         self._stats = None  # derived state invalidated, rebuilt lazily
         if self._ann_index is not None and self.index_type == "ivf":
             # incremental maintenance: assign the batch to existing cells
@@ -137,8 +143,10 @@ class VectorDatabase:
         plus an anti-join tombstone is the standard columnar answer.
         Derived state (BM25 stats, ANN index) is invalidated and rebuilt
         lazily; ids of remaining docs are unchanged (no re-densification
-        — result contracts key on stable ids). Returns the number of
-        rows removed."""
+        — result contracts key on stable ids), and the id high-water mark
+        is NOT lowered: a later `add` continues from the pre-delete
+        counter, so a deleted id is never reassigned to a new document.
+        Returns the number of rows removed."""
         df = self._require_df()
         id_list = [int(i) for i in ids]
         kept = df.where(~F.col(self.id_col).isin(id_list))
@@ -156,7 +164,17 @@ class VectorDatabase:
         self._n = n if n is not None else df.count()
         self._stats = None
         self._ann_index = None
+        self._next_id = None  # unknown ids in attached df; computed on demand
         return self
+
+    def _ensure_next_id(self) -> int:
+        if self._next_id is None:
+            if self._df is None or self._n == 0:
+                self._next_id = 0
+            else:
+                row = self._df.agg(F.max(self.id_col).alias("m")).first()
+                self._next_id = int(row["m"]) + 1 if row["m"] is not None else 0
+        return self._next_id
 
     # ------------------------------------------------------------------ queries
     def _require_df(self) -> DataFrame:
@@ -378,6 +396,7 @@ class VectorDatabase:
             "vec_col": self.vec_col,
             "has_bm25_stats": has_stats,
             "has_ann_index": has_ann,
+            "next_id": self._ensure_next_id(),
             "format_version": 2,
         }
         with open(os.path.join(folder_path, "manifest.json"), "w") as f:
@@ -393,6 +412,8 @@ class VectorDatabase:
         )
         df = spark.read.parquet(os.path.join(folder_path, "documents"))
         db.attach(df, m["n"])
+        if m.get("next_id") is not None:
+            db._next_id = int(m["next_id"])
         if m.get("has_bm25_stats"):
             p = os.path.join(folder_path, "bm25")
             db._stats = bm25.BM25Stats(

@@ -263,3 +263,34 @@ def test_delete_removes_and_invalidates(spark):
     assert 2 not in db.query_vector(vecs[2], top_k=4)
     # remaining ids are unchanged (stable-id contract)
     assert db.get_document(5) == "doc word5"
+
+
+def test_add_after_delete_never_reuses_ids(spark):
+    """Id high-water mark survives delete: add 6 (ids 0-5), delete [0,1],
+    then add 1 more — the new doc must get id 6, not 4 (which would collide
+    with the live doc 4)."""
+    import random
+
+    rng = random.Random(12)
+    mk = lambda: [rng.random() for _ in range(4)]
+    db = VectorDatabase(spark, dim=4)
+    db.add([f"doc word{i}" for i in range(6)], [mk() for _ in range(6)])
+    db.delete([0, 1])
+    db.add(["doc fresh"], [mk()])
+    assert len(db) == 5
+    assert db.get_document(6) == "doc fresh"
+    assert db.get_document(4) == "doc word4"
+    ids = db.query_metadata()
+    assert ids == [2, 3, 4, 5, 6] and len(ids) == len(set(ids))
+
+
+def test_attach_then_add_continues_from_max_id(spark):
+    import random
+
+    rng = random.Random(13)
+    mk = lambda: [rng.random() for _ in range(4)]
+    db = VectorDatabase(spark, dim=4)
+    db.add([f"doc word{i}" for i in range(3)], [mk() for _ in range(3)])
+    db2 = VectorDatabase(spark, dim=4).attach(db._df)
+    db2.add(["doc new"], [mk()])
+    assert db2.query_metadata() == [0, 1, 2, 3]
