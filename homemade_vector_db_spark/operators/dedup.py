@@ -19,8 +19,8 @@ first-class corpus-hygiene ops a 100 TB text pipeline needs:
                          candidates. Shuffle cost is O(docs × bands), not
                          O(pairs).
 - simhash_pairs        — Hamming-ball near-dup over 64-bit SimHash
-                         fingerprints; bands of 16 bits as the candidate
-                         blocking key.
+                         fingerprints; max_hamming+1 bands as the blocking
+                         key (pigeonhole-complete for the radius).
 - embedding_neardup_pairs — cosine near-dup over the embedding column.
 
 Everything is pure column expressions (whole-stage codegen); no Python UDFs.
@@ -327,17 +327,34 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
-    Blocking: 4 bands of 16 bits — two docs within Hamming ≤ 3 of each other
-    must share a band (pigeonhole); for larger radii more bands/permuted
-    tables would be needed. Candidates verified exactly with bit_count(xor).
+    Blocking with a COMPLETE-recall guarantee: the 64 bits are split into
+    `max_hamming + 1` contiguous bands, so two fingerprints within the
+    radius differ in at most max_hamming bands and MUST agree exactly on
+    at least one (pigeonhole) — every true pair becomes a candidate, no
+    permuted tables needed. Candidates are verified exactly with
+    bit_count(xor), so the result equals the all-pairs Hamming join.
+    Cost note: a larger radius means narrower bands (64/(r+1) bits) and
+    therefore more bucket collisions; at billion-doc scale keep the radius
+    small (r ≤ 7 → ≥ 8-bit bands) or pre-block by another key.
     """
+    if not 0 <= max_hamming <= 32:
+        raise ValueError(f"max_hamming must be in [0, 32], got {max_hamming}")
+    bands = max_hamming + 1
+    base, rem = divmod(64, bands)
+    widths = [base + 1 if i < rem else base for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
     sh = simhash_table(df, id_col, text_col)
     banded = sh.select(
         "doc_id",
         "sh",
         F.posexplode(
             F.array(*[
-                F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)
+                F.shiftright("sh", offsets[i]).bitwiseAND(
+                    # width 64 (radius 0, single band) → all-ones mask; the
+                    # unsigned 2^64-1 literal would overflow LongType
+                    F.lit(-1 if widths[i] >= 64 else (1 << widths[i]) - 1)
+                )
+                for i in range(bands)
             ])
         ).alias("band", "bucket"),
     )

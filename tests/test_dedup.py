@@ -93,6 +93,58 @@ def test_simhash_recall_on_planted(spark, docs, planted):
     assert rec >= 0.6
 
 
+@pytest.mark.parametrize("radius", [0, 4, 8])
+def test_simhash_banding_complete_for_radius(spark, docs, radius):
+    """Pigeonhole guarantee: banded candidates must reproduce the exact
+    all-pairs Hamming-ball join at the advertised radius — including pairs
+    whose differing bits are spread across several bands."""
+    sh = dedup.simhash_table(docs).cache()
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    exact = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.alias("h"),
+        )
+        .where(F.col("h") <= radius)
+        .collect()
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in dedup.simhash_pairs(docs, max_hamming=radius).collect()
+    }
+    assert got == exact
+    sh.unpersist()
+
+
+def test_simhash_planted_pair_bits_spread_across_bands(spark):
+    """A pair at Hamming 4 whose flipped bits land in 4 DIFFERENT bands of
+    the old fixed-4x16 blocking is still found: with bands=max_hamming+1=5
+    at least one band must be identical."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    # perturb tokens until a pair lands at 1 <= hamming <= 4 with bits in
+    # distinct 16-bit quarters (asserted below, deterministic corpus)
+    rows = [(0, base)]
+    rows += [(i, base.replace("beta", f"b{i}eta", i)) for i in range(1, 24)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sh = {r.doc_id: r.sh for r in dedup.simhash_table(df).collect()}
+    spread = [
+        (i, j)
+        for i in sh
+        for j in sh
+        if i < j
+        and 1 <= bin(sh[i] ^ sh[j]).count("1") <= 4
+        and len({k // 16 for k in range(64) if (sh[i] ^ sh[j]) >> k & 1})
+        == bin(sh[i] ^ sh[j]).count("1") > 1
+    ]
+    assert spread, "corpus must contain a cross-band pair for this test"
+    got = {(r.a_id, r.b_id) for r in dedup.simhash_pairs(df, max_hamming=4).collect()}
+    assert set(spread) <= got
+
+
 def test_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([(0, "one two"), (1, "a b c d")], "doc_id LONG, text STRING")
     out = df.select(dedup.shingles("text", 3).alias("s")).collect()
