@@ -1570,23 +1570,37 @@ def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination primitive: documents sharing any word
     5-gram with a document from a DIFFERENT source, counted per source
     (eval-set leakage detection — the production version uses 13-grams,
-    same plan). The shingle equi-join shuffles (shingle, doc_id, source)
-    — 16 bytes + key per posting, never the text; the `a.source !=
-    b.source` predicate rides the join, and the distinct collapses
-    multi-shingle hits before the 20-key rollup."""
+    same plan).
+
+    No shingle SELF-JOIN: a document is contaminated iff it holds a
+    shingle whose distinct-source count is ≥ 2 (any holder of a
+    multi-source shingle shares it with some other source). That is a
+    groupBy(shingle, source) → groupBy(shingle) HAVING n_sources ≥ 2,
+    joined back to the postings — LINEAR in posting count, so a stop
+    5-gram appearing in 10^6 docs costs 10^6 shuffle rows, not the 10^12
+    join rows the naive a×b equi-join pays on that hot key. Postings
+    shuffle 8-byte xxhash64 shingle keys, never text."""
     d = load_documents(spark, sf_dir).select(
         "doc_id", "source", dedup.shingles("text", CONTAM_NGRAM).alias("sh")
     )
-    e = d.select("doc_id", "source", F.explode("sh").alias("shingle"))
-    a, b = e.alias("a"), e.alias("b")
-    contaminated = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") != F.col("b.source")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id"), F.col("a.source").alias("source"))
+    # persist: both the multi-source aggregate and the flagging join read
+    # the postings — unpersisted, the (dominant) tokenize→shingle scan
+    # would execute once per branch
+    e = (
+        d.select("doc_id", "source", F.explode("sh").alias("s"))
+        .select("doc_id", "source", F.xxhash64("s").alias("shingle"))
+        .persist()
+    )
+    multi_source = (
+        e.select("shingle", "source")
         .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_sources"))
+        .where(F.col("n_sources") >= 2)
+        .select("shingle")
+    )
+    contaminated = (
+        e.join(multi_source, "shingle").select("doc_id", "source").distinct()
     )
     return (
         contaminated.groupBy("source")
