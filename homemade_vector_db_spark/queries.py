@@ -1020,11 +1020,17 @@ def q_knn_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (all-pairs verification form)."""
-    return dedup.embedding_neardup_pairs(
+    """Embedding-cosine near-dup pairs — exact, as a BLAS-blocked
+    distributed matmul (broadcast unit matrix + per-partition numpy
+    blocks) instead of the unguarded O(n²) pair cross join; same oracle.
+    At this corpus's wide radius (t=0.45 on near-random embeddings) no
+    bucketing can prune — measured: approxSimilarityJoin candidates cost
+    2× the brute-force matmul — so the honest scale statement is: exact
+    quadratic at BLAS speed up to ~1M vectors, LSH/ANN blocking
+    (lsh_neardup) beyond that or at realistic (≥0.9) thresholds."""
+    return dedup.embedding_neardup_pairs_blas(
         load_embeddings(spark, sf_dir),
         threshold=COSINE_NEARDUP_THRESHOLD,
-        dim=EMB_DIM,
     )
 
 

@@ -152,6 +152,55 @@ def test_shingles_short_doc_empty(spark):
     assert out[1].s == ["a b c", "b c d"]
 
 
+def test_embedding_neardup_blas_matches_allpairs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)
+    ]
+    # planted dup + zero-norm row (cos defined as 0, never a candidate)
+    rows.append((60, [x * 2.0 for x in rows[3][1]]))
+    rows.append((61, [0.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    want = [
+        (r.a_id, r.b_id, r.cosine)
+        for r in dedup.embedding_neardup_pairs(df, threshold=0.6, dim=8).collect()
+    ]
+    got = [
+        (r.a_id, r.b_id, r.cosine)
+        for r in dedup.embedding_neardup_pairs_blas(df, threshold=0.6).collect()
+    ]
+    assert got == want
+    assert (3, 60) in {(a, b) for a, b, _ in got}
+
+
+def test_embedding_neardup_lsh_matches_allpairs(spark):
+    import random
+
+    rng = random.Random(8)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    rows.append((60, [x * 3.0 for x in rows[5][1]]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    want = [
+        (r.a_id, r.b_id, r.cosine)
+        for r in dedup.embedding_neardup_pairs(df, threshold=0.9, dim=8).collect()
+    ]
+    got = [
+        (r.a_id, r.b_id, r.cosine)
+        for r in dedup.embedding_neardup_pairs_lsh(df, threshold=0.9, dim=8).collect()
+    ]
+    assert got == want
+
+
+def test_embedding_neardup_blas_guards(spark):
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>")
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.embedding_neardup_pairs_blas(df, threshold=0.0)
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        dedup.embedding_neardup_pairs_blas(df, threshold=0.5, max_broadcast_rows=0)
+
+
 def test_embedding_neardup_self_excluded(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])],
