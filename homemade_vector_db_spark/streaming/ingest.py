@@ -11,8 +11,18 @@ to the corpus table AND incrementally maintains the BM25 derived state:
     term_stats — delta-merged: batch term df counts are added to the
                  running (term, df) table via a groupBy over the union of
                  old stats + batch deltas.
-    corpus     — (N, avgdl) recomputed from two running scalars
-                 (doc count, token count) — O(1) state.
+    corpus     — (N, avgdl) from per-batch (n_docs, n_tokens) scalar rows
+                 summed at read time — O(1) state per batch, and a doc
+                 whose text tokenizes to ZERO tokens still counts in N
+                 and avgdl (it has no postings rows, so deriving N from
+                 postings would silently drop it — batch parity:
+                 operators/bm25.py counts it via doc_len).
+
+Exactly-once: foreachBatch is at-least-once — a failed micro-batch is
+REPLAYED with the same batch_id. Every per-batch write therefore goes to
+a `batch=<id>`-keyed subdirectory with overwrite mode, so a replay
+rewrites the same files instead of appending duplicates; readers glob the
+root and drop the partition-discovery `batch` column.
 
 idf depends on global N and avg_idf, so it is NOT materialized here — it's
 a cheap column expression over term_stats at query time (one broadcast of
@@ -44,11 +54,53 @@ class IncrementalCorpus:
         self.docs_path = os.path.join(root, "documents")
         self.postings_path = os.path.join(root, "postings")
         self.termdf_path = os.path.join(root, "term_df")
+        self.corpus_path = os.path.join(root, "corpus_scalars")
+
+    def _write(self, df: DataFrame, root: str, batch_id: int) -> None:
+        # idempotent per batch: replays of the same micro-batch overwrite
+        # the same batch=<id> subdir instead of appending duplicates
+        df.write.mode("overwrite").parquet(
+            os.path.join(root, f"batch={batch_id}")
+        )
+
+    def _read(self, root: str) -> DataFrame:
+        return self.spark.read.parquet(root).drop("batch")
+
+    def _next_adhoc_id(self) -> int:
+        """Key for direct (non-streaming) calls without a batch_id: one past
+        the highest existing batch dir, so restarts never overwrite earlier
+        ad-hoc batches. Local-path listing — streaming callers always pass
+        the checkpointed batch_id and never hit this."""
+        import re
+
+        try:
+            existing = [
+                int(m.group(1))
+                for d in os.listdir(self.docs_path)
+                if (m := re.match(r"batch=(\d+)$", d))
+            ]
+            return max(existing) + 1 if existing else 0
+        except FileNotFoundError:
+            return 0
 
     # -- batch body (called by foreachBatch or directly for batch appends)
     def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        if batch_id is None:
+            batch_id = self._next_adhoc_id()
         batch = batch.select("doc_id", "text").cache()
-        batch.write.mode("append").parquet(self.docs_path)
+        self._write(batch, self.docs_path, batch_id)
+
+        # (n_docs, n_tokens) scalars BEFORE the explode: a zero-token doc
+        # contributes (1, 0) here but no postings rows below
+        lens = batch.select(F.size(tokenize("text")).alias("dl"))
+        self._write(
+            lens.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("n_tokens"),
+            ),
+            self.corpus_path,
+            batch_id,
+        )
 
         toks = batch.select(
             "doc_id", F.size(tokenize("text")).alias("dl"), F.explode(tokenize("text")).alias("term")
@@ -56,17 +108,21 @@ class IncrementalCorpus:
         postings = toks.groupBy("doc_id", "term").agg(
             F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
         )
-        postings.write.mode("append").parquet(self.postings_path)
+        self._write(postings, self.postings_path, batch_id)
 
         # additive term-df delta; df(term) = sum over appended deltas
-        postings.groupBy("term").agg(
-            F.countDistinct("doc_id").alias("df_delta")
-        ).write.mode("append").parquet(self.termdf_path)
+        self._write(
+            postings.groupBy("term").agg(
+                F.countDistinct("doc_id").alias("df_delta")
+            ),
+            self.termdf_path,
+            batch_id,
+        )
         batch.unpersist()
 
     # -- derived views (query-time, cheap)
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.postings_path)
+        return self._read(self.postings_path)
 
     def term_stats(self) -> DataFrame:
         """(term, df, idf) with the BM25Okapi epsilon floor — computed from
@@ -74,7 +130,7 @@ class IncrementalCorpus:
         from homemade_vector_db_spark.operators.bm25 import EPSILON
 
         df = (
-            self.spark.read.parquet(self.termdf_path)
+            self._read(self.termdf_path)
             .groupBy("term")
             .agg(F.sum("df_delta").alias("df"))
         )
@@ -95,9 +151,14 @@ class IncrementalCorpus:
         )
 
     def corpus_stats(self) -> DataFrame:
-        p = self.spark.read.parquet(self.postings_path)
-        per_doc = p.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-        return per_doc.agg(F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl"))
+        """(N, avgdl) from the per-batch scalar rows — counts every ingested
+        doc, including zero-token docs that have no postings rows."""
+        return self._read(self.corpus_path).agg(
+            F.sum("n_docs").alias("N"),
+            (
+                F.sum("n_tokens").cast("double") / F.sum("n_docs")
+            ).alias("avgdl"),
+        )
 
     def bm25_stats(self):
         """Adapter to the batch scorer's BM25Stats contract."""
@@ -168,7 +229,7 @@ class IncrementalVectorIndex:
         )
         out = cls(seed_df.sparkSession, root, idx.centroids, id_col, vec_col)
         idx.assignments.write.mode("overwrite").partitionBy("cluster").parquet(
-            out.assign_path
+            os.path.join(out.assign_path, "batch=seed")
         )
         return out
 
@@ -178,16 +239,25 @@ class IncrementalVectorIndex:
         return ann.IVFIndex(None, self.centroids, self.id_col, self.vec_col)
 
     def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        """Idempotent per micro-batch: foreachBatch is at-least-once, so a
+        replayed batch overwrites its own batch=<id> subdir instead of
+        appending its vectors twice. Cluster partitioning nests inside the
+        batch dir — query-time nprobe pruning on `cluster` still prunes
+        across all batch dirs."""
         from homemade_vector_db_spark.operators import ann
 
         assigned = ann.ivf_assign(self._stub_index(), batch)
-        assigned.write.mode("append").partitionBy("cluster").parquet(self.assign_path)
+        sub = "batch=adhoc" if batch_id is None else f"batch={batch_id}"
+        mode = "append" if batch_id is None else "overwrite"
+        assigned.write.mode(mode).partitionBy("cluster").parquet(
+            os.path.join(self.assign_path, sub)
+        )
 
     def index(self):
         from homemade_vector_db_spark.operators import ann
 
         return ann.IVFIndex(
-            self.spark.read.parquet(self.assign_path),
+            self.spark.read.parquet(self.assign_path).drop("batch"),
             self.centroids,
             self.id_col,
             self.vec_col,

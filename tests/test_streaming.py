@@ -14,7 +14,10 @@ from homemade_vector_db_spark.streaming.ingest import (
 )
 
 BATCH1 = [(0, "alpha beta gamma"), (1, "beta gamma delta")]
-BATCH2 = [(2, "gamma delta epsilon"), (3, "alpha zeta")]
+# incl. an empty and a whitespace-only doc: zero tokens, no postings rows —
+# they must still count in N/avgdl (the corpus scalars, not postings,
+# carry doc counts)
+BATCH2 = [(2, "gamma delta epsilon"), (3, "alpha zeta"), (4, ""), (5, "   ")]
 
 
 def _df(spark, rows):
@@ -37,7 +40,8 @@ def test_incremental_equals_batch_rebuild(spark, tmp_path):
 
     inc_c = corpus.corpus_stats().first()
     bat_c = batch_stats.corpus_stats.first()
-    assert inc_c.N == bat_c.N and inc_c.avgdl == pytest.approx(bat_c.avgdl)
+    assert inc_c.N == bat_c.N == len(BATCH1) + len(BATCH2)
+    assert inc_c.avgdl == pytest.approx(bat_c.avgdl)
 
     # end-to-end: scoring through the incremental stats matches batch
     q_inc = bm25.query_text(
@@ -49,6 +53,37 @@ def test_incremental_equals_batch_rebuild(spark, tmp_path):
     assert [(r.doc_id, r.score) for r in q_inc] == [
         (r.doc_id, r.score) for r in q_bat
     ]
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a micro-batch with the
+    same batch_id must leave every derived relation unchanged."""
+    corpus = IncrementalCorpus(spark, str(tmp_path / "corpus"))
+    corpus.ingest_batch(_df(spark, BATCH1), 0)
+    corpus.ingest_batch(_df(spark, BATCH2), 1)
+    before_ts = sorted(
+        (r.term, r.df) for r in corpus.term_stats().collect()
+    )
+    before_c = corpus.corpus_stats().first()
+    corpus.ingest_batch(_df(spark, BATCH2), 1)  # replay
+    after_ts = sorted((r.term, r.df) for r in corpus.term_stats().collect())
+    after_c = corpus.corpus_stats().first()
+    assert after_ts == before_ts
+    assert (after_c.N, after_c.avgdl) == (before_c.N, before_c.avgdl)
+    docs = spark.read.parquet(corpus.docs_path)
+    assert docs.count() == len(BATCH1) + len(BATCH2)
+
+
+def test_adhoc_ingest_gets_fresh_batch_ids(spark, tmp_path):
+    """Direct calls without a batch_id must not overwrite earlier batches,
+    even across a new IncrementalCorpus instance (restart)."""
+    root = str(tmp_path / "corpus")
+    corpus = IncrementalCorpus(spark, root)
+    corpus.ingest_batch(_df(spark, BATCH1))
+    corpus2 = IncrementalCorpus(spark, root)  # simulated restart
+    corpus2.ingest_batch(_df(spark, BATCH2))
+    docs = spark.read.parquet(corpus2.docs_path)
+    assert docs.count() == len(BATCH1) + len(BATCH2)
 
 
 def test_streaming_file_source_foreachbatch(spark, tmp_path):
@@ -70,7 +105,7 @@ def test_streaming_file_source_foreachbatch(spark, tmp_path):
         q.stop()
 
     docs = spark.read.parquet(corpus.docs_path)
-    assert docs.count() == 4
+    assert docs.count() == len(BATCH1) + len(BATCH2)
     ts = {r.term: r.df for r in corpus.term_stats().collect()}
     assert ts["gamma"] == 3 and ts["zeta"] == 1
 
@@ -328,9 +363,18 @@ def test_streaming_vector_ingest_incremental_ivf(spark, tmp_path):
 
     idx = ivi.index()
     assert idx.assignments.count() == 140
-    # cluster-partitioned layout on disk → nprobe probes prune partitions
-    parts = [p.name for p in (tmp_path / "vidx" / "assignments").iterdir()]
-    assert any(p.startswith("cluster=") for p in parts)
+    # cluster-partitioned layout on disk (nested under per-batch dirs for
+    # replay idempotency) → nprobe probes prune partitions
+    batch_dirs = [
+        p for p in (tmp_path / "vidx" / "assignments").iterdir() if p.is_dir()
+    ]
+    assert any(p.name.startswith("batch=") for p in batch_dirs)
+    assert any(
+        c.name.startswith("cluster=")
+        for b in batch_dirs
+        for c in b.iterdir()
+        if c.is_dir()
+    )
     # a streamed-in vector is findable
     target = late.orderBy("vec_id").first()
     hits = ivi.search(list(target.embedding), k=1, nprobe=8).collect()
