@@ -91,7 +91,17 @@ def build_ivf(
         assigned = df.withColumn("cluster", F.lit(0).cast("int"))
         centroids = [[0.0] * len(df.select(vec_col).first()[0])]
     else:
-        sample = df.select(vec_col).orderBy(id_col).limit(min(n, 20_000)).collect()
+        # deterministic UNBIASED sample: order by a hash of the id, not the
+        # id itself — a head-of-table slice of a corpus sorted by time/
+        # label/source would train centroids on a biased slice (FAISS
+        # trains on random samples for the same reason). Still a top-k
+        # (TakeOrderedAndProject), never a full sort.
+        sample = (
+            df.select(vec_col, F.xxhash64(F.col(id_col).cast("string")).alias("__h"))
+            .orderBy("__h")
+            .limit(min(n, 20_000))
+            .collect()
+        )
         X = np.asarray([r[0] for r in sample], dtype="float64")
         centroids = _lloyd(X, k, seed).tolist()
         assigned = ivf_assign(

@@ -87,10 +87,15 @@ def build_pq(
     ]
     base = df.select(F.col(id_col), *subcols)
 
-    # deterministic training sample: lowest train_rows ids (a top-k, not a
-    # full sort); 20k × dim doubles ≈ 10 MB driver-side at dim=64
+    # deterministic UNBIASED training sample: top-k by hash of the id (not
+    # id order — head-of-table slices are biased when the corpus is sorted
+    # by time/label/source); 20k × dim doubles ≈ 10 MB driver-side at dim=64
     train_rows = 20_000
-    sample = base.orderBy(id_col).limit(min(n, train_rows)).collect()
+    sample = (
+        base.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(min(n, train_rows))
+        .collect()
+    )
     codebooks: list[list[list[float]]] = []
     for i in range(m):
         X = np.asarray([r[f"__s{i}"] for r in sample], dtype="float64")

@@ -18,6 +18,9 @@ Scale rules baked in:
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -112,7 +115,10 @@ MEDIA_EXT = {
 
 
 def read_media_dir(
-    spark: SparkSession, path: str, glob: str | None = None
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
 ) -> DataFrame:
     """Ingest raw media files via Spark's built-in `binaryFile` source into
     the multimodal MEDIA_SCHEMA shape (operators/multimodal.py): one row
@@ -130,6 +136,8 @@ def read_media_dir(
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
     raw = reader.load(path)
     ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
     kind_map = F.create_map(
@@ -138,9 +146,17 @@ def read_media_dir(
     mime_map = F.create_map(
         *[F.lit(x) for kv in MEDIA_EXT.items() for x in (kv[0], kv[1][1])]
     )
-    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    # media_id hashes the path RELATIVE to the ingest root (not just the
+    # basename — two `cover.jpg` in different subdirs must not collide),
+    # after stripping the URI scheme; stable across re-ingests of the tree.
+    root_abs = os.path.abspath(path).lstrip("/")
+    rel = F.regexp_replace(
+        F.col("path"),
+        "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?/*" + re.escape(root_abs) + "/+",
+        "",
+    )
     return raw.select(
-        F.xxhash64(fname).alias("media_id"),
+        F.xxhash64(rel).alias("media_id"),
         F.coalesce(kind_map[ext], F.lit("other")).alias("kind"),
         F.col("content"),
         F.coalesce(mime_map[ext], F.lit("application/octet-stream")).alias("mime"),

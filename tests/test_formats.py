@@ -113,3 +113,16 @@ def test_read_media_dir_binaryfile(spark, tmp_path):
     # glob filter narrows to one extension
     only_jpg = formats.read_media_dir(spark, str(d), glob="*.jpg").collect()
     assert len(only_jpg) == 1 and only_jpg[0].kind == "image"
+
+
+def test_read_media_dir_same_basename_distinct_ids(spark, tmp_path):
+    """media_id hashes the root-relative path: two files with the SAME
+    basename in different subdirectories must get different ids."""
+    d = tmp_path / "media2"
+    (d / "album1").mkdir(parents=True)
+    (d / "album2").mkdir(parents=True)
+    (d / "album1" / "cover.jpg").write_bytes(b"\xff\xd8one")
+    (d / "album2" / "cover.jpg").write_bytes(b"\xff\xd8two")
+    out = formats.read_media_dir(spark, str(d), recursive=True)
+    ids = [r.media_id for r in out.collect()]
+    assert len(ids) == 2 and len(set(ids)) == 2
