@@ -137,3 +137,33 @@ def test_connected_components_matches_union_find(spark, edges):
     )
     got = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
     assert got == py_components(edges)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path (diameter 199) must fully converge well inside the
+    default round budget — pointer doubling gives O(log d) rounds, so 20
+    rounds cover diameters up to ~2^20, not 20 hops."""
+    from homemade_vector_db_spark.operators import dedup
+
+    edges = [(i, i + 1) for i in range(199)]
+    pairs = spark.createDataFrame(edges, "a_id LONG, b_id LONG")
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # must NOT warn
+        got = {
+            r.doc_id: r.component
+            for r in dedup.connected_components(pairs).collect()
+        }
+    assert got == {i: 0 for i in range(200)}
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    import pytest as _pytest
+
+    from homemade_vector_db_spark.operators import dedup
+
+    edges = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(edges, "a_id LONG, b_id LONG")
+    with _pytest.warns(RuntimeWarning, match="not converged"):
+        dedup.connected_components(pairs, max_iter=1).collect()
