@@ -50,6 +50,14 @@ HEADLINE = [
     "cube_pricing",
     "regional_supplier_volume",
     "corpus_prep",
+    # round 2: planner-shape guards (Q19/Q21/Q22 forms) + the reworked
+    # scale paths, so their plans stay perf-regression-visible
+    "brand_quantity_revenue",
+    "rich_inactive_customers",
+    "multi_supplier_orders",
+    "cosine_neardup",
+    "cross_source_contamination",
+    "neardup_components",
 ]
 
 
