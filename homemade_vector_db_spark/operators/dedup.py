@@ -603,6 +603,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 20,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Near-dup pairs → canonical duplicate CLUSTERS: (id, component) with
     component = min doc_id reachable through the pair graph. This is the
@@ -627,6 +628,16 @@ def connected_components(
     is emitted and the (under-merged: some clusters still split) labels
     are returned — callers that require the exact closure should re-run
     with a higher max_iter.
+
+    Small-graph fast path: near-dup PAIR graphs are orders of magnitude
+    smaller than the corpus that produced them (pairs are the exception,
+    not the rule), so when the materialized edge count is at most
+    `driver_threshold` (default 500k ≈ 8 MB), the components are solved
+    with union-find on the driver in one pass — the same bounded
+    driver-side strategy as the PQ/IVF sample training — instead of
+    paying multi-stage fixed cost per distributed round (measured ~1 s
+    per round on a 300-edge graph at local[32]). Graphs above the bound
+    take the distributed loop; set driver_threshold=0 to force it.
     """
     import warnings
     # materialize the pair list ONCE: the symmetric union references
@@ -635,6 +646,24 @@ def connected_components(
     pairs = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint(eager=True)
+    if pairs.count() <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.collect():
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = sorted((n, find(n)) for n in parent)
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id LONG, component LONG"
+        )
     edges = (
         pairs.union(pairs.select(F.col("dst"), F.col("src"))).distinct().cache()
     )

@@ -130,13 +130,24 @@ def py_components(edges):
 @given(edges=edge_strategy)
 @SETTINGS
 def test_connected_components_matches_union_find(spark, edges):
+    """Both execution paths — driver union-find (small graphs) and the
+    distributed propagation loop (driver_threshold=0) — must agree with
+    the Python reference."""
     from homemade_vector_db_spark.operators import dedup
 
     pairs = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edges], "a_id LONG, b_id LONG"
     )
-    got = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
-    assert got == py_components(edges)
+    want = py_components(edges)
+    got_driver = {
+        r.doc_id: r.component for r in dedup.connected_components(pairs).collect()
+    }
+    got_dist = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got_driver == want
+    assert got_dist == want
 
 
 def test_connected_components_long_chain_converges(spark):
@@ -153,7 +164,9 @@ def test_connected_components_long_chain_converges(spark):
         warnings.simplefilter("error", RuntimeWarning)  # must NOT warn
         got = {
             r.doc_id: r.component
-            for r in dedup.connected_components(pairs).collect()
+            for r in dedup.connected_components(
+                pairs, driver_threshold=0
+            ).collect()
         }
     assert got == {i: 0 for i in range(200)}
 
@@ -166,4 +179,6 @@ def test_connected_components_warns_when_unconverged(spark):
     edges = [(i, i + 1) for i in range(30)]
     pairs = spark.createDataFrame(edges, "a_id LONG, b_id LONG")
     with _pytest.warns(RuntimeWarning, match="not converged"):
-        dedup.connected_components(pairs, max_iter=1).collect()
+        dedup.connected_components(
+            pairs, max_iter=1, driver_threshold=0
+        ).collect()
