@@ -21,6 +21,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from homemade_vector_db_spark.functions.text import tokenize
 from homemade_vector_db_spark.functions.vector import (
     cosine,
     dot_fixed,
@@ -1667,6 +1668,147 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals, per doc: most-common-word
+    fraction (max tf / n_tokens) and duplicate-bigram fraction
+    (1 − distinct/total bigrams) — the two cheapest predictors of
+    degenerate/boilerplate text in published corpus-filtering recipes.
+    One explode→two-level-agg for the token stats (sum(tf) IS n_tokens,
+    so a single shuffle yields both) joined to a per-row bigram
+    projection computed entirely in the scan (zip-shifted slices, no
+    second explode). No UDFs — pure codegen; at 100 TB this is one
+    shuffle of (doc_id, token) postings, same cost class as BM25 stats."""
+    d = load_documents(spark, sf_dir)
+    tok_stats = (
+        d.select("doc_id", F.explode(tokenize("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("tf").alias("max_tf"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    toks = tokenize("text")
+    length = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, length),
+        F.slice(toks, 2, length),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    bi = d.select(
+        "doc_id",
+        F.size(bigrams).alias("total_bi"),
+        F.size(F.array_distinct(bigrams)).alias("distinct_bi"),
+    )
+    return (
+        tok_stats.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("max_tf") / F.col("n_tokens"), 6).alias(
+                "top_word_frac"
+            ),
+            F.round(
+                F.when(
+                    F.col("total_bi") > 0,
+                    1.0 - F.col("distinct_bi") / F.col("total_bi"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILER_NGRAM = 5
+BOILER_MIN_DOCS = 3
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate measurement: a 5-gram occurring
+    in ≥ BOILER_MIN_DOCS distinct docs is 'boilerplate'; report per
+    source the mean fraction of each doc's distinct shingles that are
+    boilerplate. Same linear shape as cross_source_contamination — per-
+    shingle doc counts via groupBy, joined back to the postings; a stop
+    shingle costs its posting count, never a self-join blowup."""
+    d = load_documents(spark, sf_dir).select(
+        "doc_id", "source", dedup.shingles("text", BOILER_NGRAM).alias("sh")
+    )
+    e = (
+        d.select("doc_id", "source", F.explode("sh").alias("s"))
+        .select("doc_id", "source", F.xxhash64("s").alias("shingle"))
+        .persist()
+    )
+    freq = (
+        e.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("shingle")
+    )
+    per_doc = (
+        e.join(freq, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    totals = e.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "source",
+            (
+                F.coalesce(F.col("n_boiler"), F.lit(0)) / F.col("n_shingles")
+            ).alias("frac"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("frac"), 6).alias("mean_boiler_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 12
+
+
+def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (training/RAG ingestion): split each doc
+    into 16-token windows with stride 12 (4-token overlap), emitting
+    (doc_id, chunk_idx, n_chunk_tokens, md5 of the chunk text). The
+    chunk starts come from `sequence(...)` + transform over the token
+    array — one projection, zero joins/shuffles before the final sort;
+    at 100 TB chunking is embarrassingly parallel map work and this plan
+    keeps it that way. Bounded to doc_id < 100 to keep the fixture
+    output small."""
+    d = load_documents(spark, sf_dir).where(F.col("doc_id") < 100)
+    toks = tokenize("text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.slice(toks, s, CHUNK_TOKENS).alias("ctoks"),
+        ),
+    )
+    ex = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+    return (
+        ex.where(F.size("c.ctoks") > 0)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("c.ctoks").alias("n_chunk_tokens"),
+            F.md5(F.array_join("c.ctoks", " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality scoring (the CCNet-filter analogue with a
     unigram LM): per-doc mean negative log-probability of its tokens
@@ -3178,6 +3320,92 @@ ORDER BY doc_id
 """
 
 
+_ORACLES["repetition_stats"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS t FROM toks)
+  GROUP BY doc_id, t
+),
+ts AS (
+  SELECT doc_id, max(tf) AS max_tf, CAST(sum(tf) AS BIGINT) AS n_tokens
+  FROM tf GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id,
+         len(tokens) - 1 AS total_bi,
+         len(list_distinct(list_transform(range(1, len(tokens)),
+             i -> tokens[i] || ' ' || tokens[i+1]))) AS distinct_bi
+  FROM toks
+)
+SELECT ts.doc_id, n_tokens,
+       round(max_tf / CAST(n_tokens AS DOUBLE), 6) AS top_word_frac,
+       round(CASE WHEN total_bi > 0
+                  THEN 1.0 - distinct_bi / CAST(total_bi AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_bigram_frac
+FROM ts JOIN bi ON ts.doc_id = bi.doc_id
+ORDER BY ts.doc_id
+"""
+
+_ORACLES["boilerplate_ngrams"] = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(tokens) - {BOILER_NGRAM - 2}),
+           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' '
+                || tokens[i+3] || ' ' || tokens[i+4])) AS shingles
+  FROM toks WHERE len(tokens) >= {BOILER_NGRAM}
+),
+e AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+freq AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(DISTINCT doc_id) AS nd FROM e GROUP BY shingle
+  ) WHERE nd >= {BOILER_MIN_DOCS}
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_boiler FROM e
+  WHERE shingle IN (SELECT shingle FROM freq)
+  GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, source, count(*) AS n_shingles FROM e GROUP BY doc_id, source
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(coalesce(n_boiler, 0) / CAST(n_shingles AS DOUBLE)), 6)
+         AS mean_boiler_frac
+FROM totals LEFT JOIN per_doc USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+_ORACLES["token_chunks"] = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tokens
+  FROM documents WHERE doc_id < 100
+),
+ex AS (
+  SELECT doc_id, s,
+         list_slice(tokens, s, least(s + {CHUNK_TOKENS - 1}, len(tokens))) AS ctoks
+  FROM (
+    SELECT doc_id, tokens,
+           unnest(range(1, greatest(len(tokens), 1) + 1, {CHUNK_STRIDE})) AS s
+    FROM toks
+  )
+)
+SELECT doc_id, CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       len(ctoks) AS n_chunk_tokens,
+       md5(array_to_string(ctoks, ' ')) AS chunk_md5
+FROM ex WHERE len(ctoks) > 0
+ORDER BY doc_id, chunk_idx
+"""
+
 # Oracles for the self-checking ANN/sketch gates: the Spark side computes
 # the quality metric against the exact operator inside the plan and emits
 # bounds-checked booleans + deterministic scalars; the oracle pins the
@@ -3259,11 +3487,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_neardup_check": q_lsh_neardup_check,
         "simhash_check": q_simhash_check,
         "ndv_sketch_check": q_ndv_sketch_check,
-        # -- headline re-checks (round-2 plan changes touched these paths)
+        # -- new round-2 pipeline operators (never checked before)
+        "repetition_stats": q_repetition_stats,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "token_chunks": q_token_chunks,
+        # -- headline re-check (round-2 BLAS rework touched this path)
         "cosine_neardup": q_cosine_neardup,
+        # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,
-        # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_prefilter": q_knn_prefilter,
         "knn_postfilter": q_knn_postfilter,
         "cosine_topk": q_cosine_topk,
