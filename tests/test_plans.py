@@ -190,3 +190,61 @@ def test_brand_quantity_disjunction_pushes_to_both_scans(spark):
     # parquet readers (Q19's planner feature)
     assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
     assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in plan, plan
+
+
+def test_cosine_neardup_no_cartesian_product(spark):
+    """Round-2 contract: the registered cosine near-dup path must be the
+    BLAS-blocked mapInPandas form — no O(n²) join operator anywhere."""
+    df = Q.q_cosine_neardup(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_contamination_no_self_join_quadratic(spark):
+    """Round-2 contract: contamination is the linear multi-source-flagging
+    shape — one SortMergeJoin/ShuffledHashJoin on the shingle key at most
+    (postings × qualifying shingles), never a shingle×shingle self-join
+    with a non-equi source predicate riding it."""
+    df = Q.q_cross_source_contamination(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    # the old self-join form carried `a.source != b.source` inside a join
+    # condition; the linear form joins on the shingle key alone
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "shingle" in ln
+    ]
+    assert all("source" not in ln for ln in join_lines), join_lines
+
+
+def test_token_chunks_no_shuffle_before_sort(spark):
+    """Chunking is map-only work: the only exchange allowed is the final
+    rangepartitioning for the output sort."""
+    from homemade_vector_db_spark.plans.explain import count_exchanges
+
+    df = Q.q_token_chunks(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_repetition_stats_single_postings_shuffle(spark):
+    """One postings shuffle (doc_id,t) + the stats/bigram join — no
+    Python workers, everything whole-stage codegen."""
+    df = Q.q_repetition_stats(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_simhash_bands_scale_with_radius(spark):
+    """Band count must track the advertised radius (pigeonhole
+    completeness): radius r explodes into r+1 band rows per doc."""
+    from homemade_vector_db_spark.operators import dedup
+
+    docs = load_documents(spark, SF_SMOKE).limit(10)
+    for radius in (2, 6):
+        pairs = dedup.simhash_pairs(docs, max_hamming=radius)
+        plan = physical_plan(pairs)
+        # the posexplode array literal has radius+1 entries; cheap proxy:
+        # shiftright appears once per band in the projection
+        assert plan.count("shiftright") >= radius + 1, (radius, plan)
