@@ -158,6 +158,64 @@ class VectorDatabase:
         self._ann_index = None
         return removed
 
+    def update(
+        self,
+        ids: Sequence[int],
+        docs: Sequence[str] | None = None,
+        vectors: Sequence[Sequence[float]] | None = None,
+        metas: Sequence[Mapping[str, Any]] | None = None,
+    ) -> int:
+        """In-place update by id — like delete, a capability the reference
+        explicitly lacks (README.md:140). Ids stay STABLE: the row keeps
+        its doc_id (unlike delete+add, which would assign fresh ids).
+        Implemented as anti-join tombstone + union of replacement rows;
+        None fields keep the current value. Derived state is invalidated.
+        Returns the number of rows replaced; unknown ids raise."""
+        df = self._require_df()
+        id_list = [int(i) for i in ids]
+        if len(set(id_list)) != len(id_list):
+            raise ValueError("duplicate ids in update")
+        current = {
+            r[self.id_col]: r
+            for r in df.where(F.col(self.id_col).isin(id_list)).collect()
+        }
+        missing = [i for i in id_list if i not in current]
+        if missing:
+            raise IndexError(f"doc_ids not found: {missing}")
+
+        def pick(seq, i, fallback):
+            return seq[i] if seq is not None else fallback
+
+        rows = []
+        for i, doc_id in enumerate(id_list):
+            cur = current[doc_id]
+            vec = pick(vectors, i, cur[self.vec_col])
+            if len(vec) != self.dim:
+                raise ValueError(f"vector dim {len(vec)} != {self.dim}")
+            meta = (
+                {k: str(v) for k, v in metas[i].items()}
+                if metas is not None
+                else dict(cur["meta"] or {})
+            )
+            rows.append(
+                (doc_id, pick(docs, i, cur[self.text_col]),
+                 [float(x) for x in vec], meta)
+            )
+        schema = T.StructType(
+            [
+                T.StructField(self.id_col, T.LongType()),
+                T.StructField(self.text_col, T.StringType()),
+                T.StructField(self.vec_col, T.ArrayType(T.FloatType())),
+                T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+            ]
+        )
+        replacement = self.spark.createDataFrame(rows, schema)
+        kept = df.where(~F.col(self.id_col).isin(id_list))
+        self._df = kept.unionByName(replacement)
+        self._stats = None
+        self._ann_index = None
+        return len(rows)
+
     def attach(self, df: DataFrame, n: int | None = None) -> "VectorDatabase":
         """Wrap an existing documents DataFrame (bulk path — preferred at scale)."""
         self._df = df

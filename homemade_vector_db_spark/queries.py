@@ -1251,6 +1251,27 @@ def q_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pctl_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy gate: per event_type, the approximate
+    median of `value` (Greenwald-Khanna sketch at accuracy=1000, i.e.
+    ±0.1% rank error) must land within 2% RELATIVE VALUE error of the
+    exact median. Like the HLL gate: at 100 TB the sketch replaces a full
+    sort/shuffle of every value with fixed-size mergeable state; the gate
+    keeps its error driver-visible."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("approx"),
+        F.expr("percentile(value, 0.5)").alias("exact"),
+    )
+    return per.select(
+        "event_type",
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            <= 0.02 * F.abs(F.col("exact"))
+        ).alias("within_2pct"),
+    ).orderBy("event_type")
+
+
 def q_ndv_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ accuracy gate: per event_type, the 2%-rsd sketch estimate
     must land within 10% of the exact distinct count (5σ at the
@@ -3429,6 +3450,9 @@ _ORACLES["simhash_check"] = (
 _ORACLES["ndv_sketch_check"] = (
     "SELECT DISTINCT event_type, true AS within_10pct FROM events ORDER BY event_type"
 )
+_ORACLES["pctl_sketch_check"] = (
+    "SELECT DISTINCT event_type, true AS within_2pct FROM events ORDER BY event_type"
+)
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3487,6 +3511,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_neardup_check": q_lsh_neardup_check,
         "simhash_check": q_simhash_check,
         "ndv_sketch_check": q_ndv_sketch_check,
+        "pctl_sketch_check": q_pctl_sketch_check,
         # -- new round-2 pipeline operators (never checked before)
         "repetition_stats": q_repetition_stats,
         "boilerplate_ngrams": q_boilerplate_ngrams,

@@ -284,6 +284,46 @@ def test_add_after_delete_never_reuses_ids(spark):
     assert ids == [2, 3, 4, 5, 6] and len(ids) == len(set(ids))
 
 
+def test_update_in_place_keeps_ids(spark):
+    import random
+
+    rng = random.Random(21)
+    mk = lambda: [rng.random() for _ in range(4)]
+    db = VectorDatabase(spark, dim=4)
+    vecs = [mk() for _ in range(4)]
+    db.add(
+        [f"doc word{i}" for i in range(4)], vecs,
+        [{"lang": "en"} for _ in range(4)],
+    )
+    n = db.update([1], docs=["doc replaced"], metas=[{"lang": "de"}])
+    assert n == 1 and len(db) == 4
+    assert db.get_document(1) == "doc replaced"
+    assert db.get_metadata(1) == {"lang": "de"}
+    # untouched fields/rows stay; id set unchanged
+    assert db.query_metadata() == [0, 1, 2, 3]
+    assert db.query_vector(vecs[1], top_k=1) == [1]  # vector kept
+    assert db.query_text("replaced", top_k=1) == [1]  # BM25 state rebuilt
+    # next add still continues after the high-water mark
+    db.add(["doc new"], [mk()])
+    assert db.query_metadata() == [0, 1, 2, 3, 4]
+
+
+def test_update_unknown_or_bad_args(spark):
+    import pytest as _pytest
+    import random
+
+    rng = random.Random(22)
+    mk = lambda: [rng.random() for _ in range(4)]
+    db = VectorDatabase(spark, dim=4)
+    db.add(["doc a", "doc b"], [mk(), mk()])
+    with _pytest.raises(IndexError, match="not found"):
+        db.update([5], docs=["x"])
+    with _pytest.raises(ValueError, match="duplicate"):
+        db.update([0, 0], docs=["x", "y"])
+    with _pytest.raises(ValueError, match="dim"):
+        db.update([0], vectors=[[1.0]])
+
+
 def test_attach_then_add_continues_from_max_id(spark):
     import random
 
