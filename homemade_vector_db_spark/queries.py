@@ -1251,6 +1251,36 @@ def q_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic — the profiling step that decides
+    salting/AQE-skew-join strategy before a big join at 100 TB: per-key
+    event counts bucketed by log2 magnitude, with each bucket's share of
+    total rows. One groupBy(key) + one 20-row rollup; the heavy tail is
+    visible as high-bucket mass (a key in bucket 20 means 2^20 rows
+    landing on one reducer)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    bucketed = per_key.select(
+        F.floor(F.log2("n")).cast("long").alias("log2_bucket"), "n"
+    )
+    total = bucketed.agg(F.sum("n").alias("total"))
+    return (
+        bucketed.groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "log2_bucket",
+            "n_keys",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total"), 6).alias("row_share"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
 def q_pctl_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-sketch accuracy gate: per event_type, the approximate
     median of `value` (Greenwald-Khanna sketch at accuracy=1000, i.e.
@@ -3453,6 +3483,22 @@ _ORACLES["ndv_sketch_check"] = (
 _ORACLES["pctl_sketch_check"] = (
     "SELECT DISTINCT event_type, true AS within_2pct FROM events ORDER BY event_type"
 )
+_ORACLES["key_skew_stats"] = """
+WITH per_key AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+bucketed AS (
+  SELECT CAST(floor(log2(n)) AS BIGINT) AS log2_bucket, n FROM per_key
+),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM bucketed)
+SELECT log2_bucket,
+       count(*) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       round(CAST(sum(n) AS DOUBLE) / total, 6) AS row_share
+FROM bucketed, total
+GROUP BY log2_bucket, total
+ORDER BY log2_bucket
+"""
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3516,6 +3562,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "token_chunks": q_token_chunks,
+        "key_skew_stats": q_key_skew_stats,
         # -- headline re-check (round-2 BLAS rework touched this path)
         "cosine_neardup": q_cosine_neardup,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
