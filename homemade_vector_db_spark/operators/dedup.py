@@ -222,6 +222,29 @@ def _signatures_from_shingled(
     return ex.groupBy("doc_id").agg(*aggs)
 
 
+def band_buckets(
+    sig: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH band buckets from a signature table —
+    the shared candidate-blocking key for batch pair-joins
+    (minhash_lsh_pairs) and streaming near-dup gating
+    (streaming.dedup.IncrementalNearDup)."""
+    rows = num_hashes // bands
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.col(f"m{i * rows + j}") for j in range(rows)]
+                    )
+                )
+                for i in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -242,25 +265,12 @@ def minhash_lsh_pairs(
     what makes this the 100 TB path while ngram_jaccard_pairs is the
     verification baseline.
     """
-    rows = num_hashes // bands
     # Shingle sets feed BOTH signature building and exact verification —
     # tokenization is the dominant scan cost, so materialize it once
     # (same pattern as ngram_jaccard_pairs' persisted hash sets).
     sh = _shingled(df, id_col, text_col, n).persist()
     sig = _signatures_from_shingled(sh, num_hashes, seed)
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", *[F.col(f"m{i * rows + j}") for j in range(rows)]
-                    )
-                )
-                for i in range(bands)
-            ])
-        ).alias("band", "bucket"),
-    )
+    banded = band_buckets(sig, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -1,21 +1,30 @@
 """Streaming deduplication — drop repeated documents as they arrive.
 
-Two tiers, both built on Structured Streaming's managed state:
+Two tiers:
 
-- exact: `dropDuplicatesWithinWatermark` on a content hash. State is one
+- exact (`dedup_exact_stream`): `dropDuplicatesWithinWatermark` on a
+  content hash via Structured Streaming's managed state. State is one
   hash per doc bounded by the watermark horizon — the streaming analogue
   of the batch exact_dedup groupBy, with the same 8-byte-key trick
   (xxhash64 of the dedup key, never the document body, in state).
-- near-dup: hash the MinHash band buckets instead of the exact content —
-  documents sharing a band bucket within the watermark window are treated
-  as duplicates. Cheaper than true streaming-Jaccard (which needs a
-  stateful shingle store) and catches the high-similarity tail; a batch
-  verification pass (operators/dedup.minhash_lsh_pairs) refines offline.
+- near-dup (`IncrementalNearDup`): MinHash band buckets maintained as
+  an append-only parquet state table inside foreachBatch — a document
+  sharing ANY band bucket with a previously-kept document is dropped on
+  arrival (candidate probability 1-(1-j^r)^b, the same banding math as
+  the batch minhash_lsh_pairs; a batch verification pass refines
+  offline). foreachBatch rather than managed state because the keep/drop
+  decision aggregates over a document's b band rows — a chained
+  stateful-op pipeline — while a per-batch anti-join against the bucket
+  table is one shuffle, replay-idempotent, and leaves the state
+  queryable as a plain table. Shuffles carry only (band, bucket, doc_id)
+  longs; state grows O(kept docs × bands).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -38,3 +47,106 @@ def dedup_exact_stream(
         .dropDuplicatesWithinWatermark(["__key_hash"])
         .drop("__key_hash")
     )
+
+
+class IncrementalNearDup:
+    """Streaming near-dup gate: per micro-batch, drop documents whose
+    MinHash band buckets collide with state (or with an earlier doc in
+    the same batch — min doc_id wins, deterministic), keep the rest and
+    append their buckets to state. All writes are per-batch idempotent
+    (batch=<id> subdirs with overwrite, same contract as
+    ingest.IncrementalCorpus)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        text_col: str = "text",
+        n: int = 3,
+        num_hashes: int = 32,
+        bands: int = 8,
+        seed: int = 42,
+    ):
+        self.spark = spark
+        self.root = root
+        self.text_col = text_col
+        self.n, self.num_hashes, self.bands, self.seed = n, num_hashes, bands, seed
+        self.buckets_path = os.path.join(root, "band_buckets")
+        self.kept_path = os.path.join(root, "kept_docs")
+
+    def _state(self, exclude_batch: int) -> DataFrame | None:
+        """Band buckets from every batch EXCEPT `exclude_batch`: a replayed
+        micro-batch must not collide with the buckets its own previous
+        attempt wrote (partition pruning on the batch dir, not a scan)."""
+        try:
+            return (
+                self.spark.read.parquet(self.buckets_path)
+                .where(F.col("batch").cast("string") != str(exclude_batch))
+                .drop("batch")
+            )
+        except Exception:
+            return None  # first batch: no state yet
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        from homemade_vector_db_spark.operators import dedup as bdedup
+
+        if batch_id is None:
+            batch_id = 0
+        batch = batch.select("doc_id", self.text_col).persist()
+        sig = bdedup.minhash_signatures(
+            batch, id_col="doc_id", text_col=self.text_col,
+            n=self.n, num_hashes=self.num_hashes, seed=self.seed,
+        )
+        banded = bdedup.band_buckets(sig, self.num_hashes, self.bands).persist()
+
+        seen = self._state(exclude_batch=batch_id)
+        if seen is not None:
+            prior_hits = (
+                banded.join(seen, ["band", "bucket"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            fresh = banded.join(prior_hits, "doc_id", "left_anti")
+        else:
+            prior_hits = None
+            fresh = banded
+        # within-batch: per colliding bucket the lowest doc_id survives;
+        # a doc loses if ANY of its buckets has a smaller-id holder
+        bucket_min = fresh.groupBy("band", "bucket").agg(
+            F.min("doc_id").alias("keeper")
+        )
+        losers = (
+            fresh.join(bucket_min, ["band", "bucket"])
+            .where(F.col("doc_id") > F.col("keeper"))
+            .select("doc_id")
+            .distinct()
+        )
+        kept_banded = fresh.join(losers, "doc_id", "left_anti")
+
+        # kept = batch − dropped, NOT the band-row survivors: a doc too
+        # short to shingle has no band rows at all and must pass through
+        dropped = losers if prior_hits is None else prior_hits.union(losers)
+        kept_docs = batch.join(dropped, "doc_id", "left_anti")
+        kept_docs.write.mode("overwrite").parquet(
+            os.path.join(self.kept_path, f"batch={batch_id}")
+        )
+        kept_banded.select("band", "bucket").distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.buckets_path, f"batch={batch_id}"))
+        banded.unpersist()
+        batch.unpersist()
+
+    def kept(self) -> DataFrame:
+        return self.spark.read.parquet(self.kept_path).drop("batch")
+
+    def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
+        """stream must have (doc_id, text_col); returns the StreamingQuery."""
+        return (
+            stream.writeStream.foreachBatch(self.ingest_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.root, "_nd_checkpoint"),
+            )
+            .outputMode("append")
+            .start()
+        )

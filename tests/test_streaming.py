@@ -339,6 +339,80 @@ def test_sliding_window_counts_streaming(spark, tmp_path):
     assert got[("2026-01-01 10:30:00", "click")] == (1, 2.0)
 
 
+def test_streaming_neardup_gate(spark, tmp_path):
+    """IncrementalNearDup: near-identical docs arriving later are dropped
+    against band-bucket state; fresh docs and unshingleable (short) docs
+    pass; replays are idempotent."""
+    from homemade_vector_db_spark.streaming.dedup import IncrementalNearDup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different content about spark shuffles and joins " * 5
+    nd = IncrementalNearDup(spark, str(tmp_path / "nd"))
+
+    b1 = spark.createDataFrame(
+        [(0, base), (1, other), (2, "too short")],
+        "doc_id LONG, text STRING",
+    )
+    nd.ingest_batch(b1, 0)
+    assert {r.doc_id for r in nd.kept().collect()} == {0, 1, 2}
+
+    # batch 2: exact repeat of doc 0, near-dup of doc 1 (one word changed),
+    # and a genuinely new doc
+    near = other.replace("shuffles", "exchanges", 1)
+    b2 = spark.createDataFrame(
+        [(10, base), (11, near), (12, "fresh unrelated text about parquet row groups and pruning " * 5)],
+        "doc_id LONG, text STRING",
+    )
+    nd.ingest_batch(b2, 1)
+    kept = {r.doc_id for r in nd.kept().collect()}
+    assert 10 not in kept  # exact repeat dropped
+    assert 11 not in kept  # near-dup dropped (high jaccard, band collision)
+    assert 12 in kept
+
+    # replay of batch 1 (at-least-once): state unchanged
+    before = {(r.doc_id) for r in nd.kept().collect()}
+    nd.ingest_batch(b2, 1)
+    assert {(r.doc_id) for r in nd.kept().collect()} == before
+
+
+def test_streaming_neardup_within_batch_winner(spark, tmp_path):
+    """Within one batch the lowest doc_id among colliding docs survives."""
+    from homemade_vector_db_spark.streaming.dedup import IncrementalNearDup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    nd = IncrementalNearDup(spark, str(tmp_path / "nd2"))
+    b = spark.createDataFrame(
+        [(5, text), (3, text), (9, text)], "doc_id LONG, text STRING"
+    )
+    nd.ingest_batch(b, 0)
+    assert {r.doc_id for r in nd.kept().collect()} == {3}
+
+
+def test_streaming_neardup_on_stream(spark, tmp_path):
+    """End-to-end through a real readStream + foreachBatch."""
+    from homemade_vector_db_spark.streaming.dedup import IncrementalNearDup
+
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    nd = IncrementalNearDup(spark, str(tmp_path / "nd3"))
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(str(src))
+    q = nd.attach_stream(stream, checkpoint=str(tmp_path / "nd_ckpt"))
+    doc = "structured streaming keeps incremental state across batches " * 5
+    try:
+        spark.createDataFrame([(0, doc)], "doc_id LONG, text STRING").write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(1, doc), (2, "novel text with nothing shared at all " * 5)],
+            "doc_id LONG, text STRING",
+        ).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r.doc_id for r in nd.kept().collect()} == {0, 2}
+
+
 def test_streaming_vector_ingest_incremental_ivf(spark, tmp_path):
     from homemade_vector_db_spark.sources.tables import load_embeddings
     from homemade_vector_db_spark.streaming.ingest import IncrementalVectorIndex
