@@ -52,3 +52,44 @@ def compact_parquet(
     out = df.coalesce(n_out) if n_out <= n_in else df.repartition(n_out)
     out.write.mode("overwrite").parquet(dst)
     return n_out
+
+
+def compact_batched_state(
+    spark: SparkSession,
+    root: str,
+    partition_by: str | None = None,
+    target_file_mb: int = 256,
+) -> int:
+    """Fold a `batch=<id>`-keyed incremental-state table (streaming/
+    ingest.py, streaming/dedup.py) into ONE consolidated `batch=compacted`
+    dir.
+
+    Streaming state accrues a small parquet dir per micro-batch — the
+    per-batch keying buys replay idempotency, but once the checkpoint has
+    advanced past those batches their granularity is pure listing
+    overhead (10k micro-batches = 10k dirs the next read must stat). Run
+    this OFFLINE (stream stopped): read-all → write consolidated → swap.
+    The consolidated dir keeps the `batch=` layout so readers and future
+    per-batch writes are unchanged; 'compacted' never collides with the
+    checkpoint's numeric batch ids. Returns the number of data files
+    written. Local-filesystem path handling, same assumption as the
+    ad-hoc batch-id scan in ingest.py.
+    """
+    import shutil
+
+    df: DataFrame = spark.read.parquet(root).drop("batch")
+    tmp = root.rstrip("/") + "_compact_tmp"
+    n_out = max(
+        1, -(-parquet_dir_bytes(root) // (target_file_mb * 1024 * 1024))
+    )
+    out = df.coalesce(n_out) if n_out <= df.rdd.getNumPartitions() else df
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+
+    for entry in os.listdir(root):
+        if entry.startswith("batch="):
+            shutil.rmtree(os.path.join(root, entry))
+    os.rename(tmp, os.path.join(root, "batch=compacted"))
+    return n_out

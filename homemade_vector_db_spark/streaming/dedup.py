@@ -136,6 +136,16 @@ class IncrementalNearDup:
         banded.unpersist()
         batch.unpersist()
 
+    def compact(self, target_file_mb: int = 256) -> None:
+        """Fold per-batch bucket/kept dirs into one consolidated dir each
+        (offline; see sources.maintenance.compact_batched_state)."""
+        from homemade_vector_db_spark.sources.maintenance import (
+            compact_batched_state,
+        )
+
+        for p in (self.buckets_path, self.kept_path):
+            compact_batched_state(self.spark, p, target_file_mb=target_file_mb)
+
     def kept(self) -> DataFrame:
         return self.spark.read.parquet(self.kept_path).drop("batch")
 

@@ -120,6 +120,18 @@ class IncrementalCorpus:
         )
         batch.unpersist()
 
+    def compact(self, target_file_mb: int = 256) -> None:
+        """Fold the per-micro-batch state dirs into one consolidated dir
+        per relation (documents/postings/term-df/corpus scalars). Run
+        offline — see sources.maintenance.compact_batched_state."""
+        from homemade_vector_db_spark.sources.maintenance import (
+            compact_batched_state,
+        )
+
+        for p in (self.docs_path, self.postings_path, self.termdf_path,
+                  self.corpus_path):
+            compact_batched_state(self.spark, p, target_file_mb=target_file_mb)
+
     # -- derived views (query-time, cheap)
     def postings(self) -> DataFrame:
         return self._read(self.postings_path)
@@ -251,6 +263,18 @@ class IncrementalVectorIndex:
         mode = "append" if batch_id is None else "overwrite"
         assigned.write.mode(mode).partitionBy("cluster").parquet(
             os.path.join(self.assign_path, sub)
+        )
+
+    def compact(self, target_file_mb: int = 256) -> None:
+        """Fold per-batch assignment dirs into one, preserving the
+        cluster partitioning (query-time nprobe pruning unchanged)."""
+        from homemade_vector_db_spark.sources.maintenance import (
+            compact_batched_state,
+        )
+
+        compact_batched_state(
+            self.spark, self.assign_path,
+            partition_by="cluster", target_file_mb=target_file_mb,
         )
 
     def index(self):

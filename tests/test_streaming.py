@@ -339,6 +339,62 @@ def test_sliding_window_counts_streaming(spark, tmp_path):
     assert got[("2026-01-01 10:30:00", "click")] == (1, 2.0)
 
 
+def test_compact_batched_state_preserves_stats(spark, tmp_path):
+    """Folding per-batch state dirs into one must not change any derived
+    relation, and ingest must keep working afterwards."""
+    import os
+
+    corpus = IncrementalCorpus(spark, str(tmp_path / "corpus"))
+    corpus.ingest_batch(_df(spark, BATCH1), 0)
+    corpus.ingest_batch(_df(spark, BATCH2), 1)
+    before_ts = sorted((r.term, r.df) for r in corpus.term_stats().collect())
+    before_c = corpus.corpus_stats().first()
+
+    corpus.compact()
+    dirs = [d for d in os.listdir(corpus.postings_path) if d.startswith("batch=")]
+    assert dirs == ["batch=compacted"]
+    assert sorted(
+        (r.term, r.df) for r in corpus.term_stats().collect()
+    ) == before_ts
+    after_c = corpus.corpus_stats().first()
+    assert (after_c.N, after_c.avgdl) == (before_c.N, before_c.avgdl)
+
+    # ingest continues post-compaction, ids/stats still correct
+    corpus.ingest_batch(
+        _df(spark, [(6, "omega alpha")]), 2
+    )
+    ts = {r.term: r.df for r in corpus.term_stats().collect()}
+    assert ts["omega"] == 1 and ts["alpha"] == 3
+    assert corpus.corpus_stats().first().N == len(BATCH1) + len(BATCH2) + 1
+
+
+def test_compact_vector_index_keeps_cluster_pruning(spark, tmp_path):
+    import os
+
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+    from homemade_vector_db_spark.streaming.ingest import IncrementalVectorIndex
+    from tests.conftest import SF_SMOKE
+
+    embs = load_embeddings(spark, SF_SMOKE)
+    ivi = IncrementalVectorIndex.bootstrap(
+        embs.where("vec_id < 100"), str(tmp_path / "vidx"), nlist=8
+    )
+    ivi.ingest_batch(embs.where("vec_id >= 100 AND vec_id < 140"), 0)
+    target = embs.where("vec_id = 120").first()
+    before = [r.vec_id for r in ivi.search(list(target.embedding), k=3, nprobe=8).collect()]
+
+    ivi.compact()
+    root = tmp_path / "vidx" / "assignments"
+    assert [d.name for d in root.iterdir() if d.is_dir()] == ["batch=compacted"]
+    assert any(
+        c.name.startswith("cluster=")
+        for c in (root / "batch=compacted").iterdir()
+        if c.is_dir()
+    )
+    after = [r.vec_id for r in ivi.search(list(target.embedding), k=3, nprobe=8).collect()]
+    assert after == before
+
+
 def test_streaming_neardup_gate(spark, tmp_path):
     """IncrementalNearDup: near-identical docs arriving later are dropped
     against band-bucket state; fresh docs and unshingleable (short) docs
