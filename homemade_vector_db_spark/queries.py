@@ -1292,6 +1292,46 @@ def q_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRUNC_DIM = 16
+RERANK_POOL = 100
+
+
+def q_truncated_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-adaptive retrieval: shortlist by
+    squared-L2 over the FIRST 16 of 64 dims (4× less scan arithmetic —
+    with MRL-trained embeddings the leading dims carry most of the
+    signal), then exact full-dim rerank of the 100-candidate pool only.
+    Unlike the ANN tier this two-stage plan is FULLY deterministic
+    (fixed literal query, unrounded-distance orderings with id
+    tie-breaks), so it has an exact SQL oracle rather than a recall
+    gate. Plan shape: scan → codegen 16-term distance →
+    TakeOrderedAndProject(100) → 64-term kernel over 100 rows → top-10;
+    the full-dim arithmetic never touches the corpus."""
+    q = _qvec_list(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    embs = load_embeddings(spark, sf_dir)
+    from homemade_vector_db_spark.functions.vector import squared_l2_fixed
+
+    shortlist = (
+        embs.select(
+            "vec_id",
+            "embedding",
+            squared_l2_fixed(F.col("embedding"), qlit, TRUNC_DIM).alias("td"),
+        )
+        .orderBy(F.asc("td"), F.asc("vec_id"))
+        .limit(RERANK_POOL)
+    )
+    full_d = squared_l2_fixed(F.col("embedding"), qlit, EMB_DIM)
+    return (
+        shortlist.select(
+            "vec_id",
+            F.round(1.0 / (1.0 + full_d), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostic — the profiling step that decides
     salting/AQE-skew-join strategy before a big join at 100 TB: per-key
@@ -3525,6 +3565,27 @@ _ORACLES["ndv_sketch_check"] = (
 _ORACLES["pctl_sketch_check"] = (
     "SELECT DISTINCT event_type, true AS within_2pct FROM events ORDER BY event_type"
 )
+_SQL_SQL2_TRUNC = (
+    f"list_sum(list_transform(range(1, {TRUNC_DIM + 1}), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))^2))"
+)
+
+_ORACLES["truncated_rerank_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+shortlist AS (
+  SELECT e.vec_id, e.embedding,
+         {_SQL_SQL2_TRUNC.format(a='e.embedding', b='q.qv')} AS td
+  FROM embeddings e, q
+  ORDER BY td ASC, e.vec_id ASC
+  LIMIT {RERANK_POOL}
+)
+SELECT s.vec_id,
+       round(1.0 / (1.0 + {_SQL_SQL2.format(a='s.embedding', b='q.qv')}), 6) AS score
+FROM shortlist s, q
+ORDER BY score DESC, s.vec_id ASC
+LIMIT {TOP_K}
+"""
+
 _ORACLES["key_skew_stats"] = """
 WITH per_key AS (
   SELECT user_id, count(*) AS n FROM events GROUP BY user_id
@@ -3605,6 +3666,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "token_chunks": q_token_chunks,
         "key_skew_stats": q_key_skew_stats,
+        "truncated_rerank_topk": q_truncated_rerank_topk,
         # -- headline re-check (round-2 BLAS rework touched this path)
         "cosine_neardup": q_cosine_neardup,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----

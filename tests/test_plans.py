@@ -248,3 +248,15 @@ def test_simhash_bands_scale_with_radius(spark):
         # the posexplode array literal has radius+1 entries; cheap proxy:
         # shiftright appears once per band in the projection
         assert plan.count("shiftright") >= radius + 1, (radius, plan)
+
+
+def test_truncated_rerank_two_stage_topk(spark):
+    """Both stages plan as TakeOrderedAndProject (no full sorts), and the
+    full-dim kernel runs above the pool limit, not against the scan."""
+    df = Q.q_truncated_rerank_topk(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    # tree section lists each operator once as "TakeOrderedAndProject (n)"
+    import re
+
+    assert len(re.findall(r"TakeOrderedAndProject \(\d+\)", plan)) == 2, plan
+    assert "Sort " not in plan, plan
