@@ -140,6 +140,17 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return _ANN_IDX[key]
 
 
+def _sq_index(spark: SparkSession, sf_dir: str):
+    from homemade_vector_db_spark.operators import sq as sqmod
+
+    key = ("sq8", sf_dir)
+    if key not in _ANN_IDX:
+        _ANN_IDX[key] = sqmod.build_sq(
+            load_embeddings(spark, sf_dir), dim=EMB_DIM
+        )
+    return _ANN_IDX[key]
+
+
 def _ivfpq_cells(spark: SparkSession, sf_dir: str):
     """(probed cells, PQ index over them) for the fixed vec_id=0 query —
     shared by the ivfpq point query and its recall gate."""
@@ -1201,6 +1212,38 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pqmod.pq_rerank_search(idx, cells, q, k=TOP_K).select("vec_id")
     exact = knn.knn_exact(embs, q, k=TOP_K, dim=EMB_DIM).select("vec_id")
     return _recall_gate(approx, exact, TOP_K)
+
+
+def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ADC top-k (rows-only; shortlist gate below).
+    The compression tier the reference's test suite exercises as a FAISS
+    scalar-quantizer foreign index (test_local_db.py:185), first-class
+    here: 4× memory cut at far lower distortion than PQ per byte."""
+    from homemade_vector_db_spark.operators import sq as sqmod
+
+    q = _qvec_list(spark, sf_dir)
+    return sqmod.sq_search(_sq_index(spark, sf_dir), q, k=TOP_K)
+
+
+def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quality gate: exact top-k containment in the ADC shortlist,
+    same contract as pq_recall (8-bit distortion ⇒ measured 1.0 at both
+    fixture scales; gate at the shared 0.5 floor)."""
+    from homemade_vector_db_spark.operators import sq as sqmod
+
+    embs = load_embeddings(spark, sf_dir)
+    q = _qvec_list(spark, sf_dir)
+    shortlist = sqmod.sq_search(
+        _sq_index(spark, sf_dir), q, k=10 * TOP_K
+    ).select("vec_id")
+    exact = knn.knn_exact(embs, q, k=TOP_K, dim=EMB_DIM).select("vec_id")
+    n = shortlist.agg(F.count(F.lit(1)).alias("n"))
+    h = shortlist.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("h"))
+    return n.crossJoin(h).select(
+        F.lit(TOP_K).alias("k"),
+        (F.col("n") == 10 * TOP_K).alias("full_shortlist"),
+        (F.col("h") >= int(TOP_K * ANN_RECALL_MIN)).alias("recall_ok"),
+    )
 
 
 def q_ann_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3549,6 +3592,9 @@ _ORACLES["ann_ivf_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
 _ORACLES["pq_recall"] = (
     "SELECT 10 AS k, true AS full_shortlist, true AS recall_ok"
 )
+_ORACLES["sq_recall"] = (
+    "SELECT 10 AS k, true AS full_shortlist, true AS recall_ok"
+)
 _ORACLES["ivfpq_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
 _ORACLES["ann_batch_recall"] = (
     "SELECT 5 AS n_queries, true AS recall_ok, true AS all_self_hit"
@@ -3655,6 +3701,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "pq_recall": q_pq_recall,
+        "sq_recall": q_sq_recall,
         "ivfpq_recall": q_ivfpq_recall,
         "ann_batch_recall": q_ann_batch_recall,
         "lsh_neardup_check": q_lsh_neardup_check,
@@ -3704,6 +3751,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_stats": q_props_json_stats,
         "distinct_users_per_type": q_distinct_users_per_type,
         "pq_topk": q_pq_topk,
+        "sq_topk": q_sq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "parts_with_lineitems": q_parts_with_lineitems,
         "customers_without_orders": q_customers_without_orders,
