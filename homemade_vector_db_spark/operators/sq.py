@@ -136,3 +136,37 @@ def sq_rerank_search(
         cand, list(query), id_col=index.id_col, vec_col=index.vec_col,
         k=k, dim=index.dim, score_decimals=score_decimals,
     )
+
+
+def save_sq(index: SQIndex, path: str) -> None:
+    """Persist SQ state (same O8 shape as pq.save_pq): codes parquet +
+    tiny range geometry as JSON. The raw vector table is NOT duplicated;
+    rerank joins back to the caller's corpus table by id."""
+    import json
+    import os
+
+    index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "sq.json"), "w") as f:
+        json.dump(
+            {
+                "mins": index.mins,
+                "scales": index.scales,
+                "dim": index.dim,
+                "id_col": index.id_col,
+                "vec_col": index.vec_col,
+            },
+            f,
+        )
+
+
+def load_sq(spark, path: str) -> SQIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "sq.json")) as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return SQIndex(
+        codes, meta["mins"], meta["scales"], meta["dim"],
+        meta["id_col"], meta["vec_col"],
+    )

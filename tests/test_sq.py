@@ -74,3 +74,13 @@ def test_sq_constant_dimension(spark):
     assert idx.scales[1] == 1.0
     got = [r.vec_id for r in sq.sq_search(idx, [2.0, 5.0], k=1).collect()]
     assert got == [1]
+
+
+def test_sq_save_load_roundtrip(spark, embs, qvec, tmp_path):
+    idx = sq.build_sq(embs, dim=64)
+    want = [(r.vec_id, r.score) for r in sq.sq_search(idx, qvec, k=10).collect()]
+    sq.save_sq(idx, str(tmp_path / "sqidx"))
+    idx2 = sq.load_sq(spark, str(tmp_path / "sqidx"))
+    assert idx2.mins == idx.mins and idx2.scales == idx.scales
+    got = [(r.vec_id, r.score) for r in sq.sq_search(idx2, qvec, k=10).collect()]
+    assert got == want
