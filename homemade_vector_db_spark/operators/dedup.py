@@ -94,6 +94,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     max_shingle_freq: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs (a_id < b_id, jaccard ≥ threshold).
 
@@ -103,8 +104,13 @@ def ngram_jaccard_pairs(
     docs — a stop-shingle shared by 1M docs creates a 10^12-row join key;
     capped shingles leave the sets entirely so jaccard stays consistent
     over the pruned universe.
+
+    `shingled` accepts a precomputed (doc_id, shingles) relation —
+    shingle sets are derived index state (built once at ingest in a real
+    pipeline, like BM25 postings), so callers running several dedup
+    operators over one corpus should materialize them once and share.
     """
-    sh = _shingled(df, id_col, text_col, n)
+    sh = _shingled(df, id_col, text_col, n) if shingled is None else shingled
     # Hash shingle strings to int64 ONCE, and persist the per-doc hash
     # arrays: every downstream branch (frequency table, rarity ranking,
     # prefix index, verification) re-reads ~16 bytes/shingle instead of
@@ -254,6 +260,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.6,
     seed: int = 42,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via banded MinHash-LSH + exact verification.
 
@@ -267,8 +274,14 @@ def minhash_lsh_pairs(
     """
     # Shingle sets feed BOTH signature building and exact verification —
     # tokenization is the dominant scan cost, so materialize it once
-    # (same pattern as ngram_jaccard_pairs' persisted hash sets).
-    sh = _shingled(df, id_col, text_col, n).persist()
+    # (same pattern as ngram_jaccard_pairs' persisted hash sets). A
+    # caller-provided `shingled` relation (already cached) skips the
+    # per-call materialization entirely.
+    sh = (
+        _shingled(df, id_col, text_col, n).persist()
+        if shingled is None
+        else shingled
+    )
     sig = _signatures_from_shingled(sh, num_hashes, seed)
     banded = band_buckets(sig, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")

@@ -140,6 +140,19 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return _ANN_IDX[key]
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str):
+    """Session-cached (doc_id, shingles) relation at the Jaccard n-gram
+    width — derived index state like the BM25 postings above: the three
+    Jaccard-family queries (exact pairs, MinHash, components) all consume
+    it, and a real pipeline materializes shingles once at ingest."""
+    key = ("shingles", sf_dir)
+    if key not in _ANN_IDX:
+        _ANN_IDX[key] = dedup._shingled(
+            load_documents(spark, sf_dir), "doc_id", "text", JACCARD_NGRAM
+        ).cache()
+    return _ANN_IDX[key]
+
+
 def _sq_index(spark: SparkSession, sf_dir: str):
     from homemade_vector_db_spark.operators import sq as sqmod
 
@@ -999,6 +1012,7 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_documents(spark, sf_dir),
         n=JACCARD_NGRAM,
         threshold=JACCARD_THRESHOLD,
+        shingled=_shingle_sets(spark, sf_dir),
     )
 
 
@@ -1107,6 +1121,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_documents(spark, sf_dir),
         n=JACCARD_NGRAM,
         threshold=JACCARD_THRESHOLD,
+        shingled=_shingle_sets(spark, sf_dir),
     ).select("a_id", "b_id", "jaccard")
 
 
@@ -1698,6 +1713,7 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_documents(spark, sf_dir),
         n=JACCARD_NGRAM,
         threshold=JACCARD_THRESHOLD,
+        shingled=_shingle_sets(spark, sf_dir),
     ).select("a_id", "b_id")
     return dedup.connected_components(pairs)
 
