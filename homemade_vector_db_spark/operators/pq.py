@@ -264,3 +264,124 @@ def load_pq(spark, path: str) -> PQIndex:
         codes, meta["codebooks"], meta["m"], meta["dim"],
         meta["id_col"], meta["vec_col"],
     )
+
+
+@dataclass
+class IVFPQIndex:
+    """Residual-encoded IVF-PQ — the canonical FAISS IndexIVFPQ layout
+    (/root/reference/local_db.py:49-52 wraps exactly this design): PQ
+    codes the RESIDUAL x − centroid(cell), whose variance is far lower
+    than x's, so the same code budget quantizes much finer than coding
+    raw vectors per cell. Scores stay comparable across cells because
+    ADC with the per-cell query residual q − centroid(cell) approximates
+    the same ||q − x||²."""
+
+    pq: "PQIndex"  # codebooks trained on residuals; codes for ALL rows
+    codes_with_cluster: DataFrame  # (id, codes, cluster)
+    centroids: list[list[float]]
+    id_col: str
+    vec_col: str
+
+
+def build_ivfpq(
+    ivf_index,
+    m: int = 8,
+    codebook_size: int = 64,
+    dim: int | None = None,
+    seed: int = 42,
+    cache: bool = True,
+) -> IVFPQIndex:
+    """Train shared residual codebooks over all cells and encode every row.
+
+    The residual column is a pure codegen projection (centroid table as a
+    constant-folded literal array indexed by the cluster column); training
+    and encoding then reuse build_pq unchanged — one distributed encode
+    pass, sample-bounded driver-side training."""
+    assignments = ivf_index.assignments  # (id, vec, cluster)
+    id_col, vec_col = ivf_index.id_col, ivf_index.vec_col
+    cents_lit = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in c])
+            for c in ivf_index.centroids
+        ]
+    )
+    resid = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(cents_lit, F.col("cluster") + 1),
+        lambda a, b: a - b,
+    )
+    base = assignments.select(
+        F.col(id_col), F.col("cluster"), resid.alias("__resid")
+    )
+    pq = build_pq(
+        base, id_col=id_col, vec_col="__resid", m=m,
+        codebook_size=codebook_size, dim=dim, seed=seed, cache=False,
+    )
+    codes_with_cluster = pq.codes.join(
+        base.select(F.col(id_col), "cluster"), id_col
+    )
+    if cache:
+        codes_with_cluster = codes_with_cluster.cache()
+    return IVFPQIndex(
+        pq, codes_with_cluster, ivf_index.centroids, id_col, vec_col
+    )
+
+
+def ivfpq_search(
+    index: IVFPQIndex,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Probe the nprobe nearest cells; ADC-score each probed cell with its
+    own query residual (per-cell LUT literals); merge and top-k."""
+    import numpy as np
+
+    q = np.asarray(list(query), dtype="float64")
+    cents = np.asarray(index.centroids, dtype="float64")
+    probe = np.argsort(((cents - q) ** 2).sum(axis=1))[: nprobe]
+    parts = []
+    for c in probe:
+        cell_codes = index.codes_with_cluster.where(
+            F.col("cluster") == int(c)
+        ).select(F.col(index.id_col), "codes")
+        sub_idx = PQIndex(
+            cell_codes, index.pq.codebooks, index.pq.m, index.pq.dim,
+            index.id_col, index.vec_col,
+        )
+        parts.append(
+            pq_search(sub_idx, (q - cents[c]).tolist(), k=k, score_decimals=None)
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    score = F.col("score")
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        merged.select(F.col(index.id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(index.id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_rerank_search(
+    index: IVFPQIndex,
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    overfetch: int = 4,
+) -> DataFrame:
+    """Residual-ADC shortlist over the probed cells → exact rerank."""
+    from homemade_vector_db_spark.operators.knn import knn_exact
+
+    shortlist = ivfpq_search(
+        index, query, k=k * overfetch, nprobe=nprobe, score_decimals=None
+    ).select(index.id_col)
+    candidates = df.join(F.broadcast(shortlist), index.id_col)
+    return knn_exact(
+        candidates, list(query), id_col=index.id_col,
+        vec_col=index.vec_col, k=k, dim=index.pq.dim,
+    )

