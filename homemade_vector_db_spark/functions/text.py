@@ -30,3 +30,37 @@ def tokenize_expr(colname: str) -> str:
 def py_tokenize(text: str) -> list[str]:
     """Driver-side twin used for query strings (parity with local_db.py:129)."""
     return text.split()
+
+
+# PII patterns kept to the common subset of Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround, so the same literal string
+# runs on both engines and in the oracle SQL.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\+?\d[\d()\- ]{7,14}\d\b",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern in a string column.
+
+    Pure JVM path: `regexp_extract_all` + `size`, no UDF — at 100 TB this
+    is a scan-side projection inside whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def scrub_pii(col: Column | str, replacement: str = "[PII]") -> Column:
+    """Redact all known PII patterns from a string column.
+
+    Chained `regexp_replace` (one pass per pattern class), the standard
+    pre-training scrub step. The reference has no text-cleaning operators
+    at all (local_db.py stores text verbatim); this is part of the
+    LLM-pipeline surface this engine adds on top.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, replacement)
+    return c

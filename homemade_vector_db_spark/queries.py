@@ -3664,6 +3664,461 @@ ORDER BY log2_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-2b: corpus-statistics / data-selection operators
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary profile (Zipf/heaps diagnostics for corpus
+    curation): token count, vocabulary size, type-token ratio, and the
+    share of the single most frequent term. One explode → (lang, term)
+    partial-agg shuffle, then a tiny per-lang rollup; identical cost
+    class to BM25 stats construction, so it holds at 100 TB (the shuffle
+    key is (lang, term) — high cardinality, no hot key)."""
+    d = load_documents(spark, sf_dir)
+    per_term = (
+        d.select("lang", F.explode(tokenize("text")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("ctf"))
+    )
+    return (
+        per_term.groupBy("lang")
+        .agg(
+            F.sum("ctf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.max("ctf").alias("top_ctf"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "vocab",
+            F.round(F.col("vocab") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(F.col("top_ctf") / F.col("n_tokens"), 6).alias(
+                "top_term_share"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+PPL_DECILES = 10
+
+
+def q_ppl_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-decile profile (the CCNet bucketing step): per-doc
+    unigram NLL (same LM as `unigram_logprob`), split into 10
+    equal-population buckets, reporting each bucket's size and mean
+    NLL/length. Scale-first decile assignment: the 9 boundaries come from
+    ONE `percentile` aggregate (a tree-reduce, rows never leave their
+    partitions) broadcast back as an array literal — not a global-window
+    `ntile`, which would funnel every row through a single partition at
+    100 TB. Bucket = 1 + #boundaries below my nll (duplicate-heavy
+    corpora make boundary values exact, so the comparison is
+    engine-stable)."""
+    stats = _bm25_stats(spark, sf_dir)
+    totals = stats.postings.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    corpus_tokens = totals.agg(F.sum("ctf").alias("T"))
+    lm = totals.crossJoin(F.broadcast(corpus_tokens)).select(
+        "term", (F.col("ctf") / F.col("T")).alias("p")
+    )
+    per_doc = (
+        stats.postings.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(F.col("tf") * F.log("p")) / F.sum("tf"), 6
+            ).alias("nll")
+        )
+    )
+    qs = [i / PPL_DECILES for i in range(1, PPL_DECILES)]
+    bounds = per_doc.agg(
+        F.percentile("nll", F.array(*[F.lit(q) for q in qs])).alias("bs")
+    )
+    docs = load_documents(spark, sf_dir).select("doc_id", "n_chars")
+    return (
+        per_doc.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "nll",
+            (
+                1
+                + F.aggregate(
+                    "bs",
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col("nll") > b, 1).otherwise(0),
+                )
+            ).alias("decile"),
+        )
+        .join(docs, "doc_id")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("decile")
+    )
+
+
+DSIR_TARGET_SOURCE = "src0"
+DSIR_TOP_N = 20
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (data selection for language
+    models, Xie et al. 2023): score every candidate doc by its mean
+    per-token log-likelihood ratio between a TARGET domain LM (docs from
+    `src0`) and the background corpus LM, both add-one smoothed over the
+    corpus vocabulary; keep the top-N non-target docs. Both LMs are
+    aggregates over the SAME postings relation (one shuffle, reused), the
+    ratio join is per-term, and scores are rounded before the top-k so
+    selection order is engine-stable. At 100 TB: postings-shaped work —
+    the same cost class as building BM25 stats, no extra pass over raw
+    text."""
+    stats = _bm25_stats(spark, sf_dir)
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    posts = stats.postings.join(docs, "doc_id")
+    bg = posts.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    tgt = (
+        posts.where(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("ctf_t"))
+    )
+    sizes = bg.agg(
+        F.sum("ctf").alias("T_bg"), F.count(F.lit(1)).alias("V")
+    ).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ctf_t"), F.lit(0)).alias("T_tgt"))
+    )
+    lm = (
+        bg.join(tgt, "term", "left")
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "term",
+            (
+                F.log(
+                    (F.coalesce(F.col("ctf_t"), F.lit(0)) + 1)
+                    / (F.col("T_tgt") + F.col("V"))
+                )
+                - F.log((F.col("ctf") + 1) / (F.col("T_bg") + F.col("V")))
+            ).alias("llr"),
+        )
+    )
+    return (
+        posts.where(F.col("source") != DSIR_TARGET_SOURCE)
+        .join(lm, "term")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.col("llr")) / F.sum("tf"), 6
+            ).alias("weight")
+        )
+        .orderBy(F.desc("weight"), F.asc("doc_id"))
+        .limit(DSIR_TOP_N)
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit over the corpus (pre-training compliance scan): per
+    source, how many docs contain emails / IPv4s / phone-shaped strings
+    and the total match count. `regexp_extract_all` + `size` — scan-side
+    codegen, no UDF, no shuffle beyond the ≤#sources-row rollup. The
+    paired `scrub_pii` redaction transform shares the same pattern table
+    (functions/text.py) and is exercised on planted fixtures in
+    tests/test_pipeline_ops.py (this synthetic corpus is PII-free, which
+    this query verifies — the zeros ARE the expected audit result)."""
+    from homemade_vector_db_spark.functions.text import pii_count
+
+    d = load_documents(spark, sf_dir)
+    return (
+        d.select(
+            "source",
+            pii_count("text", "email").alias("n_email"),
+            pii_count("text", "ipv4").alias("n_ip"),
+            pii_count("text", "phone").alias("n_phone"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_email") > 0).cast("long")).alias(
+                "docs_with_email"
+            ),
+            F.sum(F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias(
+                "total_matches"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+WSAMPLE_N = 50
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis 2006),
+    weight = document length: key_i = ln(u_i)/w_i with u_i a
+    deterministic multiplicative hash of doc_id, keep the N largest keys.
+    The standard one-pass distributed algorithm for 'sample 10k docs
+    biased toward long documents' — a TakeOrderedAndProject (per-partition
+    N-heaps, driver merges p·N), no sort, no shuffle of the corpus.
+    Deterministic u ⇒ reproducible across engines/runs/repartitionings
+    (same property as hash_sample_docs); keys are rounded before
+    selection so the cut is engine-stable."""
+    d = load_documents(spark, sf_dir)
+    u = ((F.col("doc_id") % SAMPLE_MOD) * SAMPLE_MULT % 1_000_003 + 1) / 1_000_003.0
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WSAMPLE_N)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+KMEANS_K = 10
+CLUSTER_SAMPLE_K = 5
+
+
+def _doc_cluster_index(spark: SparkSession, sf_dir: str):
+    """Session-cached k-means clustering of the embeddings table, reusing
+    the IVF machinery (sample-trained deterministic Lloyd + distributed
+    vectorized assignment, operators/ann.py) — clustering for data
+    curation IS the IVF coarse step, so there is one implementation."""
+    key = (sf_dir, "doc_clusters")
+    if key not in _CLUSTER_CACHE:
+        emb = load_embeddings(spark, sf_dir)
+        _CLUSTER_CACHE[key] = ann.build_ivf(
+            emb, nlist=KMEANS_K, seed=7, cache=True
+        )
+    return _CLUSTER_CACHE[key]
+
+
+_CLUSTER_CACHE: dict = {}
+
+
+def q_kmeans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space clustering with an in-plan cross-implementation
+    gate: assignments come from the vectorized numpy argmin
+    (`ivf_assign`, mapInPandas); this query RE-DERIVES every row's
+    nearest centroid through the completely separate Catalyst expression
+    path (posexplode over the centroid literal + codegen squared-L2 +
+    min_by) and counts disagreements — 0 iff the two implementations
+    agree on every vector (ties broken identically: smallest distance,
+    then smallest cluster id, np.argmin's first-minimum rule). Also pins
+    that all K clusters are populated. The oracle checks the contract
+    row; the expensive all-centroids re-check is a test-time gate — at
+    100 TB you run it on a sample, production uses the argmin path
+    only."""
+    idx = _doc_cluster_index(spark, sf_dir)
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in idx.centroids
+        ]
+    )
+    a = idx.assignments.select("vec_id", "cluster", "embedding")
+    ex = a.select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        F.posexplode(cents).alias("cid", "cent"),
+    ).select(
+        "vec_id",
+        "cluster",
+        "cid",
+        squared_l2(F.col("embedding"), F.col("cent")).alias("dist"),
+    )
+    best = ex.groupBy("vec_id", "cluster").agg(
+        F.min_by("cid", F.struct(F.col("dist"), F.col("cid"))).alias("best")
+    )
+    return best.agg(
+        F.lit(KMEANS_K).alias("k"),
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("cluster") != F.col("best")).cast("long")).alias(
+            "n_mismatch"
+        ),
+        (F.countDistinct("cluster") == KMEANS_K).alias("all_populated"),
+    )
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware sampling: exactly k vectors per k-means cluster,
+    chosen by deterministic hash order (the cluster-balanced analogue of
+    `sample_k_per_lang` — the standard cheap proxy for coverage/diversity
+    selection over an embedded corpus). One window exchange on the
+    cluster key. Output is the sampling CONTRACT (cluster count, total
+    drawn, and per-cluster exactness vs min(k, cluster size)) rather than
+    the ids, which depend on the clustering itself; the ids path is
+    exercised in tests."""
+    from pyspark.sql import Window
+
+    idx = _doc_cluster_index(spark, sf_dir)
+    a = idx.assignments.select("vec_id", "cluster")
+    h = (F.col("vec_id") % SAMPLE_MOD) * SAMPLE_MULT % 1_000_000_007
+    w = Window.partitionBy("cluster").orderBy(F.asc(h), F.asc("vec_id"))
+    picked = (
+        a.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= CLUSTER_SAMPLE_K)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_picked"))
+    )
+    sizes = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    per_cluster = sizes.join(picked, "cluster", "left").select(
+        "cluster",
+        "n",
+        F.coalesce("n_picked", F.lit(0)).alias("n_picked"),
+        (
+            F.coalesce("n_picked", F.lit(0))
+            == F.least(F.col("n"), F.lit(CLUSTER_SAMPLE_K))
+        ).alias("exact"),
+    )
+    return per_cluster.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_picked").alias("n_sampled"),
+        F.min(F.col("exact").cast("int")).cast("boolean").alias("per_cluster_ok"),
+    )
+
+
+_ORACLES["vocab_stats"] = """
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS t
+  FROM documents
+),
+per_term AS (
+  SELECT lang, t, count(*) AS ctf FROM toks GROUP BY lang, t
+)
+SELECT lang,
+       CAST(sum(ctf) AS BIGINT) AS n_tokens,
+       count(*) AS vocab,
+       round(count(*) / CAST(sum(ctf) AS DOUBLE), 6) AS type_token_ratio,
+       round(max(ctf) / CAST(sum(ctf) AS DOUBLE), 6) AS top_term_share
+FROM per_term
+GROUP BY lang
+ORDER BY lang
+"""
+
+_ORACLES["ppl_deciles"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+totals AS (SELECT term, sum(tf) AS ctf FROM postings GROUP BY term),
+corpus AS (SELECT sum(ctf) AS T FROM totals),
+lm AS (SELECT term, ctf / T AS p FROM totals, corpus),
+per_doc AS (
+  SELECT p0.doc_id,
+         round(-sum(p0.tf * ln(lm.p)) / sum(p0.tf), 6) AS nll
+  FROM postings p0 JOIN lm ON p0.term = lm.term
+  GROUP BY p0.doc_id
+),
+bounds AS (
+  SELECT quantile_cont(nll, [{", ".join(str(i / PPL_DECILES) for i in range(1, PPL_DECILES))}]) AS bs
+  FROM per_doc
+),
+bucketed AS (
+  SELECT d.doc_id, d.nll,
+         1 + list_sum(list_transform(b.bs,
+             x -> CASE WHEN d.nll > x THEN 1 ELSE 0 END)) AS decile
+  FROM per_doc d, bounds b
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       count(*) AS n_docs,
+       round(avg(nll), 6) AS avg_nll,
+       round(avg(n_chars), 6) AS avg_chars
+FROM bucketed JOIN documents USING (doc_id)
+GROUP BY decile
+ORDER BY decile
+"""
+
+_ORACLES["dsir_weights"] = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, source, term, count(*) AS tf
+  FROM (SELECT doc_id, source, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, source, term
+),
+bg AS (SELECT term, sum(tf) AS ctf FROM postings GROUP BY term),
+tgt AS (
+  SELECT term, sum(tf) AS ctf_t FROM postings
+  WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY term
+),
+sizes AS (
+  SELECT (SELECT sum(ctf) FROM bg) AS T_bg,
+         (SELECT count(*) FROM bg) AS V,
+         (SELECT coalesce(sum(ctf_t), 0) FROM tgt) AS T_tgt
+),
+lm AS (
+  SELECT bg.term,
+         ln((coalesce(tgt.ctf_t, 0) + 1) / (s.T_tgt + s.V))
+           - ln((bg.ctf + 1) / (s.T_bg + s.V)) AS llr
+  FROM bg LEFT JOIN tgt ON bg.term = tgt.term, sizes s
+)
+SELECT p.doc_id, any_value(p.source) AS source,
+       round(sum(p.tf * lm.llr) / sum(p.tf), 6) AS weight
+FROM postings p JOIN lm ON p.term = lm.term
+WHERE p.source <> '{DSIR_TARGET_SOURCE}'
+GROUP BY p.doc_id
+ORDER BY weight DESC, p.doc_id ASC
+LIMIT {DSIR_TOP_N}
+"""
+
+_ORACLES["pii_scan"] = """
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text,
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ip,
+         len(regexp_extract_all(text,
+             '\\b\\+?\\d[\\d()\\- ]{7,14}\\d\\b')) AS n_phone
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_email,
+       CAST(sum(n_email + n_ip + n_phone) AS BIGINT) AS total_matches
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+_ORACLES["weighted_sample"] = f"""
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         round(ln(((doc_id % {SAMPLE_MOD}) * {SAMPLE_MULT} % 1000003 + 1)
+                  / 1000003.0) / n_chars, 9) AS es_key
+  FROM documents
+)
+ORDER BY es_key DESC, doc_id ASC
+LIMIT {WSAMPLE_N}
+"""
+
+_ORACLES["kmeans_check"] = (
+    f"SELECT {KMEANS_K} AS k, (SELECT count(*) FROM embeddings) AS n_vectors, "
+    "0 AS n_mismatch, true AS all_populated"
+)
+
+_ORACLES["cluster_balanced_sample"] = (
+    f"SELECT {KMEANS_K} AS n_clusters, "
+    f"{KMEANS_K * CLUSTER_SAMPLE_K} AS n_sampled, true AS per_cluster_ok"
+)
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet:
@@ -3730,6 +4185,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncated_rerank_topk": q_truncated_rerank_topk,
         # -- headline re-check (round-2 BLAS rework touched this path)
         "cosine_neardup": q_cosine_neardup,
+        # -- round-2b corpus-statistics / data-selection operators
+        "vocab_stats": q_vocab_stats,
+        "ppl_deciles": q_ppl_deciles,
+        "dsir_weights": q_dsir_weights,
+        "pii_scan": q_pii_scan,
+        "weighted_sample": q_weighted_sample,
+        "kmeans_check": q_kmeans_check,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

