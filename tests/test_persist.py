@@ -96,3 +96,64 @@ def test_write_partitioned_sorted_rowgroups(spark, tmp_path):
     # round-trip content unchanged
     back = spark.read.parquet(out)
     assert back.count() == docs.count()
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from homemade_vector_db_spark.sources.persist import write_zordered
+    from homemade_vector_db_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value")
+    n_files = 8
+    zpath = str(tmp_path / "events_z")
+    write_zordered(ev, zpath, ["user_id", "value"], num_files=n_files)
+
+    # linear baseline: sorted by user_id only — value is unclustered
+    lpath = str(tmp_path / "events_linear")
+    (
+        ev.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def mean_span(path: str, col: str) -> float:
+        spans, total = [], None
+        files = glob.glob(path + "/*.parquet")
+        assert len(files) >= n_files // 2
+        for f in files:
+            vals = pq.read_table(f, columns=[col])[col].to_pylist()
+            if vals:
+                spans.append(max(vals) - min(vals))
+        glo = ev.agg(
+            (F.max(col) - F.min(col)).alias("s")
+        ).first()["s"]
+        del total
+        return sum(spans) / len(spans) / float(glo)
+
+    # z-order: BOTH dimensions cluster (each file covers a fraction of
+    # each axis); linear: the secondary column spans ~the full range in
+    # every file, so min/max pruning on it is useless
+    z_user, z_val = mean_span(zpath, "user_id"), mean_span(zpath, "value")
+    l_val = mean_span(lpath, "value")
+    assert z_user < 0.8
+    assert z_val < 0.8
+    assert z_val < l_val * 0.85
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+
+
+def test_zorder_key_validations(spark):
+    from homemade_vector_db_spark.sources.persist import zorder_key
+    from homemade_vector_db_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    with pytest.raises(ValueError):
+        zorder_key(ev, ["value"])
+    with pytest.raises(ValueError):
+        zorder_key(ev, ["user_id", "value"], bits=32)
