@@ -3878,6 +3878,182 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_7"
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by supplier-nation × customer-nation × ship-year. Exercises
+    the planner on a 6-table join with a DISJUNCTIVE cross-table
+    predicate — the nation pair filter can't be pushed below the join of
+    the two nation legs, but each leg's IN(['A','B']) half CAN, so both
+    25-row nation dims broadcast pre-filtered to 2 rows and the big
+    fact-side joins shuffle only on their keys. One agg over ≤ 2×2×years
+    groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = [Q7_NATION_A, Q7_NATION_B]
+    n1 = nation.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.where(
+            F.col("l_shipdate").between("1996-01-01", "1998-12-31")
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == Q7_NATION_A)
+                & (F.col("cust_nation") == Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q7_NATION_B)
+                & (F.col("cust_nation") == Q7_NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q9_PART_PATTERN = "%widget%"
+
+
+def q_part_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): revenue from parts whose
+    name matches a pattern, rolled up by supplier nation × order year
+    (this schema has no partsupp/supplycost, so profit = discounted
+    revenue — the join/agg shape is what's exercised). The LIKE filter
+    prunes `part` BEFORE the fact join (semi-join sized broadcast), and
+    the nation dim broadcasts; only the lineitem↔orders join shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like(Q9_PART_PATTERN))
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q18_MIN_QTY = 250
+Q18_TOP_N = 20
+
+
+def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds a threshold, with customer attribution, top-N by
+    order value. The HAVING pre-aggregation reduces lineitem to
+    qualifying orderkeys BEFORE joining orders/customer (semi-join-sized
+    build side), then a TakeOrderedAndProject caps the result — at scale
+    the only wide ops are the lineitem groupBy and the orders join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+        .where(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(Q18_TOP_N)
+    )
+
+
+_ORACLES["nation_trade_volume"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1998-12-31'
+  AND ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+    OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_ORACLES["part_profit_by_nation"] = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '{Q9_PART_PATTERN}'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+_ORACLES["large_quantity_orders"] = f"""
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 6) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 6) > {Q18_MIN_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       round(o_totalprice, 6) AS o_totalprice, total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT {Q18_TOP_N}
+"""
+
+
 KMEANS_K = 10
 CLUSTER_SAMPLE_K = 5
 
@@ -4193,6 +4369,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "kmeans_check": q_kmeans_check,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "nation_trade_volume": q_nation_trade_volume,
+        "part_profit_by_nation": q_part_profit_by_nation,
+        "large_quantity_orders": q_large_quantity_orders,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

@@ -260,3 +260,24 @@ def test_truncated_rerank_two_stage_topk(spark):
 
     assert len(re.findall(r"TakeOrderedAndProject \(\d+\)", plan)) == 2, plan
     assert "Sort " not in plan, plan
+
+
+def test_q7_trade_nation_dims_broadcast_prefiltered(spark):
+    # both nation legs broadcast, and the IN-pair filter reaches each
+    # nation scan (the disjunctive cross-leg predicate itself can't push)
+    df = Q.q_nation_trade_volume(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert has_pushed_filter(df, "n_name"), plan
+
+
+def test_q18_preaggregates_before_join(spark):
+    # the lineitem HAVING-aggregation must sit BELOW the orders join
+    # (aggregate first, then join the small survivor set), and the top-N
+    # is a TakeOrderedAndProject, not a global Sort
+    df = Q.q_large_quantity_orders(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
