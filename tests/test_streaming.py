@@ -509,3 +509,41 @@ def test_streaming_vector_ingest_incremental_ivf(spark, tmp_path):
     target = late.orderBy("vec_id").first()
     hits = ivi.search(list(target.embedding), k=1, nprobe=8).collect()
     assert hits and hits[0].vec_id == target.vec_id
+
+
+def test_streaming_clean_filter_scrubs_and_drops(spark, tmp_path):
+    from homemade_vector_db_spark.streaming.filters import (
+        attach_clean_stream,
+        clean_docs,
+    )
+
+    rows = [
+        (0, "write to admin@corp.example or ping 10.1.2.3 for access"),
+        (1, "spam spam spam spam spam spam spam spam spam one"),  # degenerate
+        (2, "ok"),  # too short
+        (3, "a perfectly ordinary sentence about spark joins"),
+    ]
+    src = tmp_path / "clean_src"
+    src.mkdir()
+    out = str(tmp_path / "clean_out")
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(str(src))
+    q = attach_clean_stream(stream, out, str(tmp_path / "clean_ckpt"))
+    try:
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 3}  # degenerate + too-short dropped
+    assert "admin@corp.example" not in got[0].text
+    assert "10.1.2.3" not in got[0].text
+    assert got[0].text.count("[PII]") == 2
+    assert got[3].text == rows[3][1]
+    # streaming result == batch result of the same transform
+    batch = clean_docs(spark.createDataFrame(rows, ["doc_id", "text"]))
+    assert {r.doc_id: r.text for r in batch.collect()} == {
+        k: v.text for k, v in got.items()
+    }
