@@ -4295,6 +4295,370 @@ _ORACLES["cluster_balanced_sample"] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Round 2c: remaining TPC-H planner shapes (Q2/Q6/Q8/Q10/Q12/Q13/Q15 forms).
+# The fixture schema has no partsupp/shipmode/comment columns, so Q2/Q12/Q13
+# are reshaped onto the columns that exist — the PLAN shape (correlated min,
+# conditional aggregation over a join, left-outer count distribution, view
+# + scalar-subquery max) is what each one exercises.
+# ---------------------------------------------------------------------------
+
+Q6_SHIP_LO, Q6_SHIP_HI = "1996-01-01", "1997-01-01"
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): single-table filter +
+    global agg. The whole WHERE clause is scan-side: date range, discount
+    band and quantity cap all push to the parquet reader (PushedFilters
+    asserted in test_plans), so the job reads row groups whose min/max
+    stats overlap the predicate and aggregates map-side — no shuffle at
+    any scale beyond the 1-row final merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= Q6_SHIP_LO)
+            & (F.col("l_shipdate") < Q6_SHIP_HI)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6
+            ).alias("revenue")
+        )
+    )
+
+
+_ORACLES["forecast_revenue"] = f"""
+SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '{Q6_SHIP_LO}' AND l_shipdate < '{Q6_SHIP_HI}'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+Q10_DATE_LO, Q10_DATE_HI = "1996-01-01", "1996-04-01"
+Q10_TOP_N = 20
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    per customer over a quarter, top 20. The returnflag filter pushes to
+    the lineitem scan and the quarter filter to the orders scan BEFORE
+    their join; nation broadcasts. The groupBy shuffles only the
+    surviving (custkey, name, nation, revenue-term) rows, and the top-20
+    is a TakeOrderedAndProject — no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= Q10_DATE_LO)
+                & (F.col("o_orderdate") < Q10_DATE_HI)
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(Q10_TOP_N)
+    )
+
+
+_ORACLES["returned_item_revenue"] = f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '{Q10_DATE_LO}' AND o_orderdate < '{Q10_DATE_HI}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q10_TOP_N}
+"""
+
+Q12_LATE_DAYS = 90
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode/priority): conditional aggregation
+    over the orders↔lineitem join, counting high- vs low-priority lines
+    among late shipments (> 90 days after the order date; the fixture has
+    no commit/receipt dates or ship modes, so lateness is ship−order and
+    the group key is ship year). The lateness predicate is evaluated
+    join-side (it references both tables) but both scans still prune
+    columns to the 3 needed; the CASE counters partial-aggregate map-side
+    into ≤ #years groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+_ORACLES["late_shipment_priority"] = f"""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY year(l_shipdate)
+ORDER BY ship_year
+"""
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): two-level aggregation
+    with a LEFT OUTER join whose ON clause carries an extra non-key
+    predicate (priority != 5-LOW — the fixture has no o_comment), so
+    zero-order customers survive with count 0. First agg shuffles on
+    c_custkey; the second agg's input is one row per customer and groups
+    into ≤ max(order-count) cells. count(o_orderkey) counts non-null
+    matches only — the Q13 trap of count(*) counting the null row."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "5-LOW"),
+        "left_outer",
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_ORACLES["customer_order_counts"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+Q15_DATE_LO, Q15_DATE_HI = "1996-01-01", "1996-04-01"
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a revenue "view" (per-supplier agg
+    over a quarter) consumed twice — once for the max (1-row scalar
+    aggregate, broadcast back into the filter) and once for the rows
+    equal to it. The view is computed once per consumer from the same
+    pruned scan; revenue is rounded BEFORE the max comparison on both
+    engines so float equality is well-defined. Supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= Q15_DATE_LO)
+            & (F.col("l_shipdate") < Q15_DATE_HI)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLES["top_supplier"] = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '{Q15_DATE_LO}' AND l_shipdate < '{Q15_DATE_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+Q8_REGION = "ASIA"
+Q8_TARGET_NATION = "NATION_3"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the target supplier
+    nation's share of revenue among customers in one region, per order
+    year. Two independent nation legs: the customer leg is pre-filtered
+    to the region (nation⋈region broadcast, then broadcast into the
+    fact chain); the supplier leg only tags rows with their nation for
+    the CASE numerator. share = conditional-sum / sum computed in one
+    aggregation pass over ≤ #years groups — the corpus is scanned and
+    shuffled once, never twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    region_nations = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == Q8_REGION)),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(region_nations), cust.c_nationkey == F.col("c_nk"), "left_semi")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), supp.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == Q8_TARGET_NATION, vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_ORACLES["market_share"] = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN sn.n_name = '{Q8_TARGET_NATION}'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q8_REGION}'
+)
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+Q2_PART_TYPE = "ECONOMY"
+Q2_PART_SIZE = 5
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the supplier(s) offering the lowest observed unit price. The fixture
+    has no partsupp, so unit cost = avg(l_extendedprice/l_quantity) per
+    (part, supplier) from lineitem. The correlated `cost = (SELECT min
+    ...)` is decorrelated the Q17 way: per-part min as a partial agg that
+    REUSES the (l_partkey, l_suppkey) grouping's shuffle partitioning
+    (no second exchange), then an equi-join on (partkey, rounded cost).
+    The part filter broadcasts; ties (several suppliers at the min) are
+    all returned, pinned by (p_partkey, s_suppkey) order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_type") == Q2_PART_TYPE) & (F.col("p_size") == Q2_PART_SIZE)
+        )
+        .select("p_partkey")
+    )
+    cost = (
+        li.join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_cost")
+        )
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mc_pk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost.l_partkey == F.col("mc_pk"))
+            & (cost.unit_cost == F.col("min_cost")),
+        )
+        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "unit_cost",
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+_ORACLES["min_cost_supplier"] = f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 6) AS unit_cost
+  FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part
+    WHERE p_type = '{Q2_PART_TYPE}' AND p_size = {Q2_PART_SIZE}
+  )
+  GROUP BY l_partkey, l_suppkey
+),
+min_cost AS (
+  SELECT l_partkey AS mc_pk, min(unit_cost) AS mc FROM cost GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, s_suppkey, s_name, unit_cost
+FROM cost
+JOIN min_cost ON l_partkey = mc_pk AND unit_cost = mc
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY p_partkey, s_suppkey
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet:
@@ -4372,6 +4736,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_volume": q_nation_trade_volume,
         "part_profit_by_nation": q_part_profit_by_nation,
         "large_quantity_orders": q_large_quantity_orders,
+        # -- round-2c TPC-H planner-shape completion (Q2/Q6/Q8/Q10/Q12/Q13/Q15)
+        "forecast_revenue": q_forecast_revenue,
+        "returned_item_revenue": q_returned_item_revenue,
+        "late_shipment_priority": q_late_shipment_priority,
+        "customer_order_counts": q_customer_order_counts,
+        "top_supplier": q_top_supplier,
+        "market_share": q_market_share,
+        "min_cost_supplier": q_min_cost_supplier,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

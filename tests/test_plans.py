@@ -281,3 +281,63 @@ def test_q18_preaggregates_before_join(spark):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_q6_whole_where_clause_pushes_to_scan(spark):
+    # every Q6 predicate is a plain column comparison: all three must
+    # reach the parquet reader so row-group stats prune at 100 TB
+    df = Q.q_forecast_revenue(spark, SF_SMOKE)
+    assert has_pushed_filter(df, "l_shipdate"), physical_plan(df)
+    assert has_pushed_filter(df, "LessThan(l_quantity,24.0)"), physical_plan(df)
+    assert has_pushed_filter(df, "l_discount"), physical_plan(df)
+
+
+def test_q10_filters_below_join_topk_no_sort(spark):
+    # returnflag prunes lineitem and the quarter prunes orders BEFORE the
+    # join; the top-20 is partition-local heaps, never a global Sort
+    df = Q.q_returned_item_revenue(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert has_pushed_filter(df, "EqualTo(l_returnflag,R)"), plan
+    assert has_pushed_filter(df, "o_orderdate"), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q15_scalar_max_broadcast_not_second_shuffle(spark):
+    # the max(total_revenue) comparison must arrive as a broadcast join
+    # (1-row relation), not re-shuffle the revenue view
+    df = Q.q_top_supplier(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q13_left_outer_keeps_zero_order_customers(spark):
+    # the ON-clause extra predicate must NOT degrade the left outer join
+    # into an inner join: every customer contributes exactly one row to
+    # the distribution (zero-order customers land in the c_count=0 cell
+    # when present; at smoke scale every customer has orders, so the
+    # invariant checked is count preservation + join type)
+    from homemade_vector_db_spark.sources.tables import load_table
+
+    df = Q.q_customer_order_counts(spark, SF_SMOKE)
+    assert "LeftOuter" in physical_plan(df)
+    total = sum(r["custdist"] for r in df.collect())
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    assert total == n_cust
+
+
+def test_q2_min_cost_no_second_fact_shuffle(spark):
+    # the per-part min must not re-shuffle the cost relation: either the
+    # cost exchange is reused for the min aggregate (ReusedExchange) or
+    # the 1-row-per-part min side arrives as a broadcast; and at most the
+    # cost groupBy + min rejoin hashpartitioning exchanges exist
+    df = Q.q_min_cost_supplier(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "ReusedExchange" in plan or "BroadcastHashJoin" in plan, plan
+    tree_hash_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith(("+-", ":-", "Exchange"))
+        and "Exchange hashpartitioning" in line
+        and "Reused" not in line
+    )
+    assert tree_hash_exchanges <= 2, plan
