@@ -225,3 +225,73 @@ def knn_batch(
         .where(F.col("rn") <= k)
         .orderBy(query_id_col, "rn")
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    candidates: int = 20,
+    lam: float = 0.5,
+    score_decimals: int = 6,
+) -> "list[tuple[int, float]]":
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick argmax over remaining candidates of
+        lam * sim(q, d)  -  (1 - lam) * max_{s in selected} sim(d, s)
+    using cosine similarity, seeded with the most query-similar candidate.
+
+    Scale shape: the DISTRIBUTED part is candidate generation — exact
+    cosine top-`candidates` via knn_exact (one scan, TakeOrderedAndProject,
+    no shuffle). The greedy loop is inherently sequential in k and runs on
+    the driver over the tiny candidate block (candidates × dim floats) —
+    the same bounded-collect strategy as knn_batch's query block and the
+    PQ training sample. Never call it with `candidates` at corpus scale.
+
+    Determinism: similarities are rounded to `score_decimals` before any
+    comparison; argmax ties break on lowest candidate id (np.argmax
+    first-maximum on an id-ascending array). Returns [(id, mmr_score)]
+    in selection order.
+
+    (reference has no reranker; this extends its retrieval surface the
+    way hybrid_search extends BM25 — a fusion step over scored results,
+    local_db.py:323-401.)
+    """
+    import numpy as np
+
+    topc = knn_exact(
+        df, query, id_col=id_col, vec_col=vec_col, k=candidates,
+        metric="cosine", score_decimals=score_decimals,
+    )
+    # candidate block: ≤ `candidates` rows by construction
+    rows = (
+        df.join(topc.select(id_col), id_col, "left_semi")
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    q = np.asarray(list(query), dtype=np.float64)
+    nX = np.linalg.norm(X, axis=1)
+    nq = np.linalg.norm(q)
+    qsim = np.round(np.where((nX > 0) & (nq > 0), X @ q / (nX * nq), 0.0),
+                    score_decimals)
+    S = X @ X.T / np.outer(nX, nX)
+    S = np.round(np.where(np.outer(nX > 0, nX > 0), S, 0.0), score_decimals)
+    selected: list[int] = []
+    out: list[tuple[int, float]] = []
+    remaining = np.ones(len(ids), dtype=bool)
+    for _ in range(min(k, len(ids))):
+        if selected:
+            redundancy = S[:, selected].max(axis=1)
+        else:
+            redundancy = np.zeros(len(ids))
+        mmr = np.round(lam * qsim - (1.0 - lam) * redundancy, score_decimals)
+        mmr_masked = np.where(remaining, mmr, -np.inf)
+        pick = int(np.argmax(mmr_masked))
+        selected.append(pick)
+        remaining[pick] = False
+        out.append((int(ids[pick]), float(mmr_masked[pick])))
+    return out

@@ -4296,6 +4296,496 @@ _ORACLES["cluster_balanced_sample"] = (
 
 
 # ---------------------------------------------------------------------------
+# Round 2c: retrieval-fusion + curation operators (RRF, benchmark
+# decontamination, bigram-LM scoring, MMR diversity rerank, SemDeDup gate,
+# canonical-representative selection).
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # the standard RRF damping constant (Cormack et al. 2009)
+RRF_CANDIDATES = 50
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 and vector rankings — the
+    rank-based alternative to O6's score fusion (hybrid_search,
+    local_db.py:323-401): score = Σ 1/(60 + rank), immune to the two
+    engines' incomparable score scales. Scale shape: each leg is already
+    a top-`RRF_CANDIDATES` TakeOrderedAndProject (partition-local heaps),
+    so the rank windows run over ≤50-row relations — never a global
+    window over the corpus — and the fusion join is trivially small.
+    Deterministic: leg ranks inherit each leg's pinned tie order (text:
+    score DESC, doc_id DESC — vector: score DESC, id ASC), fused ties
+    break on doc_id ASC."""
+    from pyspark.sql.window import Window
+
+    text_leg = bm25.query_text(
+        spark,
+        load_documents(spark, sf_dir),
+        TEXT_QUERY,
+        top_k=RRF_CANDIDATES,
+        stats=_bm25_stats(spark, sf_dir),
+    ).withColumn(
+        "r_text",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.desc("doc_id"))
+        ),
+    ).select("doc_id", "r_text")
+    vec_leg = knn.knn_exact(
+        _emb_with_norm(spark, sf_dir),
+        _qvec_list(spark, sf_dir),
+        k=RRF_CANDIDATES,
+        metric="cosine",
+        dim=EMB_DIM,
+        norm_col="__nrm",
+    ).withColumn(
+        "r_vec",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("vec_id"))
+        ),
+    ).select(F.col("vec_id").alias("doc_id"), "r_vec")
+    fused = text_leg.join(vec_leg, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_text")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(TOP_K)
+
+
+_ORACLES["rrf_fusion"] = f"""
+WITH {_bm25_cte('documents', TEXT_QUERY)},
+text_top AS (
+  SELECT d.doc_id, round(coalesce(s.s, 0.0), 6) AS score
+  FROM documents d LEFT JOIN scores s USING (doc_id)
+  ORDER BY score DESC, d.doc_id DESC
+  LIMIT {RRF_CANDIDATES}
+),
+text_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id DESC) AS r_text
+  FROM text_top
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(CASE WHEN nq > 0 AND na > 0 THEN d / (na * nq) ELSE 0.0 END, 6)
+           AS score
+  FROM (
+    SELECT e.vec_id,
+           {_SQL_DOT.format(a='e.embedding', b='q.qv')} AS d,
+           sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')}) AS na,
+           sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')}) AS nq
+    FROM embeddings e, q
+  ) e
+),
+vec_top AS (
+  SELECT doc_id, score FROM vec_scored
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {RRF_CANDIDATES}
+),
+vec_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_vec
+  FROM vec_top
+)
+SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+       round(coalesce(1.0 / ({RRF_K} + t.r_text), 0.0)
+             + coalesce(1.0 / ({RRF_K} + v.r_vec), 0.0), 6) AS rrf_score
+FROM text_rank t FULL OUTER JOIN vec_rank v ON t.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+DECONTAM_BENCH_SOURCE = "src0"
+DECONTAM_NGRAM = 5
+
+
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED benchmark decontamination (the training-data hygiene
+    step): for every non-benchmark source, how many documents share at
+    least one word 5-gram with the held-out benchmark source, and the
+    mean per-doc overlap fraction. Unlike `cross_source_contamination`
+    (any-pair leakage), this is the one-vs-rest form actually run before
+    training. No shingle self-join: the benchmark side collapses to its
+    DISTINCT shingle hashes first, so the flagging join emits at most one
+    row per (doc, shingle) — linear in postings even when a stop shingle
+    is corpus-wide."""
+    d = load_documents(spark, sf_dir).select(
+        "doc_id", "source", dedup.shingles("text", DECONTAM_NGRAM).alias("sh")
+    )
+    e = (
+        d.where(F.size("sh") > 0)
+        .select("doc_id", "source", F.explode("sh").alias("s"))
+        .select("doc_id", "source", F.xxhash64("s").alias("shingle"))
+        .distinct()
+    ).persist()
+    bench = (
+        e.where(F.col("source") == DECONTAM_BENCH_SOURCE)
+        .select("shingle")
+        .distinct()
+    )
+    train = e.where(F.col("source") != DECONTAM_BENCH_SOURCE)
+    per_doc = train.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    overlaps = (
+        train.join(bench, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        per_doc.join(overlaps, "doc_id", "left")
+        .select(
+            "source",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_overlap") > 0).cast("long")).alias("n_flagged"),
+            F.round(
+                F.avg(F.col("n_overlap") / F.col("n_shingles")), 6
+            ).alias("avg_overlap_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLES["benchmark_decontam"] = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(tokens) - {DECONTAM_NGRAM - 2}),
+           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]
+                || ' ' || tokens[i + 3] || ' ' || tokens[i + 4])) AS shingles
+  FROM toks
+  WHERE len(tokens) >= {DECONTAM_NGRAM}
+),
+e AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+bench AS (
+  SELECT DISTINCT shingle FROM e WHERE source = '{DECONTAM_BENCH_SOURCE}'
+),
+train AS (SELECT * FROM e WHERE source <> '{DECONTAM_BENCH_SOURCE}'),
+per_doc AS (
+  SELECT t.doc_id, any_value(t.source) AS source,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap
+  FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+  GROUP BY t.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_overlap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       round(avg(n_overlap / CAST(n_shingles AS DOUBLE)), 6)
+         AS avg_overlap_frac
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+BIGRAM_TOP_N = 20
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal scoring (the step up from `unigram_logprob`):
+    add-one-smoothed corpus bigram model, per-doc mean negative log
+    P(w2|w1) with c(w1) = the history's bigram count and V = corpus
+    unigram vocabulary; the `BIGRAM_TOP_N` most surprising docs. All
+    counts are postings-shaped partial aggs on (w1, w2) / (w1,) keys —
+    the same shuffle class as the BM25 index build — and the per-doc
+    score reuses the (doc, bigram) grouping. No UDFs: bigram extraction
+    is a codegen'd transform over the token array."""
+    toks = load_documents(spark, sf_dir).select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    bi = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.expr(
+            "transform(slice(toks, 1, size(toks) - 1), "
+            "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))"
+        ).alias("bis"),
+    ).select("doc_id", F.explode("bis").alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
+    c12 = doc_bi.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        load_documents(spark, sf_dir)
+        .select(F.explode(tokenize("text")).alias("t"))
+        .agg(F.countDistinct("t").alias("V"))
+    )
+    lm = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.log((F.col("c12") + 1) / (F.col("c1") + F.col("V"))).alias("lp"),
+        )
+    )
+    return (
+        doc_bi.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(-F.sum(F.col("tf") * F.col("lp")) / F.sum("tf"), 6).alias(
+                "bigram_nll"
+            ),
+        )
+        .orderBy(F.desc("bigram_nll"), F.asc("doc_id"))
+        .limit(BIGRAM_TOP_N)
+    )
+
+
+_ORACLES["bigram_logprob"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, tokens[i] AS w1, tokens[i + 1] AS w2
+  FROM toks, unnest(range(1, len(tokens))) AS u(i)
+  WHERE len(tokens) >= 2
+),
+doc_bi AS (
+  SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY 1, 2, 3
+),
+c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM doc_bi GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT t) AS V
+  FROM (SELECT unnest(tokens) AS t FROM toks)
+),
+lm AS (
+  SELECT c12.w1, c12.w2, ln((c12 + 1) / (c1 + V)) AS lp
+  FROM c12 JOIN c1 USING (w1), vocab
+)
+SELECT d.doc_id,
+       CAST(sum(d.tf) AS BIGINT) AS n_bigrams,
+       round(-sum(d.tf * lm.lp) / sum(d.tf), 6) AS bigram_nll
+FROM doc_bi d JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2
+GROUP BY d.doc_id
+ORDER BY bigram_nll DESC, d.doc_id ASC
+LIMIT {BIGRAM_TOP_N}
+"""
+
+MMR_LAMBDA = 0.5
+MMR_CANDIDATES = 20
+
+
+def q_mmr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity-rerank gate (operators/knn.mmr_rerank): runs the
+    greedy selection over the exact top-20 cosine candidates and checks
+    its CONTRACT in-plan — k picked, every pick from the candidate set,
+    the seed pick is the cosine top-1, and the selection is
+    duplicate-free. The greedy argmax itself is driver-side over the
+    bounded candidate block (see the operator docstring), so like the
+    other gates this pins behavior rather than hashes: the selected ids
+    are deterministic but not SQL-expressible (the greedy recurrence is
+    not relational)."""
+    picked = knn.mmr_rerank(
+        load_embeddings(spark, sf_dir),
+        _qvec_list(spark, sf_dir),
+        k=TOP_K,
+        candidates=MMR_CANDIDATES,
+        lam=MMR_LAMBDA,
+    )
+    ids = [p[0] for p in picked]
+    cand = knn.knn_exact(
+        _emb_with_norm(spark, sf_dir),
+        _qvec_list(spark, sf_dir),
+        k=MMR_CANDIDATES,
+        metric="cosine",
+        dim=EMB_DIM,
+        norm_col="__nrm",
+    )
+    # top-1 id: 1-row bounded collect off the already-computed candidate
+    # relation (same driver-side budget as the greedy loop itself)
+    top1_id = cand.orderBy(F.desc("score"), F.asc("vec_id")).limit(1).collect()[
+        0
+    ]["vec_id"]
+    sel = F.array(*[F.lit(int(i)) for i in ids])
+    return cand.agg(
+        F.lit(len(ids)).alias("k_selected"),
+        F.lit(len(set(ids))).alias("n_distinct"),
+        F.sum(
+            F.array_contains(sel, F.col("vec_id")).cast("long")
+        ).alias("n_from_candidates"),
+        F.lit(bool(ids and ids[0] == top1_id)).alias("first_is_top1"),
+    )
+
+
+_ORACLES["mmr_check"] = (
+    f"SELECT {TOP_K} AS k_selected, {TOP_K} AS n_distinct, "
+    f"{TOP_K} AS n_from_candidates, true AS first_is_top1"
+)
+
+SEMDEDUP_RECALL_FLOOR = 0.5
+
+
+SEMDEDUP_PROBES = 2
+
+
+def q_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup gate (Abbas et al. 2023): cluster-bucketed semantic
+    dedup — k-means buckets (the shared `_doc_cluster_index` Lloyd) with
+    MULTI-PROBE assignment (each vector lands in its `SEMDEDUP_PROBES`
+    nearest centroids' buckets — the nprobe idea applied to the corpus
+    side; single-assignment measured 0.43 recall on the boundary pairs,
+    top-2 measures 0.93), exact cosine verification WITHIN buckets only.
+    Precision is exact by construction (every candidate is verified);
+    bucketing buys never comparing across buckets: O(p²·Σ|cluster|²)
+    ≪ O(n²). The bucket assignment is the same posexplode-over-centroid-
+    literals codegen path as kmeans_check (per-vector window over nlist
+    rows — bounded), so the whole candidate generation is JVM-side. The
+    gate returns the TRUE pair count (exact BLAS path — SQL-checkable)
+    plus the recall-floor verdict; deterministic fixed-seed Lloyd makes
+    the recall a fixture constant with the floor set well below it."""
+    from pyspark.sql.window import Window
+
+    idx = _doc_cluster_index(spark, sf_dir)
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in idx.centroids]
+    )
+    a = idx.assignments.select("vec_id", "embedding")
+    dist = a.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(cents).alias("cid", "cent"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        squared_l2(F.col("embedding"), F.col("cent")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    buckets = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SEMDEDUP_PROBES)
+        .select("vec_id", "embedding", "cid")
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("b_vid"),
+        F.col("embedding").alias("b_emb"),
+        F.col("cid").alias("b_cid"),
+    )
+    num = dot_fixed("embedding", "b_emb", EMB_DIM)
+    na = F.sqrt(dot_fixed("embedding", "embedding", EMB_DIM))
+    nb = F.sqrt(dot_fixed("b_emb", "b_emb", EMB_DIM))
+    cos = F.when((na > 0) & (nb > 0), num / (na * nb)).otherwise(F.lit(0.0))
+    within = (
+        buckets.join(
+            b,
+            (F.col("cid") == F.col("b_cid"))
+            & (F.col("vec_id") < F.col("b_vid")),
+        )
+        .where(cos >= COSINE_NEARDUP_THRESHOLD)
+        .select("vec_id", "b_vid")
+        .distinct()
+    )
+    exact = dedup.embedding_neardup_pairs_blas(
+        load_embeddings(spark, sf_dir),
+        threshold=COSINE_NEARDUP_THRESHOLD,
+    ).select("a_id", "b_id")
+    n_exact = exact.count()
+    n_within = within.count()
+    recall = n_within / n_exact if n_exact else 1.0
+    return exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+        F.lit(recall >= SEMDEDUP_RECALL_FLOOR).alias("recall_ok"),
+        F.lit(True).alias("precision_exact"),
+    )
+
+
+# n_exact_pairs is the SQL-checkable part (same all-pairs cosine as the
+# cosine_neardup oracle); the recall bound is pinned (deterministic
+# clustering — see docstring).
+_ORACLES["semdedup_check"] = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+s AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {_SQL_DOT.format(a='a.embedding', b='b.embedding')} AS d,
+         sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')}) AS na,
+         sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')}) AS nb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       true AS recall_ok, true AS precision_exact
+FROM s
+WHERE CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) ELSE 0.0 END
+      >= {COSINE_NEARDUP_THRESHOLD}
+"""
+
+
+def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection — the keep/drop decision that follows
+    `neardup_components`: per duplicate cluster, keep the LONGEST
+    document (ties: lowest doc_id) — the standard "keep the most
+    complete copy" policy. One window over the component key on the
+    (tiny) component relation joined back to doc metadata; singleton
+    docs are implicitly their own representative and excluded here.
+    Returns (component, rep_id, cluster_size)."""
+    from pyspark.sql.window import Window
+
+    comp = q_neardup_components(spark, sf_dir)
+    meta = load_documents(spark, sf_dir).select("doc_id", "n_chars")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = comp.join(meta, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.min_by("doc_id", F.struct(F.col("rn"))).alias("rep_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .orderBy("component")
+    )
+
+
+_CANONICAL_TAIL = """, comp AS (
+  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+  FROM reach GROUP BY id
+),
+ranked AS (
+  SELECT c.component, c.doc_id,
+         row_number() OVER (
+           PARTITION BY c.component
+           ORDER BY d.n_chars DESC, c.doc_id ASC
+         ) AS rn
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS rep_id,
+       count(*) AS cluster_size
+FROM ranked
+GROUP BY component
+ORDER BY component"""
+
+_CANONICAL_OLD_TAIL = (
+    "SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component\n"
+    "FROM reach\nGROUP BY id\nORDER BY doc_id"
+)
+assert _CANONICAL_OLD_TAIL in _ORACLES["neardup_components"]
+_ORACLES["neardup_canonical"] = _ORACLES["neardup_components"].replace(
+    _CANONICAL_OLD_TAIL, _CANONICAL_TAIL
+)
+
+
+# ---------------------------------------------------------------------------
 # Round 2c: remaining TPC-H planner shapes (Q2/Q6/Q8/Q10/Q12/Q13/Q15 forms).
 # The fixture schema has no partsupp/shipmode/comment columns, so Q2/Q12/Q13
 # are reshaped onto the columns that exist — the PLAN shape (correlated min,
@@ -4736,6 +5226,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_volume": q_nation_trade_volume,
         "part_profit_by_nation": q_part_profit_by_nation,
         "large_quantity_orders": q_large_quantity_orders,
+        # -- round-2c retrieval-fusion + curation operators
+        "rrf_fusion": q_rrf_fusion,
+        "benchmark_decontam": q_benchmark_decontam,
+        "bigram_logprob": q_bigram_logprob,
+        "mmr_check": q_mmr_check,
+        "semdedup_check": q_semdedup_check,
+        "neardup_canonical": q_neardup_canonical,
         # -- round-2c TPC-H planner-shape completion (Q2/Q6/Q8/Q10/Q12/Q13/Q15)
         "forecast_revenue": q_forecast_revenue,
         "returned_item_revenue": q_returned_item_revenue,

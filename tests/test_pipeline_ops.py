@@ -151,3 +151,93 @@ def test_cluster_balanced_sample_contract(spark):
     assert r["per_cluster_ok"] is True
     assert r["n_clusters"] <= Q.KMEANS_K
     assert r["n_sampled"] <= r["n_clusters"] * Q.CLUSTER_SAMPLE_K
+
+
+# ---- round-2c: retrieval fusion + curation operators ----
+
+
+def test_mmr_rerank_contract_and_diversity(spark):
+    """MMR: k distinct picks from the candidate set, seeded with the
+    cosine top-1, and mean pairwise similarity strictly no worse (lower
+    or equal) than the plain cosine top-k's — the property MMR exists
+    to provide."""
+    import numpy as np
+
+    from homemade_vector_db_spark.operators.knn import knn_exact, mmr_rerank
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+
+    emb = load_embeddings(spark, SF_SMOKE)
+    qv = Q._qvec_list(spark, SF_SMOKE)
+    k = 10
+    picked = mmr_rerank(emb, qv, k=k, candidates=20, lam=0.5)
+    ids = [p[0] for p in picked]
+    assert len(ids) == k and len(set(ids)) == k
+
+    cand = knn_exact(emb, qv, k=20, metric="cosine", dim=Q.EMB_DIM)
+    cand_ids = [r["vec_id"] for r in cand.collect()]
+    assert set(ids) <= set(cand_ids)
+    assert ids[0] == cand_ids[0]  # seed = most query-similar candidate
+
+    # cross-implementation check (the kmeans_check pattern): an
+    # independent greedy recomputation over the same candidate block must
+    # select the same sequence
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.join(
+            spark.createDataFrame([(i,) for i in set(cand_ids)], ["vec_id"]),
+            "vec_id",
+            "left_semi",
+        ).collect()
+    }
+    order = sorted(vecs)
+    X = np.stack([vecs[i] for i in order])
+    q = np.asarray(qv, dtype=np.float64)
+    nX = np.linalg.norm(X, axis=1)
+    qsim = np.round(X @ q / (nX * np.linalg.norm(q)), 6)
+    S = np.round(X @ X.T / np.outer(nX, nX), 6)
+    sel: list[int] = []
+    rem = set(range(len(order)))
+    for _ in range(k):
+        best, best_v = None, -np.inf
+        for j in sorted(rem):
+            red = max((S[j][s] for s in sel), default=0.0)
+            v = round(0.5 * qsim[j] - 0.5 * red, 6)
+            if v > best_v:
+                best, best_v = j, v
+        sel.append(best)
+        rem.discard(best)
+    assert ids == [order[j] for j in sel]
+
+
+def test_rrf_fusion_contract(spark):
+    rows = Q.q_rrf_fusion(spark, SF_SMOKE).collect()
+    assert len(rows) == Q.TOP_K
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # max possible score = rank 1 in both legs
+    assert scores[0] <= round(2.0 / (Q.RRF_K + 1), 6) + 1e-9
+    assert all(s > 0 for s in scores)
+
+
+def test_benchmark_decontam_bounds(spark):
+    rows = Q.q_benchmark_decontam(spark, SF_SMOKE).collect()
+    assert rows, "expected at least one non-benchmark source"
+    for r in rows:
+        assert r["source"] != Q.DECONTAM_BENCH_SOURCE
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+        assert 0.0 <= r["avg_overlap_frac"] <= 1.0
+
+
+def test_semdedup_multiprobe_gate(spark):
+    row = Q.q_semdedup_check(spark, SF_SMOKE).collect()[0]
+    assert row["recall_ok"] and row["precision_exact"]
+
+
+def test_neardup_canonical_reps_belong_to_cluster(spark):
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in Q.q_neardup_components(spark, SF_SMOKE).collect()
+    }
+    for r in Q.q_neardup_canonical(spark, SF_SMOKE).collect():
+        assert comp[r["rep_id"]] == r["component"]
+        assert r["cluster_size"] >= 2  # components come from pairs

@@ -341,3 +341,30 @@ def test_q2_min_cost_no_second_fact_shuffle(spark):
         and "Reused" not in line
     )
     assert tree_hash_exchanges <= 2, plan
+
+
+def test_bigram_lm_stays_jvm_side(spark):
+    # bigram extraction + LM scoring are codegen'd transforms/aggs — a
+    # Python worker anywhere here would dominate cost at 100 TB
+    df = Q.q_bigram_logprob(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_benchmark_decontam_no_cartesian(spark):
+    # the flagging join must be an equi-join on the shingle hash (semi
+    # against the distinct benchmark side), never a cross product
+    df = Q.q_benchmark_decontam(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rrf_rank_windows_over_candidates_only(spark):
+    # each leg is a TakeOrderedAndProject BEFORE its rank window: the
+    # window input is ≤ RRF_CANDIDATES rows, never the corpus
+    df = Q.q_rrf_fusion(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "Window" in plan, plan
