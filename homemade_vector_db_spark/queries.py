@@ -5149,6 +5149,175 @@ ORDER BY p_partkey, s_suppkey
 """
 
 
+Q11_NATION = "NATION_7"
+Q11_FRACTION = 0.001
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part value
+    restricted to one nation's suppliers, keeping parts whose value
+    exceeds a FRACTION of the total — a HAVING against a scalar subquery
+    over the SAME restricted relation. Decisive plan property: the
+    per-part aggregate is computed ONCE and consumed twice (rows +
+    global sum); the total arrives as a 1-row broadcast into the filter,
+    never a second scan of lineitem (the fixture has no partsupp, so
+    value = discounted revenue per part)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nat_supp = (
+        supp.join(
+            F.broadcast(nation.where(F.col("n_name") == Q11_NATION)),
+            supp.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("part_value")
+        )
+        # consumed twice (rows + global cut): materialize the ≤|parts|-row
+        # aggregate so lineitem is scanned once, not once per consumer
+        .persist()
+    )
+    total = per_part.agg(
+        (F.sum("part_value") * Q11_FRACTION).alias("__cut")
+    )
+    return (
+        per_part.join(F.broadcast(total), per_part.part_value > F.col("__cut"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+_ORACLES["important_parts"] = f"""
+WITH nat_supp AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+),
+per_part AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS part_value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM nat_supp)
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT sum(part_value) * {Q11_FRACTION} FROM per_part)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+Q16_EXCLUDED_BRAND = "Brand#3"
+Q16_SIZES = (1, 3, 5, 7)
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) over a part filter with negated
+    predicates, EXCLUDING suppliers from a denylist subquery (suppliers
+    with negative balance — the fixture's stand-in for the complaints
+    comment filter). The NOT IN is planned as a broadcast left-anti
+    join (s_suppkey is non-null, so anti-join ≡ NOT IN); count(DISTINCT)
+    partial-aggregates per group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    parts = part.where(
+        (F.col("p_brand") != Q16_EXCLUDED_BRAND)
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+_ORACLES["supplier_part_counts"] = f"""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCLUDED_BRAND}'
+  AND p_type <> 'PROMO'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+Q20_PART_PREFIX = "small"
+Q20_MIN_QTY = 50
+Q20_SHIP_LO, Q20_SHIP_HI = "1996-01-01", "1997-01-01"
+
+
+def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who moved a
+    significant quantity of matching parts in a year — nested semi-join
+    chain: parts filtered by name prefix → per-(supplier, part) shipped
+    quantity with HAVING → distinct suppliers → semi join against the
+    supplier dim, tagged with nation. Both reductive filters (part
+    prefix, date range) sit below the aggregation; the supplier dim is
+    probed with a semi join so no duplicate inflation ever reaches the
+    output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    parts = part.where(F.col("p_name").like(f"{Q20_PART_PREFIX}%")).select(
+        "p_partkey"
+    )
+    movers = (
+        li.where(
+            (F.col("l_shipdate") >= Q20_SHIP_LO)
+            & (F.col("l_shipdate") < Q20_SHIP_HI)
+        )
+        .join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > Q20_MIN_QTY)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+_ORACLES["promo_part_suppliers"] = f"""
+SELECT s_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_PART_PREFIX}%'
+    )
+    AND l_shipdate >= '{Q20_SHIP_LO}' AND l_shipdate < '{Q20_SHIP_HI}'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > {Q20_MIN_QTY}
+)
+ORDER BY s_name
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet:
@@ -5241,6 +5410,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "market_share": q_market_share,
         "min_cost_supplier": q_min_cost_supplier,
+        "important_parts": q_important_parts,
+        "supplier_part_counts": q_supplier_part_counts,
+        "promo_part_suppliers": q_promo_part_suppliers,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

@@ -368,3 +368,29 @@ def test_rrf_rank_windows_over_candidates_only(spark):
     plan = physical_plan(df)
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "Window" in plan, plan
+
+
+def test_q11_single_fact_scan_via_materialized_agg(spark):
+    # the per-part aggregate feeds both the rows and the global cut:
+    # lineitem must be scanned once (cached aggregate), and the cut must
+    # arrive as a broadcast, not a shuffle
+    df = Q.q_important_parts(spark, SF_SMOKE)
+    df.collect()  # populate the persisted aggregate
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") <= 1, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_q16_not_in_plans_as_anti_join(spark):
+    df = Q.q_supplier_part_counts(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan
+
+
+def test_q20_nested_semi_chain(spark):
+    # both reductive subqueries stay semi joins: no duplicate inflation +
+    # distinct anywhere in the chain
+    df = Q.q_promo_part_suppliers(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert has_pushed_filter(df, "l_shipdate"), plan
