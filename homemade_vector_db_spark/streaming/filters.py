@@ -94,3 +94,120 @@ def attach_clean_stream(
         .outputMode("append")
         .start()
     )
+
+
+DECONTAM_NGRAM = 5
+
+
+def benchmark_shingles(
+    bench_df: DataFrame, text_col: str = "text", n: int = DECONTAM_NGRAM
+) -> DataFrame:
+    """Distinct word-n-gram hashes of a held-out benchmark/eval corpus —
+    the STATIC side of the ingest decontamination gate. Build once,
+    persist (or write to parquet) and reuse across micro-batches: the
+    benchmark set is small and fixed by definition, so at 100 TB this is
+    a (possibly broadcast) dimension table, not a second corpus scan."""
+    from homemade_vector_db_spark.operators.dedup import shingles
+
+    return (
+        bench_df.select(F.explode(shingles(text_col, n)).alias("s"))
+        .select(F.xxhash64("s").alias("shingle"))
+        .distinct()
+    )
+
+
+def flag_contaminated(
+    df: DataFrame,
+    bench_sh: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """Ids of docs sharing ≥1 n-gram with the benchmark set. The
+    benchmark side is already distinct, so the semi join emits ≤ one row
+    per (doc, shingle) — linear in the batch's postings, stop shingles
+    cost their posting count once (same no-self-join rule as
+    q_benchmark_decontam)."""
+    from homemade_vector_db_spark.operators.dedup import shingles
+
+    doc_sh = (
+        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("s"))
+        .select(id_col, F.xxhash64("s").alias("shingle"))
+    )
+    return (
+        doc_sh.join(bench_sh, "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_sh: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """df minus contaminated docs. Docs too short to shingle pass (they
+    cannot leak an n-gram)."""
+    return df.join(
+        flag_contaminated(df, bench_sh, id_col, text_col, n),
+        id_col,
+        "left_anti",
+    )
+
+
+class DecontamGate:
+    """Streaming ingest decontamination: per micro-batch, drop documents
+    sharing any n-gram with the static benchmark set and append the
+    survivors. The gate is STATELESS across batches (the benchmark set
+    is fixed), but the per-doc flagging needs an aggregation over the
+    batch's shingles, which the streaming planner can't express without
+    state — hence foreachBatch, with the same batch=<id> overwrite
+    idempotency contract as IncrementalCorpus (a replayed batch rewrites
+    its own directory, never duplicates)."""
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        bench_sh: DataFrame,
+        text_col: str = "text",
+        n: int = DECONTAM_NGRAM,
+    ):
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.bench_sh = bench_sh.persist()
+        self.text_col = text_col
+        self.n = n
+        self.kept_path = os.path.join(root, "kept_docs")
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        import os
+
+        if batch_id is None:
+            batch_id = 0
+        kept = decontaminate(
+            batch, self.bench_sh, text_col=self.text_col, n=self.n
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(self.kept_path, f"batch={batch_id}")
+        )
+
+    def kept(self) -> DataFrame:
+        return self.spark.read.parquet(self.kept_path).drop("batch")
+
+    def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
+        import os
+
+        return (
+            stream.writeStream.foreachBatch(self.ingest_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.root, "_dc_checkpoint"),
+            )
+            .outputMode("append")
+            .start()
+        )

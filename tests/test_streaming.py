@@ -547,3 +547,62 @@ def test_streaming_clean_filter_scrubs_and_drops(spark, tmp_path):
     assert {r.doc_id: r.text for r in batch.collect()} == {
         k: v.text for k, v in got.items()
     }
+
+
+def test_decontam_gate_batch_semantics(spark, tmp_path):
+    from homemade_vector_db_spark.streaming.filters import (
+        DecontamGate,
+        benchmark_shingles,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id LONG, text STRING",
+    )
+    bsh = benchmark_shingles(bench, n=5)
+    docs = spark.createDataFrame(
+        [
+            (0, "totally clean text about spark and parquet files here"),
+            (1, "prefix quick brown fox jumps over suffix words"),  # leaks a 5-gram
+            (2, "tiny doc"),  # too short to shingle: passes
+        ],
+        "doc_id LONG, text STRING",
+    )
+    kept = decontaminate(docs, bsh)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 2]
+
+    gate = DecontamGate(spark, str(tmp_path / "dc"), bsh)
+    gate.ingest_batch(docs, 0)
+    assert sorted(r.doc_id for r in gate.kept().collect()) == [0, 2]
+    # replay idempotency: re-running the same batch must not duplicate
+    gate.ingest_batch(docs, 0)
+    assert sorted(r.doc_id for r in gate.kept().collect()) == [0, 2]
+
+
+def test_decontam_gate_on_stream(spark, tmp_path):
+    from homemade_vector_db_spark.streaming.filters import (
+        DecontamGate,
+        benchmark_shingles,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven")], "doc_id LONG, text STRING"
+    )
+    bsh = benchmark_shingles(bench, n=5)
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [
+            (0, "clean document with no benchmark overlap at all indeed"),
+            (1, "xx one two three four five yy"),  # contaminated
+        ],
+        "doc_id LONG, text STRING",
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(str(src))
+    gate = DecontamGate(spark, str(tmp_path / "dcs"), bsh)
+    q = gate.attach_stream(stream, checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [r.doc_id for r in gate.kept().collect()] == [0]
