@@ -5318,6 +5318,158 @@ ORDER BY s_name
 """
 
 
+ROLLING_DAYS = 7
+
+
+def q_rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window (the rangeBetween surface, distinct from the
+    row-count windows elsewhere): per order day, total revenue over the
+    trailing 7 days. Two-step shape that scales: first collapse the fact
+    table to one row per day (partial-agg shuffle on ~2500 day keys),
+    THEN run the range window over the tiny daily relation — a range
+    frame directly over 100 TB of order rows would hold the whole frame
+    in one window state; over days it's a ≤2500-row problem. The window
+    is unpartitioned but its input is bounded by the calendar, not the
+    data volume."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("day_rev"))
+    )
+    w = (
+        Window.orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-(ROLLING_DAYS - 1), 0)
+    )
+    return (
+        daily.select(
+            "day",
+            F.round(F.sum("day_rev").over(w), 4).alias("trailing_7d_revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+_ORACLES["rolling_weekly_revenue"] = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS day_rev
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       round(sum(day_rev) OVER (
+         ORDER BY day RANGE BETWEEN INTERVAL {ROLLING_DAYS - 1} DAY PRECEDING
+                                AND CURRENT ROW
+       ), 4) AS trailing_7d_revenue
+FROM daily
+ORDER BY day
+"""
+
+
+def q_pricing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface (corr/covariance/stddev/skewness):
+    quantity↔price relationship per return flag. All are algebraic
+    single-pass aggregates (sum/sum²/sum³ moments) — partial-agg
+    map-side, one shuffle on the 3-value group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLES["pricing_stats"] = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(avg(l_discount), 6) AS avg_discount
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+CMS_EPS = 0.001
+CMS_CONF = 0.99
+CMS_TOP = 10
+
+
+def q_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters gate: estimate the frequencies of
+    the corpus's top terms with a CMS (mergeable sub-linear sketch — the
+    one-pass/streaming answer to "what are the hot tokens"), then verify
+    every estimate in-plan against the exact counts. CMS guarantees
+    estimate ≥ truth and estimate ≤ truth + ε·N with prob ≥ confidence;
+    the gate pins exactly that contract (n_under = 0, max overestimate
+    within bound), which is deterministic given the fixed seed. Oracle
+    checks the true top-term count + the verdict booleans."""
+    toks = load_documents(spark, sf_dir).select(
+        F.explode(tokenize("text")).alias("term")
+    ).persist()
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(CMS_TOP)
+    )
+    sketch_row = toks.agg(
+        F.count_min_sketch(
+            "term", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(42)
+        ).alias("cms"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    ).collect()[0]
+    n_tokens = sketch_row["n_tokens"]
+    # the sketch is the queryable artifact: deserialize it driver-side
+    # (same JVM class the aggregate serializes) and probe the 10 exact
+    # top terms — a bounded lookup, like the PQ codebooks inlined as
+    # literals. No per-row Python anywhere.
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(sketch_row["cms"]))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    probe = exact.collect()  # CMS_TOP rows
+    ests = {r["term"]: cms.estimateCount(r["term"]) for r in probe}
+    n_under = sum(1 for r in probe if ests[r["term"]] < r["cnt"])
+    max_over = max((ests[r["term"]] - r["cnt"] for r in probe), default=0)
+    return exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max("cnt").cast("long").alias("top_term_count"),
+        F.lit(n_under).cast("long").alias("n_under"),
+        F.lit(bool(max_over <= CMS_EPS * n_tokens)).alias(
+            "overestimate_bounded"
+        ),
+    )
+
+
+_ORACLES["heavy_hitters_check"] = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+    AS term
+  FROM documents
+),
+topt AS (
+  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+  ORDER BY cnt DESC, term ASC LIMIT {CMS_TOP}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(max(cnt) AS BIGINT) AS top_term_count,
+       CAST(0 AS BIGINT) AS n_under,
+       true AS overestimate_bounded
+FROM topt
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet:
@@ -5413,6 +5565,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "supplier_part_counts": q_supplier_part_counts,
         "promo_part_suppliers": q_promo_part_suppliers,
+        "rolling_weekly_revenue": q_rolling_weekly_revenue,
+        "pricing_stats": q_pricing_stats,
+        "heavy_hitters_check": q_heavy_hitters_check,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,
