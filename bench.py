@@ -58,6 +58,10 @@ HEADLINE = [
     "cosine_neardup",
     "cross_source_contamination",
     "neardup_components",
+    # round 2c: planner + fusion guards (heaviest of the new shapes)
+    "returned_item_revenue",
+    "rolling_weekly_revenue",
+    "rrf_fusion",
 ]
 
 

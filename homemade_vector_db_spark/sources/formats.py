@@ -164,3 +164,54 @@ def read_media_dir(
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
+
+
+def read_text_docs(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = True,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Ingest raw .txt corpora via Spark's built-in `text` source into the
+    documents shape (doc_id, text, source): the entry format for corpus
+    pipelines whose upstream is a crawl dump or flat-file export, before
+    anything lands in parquet.
+
+    whole_file=True (default): one document per file, `doc_id =
+    xxhash64(path relative to the ingest root)` — same stable-id contract
+    as read_media_dir, so re-ingests and downstream dedup keys agree.
+    whole_file=False: one document per LINE (the JSONL-adjacent layout
+    some exports use); the id hashes (relative path, line text) — two
+    identical lines in one file collide deliberately (they are exact
+    duplicates; the dedup_exact pass collapses them anyway).
+
+    Scale notes: the text source is line-splittable in per-line mode, so
+    scans parallelize within files; in whole-file mode partitioning
+    follows file count (same caveat as binaryFile — compact small files
+    after landing). `source` is the first path segment under the root,
+    giving the per-crawl provenance column the mixture/contamination
+    operators key on."""
+    reader = spark.read.format("text").option("wholetext", str(whole_file).lower())
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    raw = reader.load(path).select(
+        F.col("value").alias("text"),
+        F.col("_metadata.file_path").alias("__path"),
+    )
+    root_abs = os.path.abspath(path).lstrip("/")
+    rel = F.regexp_replace(
+        F.col("__path"),
+        "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?/*" + re.escape(root_abs) + "/+",
+        "",
+    )
+    id_expr = (
+        F.xxhash64(rel) if whole_file else F.xxhash64(rel, F.col("text"))
+    )
+    return raw.select(
+        id_expr.alias("doc_id"),
+        F.col("text"),
+        F.split_part(rel, F.lit("/"), F.lit(1)).alias("source"),
+    )

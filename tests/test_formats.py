@@ -126,3 +126,35 @@ def test_read_media_dir_same_basename_distinct_ids(spark, tmp_path):
     out = formats.read_media_dir(spark, str(d), recursive=True)
     ids = [r.media_id for r in out.collect()]
     assert len(ids) == 2 and len(set(ids)) == 2
+
+
+def test_read_text_docs_whole_file(spark, tmp_path):
+    from homemade_vector_db_spark.sources.formats import read_text_docs
+
+    (tmp_path / "crawlA").mkdir()
+    (tmp_path / "crawlB").mkdir()
+    (tmp_path / "crawlA" / "a.txt").write_text("alpha beta\ngamma")
+    (tmp_path / "crawlB" / "b.txt").write_text("delta")
+    docs = read_text_docs(spark, str(tmp_path), recursive=True, glob="*.txt")
+    rows = {r["source"]: r for r in docs.collect()}
+    assert set(rows) == {"crawlA", "crawlB"}
+    assert rows["crawlA"]["text"] == "alpha beta\ngamma"  # whole file, newline kept
+    # ids stable across re-ingests of the same tree
+    again = {r["source"]: r["doc_id"] for r in
+             read_text_docs(spark, str(tmp_path), recursive=True, glob="*.txt").collect()}
+    assert again == {s: r["doc_id"] for s, r in rows.items()}
+
+
+def test_read_text_docs_per_line(spark, tmp_path):
+    from homemade_vector_db_spark.sources.formats import read_text_docs
+
+    (tmp_path / "src0").mkdir()
+    (tmp_path / "src0" / "x.txt").write_text("line one\nline two\nline one\n")
+    docs = read_text_docs(spark, str(tmp_path), whole_file=False, recursive=True)
+    texts = sorted(r["text"] for r in docs.collect())
+    assert texts == ["line one", "line one", "line two"]
+    # identical lines share the id (exact dups by design)
+    ids = {r["text"]: set() for r in docs.collect()}
+    for r in docs.collect():
+        ids[r["text"]].add(r["doc_id"])
+    assert all(len(v) == 1 for v in ids.values())
