@@ -44,6 +44,9 @@ def get_spark(
         # testdata parquet writes TIMESTAMP(NANOS); Spark reads them as
         # BIGINT nanos with this flag, loaders convert to timestamp (µs).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python DataSource API (sources/generator.py): allow sources to
+        # handle their own predicates (off by default in Spark 4)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -158,3 +158,85 @@ def test_read_text_docs_per_line(spark, tmp_path):
     for r in docs.collect():
         ids[r["text"]].add(r["doc_id"])
     assert all(len(v) == 1 for v in ids.values())
+
+
+def test_fake_docs_batch_partitioned_deterministic(spark):
+    from homemade_vector_db_spark.sources import generator
+
+    generator.register(spark)
+    df = (
+        spark.read.format("fake_docs")
+        .option("n", 300)
+        .option("numPartitions", 4)
+        .load()
+    )
+    assert df.count() == 300
+    assert df.rdd.getNumPartitions() == 4
+    a = df.orderBy("doc_id").limit(5).collect()
+    b = (
+        spark.read.format("fake_docs").option("n", 300).load()
+        .orderBy("doc_id").limit(5).collect()
+    )
+    assert a == b  # pure function of (seed, doc_id)
+    assert all(r.n_chars == len(r.text) for r in a)
+
+
+def test_fake_docs_source_side_range_pruning(spark):
+    from homemade_vector_db_spark.sources.generator import (
+        _FakeDocsReader,
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan, EqualTo
+
+    r = _FakeDocsReader({"n": "1000", "numpartitions": "4"})
+    rest = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("doc_id",), 100),
+                LessThan(("doc_id",), 120),
+                EqualTo(("lang",), "en"),
+            ]
+        )
+    )
+    # range handled inside the source; the lang predicate returned to Spark
+    assert [type(f).__name__ for f in rest] == ["EqualTo"]
+    parts = r.partitions()
+    assert min(p.start for p in parts) == 100
+    assert max(p.end for p in parts) == 120
+    # and the semantic result matches
+    from homemade_vector_db_spark.sources import generator
+
+    generator.register(spark)
+    df = (
+        spark.read.format("fake_docs").option("n", 1000).load()
+        .where("doc_id >= 100 AND doc_id < 120 AND lang IS NOT NULL")
+    )
+    assert df.count() == 20
+
+
+def test_fake_docs_stream_equals_batch(spark, tmp_path):
+    from homemade_vector_db_spark.sources import generator
+
+    generator.register(spark)
+    stream = (
+        spark.readStream.format("fake_docs")
+        .option("rate", 40)
+        .option("maxDocs", 120)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(tmp_path / "out")).orderBy("doc_id").collect()
+    want = (
+        spark.read.format("fake_docs").option("n", 120).load()
+        .orderBy("doc_id").collect()
+    )
+    assert got == want  # streaming feed is byte-identical to its batch twin
