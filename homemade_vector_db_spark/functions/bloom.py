@@ -1,0 +1,95 @@
+"""Bloom filter as pure Catalyst column expressions.
+
+Spark's own bloom machinery (`bloom_filter_agg` / `might_contain`) is
+internal-only (used by runtime row-group filters, not resolvable from
+SQL), so this module builds the same structure out of public codegen'd
+expressions: an m-bit filter packed into ``m/64`` longs, with ``k``
+independent hash functions derived as ``xxhash64(value, seed)`` for
+seed = 0..k-1.
+
+Why this matters at 100 TB: decontamination / blocklist checks are
+semi-joins of the full corpus against a reference set. When the
+reference set's *bitmap* (m/8 bytes — 64 KiB for m=2^19) is orders of
+magnitude smaller than its member list, shipping the bitmap as a 1-row
+broadcast and testing membership scan-side turns the shuffle semi-join
+into a narrow map with a bounded false-positive rate — the exact join
+then runs only on the (tiny) flagged subset. Classic two-phase
+filter-then-verify; false negatives are impossible by construction.
+
+All expressions stay inside whole-stage codegen: no UDFs, no driver
+round-trips except the one tiny build aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(value: Column, m_bits: int, k: int) -> Column:
+    """ARRAY<BIGINT> of k bit positions in [0, m_bits) for one value."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda seed: F.pmod(F.xxhash64(value, seed), F.lit(m_bits)),
+    )
+
+
+def bloom_build(
+    df: DataFrame, value: Column | str, m_bits: int = 1 << 16, k: int = 5
+) -> DataFrame:
+    """Aggregate a column into a 1-row bloom bitmap: `words ARRAY<BIGINT>`
+    of length m_bits/64.
+
+    Build shape: explode k positions per value, bit_or the per-word masks
+    (map-side partial agg collapses to ≤ m/64 rows per partition), then
+    densify the sparse (word_idx, word) pairs into a fixed-length array.
+    Two tiny shuffles regardless of input size.
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    col = F.col(value) if isinstance(value, str) else value
+    n_words = m_bits // 64
+    pos = df.select(F.explode(_positions(col, m_bits, k)).alias("p")).select(
+        (F.col("p") / 64).cast("long").alias("widx"),
+        # shiftleft's Python wrapper only takes a literal count; the SQL
+        # function itself accepts a column — call it directly.
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(F.col("p"), 64).cast("int")
+        ).alias("mask"),
+    )
+    sparse = pos.groupBy("widx").agg(F.bit_or("mask").alias("word"))
+    return sparse.agg(
+        F.map_from_arrays(
+            F.collect_list("widx"), F.collect_list("word")
+        ).alias("sparse_words")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at("sparse_words", i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("bloom_words")
+    )
+
+
+def bloom_might_contain(
+    words: Column | str, value: Column | str, m_bits: int, k: int = 5
+) -> Column:
+    """BOOLEAN: all k bits set — possibly a member (false ⇒ certainly not).
+
+    `words` is the ARRAY<BIGINT> produced by `bloom_build` (typically
+    attached to the probe side via a 1-row broadcast cross join).
+    """
+    w = F.col(words) if isinstance(words, str) else words
+    v = F.col(value) if isinstance(value, str) else value
+    return F.forall(
+        _positions(v, m_bits, k),
+        lambda p: (
+            F.element_at(w, (p / 64).cast("int") + 1).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.pmod(p, 64).cast("int")
+                )
+            )
+            != 0
+        ),
+    )

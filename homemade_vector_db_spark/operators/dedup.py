@@ -739,3 +739,98 @@ def connected_components(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     ).orderBy("doc_id")
+
+
+def duplicated_span_stats(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-span coverage: the word-granularity form of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"). A span is a k-token window; a span is
+    *duplicated* when its text occurs in ≥ 2 distinct documents. Reports,
+    per doc, how many of its token positions are covered by the union of
+    its duplicated spans — the quantity that paper masks out of training.
+
+    Reference parity: no analogue in local_db.py — training-pipeline tier.
+
+    Spark shape (vs the paper's suffix array, which is inherently
+    single-machine): one explode of rolling xxhash64 window hashes, one
+    (hash → doc count) aggregation, a semi-join back, then *interval
+    union* per doc via two window passes (classic islands: a span starts
+    a new island when its start exceeds the running max end). Cost is
+    O(tokens) rows through one shuffle on the span hash plus one shuffle
+    on doc_id — no pairwise joins, no suffix sort. Hash collisions
+    (xxhash64 across ~corpus-token count windows) are the standard
+    accepted risk, same as the MinHash tier.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokenize(text_col)
+    n_tok = F.size(toks)
+    n_pos = n_tok - (k - 1)
+    windows = F.when(
+        n_pos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+    base = df.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
+    spans = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(windows).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+        .persist()
+    )
+    dup_hashes = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dupw = spans.join(dup_hashes, "h", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + (k - 1)).alias("end")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dupw.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            (F.max("end") - F.min("pos") + 1).alias("covered"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("covered").alias("covered_tokens"),
+            F.sum("n_spans").alias("n_dup_spans"),
+        )
+    )
+    out = (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+    return out

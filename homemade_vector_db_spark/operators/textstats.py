@@ -78,6 +78,64 @@ def lang_id(
     ).orderBy("doc_id")
 
 
+GOPHER_STOPWORDS = LANG_MARKERS["en"]  # ["the","a","and","of","with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_mean_word_len: float = 4.0,
+    max_mean_word_len: float = 5.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1.2 of
+    the Gopher paper; same family as C4/Dolma heuristics), adapted
+    thresholds. Per doc: token count bounds, mean word length bounds,
+    alphabetic-word fraction, distinct-stopword floor — and a combined
+    boolean `keep` (AND of the four rules).
+
+    Reference parity note: the reference engine has no quality gate; this
+    is part of the training-data-pipeline tier layered on top of the
+    reference semantics (local_db.py has no analogue).
+
+    Scale: pure per-row column expressions (one pass, whole-stage
+    codegen, no shuffle) — the cheapest possible 100 TB filter; rules
+    are pushable predicates when used as a WHERE gate downstream.
+    """
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    mwl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double") / n.cast("double")
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / n.cast("double")
+    )
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    r_count = (n >= min_tokens) & (n <= max_tokens)
+    r_mwl = (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_stop = stop_hits >= min_stop_hits
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.alias("n_stop_distinct"),
+        r_count.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_alpha.alias("rule_alpha"),
+        r_stop.alias("rule_stopwords"),
+        (r_count & r_mwl & r_alpha & r_stop).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

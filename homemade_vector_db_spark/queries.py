@@ -5507,6 +5507,189 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 2d — corpus-hygiene breadth: Gopher rule gate, duplicated-span
+# coverage (exact-substring dedup at word granularity), bloom-filter
+# decontamination (pure-expression bloom, two-phase filter-then-verify).
+
+DUP_SPAN_K = 8
+BLOOM_M_BITS = 1 << 20  # 16 Ki longs = 128 KiB bitmap broadcast
+BLOOM_K = 5
+GOPHER_SQL_STOPS = "'the', 'a', 'and', 'of', 'with'"
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021): token-count
+    bounds, mean-word-length bounds, alphabetic-word fraction,
+    distinct-stopword floor, combined `keep`. Pure per-row codegen — the
+    cheapest 100 TB filter class (operators/textstats.py:gopher_rules)."""
+    return textstats.gopher_rules(load_documents(spark, sf_dir))
+
+
+_ORACLES["gopher_rules"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+           / len(tk) AS mwl,
+         CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE) / len(tk) AS alpha_frac,
+         len(list_intersect(list_distinct(tk),
+                            [{stops}])) AS n_stop_distinct
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(mwl, 6) AS mean_word_len,
+       round(alpha_frac, 6) AS alpha_frac,
+       n_stop_distinct,
+       (n_tokens BETWEEN 20 AND 90) AS rule_word_count,
+       (mwl BETWEEN 4.0 AND 5.0) AS rule_mean_word_len,
+       (alpha_frac >= 0.8) AS rule_alpha,
+       (n_stop_distinct >= 2) AS rule_stopwords,
+       ((n_tokens BETWEEN 20 AND 90) AND (mwl BETWEEN 4.0 AND 5.0)
+        AND (alpha_frac >= 0.8) AND (n_stop_distinct >= 2)) AS keep
+FROM s
+ORDER BY doc_id
+""".format(stops=GOPHER_SQL_STOPS)
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup coverage (Lee et al. 2022) at word
+    granularity: fraction of each doc's token positions covered by
+    k-token spans that occur verbatim in ≥ 2 docs. One rolling-hash
+    explode + one span-hash shuffle + per-doc interval union — no suffix
+    array, no pairwise join (operators/dedup.py:duplicated_span_stats)."""
+    return dedup.duplicated_span_stats(
+        load_documents(spark, sf_dir), k=DUP_SPAN_K
+    )
+
+
+_ORACLES["dup_span_stats"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+w AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(tk[i:i+{DUP_SPAN_K}-1], ' ') AS span
+  FROM t, unnest(generate_series(1, len(tk) - {DUP_SPAN_K} + 1)) AS u(i)
+),
+dup AS (
+  SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+dw AS (
+  SELECT w.doc_id, w.pos FROM w JOIN dup USING (span)
+),
+cov AS (
+  SELECT doc_id, count(DISTINCT p) AS covered_tokens
+  FROM dw, unnest(generate_series(pos, pos + {DUP_SPAN_K} - 1)) AS g(p)
+  GROUP BY doc_id
+),
+cnt AS (
+  SELECT doc_id, count(*) AS n_dup_spans FROM dw GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.tk) AS n_tokens,
+       coalesce(cnt.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(cov.covered_tokens, 0) AS covered_tokens,
+       round(CAST(coalesce(cov.covered_tokens, 0) AS DOUBLE) / len(t.tk), 6)
+         AS dup_frac
+FROM t LEFT JOIN cov USING (doc_id) LEFT JOIN cnt USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def q_bloom_decontam_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination gate: build an m-bit bloom bitmap over
+    the benchmark source's distinct 5-gram shingles as a pure Catalyst
+    aggregate (functions/bloom.py — Spark's bloom_filter_agg/might_contain
+    are internal-only), broadcast the 128 KiB bitmap, and flag training
+    docs scan-side. The gate verifies the bloom contract in-plan against
+    the exact semi-join: zero false negatives (structural) and doc-level
+    false-positive rate ≤ 5%. At 100 TB this replaces a corpus-wide
+    shuffle semi-join with a narrow map + a tiny verify join on the
+    flagged subset. Oracle pins n_train_docs / n_flagged_exact exactly
+    plus the two verdict booleans."""
+    from homemade_vector_db_spark.functions import bloom
+
+    d = load_documents(spark, sf_dir).select(
+        "doc_id", "source", dedup.shingles("text", DECONTAM_NGRAM).alias("sh")
+    )
+    e = (
+        d.where(F.size("sh") > 0)
+        .select("doc_id", "source", F.explode("sh").alias("s"))
+        .distinct()
+        .persist()
+    )
+    bench = (
+        e.where(F.col("source") == DECONTAM_BENCH_SOURCE).select("s").distinct()
+    )
+    bloom_df = bloom.bloom_build(bench, "s", m_bits=BLOOM_M_BITS, k=BLOOM_K)
+    train = e.where(F.col("source") != DECONTAM_BENCH_SOURCE)
+    flagged = (
+        train.crossJoin(F.broadcast(bloom_df))
+        .withColumn(
+            "bloom_hit",
+            bloom.bloom_might_contain("bloom_words", "s", BLOOM_M_BITS, BLOOM_K),
+        )
+        .join(
+            bench.withColumn("exact_marker", F.lit(1)), "s", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.col("bloom_hit").cast("int")).alias("bloom_doc"),
+            F.max(F.coalesce("exact_marker", F.lit(0))).alias("exact_doc"),
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+        F.sum("exact_doc").cast("long").alias("n_flagged_exact"),
+        (
+            F.sum(((F.col("exact_doc") == 1) & (F.col("bloom_doc") == 0)).cast("int"))
+            == 0
+        ).alias("no_false_negatives"),
+        (
+            F.sum(((F.col("bloom_doc") == 1) & (F.col("exact_doc") == 0)).cast("int"))
+            <= 0.05 * F.count(F.lit(1))
+        ).alias("fp_rate_ok"),
+    )
+
+
+_ORACLES["bloom_decontam_check"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(tk[i:i+{DECONTAM_NGRAM}-1], ' ') AS s
+  FROM t, unnest(generate_series(1, len(tk) - {DECONTAM_NGRAM} + 1)) AS u(i)
+  WHERE len(tk) >= {DECONTAM_NGRAM}
+),
+bench AS (
+  SELECT DISTINCT s FROM sh WHERE source = '{DECONTAM_BENCH_SOURCE}'
+),
+train AS (SELECT * FROM sh WHERE source <> '{DECONTAM_BENCH_SOURCE}'),
+per_doc AS (
+  SELECT train.doc_id,
+         max(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS exact_doc
+  FROM train LEFT JOIN bench ON train.s = bench.s
+  GROUP BY train.doc_id
+)
+SELECT count(*) AS n_train_docs,
+       CAST(sum(exact_doc) AS BIGINT) AS n_flagged_exact,
+       TRUE AS no_false_negatives,
+       TRUE AS fp_rate_ok
+FROM per_doc
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet:
@@ -5606,6 +5789,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_stats": q_pricing_stats,
         "heavy_hitters_check": q_heavy_hitters_check,
         "props_variant_stats": q_props_variant_stats,
+        # -- round-2d corpus-hygiene breadth
+        "gopher_rules": q_gopher_rules,
+        "dup_span_stats": q_dup_span_stats,
+        "bloom_decontam_check": q_bloom_decontam_check,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

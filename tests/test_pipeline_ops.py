@@ -241,3 +241,114 @@ def test_neardup_canonical_reps_belong_to_cluster(spark):
     for r in Q.q_neardup_canonical(spark, SF_SMOKE).collect():
         assert comp[r["rep_id"]] == r["component"]
         assert r["cluster_size"] >= 2  # components come from pairs
+
+
+# ---------------------------------------------------------------------------
+# round-2d: gopher rules, duplicated-span coverage, bloom decontamination
+
+
+def test_gopher_rules_hand_computed(spark):
+    from homemade_vector_db_spark.operators.textstats import gopher_rules
+
+    rows = [
+        # 25 tokens, all alpha, contains 'the' and 'a' → passes count/alpha/stop
+        (0, " ".join(["the", "a"] + ["word"] * 23)),
+        # too short (5 tokens)
+        (1, "the a and of with"),
+        # no stopwords at all
+        (2, " ".join(["zzzz"] * 30)),
+        # numeric tokens → fails alpha fraction
+        (3, " ".join(["the", "a"] + ["123"] * 28)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert got[0]["n_tokens"] == 25
+    assert got[0]["rule_word_count"] and got[0]["rule_alpha"]
+    assert got[0]["rule_stopwords"]
+    # mean word len of doc 0: (3+1+23*4)/25 = 3.84 → fails [4.0, 5.0]
+    assert got[0]["mean_word_len"] == pytest.approx(3.84)
+    assert not got[0]["rule_mean_word_len"] and not got[0]["keep"]
+    assert not got[1]["rule_word_count"]
+    assert got[2]["n_stop_distinct"] == 0 and not got[2]["rule_stopwords"]
+    assert got[3]["alpha_frac"] == pytest.approx(2 / 30, abs=1e-6)
+    assert not got[3]["rule_alpha"] and not got[3]["keep"]
+
+
+def test_duplicated_span_stats_interval_union(spark):
+    from homemade_vector_db_spark.operators.dedup import duplicated_span_stats
+
+    # doc 0 and doc 1 share tokens 1..9 ("c1..c9"): with k=4 that is
+    # positions 1..6 in doc 0 — overlapping spans that must merge into
+    # ONE island covering 9 tokens, not 6*4=24.
+    shared = " ".join(f"c{i}" for i in range(1, 10))
+    rows = [
+        (0, shared + " x1 x2 x3"),          # 12 tokens, 9 covered
+        (1, "y1 y2 " + shared),             # 11 tokens, 9 covered
+        (2, "z1 z2 z3 z4 z5 z6 z7 z8"),     # unique → 0 covered
+        (3, "w1 w2 w3"),                    # < k tokens → no spans at all
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in duplicated_span_stats(df, k=4).collect()}
+    assert got[0]["n_tokens"] == 12
+    assert got[0]["covered_tokens"] == 9
+    assert got[0]["n_dup_spans"] == 6
+    assert got[0]["dup_frac"] == pytest.approx(0.75)
+    assert got[1]["covered_tokens"] == 9
+    assert got[2]["covered_tokens"] == 0 and got[2]["n_dup_spans"] == 0
+    assert got[3]["n_tokens"] == 3 and got[3]["dup_frac"] == 0.0
+
+
+def test_duplicated_span_stats_disjoint_islands(spark):
+    from homemade_vector_db_spark.operators.dedup import duplicated_span_stats
+
+    # two disjoint shared regions inside one doc → two islands, summed
+    a = "a1 a2 a3 a4"
+    b = "b1 b2 b3 b4"
+    rows = [
+        (0, a + " m1 m2 m3 " + b),  # 11 tokens: cover 4 + 4 = 8
+        (1, a),
+        (2, b),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in duplicated_span_stats(df, k=4).collect()}
+    assert got[0]["covered_tokens"] == 8
+    assert got[0]["n_dup_spans"] == 2
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from homemade_vector_db_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    m, k = 1 << 12, 5
+    members = spark.range(200).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("s")
+    )
+    bloom = bloom_build(members, "s", m_bits=m, k=k)
+    probe_members = members.crossJoin(F.broadcast(bloom)).select(
+        bloom_might_contain("bloom_words", "s", m, k).alias("hit")
+    )
+    # structural guarantee: every inserted member tests positive
+    assert probe_members.where(~F.col("hit")).count() == 0
+    strangers = spark.range(2000).select(
+        F.concat(F.lit("stranger-"), F.col("id")).alias("s")
+    )
+    fp = (
+        strangers.crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain("bloom_words", "s", m, k))
+        .count()
+    )
+    # m/n = 20.5 bits/member, k=5 → theoretical fp ≈ 0.2%; allow 5x slack
+    assert fp / 2000 <= 0.01
+
+
+def test_bloom_bitmap_shape(spark):
+    from homemade_vector_db_spark.functions.bloom import bloom_build
+
+    row = bloom_build(
+        spark.createDataFrame([("x",)], ["s"]), "s", m_bits=256, k=3
+    ).collect()[0]
+    assert len(row["bloom_words"]) == 4
+    # 3 hash functions set at most 3 bits total
+    assert sum(bin(w & (2**64 - 1)).count("1") for w in row["bloom_words"]) <= 3
