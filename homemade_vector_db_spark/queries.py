@@ -5622,7 +5622,11 @@ def q_bloom_decontam_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = (
         d.where(F.size("sh") > 0)
-        .select("doc_id", "source", F.explode("sh").alias("s"))
+        .select("doc_id", "source", F.explode("sh").alias("s0"))
+        # 8-byte hashed shingles, not 40-byte strings — the bloom then
+        # hashes the hash (still uniform), and the exact-verify join runs
+        # on longs; same accepted collision risk as benchmark_decontam.
+        .select("doc_id", "source", F.xxhash64("s0").alias("s"))
         .distinct()
         .persist()
     )
@@ -5631,12 +5635,18 @@ def q_bloom_decontam_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bloom_df = bloom.bloom_build(bench, "s", m_bits=BLOOM_M_BITS, k=BLOOM_K)
     train = e.where(F.col("source") != DECONTAM_BENCH_SOURCE)
+    # 1-row broadcast + immediate drop: whole-stage codegen passes the
+    # bitmap as a reference through the joined row, and the projection
+    # removes it before the groupBy exchange, so the 128 KiB array never
+    # enters a shuffle. (A Python-list literal was 8 s slower: F.lit on a
+    # 16 Ki-element list crosses py4j per element.)
     flagged = (
         train.crossJoin(F.broadcast(bloom_df))
         .withColumn(
             "bloom_hit",
             bloom.bloom_might_contain("bloom_words", "s", BLOOM_M_BITS, BLOOM_K),
         )
+        .drop("bloom_words")
         .join(
             bench.withColumn("exact_marker", F.lit(1)), "s", "left"
         )

@@ -394,3 +394,29 @@ def test_q20_nested_semi_chain(spark):
     plan = physical_plan(df)
     assert "LeftSemi" in plan, plan
     assert has_pushed_filter(df, "l_shipdate"), plan
+
+
+def test_gopher_rules_no_shuffle(spark):
+    # pure per-row codegen filter: zero exchanges before the ordered output
+    df = Q.q_gopher_rules(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_dup_span_stats_two_hash_shuffles_no_pair_join(spark):
+    # one shuffle on the span hash (dup detection), one on doc_id
+    # (interval union + join back); NEVER a cartesian/pairwise join
+    df = Q.q_dup_span_stats(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bloom_gate_broadcasts_bitmap_no_cartesian_blowup(spark):
+    # the 1-row bitmap attaches via BroadcastNestedLoopJoin (constant-size
+    # broadcast); the only other join is the exact-verify shingle join —
+    # no CartesianProduct anywhere
+    df = Q.q_bloom_decontam_check(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
