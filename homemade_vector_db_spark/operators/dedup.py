@@ -834,3 +834,106 @@ def duplicated_span_stats(
         .orderBy("doc_id")
     )
     return out
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the worst-case-robust alternative to the min-label +
+    pointer-doubling loop in `connected_components`: provably O(log² n)
+    rounds on ANY topology, per-round work proportional to the current
+    edge set (which contracts toward a star forest, so rounds get
+    cheaper — unlike label propagation, whose every round touches every
+    node).
+
+    Round discipline (the standard dataflow formulation):
+      large-star runs on the SYMMETRIZED edge set: per node u,
+        m = min(N(u) ∪ {u}); every neighbor v > u re-points to m.
+        Emitted pairs are already oriented big→small (v > m).
+      small-star runs on the ORIENTED (u > v) set: per node u,
+        m = min of its smaller neighbors; every other smaller neighbor
+        re-points to m, and u itself points to m.
+    Each phase is one groupBy + one join back (two shuffles/round) and
+    ends in localCheckpoint so lineage stays bounded. Fixpoint = a round
+    leaves the oriented edge set unchanged (star forest reached).
+
+    Returns (doc_id, component) for every node of the pair graph with
+    component = min reachable id — the identical contract (and output)
+    as `connected_components`; the registry gate pins that equality.
+    """
+    import warnings
+
+    canon = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        canon.select(F.col("u").alias("doc_id"))
+        .union(canon.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = canon
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the symmetrized neighborhood
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        big = (
+            sym.join(mins, "u")
+            .select("u", "v", F.least("mn", F.col("u")).alias("m"))
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star over the oriented (u > v) set
+        mins = big.groupBy("u").agg(F.min("v").alias("m"))
+        small = big.join(mins, "u")
+        new_edges = (
+            small.where(F.col("v") > F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(small.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if (
+            new_edges.exceptAll(edges).isEmpty()
+            and edges.exceptAll(new_edges).isEmpty()
+        ):
+            edges = new_edges
+            converged = True
+            break
+        edges = new_edges
+    if not converged:
+        warnings.warn(
+            f"connected_components_star: no fixpoint after {max_iter} "
+            "rounds; returned components may be under-merged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # star forest: every non-root points at its component min; roots
+    # (the minima themselves) have no outgoing edge left
+    return (
+        nodes.join(
+            edges.select(F.col("u").alias("doc_id"), "v"), "doc_id", "left"
+        )
+        .select(
+            "doc_id", F.coalesce("v", F.col("doc_id")).alias("component")
+        )
+        .orderBy("doc_id")
+    )

@@ -5700,6 +5700,141 @@ FROM per_doc
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 2d (cont.) — modern SQL surfaces: recursive CTE (Spark 4
+# UnionLoopExec) and correlated LATERAL subquery. ONE SQL text is shared
+# verbatim between Spark and the DuckDB oracle (only the table names are
+# templated) — the strongest possible parity statement for the SQL
+# entry point.
+
+FUNNEL_MAX_HOPS = 4
+
+# Walk each user's event chain (linked list via lead()) from every
+# 'signup' until the first 'purchase' or the hop budget: recursion over a
+# next-pointer DAG, so UNION ALL terminates (Spark does not yet support
+# UNION-distinct in recursive CTEs). Counts signups by minimal hops to
+# conversion.
+_FUNNEL_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, event_type,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_id
+  FROM {events}
+),
+walk(start_id, cur_type, next_id, hops) AS (
+  SELECT event_id, event_type, next_id, 0
+  FROM ev WHERE event_type = 'signup'
+  UNION ALL
+  SELECT w.start_id, e.event_type, e.next_id, w.hops + 1
+  FROM walk w JOIN ev e ON e.event_id = w.next_id
+  WHERE w.hops < {max_hops} AND w.cur_type <> 'purchase'
+)
+SELECT hops, CAST(count(*) AS BIGINT) AS n_converted
+FROM walk WHERE cur_type = 'purchase'
+GROUP BY hops ORDER BY hops
+"""
+
+
+def q_funnel_paths_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel path lengths via a recursive CTE (Spark 4's
+    WITH RECURSIVE / UnionLoopExec): signup → … → first purchase within
+    FUNNEL_MAX_HOPS consecutive events. The event chain is a per-user
+    linked list built with ONE window pass (lead), so each recursion
+    step is an equi-join on event_id — linear per hop, no path
+    explosion, bounded depth. The oracle runs the very same SQL text."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    return spark.sql(
+        _FUNNEL_SQL.format(events="v_events", max_hops=FUNNEL_MAX_HOPS)
+    )
+
+
+_ORACLES["funnel_paths_sql"] = _FUNNEL_SQL.format(
+    events="events", max_hops=FUNNEL_MAX_HOPS
+)
+
+# For each BUILDING-segment customer with orders: their most recent order
+# via a correlated LATERAL subquery (ORDER BY … LIMIT 1 per outer row).
+_LATERAL_SQL = """
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       o.o_orderkey AS orderkey, o.o_orderdate AS orderdate
+FROM {customer} c,
+LATERAL (
+  SELECT o_orderkey, o_orderdate
+  FROM {orders}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY custkey
+"""
+
+
+def q_latest_order_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer latest order via correlated LATERAL subquery — the
+    SQL-standard form of per-group top-1. Catalyst decorrelates it into
+    a window/aggregate over one join (no per-row re-execution), so the
+    plan is the same class as the row_number() form; the surface is what
+    is being exercised. Oracle runs the identical SQL text."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        _LATERAL_SQL.format(customer="v_customer", orders="v_orders")
+    )
+
+
+_ORACLES["latest_order_lateral"] = _LATERAL_SQL.format(
+    customer="customer", orders="orders"
+)
+
+
+def q_components_star_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the large-star/small-star connected-components implementation
+    (O(log² n)-round worst-case guarantee, operators/dedup.py:
+    connected_components_star) must produce EXACTLY the labeling of the
+    pointer-doubling operator on the jaccard near-dup pair graph —
+    n_mismatch is computed in-plan and the oracle pins n_docs /
+    n_components from its recursive-CTE closure plus n_mismatch = 0."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_documents(spark, sf_dir),
+        n=JACCARD_NGRAM,
+        threshold=JACCARD_THRESHOLD,
+        shingled=_shingle_sets(spark, sf_dir),
+    ).select("a_id", "b_id")
+    a = dedup.connected_components(pairs)
+    b = dedup.connected_components_star(pairs)
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.col("a.component")).cast("long").alias("n_components"),
+        F.sum(
+            (
+                F.col("a.component").isNull()
+                | F.col("b.component").isNull()
+                | (F.col("a.component") != F.col("b.component"))
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )
+
+
+_STAR_CHECK_TAIL = """, comp AS (
+  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+  FROM reach GROUP BY id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM comp"""
+assert _CANONICAL_OLD_TAIL in _ORACLES["neardup_components"]
+_ORACLES["components_star_check"] = _ORACLES["neardup_components"].replace(
+    _CANONICAL_OLD_TAIL, _STAR_CHECK_TAIL
+)
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet:
@@ -5803,6 +5938,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "dup_span_stats": q_dup_span_stats,
         "bloom_decontam_check": q_bloom_decontam_check,
+        "funnel_paths_sql": q_funnel_paths_sql,
+        "latest_order_lateral": q_latest_order_lateral,
+        "components_star_check": q_components_star_check,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

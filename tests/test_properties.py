@@ -182,3 +182,39 @@ def test_connected_components_warns_when_unconverged(spark):
         dedup.connected_components(
             pairs, max_iter=1, driver_threshold=0
         ).collect()
+
+
+@given(edges=edge_strategy)
+@SETTINGS
+def test_connected_components_star_matches_union_find(spark, edges):
+    """The large-star/small-star implementation must agree with the
+    Python union-find reference on arbitrary pair graphs."""
+    from homemade_vector_db_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a_id LONG, b_id LONG"
+    )
+    want = py_components(edges)
+    got = {
+        r.doc_id: r.component
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 100-node path (diameter 99): star rounds contract any topology
+    in O(log² n) rounds — must converge inside the default budget with
+    no under-merge warning."""
+    from homemade_vector_db_spark.operators import dedup
+    import warnings
+
+    edges = [(i, i + 1) for i in range(99)]
+    pairs = spark.createDataFrame(edges, "a_id LONG, b_id LONG")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # must NOT warn
+        got = {
+            r.doc_id: r.component
+            for r in dedup.connected_components_star(pairs).collect()
+        }
+    assert got == {i: 0 for i in range(100)}
