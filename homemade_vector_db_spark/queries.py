@@ -5835,6 +5835,159 @@ _ORACLES["components_star_check"] = _ORACLES["neardup_components"].replace(
 )
 
 
+SCD2_MAX_USER = 50
+
+
+def q_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) construction from an event
+    log: per user, collapse consecutive events with the same event_type
+    into one VERSION row with [valid_from, valid_to) interval, version
+    number, and is_current flag — the warehouse pattern for turning an
+    append-only log into a time-travelable dimension. Two window passes
+    over ONE user_id partitioning (change detection via lag, then
+    version numbering + interval close via lead) — a single shuffle at
+    any scale; no self-joins."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < SCD2_MAX_USER)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ev.withColumn(
+        "is_change",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).where(F.col("is_change") == 1)
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changed.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wv).alias("valid_to"),
+            F.row_number().over(wv).alias("version"),
+            F.lead("ts").over(wv).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+_ORACLES["user_state_scd2"] = f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events WHERE user_id < {SCD2_MAX_USER}
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ev
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       event_type AS state,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INT) AS version,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
+def q_purchase_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join against an SCD2 dimension: the dimension
+    is the user's BROWSING state (event_type among click/view/error/
+    signup — purchases excluded from the dimension input, otherwise
+    every purchase trivially matches its own version), and each purchase
+    fact is matched to the version whose [valid_from, valid_to) interval
+    contains its timestamp — "what was the user doing when they bought".
+    The half-open interval makes the match unique (1:1, no range
+    explosion). Plan: equi-join on user_id with the interval predicate
+    as join residual; versions-per-user is tiny vs the fact log, so the
+    dimension side broadcasts at any scale."""
+    from pyspark.sql.window import Window
+
+    browse = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            (F.col("user_id") < SCD2_MAX_USER)
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        browse.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            (F.col("user_id") < SCD2_MAX_USER)
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id", "ts")
+    )
+    joined = purchases.join(
+        F.broadcast(dim),
+        (purchases["user_id"] == dim["user_id"])
+        & (purchases["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (purchases["ts"] < dim["valid_to"])),
+    )
+    return (
+        joined.groupBy("state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .orderBy("state")
+    )
+
+
+_ORACLES["purchase_state_pit"] = f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+  WHERE user_id < {SCD2_MAX_USER} AND event_type <> 'purchase'
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ev
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+dim AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM changes
+),
+p AS (
+  SELECT user_id, ts FROM events
+  WHERE user_id < {SCD2_MAX_USER} AND event_type = 'purchase'
+)
+SELECT d.state, CAST(count(*) AS BIGINT) AS n_purchases
+FROM p JOIN dim d
+  ON p.user_id = d.user_id
+ AND p.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+GROUP BY d.state
+ORDER BY d.state
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet:
@@ -5941,6 +6094,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_paths_sql": q_funnel_paths_sql,
         "latest_order_lateral": q_latest_order_lateral,
         "components_star_check": q_components_star_check,
+        "user_state_scd2": q_user_state_scd2,
+        "purchase_state_pit": q_purchase_state_pit,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,
