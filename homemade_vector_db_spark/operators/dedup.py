@@ -825,11 +825,14 @@ def duplicated_span_stats(
             "n_tokens",
             F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
             F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
-            F.round(
-                F.coalesce("covered_tokens", F.lit(0)).cast("double")
-                / F.col("n_tokens").cast("double"),
-                6,
-            ).alias("dup_frac"),
+            # empty docs have no positions to cover: 0.0, not a div-by-zero
+            F.when(F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
         )
         .orderBy("doc_id")
     )

@@ -108,12 +108,15 @@ def gopher_rules(
     """
     toks = tokenize(text_col)
     n = F.size(toks)
+    # empty docs: stats are NULL (not div-by-zero); the word-count rule is
+    # already false at n=0, so `keep` stays false regardless
+    nz = F.when(n > 0, n.cast("double"))
     mwl = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    ).cast("double") / n.cast("double")
+    ).cast("double") / nz
     alpha_frac = (
         F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
-        / n.cast("double")
+        / nz
     )
     stop_hits = F.size(
         F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))

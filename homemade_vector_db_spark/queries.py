@@ -6008,12 +6008,13 @@ def q_corpus_prep_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_documents(spark, sf_dir)
     toks = tokenize("text")
     n = F.size(toks)
+    nz = F.when(n > 0, n.cast("double"))  # NULL (filtered), not div-by-zero
     mwl = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    ).cast("double") / n.cast("double")
+    ).cast("double") / nz
     alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast(
         "double"
-    ) / n.cast("double")
+    ) / nz
     stops = F.size(
         F.array_intersect(
             F.array_distinct(toks),

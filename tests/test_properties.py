@@ -218,3 +218,44 @@ def test_connected_components_star_long_chain(spark):
             for r in dedup.connected_components_star(pairs).collect()
         }
     assert got == {i: 0 for i in range(100)}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=20),
+        min_size=2,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_duplicated_span_stats_matches_bruteforce(spark, docs):
+    """Interval-union coverage must equal the brute-force 'count distinct
+    covered positions' reference on arbitrary token sequences."""
+    from homemade_vector_db_spark.operators.dedup import duplicated_span_stats
+
+    k = 3
+    texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    # python reference
+    spans = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            spans.setdefault(tuple(toks[p : p + k]), set()).add(i)
+    dup = {s for s, owners in spans.items() if len(owners) >= 2}
+    want = {}
+    for i, toks in enumerate(docs):
+        covered = set()
+        n_spans = 0
+        for p in range(len(toks) - k + 1):
+            if tuple(toks[p : p + k]) in dup:
+                n_spans += 1
+                covered.update(range(p, p + k))
+        want[i] = (len(toks), n_spans, len(covered))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["covered_tokens"])
+        for r in duplicated_span_stats(df, k=k).collect()
+    }
+    assert got == want
