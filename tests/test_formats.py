@@ -240,3 +240,39 @@ def test_fake_docs_stream_equals_batch(spark, tmp_path):
         .orderBy("doc_id").collect()
     )
     assert got == want  # streaming feed is byte-identical to its batch twin
+
+
+def test_stats_sink_writer_manifest(spark, tmp_path):
+    """Python DataSource WRITER: per-task commit messages fold into one
+    driver-side manifest; the checksum is partitioning-invariant."""
+    import json
+    import os
+
+    from homemade_vector_db_spark.sources.sink import StatsSinkDataSource
+
+    spark.dataSource.register(StatsSinkDataSource)
+    df = spark.range(1000).selectExpr("id", "concat('d-', id) AS s")
+
+    p1 = str(tmp_path / "sink1")
+    df.repartition(7).write.format("stats_sink").option("path", p1).mode(
+        "append"
+    ).save()
+    m1 = json.load(open(os.path.join(p1, "manifest.json")))
+    assert m1["rows"] == 1000
+    assert m1["partitions"] == 7
+
+    p2 = str(tmp_path / "sink2")
+    df.repartition(3).write.format("stats_sink").option("path", p2).mode(
+        "append"
+    ).save()
+    m2 = json.load(open(os.path.join(p2, "manifest.json")))
+    assert m2["rows"] == 1000
+    # same data, different partitioning → same order-insensitive digest
+    assert m2["checksum"] == m1["checksum"]
+
+    p3 = str(tmp_path / "sink3")
+    df.where("id < 999").write.format("stats_sink").option("path", p3).mode(
+        "append"
+    ).save()
+    m3 = json.load(open(os.path.join(p3, "manifest.json")))
+    assert m3["checksum"] != m1["checksum"]
