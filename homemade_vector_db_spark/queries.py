@@ -6157,6 +6157,58 @@ ORDER BY source
 """
 
 
+PCA_DIM_OUT = 16
+PCA_MIN_VAR_RATIO = 0.2
+
+
+def q_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-trained PCA gate (operators/pca.py — the FAISS PCAMatrix
+    recipe: driver-side SVD on a bounded hash-ordered sample, distributed
+    pure-codegen projection). Verifies in-plan: components orthonormal
+    (driver numpy, deterministic), and the 16-of-64-dim projection keeps
+    ≥ 20% of total variance measured over the FULL table (≈ 25% is the
+    iid-noise floor for 16/64; real correlated embeddings keep more).
+    Oracle pins n_vectors exactly plus the verdict booleans."""
+    import numpy as np
+
+    from homemade_vector_db_spark.functions.vector import (
+        dot_fixed,
+        squared_l2_fixed,
+    )
+    from homemade_vector_db_spark.operators import pca as pcamod
+
+    emb = load_embeddings(spark, sf_dir)
+    mean, comps = pcamod.fit_pca(emb, EMB_DIM, PCA_DIM_OUT)
+    gram = comps @ comps.T
+    orthonormal_ok = bool(
+        np.max(np.abs(gram - np.eye(PCA_DIM_OUT))) < 1e-8
+    )
+    proj = pcamod.project(emb, mean, comps)
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    stats = proj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg(squared_l2_fixed("embedding", mean_lit, EMB_DIM)).alias("vt"),
+        F.avg(dot_fixed("proj", "proj", PCA_DIM_OUT)).alias("vk"),
+    )
+    return stats.select(
+        "n_vectors",
+        F.lit(EMB_DIM).cast("long").alias("dim_in"),
+        F.lit(PCA_DIM_OUT).cast("long").alias("dim_out"),
+        F.lit(orthonormal_ok).alias("orthonormal_ok"),
+        (F.col("vk") / F.col("vt") >= PCA_MIN_VAR_RATIO).alias("var_ratio_ok"),
+    )
+
+
+_ORACLES["pca_check"] = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST({EMB_DIM} AS BIGINT) AS dim_in,
+       CAST({PCA_DIM_OUT} AS BIGINT) AS dim_out,
+       TRUE AS orthonormal_ok,
+       TRUE AS var_ratio_ok
+FROM embeddings
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet:
@@ -6266,6 +6318,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_scd2": q_user_state_scd2,
         "purchase_state_pit": q_purchase_state_pit,
         "corpus_prep_hygiene": q_corpus_prep_hygiene,
+        "pca_check": q_pca_check,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

@@ -149,3 +149,54 @@ def test_ivf_assign_handles_empty_input(spark, embs):
     out = ann.ivf_assign(idx, empty)
     assert out.count() == 0
     assert "cluster" in out.columns
+
+
+def test_pca_projection_matches_numpy(spark):
+    """Distributed codegen projection ≡ numpy (X - mean) @ C.T, and the
+    fitted components are orthonormal."""
+    import numpy as np
+
+    from homemade_vector_db_spark.operators import pca as pcamod
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(200, 8)).astype("float64")
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    mean, comps = pcamod.fit_pca(df, 8, 3)
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    got = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in pcamod.project(df, mean, comps).select("vec_id", "proj").collect()
+    }
+    want = (X - mean) @ comps.T
+    for i in range(len(X)):
+        assert np.allclose(got[i], want[i], atol=1e-9)
+
+
+def test_pca_recovers_low_rank_subspace(spark):
+    """Data generated in a 2-D subspace of R^8: a 2-component PCA must
+    capture (essentially) all variance."""
+    import numpy as np
+
+    from homemade_vector_db_spark.operators import pca as pcamod
+
+    rng = np.random.default_rng(11)
+    basis = rng.normal(size=(2, 8))
+    coef = rng.normal(size=(300, 2))
+    X = coef @ basis
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    mean, comps = pcamod.fit_pca(df, 8, 2)
+    proj = pcamod.project(df, mean, comps)
+    import pyspark.sql.functions as F
+    from homemade_vector_db_spark.functions.vector import (
+        dot_fixed,
+        squared_l2_fixed,
+    )
+
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    r = proj.agg(
+        F.avg(squared_l2_fixed("embedding", mean_lit, 8)).alias("vt"),
+        F.avg(dot_fixed("proj", "proj", 2)).alias("vk"),
+    ).collect()[0]
+    assert r["vk"] / r["vt"] > 0.999
