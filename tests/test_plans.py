@@ -420,3 +420,34 @@ def test_bloom_gate_broadcasts_bitmap_no_cartesian_blowup(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_corpus_prep_shuffles_less_than_text_volume(spark):
+    """The flagship's docstring claims text never enters a shuffle (only
+    the fingerprint + profile rows do). Assert it on executed metrics:
+    total shuffle bytes stay under half the corpus text volume."""
+    from homemade_vector_db_spark.plans.explain import executed_shuffle_stats
+    from homemade_vector_db_spark.sources.tables import load_documents
+
+    text_bytes = (
+        load_documents(spark, SF_SMOKE)
+        .agg(F.sum(F.length("text")).alias("b"))
+        .collect()[0]["b"]
+    )
+    got_bytes, _ = executed_shuffle_stats(Q.q_corpus_prep(spark, SF_SMOKE))
+    assert 0 < got_bytes < 0.5 * text_bytes, (got_bytes, text_bytes)
+
+
+def test_sessionize_shuffles_each_event_once(spark):
+    """One user_id exchange for both window functions: shuffle RECORD
+    count equals the input event count — each event crosses the wire
+    exactly once, not once per window."""
+    from homemade_vector_db_spark.plans.explain import executed_shuffle_details
+    from homemade_vector_db_spark.sources.tables import load_table
+
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    details = executed_shuffle_details(Q.q_sessionize(spark, SF_SMOKE))
+    hash_records = sum(
+        d["records"] for d in details if "hashpartitioning" in d["partitioning"]
+    )
+    assert hash_records == n_events, (details, n_events)
