@@ -68,6 +68,13 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
     slower end-to-end at sf0.1). The slice-zip form evaluates the split a
     constant ~n+1 times per row.
     """
+    return F.array_distinct(shingle_windows(text_col, n))
+
+
+def shingle_windows(text_col: Column | str, n: int = 3) -> Column:
+    """ALL word n-gram windows in order (duplicates kept, position
+    preserved) — the multiset form of `shingles`; phrase-occurrence
+    counting needs every window, dedup only the distinct set."""
     toks = tokenize(text_col)
     length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     acc = F.slice(toks, 1, length)
@@ -75,7 +82,7 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
         acc = F.zip_with(
             acc, F.slice(toks, j, length), lambda x, y: F.concat(x, F.lit(" "), y)
         )
-    return F.array_distinct(acc)
+    return acc
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
