@@ -83,8 +83,13 @@ def build_ivf(
     n = df.count()
     if n == 0:
         raise ValueError("cannot build IVF index on empty table")
-    # O2a parity: shrink nlist for tiny corpora instead of failing
-    k = max(1, min(nlist, n // 2)) if n >= 2 else 1
+    # O2a parity: shrink nlist for tiny corpora instead of failing.
+    # Besides the n//2 floor-guard, cap at ~sqrt(n) (the FAISS sizing
+    # rule): over-partitioning a small corpus scatters true neighbors
+    # across cells and any fixed nprobe under-recalls.
+    import math
+
+    k = max(1, min(nlist, n // 2, math.isqrt(n))) if n >= 2 else 1
     if k == 1:
         # single cell = flat fallback: every probe scans everything
         # (reference parity: IVFPQ train failure → flat, local_db.py:101-108)

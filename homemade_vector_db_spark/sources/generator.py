@@ -159,6 +159,14 @@ class _FakeDocsStreamReader(DataSourceStreamReader):
         return {"next": self._current}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # RESTART fast-forward: a restarted query re-plans from the OFFSET
+        # LOG, not from this (fresh) reader instance, so `_current` may be
+        # behind the logged offsets. Without this clamp, the next
+        # latestOffset() could return an offset BELOW the committed one —
+        # the engine would record it and rewind the stream, re-emitting
+        # already-committed ranges as duplicates (caught by the restart
+        # test in tests/test_formats.py).
+        self._current = max(self._current, int(end["next"]))
         lo, hi = int(start["next"]), int(end["next"])
         p = max(1, self.num_partitions)
         step = max(1, (hi - lo + p - 1) // p)

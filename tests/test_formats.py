@@ -276,3 +276,57 @@ def test_stats_sink_writer_manifest(spark, tmp_path):
     ).save()
     m3 = json.load(open(os.path.join(p3, "manifest.json")))
     assert m3["checksum"] != m1["checksum"]
+
+
+def test_fake_docs_stream_restart_resumes_exactly(spark, tmp_path):
+    """Kill a query mid-feed, restart from the same checkpoint: the
+    offset log is the source of truth, so the restarted query continues
+    where the first stopped — no gaps, no duplicates."""
+    from homemade_vector_db_spark.sources import generator
+
+    generator.register(spark)
+
+    def start():
+        return (
+            spark.readStream.format("fake_docs")
+            .option("rate", 30)
+            .option("maxDocs", 150)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+
+    q1 = start()
+    try:
+        # let at least one batch commit, then stop mid-feed
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if len(spark.read.parquet(str(tmp_path / "out")).take(1)) > 0:
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(0.5)
+    finally:
+        q1.stop()
+
+    n_before = spark.read.parquet(str(tmp_path / "out")).count()
+    assert 0 < n_before  # stopped with work still pending or just done
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = spark.read.parquet(str(tmp_path / "out")).orderBy("doc_id").collect()
+    want = (
+        spark.read.format("fake_docs").option("n", 150).load()
+        .orderBy("doc_id").collect()
+    )
+    assert got == want  # no gaps, no duplicates across the restart
