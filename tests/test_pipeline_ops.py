@@ -352,3 +352,26 @@ def test_bloom_bitmap_shape(spark):
     assert len(row["bloom_words"]) == 4
     # 3 hash functions set at most 3 bits total
     assert sum(bin(w & (2**64 - 1)).count("1") for w in row["bloom_words"]) <= 3
+
+
+def test_bloom_empty_member_set_rejects_everything(spark):
+    """bloom_build over ZERO members must produce an all-zeros bitmap
+    (the zero-filler guarantees the dense shape), so every probe is a
+    clean negative — no nulls, no index errors."""
+    from homemade_vector_db_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    m, k = 256, 3
+    empty = spark.createDataFrame([], "s STRING")
+    bloom = bloom_build(empty, "s", m_bits=m, k=k)
+    row = bloom.collect()[0]
+    assert len(row["bloom_words"]) == 4 and all(w == 0 for w in row["bloom_words"])
+    probes = spark.range(50).select(F.concat(F.lit("x"), F.col("id")).alias("s"))
+    hits = (
+        probes.crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain("bloom_words", "s", m, k))
+        .count()
+    )
+    assert hits == 0
