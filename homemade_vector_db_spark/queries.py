@@ -6304,6 +6304,38 @@ FROM documents
 """
 
 
+PARAM_LANG = "en"
+PARAM_MIN_CHARS = 150
+
+
+def q_docs_by_params_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named parameter markers): the
+    injection-safe way to template queries — values bind as literals at
+    ANALYSIS time, so Catalyst still constant-folds and pushes them into
+    the scan exactly like hand-inlined predicates (no prepared-statement
+    plan genericity penalty). Oracle inlines the same values."""
+    load_documents(spark, sf_dir).createOrReplaceTempView("v_documents")
+    return spark.sql(
+        """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM v_documents
+        WHERE lang = :lang AND n_chars >= :min_chars
+        GROUP BY lang ORDER BY lang
+        """,
+        args={"lang": PARAM_LANG, "min_chars": PARAM_MIN_CHARS},
+    )
+
+
+_ORACLES["docs_by_params_sql"] = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang = '{PARAM_LANG}' AND n_chars >= {PARAM_MIN_CHARS}
+GROUP BY lang ORDER BY lang
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet:
@@ -6416,6 +6448,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_check": q_pca_check,
         "phrase_search": q_phrase_search,
         "hll_merge_check": q_hll_merge_check,
+        "docs_by_params_sql": q_docs_by_params_sql,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

@@ -55,6 +55,38 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
     return spark.read.schema(schema).json(path)
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl_audited(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine): PERMISSIVE JSONL read that captures each
+    malformed line verbatim in a corrupt-record column instead of
+    silently nulling it. At 100 TB a feed with 0.01% broken lines is
+    normal; dropping them silently corrupts corpus statistics and
+    auditing them later needs the original bytes — so the quarantine
+    side keeps the raw line for repair/replay, and the good side is
+    schema-clean. One scan serves both (Spark requires the corrupt
+    column to be cached/materialized before filtering on it —
+    the persist below is that requirement, not an optimization)."""
+    audited = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    df = (
+        spark.read.schema(audited)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        .persist()
+    )
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, quarantine
+
+
 def _array_cols(schema: T.StructType) -> list[str]:
     return [f.name for f in schema.fields if isinstance(f.dataType, T.ArrayType)]
 

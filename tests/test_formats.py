@@ -330,3 +330,33 @@ def test_fake_docs_stream_restart_resumes_exactly(spark, tmp_path):
         .orderBy("doc_id").collect()
     )
     assert got == want  # no gaps, no duplicates across the restart
+
+
+def test_read_jsonl_audited_quarantines_bad_lines(spark, tmp_path):
+    """PERMISSIVE + corrupt-record column: good rows come out
+    schema-clean, malformed lines are preserved verbatim for repair."""
+    import pyspark.sql.types as T
+
+    from homemade_vector_db_spark.sources.formats import read_jsonl_audited
+
+    p = tmp_path / "feed.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "ok one"}',
+        'this is not json at all',
+        '{"doc_id": 2, "text": "ok two"}',
+        '{"doc_id": "NaN-ish", "text": 3}',  # schema-incompatible
+        '{"doc_id": 3, "text": "ok three"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, quarantine = read_jsonl_audited(spark, str(p), schema)
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2, 3]
+    bad = sorted(r.raw_line for r in quarantine.collect())
+    assert bad == sorted([lines[1], lines[3]])
+    # good side carries no corrupt column
+    assert "_corrupt_record" not in good.columns
