@@ -6394,7 +6394,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_check": q_simhash_check,
         "ndv_sketch_check": q_ndv_sketch_check,
         "pctl_sketch_check": q_pctl_sketch_check,
-        # -- new round-2 pipeline operators (never checked before)
+        # -- new round-2 pipeline operators (never checked before);
+        # slots 49-50 of the observed 50-entry driver window go to this
+        # round's composed flagship + the oldest unchecked round-2 op
+        "corpus_prep_hygiene": q_corpus_prep_hygiene,
         "repetition_stats": q_repetition_stats,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "token_chunks": q_token_chunks,
@@ -6444,7 +6447,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_star_check": q_components_star_check,
         "user_state_scd2": q_user_state_scd2,
         "purchase_state_pit": q_purchase_state_pit,
-        "corpus_prep_hygiene": q_corpus_prep_hygiene,
         "pca_check": q_pca_check,
         "phrase_search": q_phrase_search,
         "hll_merge_check": q_hll_merge_check,
