@@ -1293,27 +1293,25 @@ def q_lsh_neardup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate for the LSH-bucketed similarity self-join: on a
     bounded slice, recall vs the EXACT pair set within the L2 bound must
     clear the floor, and precision must be exactly 1 (approxSimilarityJoin
-    post-filters on true distance, so any extra pair is a bug)."""
-    from homemade_vector_db_spark.functions.vector import dot_fixed, l2_norm
-
+    post-filters on true distance, so any extra pair is a bug). The exact
+    side runs through the BLAS pair kernel: the expression form put the
+    distance in a BroadcastNestedLoopJoin condition, which evaluates
+    interpreted — 47 s vs ~2 s for the same 1.1M candidate pairs."""
     embs = load_embeddings(spark, sf_dir).where(F.col("vec_id") < 1500)
     idx = ann.build_lsh(embs, bucket_length=2.0, num_hash_tables=3, cache=False)
-    got = ann.lsh_similarity_join(idx, max_l2=LSH_NEARDUP_MAX_L2).select(
-        "a_id", "b_id"
-    )
-    normed = embs.select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
-        (l2_norm("embedding") * l2_norm("embedding")).alias("n2"),
-    )
-    a, b = normed.alias("a"), normed.alias("b")
-    d2 = (
-        F.col("a.n2") + F.col("b.n2")
-        - 2.0 * dot_fixed(F.col("a.v"), F.col("b.v"), EMB_DIM)
+    # persist both pair sets: the gate's three counters reference each
+    # twice inside one plan
+    got = (
+        ann.lsh_similarity_join(idx, max_l2=LSH_NEARDUP_MAX_L2)
+        .select("a_id", "b_id")
+        .persist()
     )
     want = (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .where(d2 <= LSH_NEARDUP_MAX_L2 * LSH_NEARDUP_MAX_L2)
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        dedup.embedding_pairs_within_l2_blas(
+            embs, max_l2=LSH_NEARDUP_MAX_L2
+        )
+        .select("a_id", "b_id")
+        .persist()
     )
     n_want = want.agg(F.count(F.lit(1)).alias("w"))
     n_hit = got.join(want, ["a_id", "b_id"]).agg(F.count(F.lit(1)).alias("h"))
