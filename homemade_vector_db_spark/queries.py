@@ -6334,6 +6334,57 @@ GROUP BY lang ORDER BY lang
 """
 
 
+OVERLAP_K = 3
+
+
+def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-overlap detection (web-crawl stitching artifact: one
+    page's tail re-appears as the next capture's head): pairs where doc
+    A's last k tokens equal doc B's first k tokens. One equi-join on the
+    k-token boundary string — linear in docs, no shingle explosion; the
+    boundary key is high-cardinality so the join is skew-safe."""
+    d = load_documents(spark, sf_dir)
+    toks = tokenize("text")
+    n = F.size(toks)
+    he = d.where(n >= OVERLAP_K).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, OVERLAP_K)).alias("head"),
+        F.concat_ws(" ", F.slice(toks, -OVERLAP_K, OVERLAP_K)).alias("tail"),
+    )
+    a, b = he.alias("a"), he.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tail") == F.col("b.head"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.tail").alias("boundary"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+_ORACLES["overlap_pairs"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+he AS (
+  SELECT doc_id,
+         array_to_string(tk[1:{OVERLAP_K}], ' ') AS head,
+         array_to_string(tk[-{OVERLAP_K}:], ' ') AS tail
+  FROM t WHERE len(tk) >= {OVERLAP_K}
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.tail AS boundary
+FROM he a JOIN he b ON a.tail = b.head AND a.doc_id <> b.doc_id
+ORDER BY a_id, b_id
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet:
@@ -6449,6 +6500,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "hll_merge_check": q_hll_merge_check,
         "docs_by_params_sql": q_docs_by_params_sql,
+        "overlap_pairs": q_overlap_pairs,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

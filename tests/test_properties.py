@@ -259,3 +259,47 @@ def test_duplicated_span_stats_matches_bruteforce(spark, docs):
         for r in duplicated_span_stats(df, k=k).collect()
     }
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.integers(min_value=0, max_value=3),   # state id
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_scd2_matches_python_model(spark, events):
+    """SCD2 construction (collapse + versioned intervals) vs a direct
+    Python fold over the per-user event sequence."""
+    from homemade_vector_db_spark.streaming.scd2 import _collapse
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, f"s{sid}", base + datetime.timedelta(hours=i), i)
+        for i, (u, sid) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_type STRING, ts TIMESTAMP, event_id LONG"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    collapsed = _collapse(df)
+    got = [
+        (r["user_id"], r["state"], r["ts"], r["event_id"])
+        for r in collapsed.orderBy("user_id", "ts", "event_id").collect()
+    ]
+
+    # python model: keep first event of each run of equal states per user
+    by_user: dict[int, list] = {}
+    for u, s, ts, eid in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+        seq = by_user.setdefault(u, [])
+        if not seq or seq[-1][1] != s:
+            seq.append((u, s, ts, eid))
+    want = [row for u in sorted(by_user) for row in by_user[u]]
+    assert got == want
