@@ -726,3 +726,41 @@ def test_incremental_scd2_on_stream(spark, tmp_path):
     assert [tuple(r) for r in dim.collect()] == [
         tuple(r) for r in direct.dimension(spark).collect()
     ]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-STATIC join (dimension enrichment inside the streaming
+    plan, not foreachBatch): events stream broadcast-joined to a static
+    user dimension; the static side re-resolves per micro-batch."""
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver")], "user_id LONG, tier STRING"
+    )
+    spark.createDataFrame(
+        [(0, 10.0), (1, 5.0), (2, 1.0), (0, 2.5)], "user_id LONG, value DOUBLE"
+    ).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("user_id LONG, value DOUBLE").parquet(str(src))
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").withColumn(
+        "tier", F.coalesce("tier", F.lit("none"))
+    )
+    q = (
+        enriched.writeStream.format("memory").queryName("ss_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.value): r.tier
+            for r in spark.sql("SELECT * FROM ss_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        (0, 10.0): "gold",
+        (0, 2.5): "gold",
+        (1, 5.0): "silver",
+        (2, 1.0): "none",
+    }
