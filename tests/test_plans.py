@@ -451,3 +451,19 @@ def test_sessionize_shuffles_each_event_once(spark):
         d["records"] for d in details if "hashpartitioning" in d["partitioning"]
     )
     assert hash_records == n_events, (details, n_events)
+
+
+def test_funnel_recursion_executes_as_union_loop(spark):
+    # Spark 4 recursive CTE → UnionLoop operator (bounded by the hop
+    # budget in the recursion predicate), not an unrolled N-way union
+    plan = physical_plan(Q.q_funnel_paths_sql(spark, SF_SMOKE))
+    assert "UnionLoop" in plan, plan
+
+
+def test_lateral_top1_decorrelates_to_window_join(spark):
+    # the correlated LATERAL ... ORDER BY ... LIMIT 1 must decorrelate
+    # into a window/aggregate + one join — never per-outer-row
+    # re-execution (no CartesianProduct / nested-loop over orders)
+    plan = physical_plan(Q.q_latest_order_lateral(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
