@@ -29,13 +29,15 @@ from pyspark.sql import types as T
 
 from homemade_vector_db_spark.operators import bm25, hybrid, knn
 
-_INDEX_TYPES = ("flat", "lsh", "ivf")
+_INDEX_TYPES = ("flat", "lsh", "ivf", "nsw")
 # Reference spellings (local_db.py:24: 'hnsw' | 'flat' | 'ivfpq') map onto
 # the Spark-native tier that fills the same role, so reference call sites
 # port 1:1: HNSW's graph-ANN role → random-projection LSH; IVFPQ's
 # cell-probed role → KMeans-IVF (PQ compression available separately via
 # operators.pq on top of any tier).
-_INDEX_ALIASES = {"hnsw": "lsh", "ivfpq": "ivf"}
+# "hnsw" maps to the sharded NSW GRAPH tier (operators/nsw.py) so the
+# reference's M / ef_construction / ef_search kwargs are live, not inert
+_INDEX_ALIASES = {"hnsw": "nsw", "ivfpq": "ivf"}
 
 
 class VectorDatabase:
@@ -303,10 +305,18 @@ class VectorDatabase:
     def _ann_search(self, vector: list[float], top_k: int):
         from homemade_vector_db_spark.operators import ann
 
+        from homemade_vector_db_spark.operators import nsw as nswmod
+
         if self._ann_index is None:
             if self.index_type == "lsh":
                 self._ann_index = ann.build_lsh(
                     self._df, id_col=self.id_col, vec_col=self.vec_col
+                )
+            elif self.index_type == "nsw":
+                # reference hnsw kwargs map 1:1 (local_db.py:41-47)
+                self._ann_index = nswmod.build_nsw(
+                    self._df, id_col=self.id_col, vec_col=self.vec_col,
+                    m=self.M, ef_construction=self.ef_construction,
                 )
             else:  # ivf
                 self._ann_index = ann.build_ivf(
@@ -315,6 +325,10 @@ class VectorDatabase:
                 )
         if self.index_type == "lsh":
             return ann.lsh_search(self._ann_index, vector, k=top_k)
+        if self.index_type == "nsw":
+            return nswmod.nsw_search(
+                self._ann_index, vector, k=top_k, ef_search=self.ef_search
+            )
         # ef_search plays the probe-width role (recall/cost knob): the
         # reference default ef_search=50 → nprobe 5 ≈ FAISS's nlist//10
         nprobe = max(1, min(self._ann_index.nlist, self.ef_search // 10))
@@ -444,7 +458,11 @@ class VectorDatabase:
                 ann.save_lsh(self._ann_index, ann_path)
             elif self.index_type == "ivf":
                 ann.save_ivf(self._ann_index, ann_path)
-            has_ann = self.index_type in ("lsh", "ivf")
+            elif self.index_type == "nsw":
+                from homemade_vector_db_spark.operators import nsw as nswmod
+
+                nswmod.save_nsw(self._ann_index, ann_path)
+            has_ann = self.index_type in ("lsh", "ivf", "nsw")
         manifest = {
             "dim": self.dim,
             "index_type": self.index_type,
@@ -490,6 +508,10 @@ class VectorDatabase:
                 db._ann_index = ann.load_lsh(spark, ann_path, df)
             elif m["index_type"] == "ivf":
                 db._ann_index = ann.load_ivf(spark, ann_path)
+            elif m["index_type"] == "nsw":
+                from homemade_vector_db_spark.operators import nsw as nswmod
+
+                db._ann_index = nswmod.load_nsw(spark, ann_path)
         return db
 
     # ------------------------------------------------------------------ misc

@@ -6385,6 +6385,47 @@ ORDER BY a_id, b_id
 """
 
 
+def _nsw_index(spark: SparkSession, sf_dir: str):
+    from homemade_vector_db_spark.operators import nsw as nswmod
+
+    key = ("nsw", sf_dir)
+    if key not in _ANN_IDX:
+        _ANN_IDX[key] = nswmod.build_nsw(
+            load_embeddings(spark, sf_dir), rows_per_shard=1000
+        )
+    return _ANN_IDX[key]
+
+
+def q_nsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local NSW graph search (operators/nsw.py) — the HNSW-role
+    graph tier (reference: hnswlib, local_db.py:41-47) as independent
+    per-shard navigable-small-world graphs beam-searched in parallel and
+    merged with one TakeOrderedAndProject. Rows-only (graph ANN recall
+    is gated by nsw_recall)."""
+    from homemade_vector_db_spark.operators import nsw as nswmod
+
+    embs = load_embeddings(spark, sf_dir)
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    return nswmod.nsw_search(_nsw_index(spark, sf_dir), q, k=TOP_K)
+
+
+def q_nsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the sharded-NSW graph search vs the exact flat
+    operator — the graph-tier analogue of ann_lsh_recall."""
+    from homemade_vector_db_spark.operators import nsw as nswmod
+
+    embs = load_embeddings(spark, sf_dir)
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    approx = nswmod.nsw_search(
+        _nsw_index(spark, sf_dir), q, k=TOP_K, ef_search=50
+    ).select("vec_id")
+    exact = knn.knn_exact(embs, q, k=TOP_K, dim=EMB_DIM).select("vec_id")
+    return _recall_gate(approx, exact, TOP_K)
+
+
+_ORACLES["nsw_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet:
@@ -6506,6 +6547,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_check": q_hll_merge_check,
         "docs_by_params_sql": q_docs_by_params_sql,
         "overlap_pairs": q_overlap_pairs,
+        "nsw_topk": q_nsw_topk,
+        "nsw_recall": q_nsw_recall,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

@@ -200,3 +200,35 @@ def test_pca_recovers_low_rank_subspace(spark):
         F.avg(dot_fixed("proj", "proj", 2)).alias("vk"),
     ).collect()[0]
     assert r["vk"] / r["vt"] > 0.999
+
+
+def test_nsw_multi_shard_recall_and_determinism(spark, embs, qvec):
+    """Sharded NSW: force several shards, recall@10 vs exact must clear
+    0.8 and rebuilds are bit-identical (hash sharding + id-ascending
+    insertion + id tie-breaks)."""
+    from homemade_vector_db_spark.operators import nsw
+    from homemade_vector_db_spark.operators.knn import knn_exact
+
+    idx = nsw.build_nsw(embs, rows_per_shard=150)  # 500 rows → 4 shards
+    assert idx.graph.select("shard").distinct().count() >= 3
+    got = [r.vec_id for r in nsw.nsw_search(idx, qvec, k=10, ef_search=50).collect()]
+    exact = [r.vec_id for r in knn_exact(embs, qvec, k=10, dim=64).collect()]
+    assert len(set(got) & set(exact)) / 10 >= 0.8
+    idx2 = nsw.build_nsw(embs, rows_per_shard=150)
+    got2 = [r.vec_id for r in nsw.nsw_search(idx2, qvec, k=10, ef_search=50).collect()]
+    assert got == got2
+
+
+def test_nsw_finds_planted_duplicate(spark, embs):
+    """A vector identical to vec 7 must return 7 first with score 0."""
+    from pyspark.sql import functions as F
+
+    from homemade_vector_db_spark.operators import nsw
+
+    target = list(
+        embs.where(F.col("vec_id") == 7).first().embedding
+    )
+    idx = nsw.build_nsw(embs, rows_per_shard=200)
+    top = nsw.nsw_search(idx, target, k=3, ef_search=50).collect()
+    assert top[0].vec_id == 7
+    assert top[0].score == 1.0  # 1/(1+d2) at d2=0

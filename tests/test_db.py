@@ -224,7 +224,7 @@ def test_incremental_add_extends_ivf_without_refit(spark):
     assert got == [20]
 
 
-@pytest.mark.parametrize("ref_name,ours", [("hnsw", "lsh"), ("ivfpq", "ivf")])
+@pytest.mark.parametrize("ref_name,ours", [("hnsw", "nsw"), ("ivfpq", "ivf")])
 def test_reference_index_type_aliases(spark, ref_name, ours):
     d = VectorDatabase(spark, dim=4, index_type=ref_name)
     assert d.index_type == ours
@@ -236,7 +236,7 @@ def test_reference_constructor_signature_ports(spark):
         spark, dim=4, index_type="hnsw", ef_construction=100, M=8,
         ivf_clusters=4, pq_code_size=8, ef_search=20, init_index=True,
     )
-    assert d.index_type == "lsh" and d.ivf_clusters == 4
+    assert d.index_type == "nsw" and d.ivf_clusters == 4
     import random
 
     rng = random.Random(3)
@@ -334,3 +334,28 @@ def test_attach_then_add_continues_from_max_id(spark):
     db2 = VectorDatabase(spark, dim=4).attach(db._df)
     db2.add(["doc new"], [mk()])
     assert db2.query_metadata() == [0, 1, 2, 3]
+
+
+def test_hnsw_routes_to_graph_tier_and_roundtrips(spark, tmp_path):
+    """index_type='hnsw' now builds the sharded NSW GRAPH (reference
+    kwargs M/ef_construction/ef_search live, local_db.py:41-47); search
+    finds a planted duplicate, and save/load round-trips the graph."""
+    import numpy as np
+
+    from homemade_vector_db_spark.db import VectorDatabase
+    from homemade_vector_db_spark.operators.nsw import NSWIndex
+
+    rng = np.random.default_rng(5)
+    n, dim = 80, 8
+    vecs = [[float(x) for x in rng.normal(size=dim)] for _ in range(n)]
+    db = VectorDatabase(spark, dim=dim, index_type="hnsw", M=6, ef_search=40)
+    db.add([f"doc {i}" for i in range(n)], vecs)
+    got = db.query_vector(vecs[17], top_k=3)
+    assert got[0] == 17
+    assert isinstance(db._ann_index, NSWIndex)
+    p = str(tmp_path / "hnsw_db")
+    db.save(p)
+    back = VectorDatabase.load(spark, p)
+    assert back.index_type == "nsw"
+    assert back._ann_index is not None  # manifest restored the graph
+    assert back.query_vector(vecs[17], top_k=3)[0] == 17

@@ -46,6 +46,7 @@ def test_registry_and_oracles_consistent():
         "ivfpq_topk",
         "lsh_neardup",
         "ndv_sketch",
+        "nsw_topk",
         "pq_topk",
         "simhash_neardup",
         "sq_topk",
