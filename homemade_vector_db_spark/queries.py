@@ -6426,6 +6426,75 @@ def q_nsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["nsw_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
 
 
+def _bq_index(spark: SparkSession, sf_dir: str):
+    from homemade_vector_db_spark.operators import bq as bqmod
+
+    key = ("bq", sf_dir)
+    if key not in _ANN_IDX:
+        _ANN_IDX[key] = bqmod.build_bq(
+            load_embeddings(spark, sf_dir), dim=EMB_DIM
+        )
+    return _ANN_IDX[key]
+
+
+def q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized Hamming top-k (operators/bq.py): sign bits over
+    per-dim MIDRANGE thresholds packed into longs, distance =
+    bit_count(XOR). Midrange ((min+max)/2, exact order-independent float
+    aggregates) makes the whole path bit-reproducible in an external
+    engine, so unlike the other approximate tiers this one is
+    hash-checked against a full DuckDB oracle that re-derives the same
+    bits from the same parquet."""
+    from homemade_vector_db_spark.operators import bq as bqmod
+
+    q = _qvec_list(spark, sf_dir)
+    return bqmod.bq_search(_bq_index(spark, sf_dir), q, k=TOP_K)
+
+
+def q_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the BQ rerank pipeline (Hamming shortlist →
+    exact full-precision rerank) vs the exact flat operator — the 1-bit
+    tier's analogue of ivfpq_recall (measured 1.0 at sf0.01 with a
+    100-candidate pool over 64-bit signatures; gate at the shared 0.5
+    floor)."""
+    from homemade_vector_db_spark.operators import bq as bqmod
+
+    embs = load_embeddings(spark, sf_dir)
+    q = _qvec_list(spark, sf_dir)
+    approx = bqmod.bq_rerank_search(
+        _bq_index(spark, sf_dir), embs, q, k=TOP_K, pool=10 * TOP_K
+    ).select("vec_id")
+    exact = knn.knn_exact(embs, q, k=TOP_K, dim=EMB_DIM).select("vec_id")
+    return _recall_gate(approx, exact, TOP_K)
+
+
+# Full-value oracle: DuckDB re-derives the midrange thresholds and sign
+# bits from the raw parquet and counts per-dim sign disagreements — the
+# unpacked equivalent of Σ bit_count(words XOR qwords).
+_ORACLES["bq_topk"] = f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+  FROM embeddings
+),
+thr AS (
+  SELECT i, (min(x) + max(x)) / 2.0 AS t FROM flat GROUP BY i
+),
+qbits AS (
+  SELECT f.i, f.x > t.t AS qb
+  FROM flat f JOIN thr t USING (i) WHERE f.vec_id = 0
+),
+ham AS (
+  SELECT f.vec_id,
+         CAST(SUM(CASE WHEN (f.x > t.t) <> q.qb THEN 1 ELSE 0 END) AS BIGINT)
+           AS hamming
+  FROM flat f JOIN thr t USING (i) JOIN qbits q USING (i)
+  GROUP BY f.vec_id
+)
+SELECT vec_id, hamming FROM ham ORDER BY hamming ASC, vec_id ASC LIMIT {TOP_K}
+"""
+_ORACLES["bq_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet:
@@ -6549,6 +6618,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_pairs": q_overlap_pairs,
         "nsw_topk": q_nsw_topk,
         "nsw_recall": q_nsw_recall,
+        "bq_topk": q_bq_topk,
+        "bq_recall": q_bq_recall,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,
