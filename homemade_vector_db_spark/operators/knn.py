@@ -295,3 +295,89 @@ def mmr_rerank(
         remaining[pick] = False
         out.append((int(ids[pick]), float(mmr_masked[pick])))
     return out
+
+
+def radius_search(
+    df: DataFrame,
+    query: Sequence[float],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int | None = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """All vectors with similarity ≥ threshold — FAISS `range_search`
+    parity (the one query mode of the reference's flat tier it never
+    exposes, local_db.py:137-200 is k-NN only). Same squared-L2
+    similarity transform as knn_exact (1/(1+d²)), same literal-query
+    constant folding; the predicate is a scan-side codegen filter, so the
+    plan is scan → project → filter → sort with no join and no shuffle
+    before the (small, radius-bounded) result sort."""
+    q = [float(x) for x in query]
+    if dim is None:
+        dim = len(q)
+    scored = with_query_vector(df, q, dim=dim)
+    d2 = squared_l2_fixed(vec_col, QVEC, dim)
+    score = l2_to_similarity(d2)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        scored.withColumn("score", score)
+        .where(F.col("score") >= float(threshold))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .select(F.col(id_col), F.col("score"))
+    )
+
+
+def maxsim_search(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    parts: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int | None = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim, Khattab & Zaharia 2020)
+    retrieval: both query and document carry `parts` sub-vectors and
+    score = Σ_p max_d dot(q_p, doc_d). Here the sub-vectors are
+    equal-width slices of the stored embedding — a deterministic stand-in
+    for per-token embeddings (no embedding model ships in this
+    container); the operator shape is the real deliverable.
+
+    For a FIXED small part count the whole score is one codegen scalar
+    expression (parts² literal-query dot products + greatest() per query
+    part): scan → project → TakeOrderedAndProject, zero shuffles, no
+    explode. With variable-length token vectors the same semantics
+    decompose as posexplode → per-(doc, query-part) max → groupBy(doc)
+    sum — one shuffle on doc_id; use that form when parts is data-driven.
+    """
+    q = [float(x) for x in query]
+    if dim is None:
+        dim = len(q)
+    if dim % parts != 0:
+        raise ValueError(f"dim {dim} not divisible by parts {parts}")
+    w = dim // parts
+
+    def dot_lit(p_off: int, d_off: int):
+        expr = None
+        for i in range(w):
+            term = F.element_at(F.col(vec_col), d_off + i + 1).cast(
+                "double"
+            ) * F.lit(q[p_off + i])
+            expr = term if expr is None else expr + term
+        return expr
+
+    score = None
+    for p in range(parts):
+        dots = [dot_lit(p * w, d * w) for d in range(parts)]
+        m = F.greatest(*dots) if len(dots) > 1 else dots[0]
+        score = m if score is None else score + m
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -6494,6 +6494,74 @@ SELECT vec_id, hamming FROM ham ORDER BY hamming ASC, vec_id ASC LIMIT {TOP_K}
 """
 _ORACLES["bq_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
 
+RADIUS_THRESHOLD = 0.4  # similarity floor: ~15 rows at sf0.01 (incl. self)
+
+
+def q_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius/range search (operators/knn.radius_search): every vector
+    with 1/(1+d²) ≥ 0.4 vs the fixture query — FAISS range_search
+    parity, the flat-tier query mode the reference never exposes. Exact
+    and deterministic → full value oracle."""
+    return knn.radius_search(
+        load_embeddings(spark, sf_dir),
+        _qvec_list(spark, sf_dir),
+        threshold=RADIUS_THRESHOLD,
+        dim=EMB_DIM,
+    )
+
+
+_ORACLES["radius_search"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.qv')}), 6) AS score
+FROM embeddings e, q
+WHERE round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.qv')}), 6)
+      >= {RADIUS_THRESHOLD}
+ORDER BY score DESC, e.vec_id ASC
+"""
+
+MAXSIM_PARTS = 4
+
+
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim top-k (operators/knn.maxsim_search):
+    score = Σ_p max_d dot(q_p, doc_d) over 4×16-dim sub-vector slices —
+    the ColBERT scoring shape as one codegen expression (no explode, no
+    shuffle). Deterministic → full value oracle."""
+    return knn.maxsim_search(
+        load_embeddings(spark, sf_dir),
+        _qvec_list(spark, sf_dir),
+        k=TOP_K,
+        parts=MAXSIM_PARTS,
+        dim=EMB_DIM,
+    )
+
+
+def _maxsim_oracle() -> str:
+    w = EMB_DIM // MAXSIM_PARTS
+
+    def dot_sql(p: int, d: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {w + 1}), "
+            f"i -> CAST(e.embedding[{d * w}+i] AS DOUBLE)"
+            f" * CAST(q.qv[{p * w}+i] AS DOUBLE)))"
+        )
+
+    per_part = [
+        "greatest(" + ", ".join(dot_sql(p, d) for d in range(MAXSIM_PARTS)) + ")"
+        for p in range(MAXSIM_PARTS)
+    ]
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({' + '.join(per_part)}, 6) AS score
+FROM embeddings e, q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+_ORACLES["maxsim_topk"] = _maxsim_oracle()
+
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
@@ -6620,6 +6688,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsw_recall": q_nsw_recall,
         "bq_topk": q_bq_topk,
         "bq_recall": q_bq_recall,
+        "radius_search": q_radius_search,
+        "maxsim_topk": q_maxsim_topk,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

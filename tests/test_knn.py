@@ -91,3 +91,56 @@ def test_knn_batch_matches_per_query_exact(spark, embs):
         q = embs.where(F.col("vec_id") == qid).select("embedding")
         want = [(r.vec_id, r.score) for r in knn_exact(embs, q, k=4).collect()]
         assert got == want
+
+
+def test_radius_search_matches_threshold_scan(spark, embs):
+    from homemade_vector_db_spark.operators.knn import radius_search
+
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    rows = radius_search(embs, q, threshold=0.4, dim=64).collect()
+    # exhaustive truth: every score >= t in the full ranking, nothing else
+    full = {
+        r.vec_id: r.score
+        for r in knn_exact(embs, q, k=embs.count(), dim=64).collect()
+    }
+    want = {v for v, s in full.items() if s >= 0.4}
+    assert {r.vec_id for r in rows} == want
+    assert all(r.score >= 0.4 for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_maxsim_matches_numpy_model(spark, embs):
+    import numpy as np
+
+    from homemade_vector_db_spark.operators.knn import maxsim_search
+
+    q = np.array(
+        embs.where(F.col("vec_id") == 0).first().embedding, dtype=np.float64
+    )
+    rows = embs.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    parts, w = 4, 16
+    Q = q.reshape(parts, w)          # query sub-vectors
+    D = X.reshape(len(ids), parts, w)  # doc sub-vectors
+    # score_i = sum_p max_d Q[p] . D[i,d]
+    dots = np.einsum("pw,ndw->npd", Q, D)  # n × p × d
+    truth = dots.max(axis=2).sum(axis=1)
+    order = np.lexsort((ids, -np.round(truth, 6)))
+    want = [int(ids[i]) for i in order[:10]]
+    got = [r.vec_id for r in maxsim_search(embs, list(q), k=10, parts=4, dim=64).collect()]
+    assert got == want
+
+
+def test_maxsim_self_is_top_and_plan_shuffle_free(spark, embs):
+    from homemade_vector_db_spark.operators.knn import maxsim_search
+
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    df = maxsim_search(embs, q, k=10, parts=4, dim=64)
+    rows = df.collect()
+    # a vector maximizes its own MaxSim (every cross-part dot ≤ matched-part
+    # dot only in expectation, but self is the global argmax on this corpus)
+    assert rows[0].vec_id == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # TakeOrderedAndProject only
