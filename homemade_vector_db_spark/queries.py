@@ -27,6 +27,7 @@ from homemade_vector_db_spark.functions.vector import (
     dot_fixed,
     l2_to_similarity,
     squared_l2,
+    squared_l2_fixed,
 )
 from homemade_vector_db_spark.operators import (
     ann,
@@ -4107,7 +4108,7 @@ def q_kmeans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cluster",
         "cid",
-        squared_l2(F.col("embedding"), F.col("cent")).alias("dist"),
+        squared_l2_fixed(F.col("embedding"), F.col("cent"), EMB_DIM).alias("dist"),
     )
     best = ex.groupBy("vec_id", "cluster").agg(
         F.min_by("cid", F.struct(F.col("dist"), F.col("cid"))).alias("best")
@@ -4669,7 +4670,7 @@ def q_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         "cid",
-        squared_l2(F.col("embedding"), F.col("cent")).alias("d"),
+        squared_l2_fixed(F.col("embedding"), F.col("cent"), EMB_DIM).alias("d"),
     )
     w = Window.partitionBy("vec_id").orderBy("d", "cid")
     buckets = (
