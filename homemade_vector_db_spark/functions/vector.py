@@ -114,3 +114,67 @@ def squared_l2_pandas():
         return pd.Series(np.einsum("ij,ij->i", d, d))
 
     return _sq_l2
+
+
+# ---------------------------------------------------------------------------
+# Literal-query kernels as ONE parsed SQL string.
+#
+# Composing a 64-dim distance from pyspark Column objects costs hundreds of
+# py4j round-trips (~0.9 s per query on this box — 10× the actual execution
+# time of the scan it feeds). Building the same expression as a single SQL
+# string and parsing it with F.expr is one round-trip. Values are identical
+# bit-for-bit with the Column forms:
+#  - query constants are embedded as CAST('<repr>' AS DOUBLE): repr()
+#    round-trips doubles exactly and Double.parseDouble restores them
+#    exactly, the same value F.lit() would ship;
+#  - `a + b + c` parses left-associated, matching the sequential fold of
+#    squared_l2_fixed/dot_fixed (same summation order ⇒ same fp result).
+# The PCA projection (operators/pca.py) established this pattern; these are
+# the shared builders for the query-vector hot path.
+# ---------------------------------------------------------------------------
+
+
+def _elem_d(vec_col: str, i: int) -> str:
+    return f"CAST(element_at({vec_col}, {i}) AS DOUBLE)"
+
+
+def _lit_d(v: float) -> str:
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def squared_l2_lit(vec_col: str, q: "Sequence[float]") -> Column:
+    """Σ (xᵢ-qᵢ)² against a literal query, as one parsed expression."""
+    terms = []
+    for i, v in enumerate(q, start=1):
+        d = f"({_elem_d(vec_col, i)} - {_lit_d(v)})"
+        terms.append(f"{d} * {d}")
+    return F.expr(" + ".join(terms))
+
+
+def dot_lit(vec_col: str, q: "Sequence[float]") -> Column:
+    """Σ xᵢ·qᵢ against a literal query, as one parsed expression."""
+    terms = [
+        f"{_elem_d(vec_col, i)} * {_lit_d(v)}" for i, v in enumerate(q, start=1)
+    ]
+    return F.expr(" + ".join(terms))
+
+
+def dot_self(vec_col: str, dim: int) -> Column:
+    """Σ xᵢ² (squared row norm), as one parsed expression."""
+    terms = [
+        f"{_elem_d(vec_col, i)} * {_elem_d(vec_col, i)}"
+        for i in range(1, dim + 1)
+    ]
+    return F.expr(" + ".join(terms))
+
+
+def qnorm_py(q: "Sequence[float]") -> float:
+    """Driver-side ‖q‖ with the SAME left-associated double fold as the
+    JVM constant-folding of sqrt(dot_fixed(qvec, qvec)) — bit-identical."""
+    import math
+
+    acc = 0.0
+    for v in q:
+        fv = float(v)
+        acc = acc + fv * fv
+    return math.sqrt(acc)

@@ -35,6 +35,7 @@ from homemade_vector_db_spark.functions.vector import (
     l2_to_similarity,
     squared_l2,
     squared_l2_fixed,
+    squared_l2_lit,
 )
 from homemade_vector_db_spark.operators.bm25 import BM25Stats, bm25_scores, build_bm25_stats
 from homemade_vector_db_spark.operators.knn import QVEC, with_query_vector
@@ -68,15 +69,25 @@ def hybrid_search(
     text_scores = bm25_scores(spark, stats, query_text).withColumnRenamed(
         "score", "text_score"
     )
-    d2 = (
-        squared_l2_fixed(vec_col, QVEC, dim)
-        if dim is not None
-        else squared_l2(vec_col, QVEC)
-    )
-    vec_scores = (
-        with_query_vector(corpus.select(F.col(id_col).alias("doc_id"), vec_col), query_vector)
-        .select("doc_id", l2_to_similarity(d2).alias("vec_score"))
-    )
+    if not isinstance(query_vector, DataFrame):
+        # literal query → one parsed SQL kernel, no query-vector column
+        # (single py4j round-trip; see functions/vector.py literal-kernel
+        # note — bit-identical to the Column form)
+        d2 = squared_l2_lit(vec_col, [float(v) for v in query_vector])
+        vec_scores = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            l2_to_similarity(d2).alias("vec_score"),
+        )
+    else:
+        d2 = (
+            squared_l2_fixed(vec_col, QVEC, dim)
+            if dim is not None
+            else squared_l2(vec_col, QVEC)
+        )
+        vec_scores = (
+            with_query_vector(corpus.select(F.col(id_col).alias("doc_id"), vec_col), query_vector)
+            .select("doc_id", l2_to_similarity(d2).alias("vec_score"))
+        )
 
     fused = vec_scores.join(text_scores, "doc_id", "full_outer").select(
         "doc_id",

@@ -31,9 +31,13 @@ from pyspark.sql import functions as F
 from homemade_vector_db_spark.functions.vector import (
     dot,
     dot_fixed,
+    dot_lit,
+    dot_self,
     l2_to_similarity,
+    qnorm_py,
     squared_l2,
     squared_l2_fixed,
+    squared_l2_lit,
 )
 
 QVEC = "__qvec"
@@ -110,33 +114,60 @@ def knn_exact(
     """
     if pre_filter is not None:
         df = df.where(pre_filter)
-    if dim is None and not isinstance(query, DataFrame):
+    lit_query = not isinstance(query, DataFrame)
+    if dim is None and lit_query:
         dim = len(query)
-    scored = with_query_vector(df, query, with_norm=(metric == "cosine"), dim=dim)
-    if metric == "sqeuclidean":
-        d2 = (
-            squared_l2_fixed(vec_col, QVEC, dim)
-            if dim is not None
-            else squared_l2(vec_col, QVEC)
-        )
-        score = l2_to_similarity(d2)
-    elif metric == "cosine":
-        # query norm hoisted to the broadcast side (__qnorm); per corpus
-        # row: one dot(a,b) + one dot(a,a). Same arithmetic order as
-        # cosine_fixed, so scores are bit-identical to the oracle.
-        if norm_col is not None:
-            na = F.col(norm_col)
-            num = dot_fixed(vec_col, QVEC, dim) if dim is not None else dot(vec_col, QVEC)
-        elif dim is not None:
-            na = F.sqrt(dot_fixed(vec_col, vec_col, dim))
-            num = dot_fixed(vec_col, QVEC, dim)
+    if lit_query:
+        # Literal query: the whole kernel is ONE parsed SQL expression
+        # (single py4j round-trip instead of hundreds — see
+        # functions/vector.py literal-kernel note). Bit-identical to the
+        # Column forms: same constants, same left-associated fold.
+        q = [float(v) for v in query]
+        scored = df
+        if metric == "sqeuclidean":
+            score = l2_to_similarity(squared_l2_lit(vec_col, q))
+        elif metric == "cosine":
+            qn = qnorm_py(q)
+            num = dot_lit(vec_col, q)
+            na = (
+                F.col(norm_col)
+                if norm_col is not None
+                else F.sqrt(dot_self(vec_col, dim))
+            )
+            nb = F.lit(qn)
+            score = F.when((na > 0) & (nb > 0), num / (na * nb)).otherwise(
+                F.lit(0.0)
+            )
         else:
-            na = F.sqrt(dot(vec_col, vec_col))
-            num = dot(vec_col, QVEC)
-        nb = F.col(QNORM)
-        score = F.when((na > 0) & (nb > 0), num / (na * nb)).otherwise(F.lit(0.0))
+            raise ValueError(f"unknown metric {metric!r}")
     else:
-        raise ValueError(f"unknown metric {metric!r}")
+        scored = with_query_vector(
+            df, query, with_norm=(metric == "cosine"), dim=dim
+        )
+        if metric == "sqeuclidean":
+            d2 = (
+                squared_l2_fixed(vec_col, QVEC, dim)
+                if dim is not None
+                else squared_l2(vec_col, QVEC)
+            )
+            score = l2_to_similarity(d2)
+        elif metric == "cosine":
+            # query norm hoisted to the broadcast side (__qnorm); per corpus
+            # row: one dot(a,b) + one dot(a,a). Same arithmetic order as
+            # cosine_fixed, so scores are bit-identical to the oracle.
+            if norm_col is not None:
+                na = F.col(norm_col)
+                num = dot_fixed(vec_col, QVEC, dim) if dim is not None else dot(vec_col, QVEC)
+            elif dim is not None:
+                na = F.sqrt(dot_fixed(vec_col, vec_col, dim))
+                num = dot_fixed(vec_col, QVEC, dim)
+            else:
+                na = F.sqrt(dot(vec_col, vec_col))
+                num = dot(vec_col, QVEC)
+            nb = F.col(QNORM)
+            score = F.when((na > 0) & (nb > 0), num / (na * nb)).otherwise(F.lit(0.0))
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     scored = scored.withColumn("score", score)
@@ -316,13 +347,11 @@ def radius_search(
     q = [float(x) for x in query]
     if dim is None:
         dim = len(q)
-    scored = with_query_vector(df, q, dim=dim)
-    d2 = squared_l2_fixed(vec_col, QVEC, dim)
-    score = l2_to_similarity(d2)
+    score = l2_to_similarity(squared_l2_lit(vec_col, q))
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     return (
-        scored.withColumn("score", score)
+        df.withColumn("score", score)
         .where(F.col("score") >= float(threshold))
         .orderBy(F.desc("score"), F.asc(id_col))
         .select(F.col(id_col), F.col("score"))
@@ -360,20 +389,23 @@ def maxsim_search(
         raise ValueError(f"dim {dim} not divisible by parts {parts}")
     w = dim // parts
 
-    def dot_lit(p_off: int, d_off: int):
-        expr = None
-        for i in range(w):
-            term = F.element_at(F.col(vec_col), d_off + i + 1).cast(
-                "double"
-            ) * F.lit(q[p_off + i])
-            expr = term if expr is None else expr + term
-        return expr
+    # One parsed SQL string (see functions/vector.py literal-kernel note):
+    # parts² sub-vector dot products + greatest() per query part.
+    from homemade_vector_db_spark.functions.vector import _elem_d, _lit_d
 
-    score = None
-    for p in range(parts):
-        dots = [dot_lit(p * w, d * w) for d in range(parts)]
-        m = F.greatest(*dots) if len(dots) > 1 else dots[0]
-        score = m if score is None else score + m
+    def dot_sql(p_off: int, d_off: int) -> str:
+        return " + ".join(
+            f"{_elem_d(vec_col, d_off + i + 1)} * {_lit_d(q[p_off + i])}"
+            for i in range(w)
+        )
+
+    per_part = [
+        "greatest("
+        + ", ".join(f"({dot_sql(p * w, d * w)})" for d in range(parts))
+        + ")"
+        for p in range(parts)
+    ]
+    score = F.expr(" + ".join(per_part))
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     return (
