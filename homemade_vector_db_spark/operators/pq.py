@@ -192,12 +192,19 @@ def pq_search(
         cb = np.asarray(index.codebooks[i], dtype="float64")
         luts.append(((cb - qs) ** 2).sum(axis=1))
 
-    dist = None
+    # ONE parsed SQL string — m LUT probes with the per-query tables
+    # inlined as array literals (single py4j round-trip instead of
+    # m × codebook_size; bit-identical — functions/vector.py note)
+    from homemade_vector_db_spark.functions.vector import _lit_d
+
+    terms = []
     for i in range(index.m):
-        lut_arr = F.array(*[F.lit(float(d)) for d in luts[i]])
-        term = F.element_at(lut_arr, F.element_at("codes", i + 1).cast("int") + 1)
-        dist = term if dist is None else dist + term
-    score = 1.0 / (1.0 + dist)
+        lut_sql = "array(" + ", ".join(_lit_d(float(d)) for d in luts[i]) + ")"
+        terms.append(
+            f"element_at({lut_sql}, "
+            f"CAST(element_at(codes, {i + 1}) AS INT) + 1)"
+        )
+    score = 1.0 / (1.0 + F.expr(" + ".join(terms)))
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     return (

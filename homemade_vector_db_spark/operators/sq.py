@@ -98,14 +98,18 @@ def sq_search(
     if len(q) != index.dim:
         raise ValueError(f"query dim {len(q)} != {index.dim}")
     r = [q[i] - index.mins[i] for i in range(index.dim)]
-    expr = None
+    # ONE parsed SQL string (single py4j round-trip; bit-identical to the
+    # Column fold — see functions/vector.py literal-kernel note)
+    from homemade_vector_db_spark.functions.vector import _lit_d
+
+    terms = []
     for i in range(index.dim):
-        d = F.lit(r[i]) - F.element_at(F.col("codes"), i + 1).cast(
-            "double"
-        ) * F.lit(index.scales[i])
-        term = d * d
-        expr = term if expr is None else expr + term
-    score = 1.0 / (1.0 + expr)
+        d = (
+            f"({_lit_d(r[i])} - CAST(element_at(codes, {i + 1}) AS DOUBLE)"
+            f" * {_lit_d(index.scales[i])})"
+        )
+        terms.append(f"{d} * {d}")
+    score = 1.0 / (1.0 + F.expr(" + ".join(terms)))
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     return (

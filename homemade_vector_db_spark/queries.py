@@ -1367,20 +1367,19 @@ def q_truncated_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject(100) → 64-term kernel over 100 rows → top-10;
     the full-dim arithmetic never touches the corpus."""
     q = _qvec_list(spark, sf_dir)
-    qlit = F.array(*[F.lit(float(x)) for x in q])
     embs = load_embeddings(spark, sf_dir)
-    from homemade_vector_db_spark.functions.vector import squared_l2_fixed
+    from homemade_vector_db_spark.functions.vector import squared_l2_lit
 
     shortlist = (
         embs.select(
             "vec_id",
             "embedding",
-            squared_l2_fixed(F.col("embedding"), qlit, TRUNC_DIM).alias("td"),
+            squared_l2_lit("embedding", q[:TRUNC_DIM]).alias("td"),
         )
         .orderBy(F.asc("td"), F.asc("vec_id"))
         .limit(RERANK_POOL)
     )
-    full_d = squared_l2_fixed(F.col("embedding"), qlit, EMB_DIM)
+    full_d = squared_l2_lit("embedding", q)
     return (
         shortlist.select(
             "vec_id",
