@@ -62,6 +62,10 @@ HEADLINE = [
     "returned_item_revenue",
     "rolling_weekly_revenue",
     "rrf_fusion",
+    # round 2e: new retrieval tiers (literal-kernel regression guards)
+    "bq_topk",
+    "radius_search",
+    "maxsim_topk",
 ]
 
 

@@ -99,7 +99,9 @@ def knn_exact(
     """Exact top-k by similarity. Returns (id_col, score) ordered desc.
 
     metric: 'sqeuclidean' → score = 1/(1+d²) (reference parity path);
-            'cosine'      → score = cosine similarity.
+            'cosine'      → score = cosine similarity;
+            'ip'          → score = raw inner product (FAISS IndexFlatIP
+                            parity; may be negative, no transform).
     Ties broken by ascending id (deterministic; see SURVEY.md §2.3-5).
 
     Pass `dim` when known: the distance expands to a codegen'd scalar
@@ -126,6 +128,10 @@ def knn_exact(
         scored = df
         if metric == "sqeuclidean":
             score = l2_to_similarity(squared_l2_lit(vec_col, q))
+        elif metric == "ip":
+            # max inner product (FAISS IndexFlatIP parity): raw dot
+            # product, no similarity transform, may be negative
+            score = dot_lit(vec_col, q)
         elif metric == "cosine":
             qn = qnorm_py(q)
             num = dot_lit(vec_col, q)
@@ -151,6 +157,12 @@ def knn_exact(
                 else squared_l2(vec_col, QVEC)
             )
             score = l2_to_similarity(d2)
+        elif metric == "ip":
+            score = (
+                dot_fixed(vec_col, QVEC, dim)
+                if dim is not None
+                else dot(vec_col, QVEC)
+            )
         elif metric == "cosine":
             # query norm hoisted to the broadcast side (__qnorm); per corpus
             # row: one dot(a,b) + one dot(a,a). Same arithmetic order as

@@ -6520,6 +6520,29 @@ WHERE round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.qv')}), 6)
 ORDER BY score DESC, e.vec_id ASC
 """
 
+def q_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-inner-product search (knn_exact metric='ip') — FAISS
+    IndexFlatIP parity, the third canonical flat metric beside L2
+    (reference local_db.py:48) and cosine. Raw dot, no transform;
+    deterministic → full value oracle."""
+    return knn.knn_exact(
+        load_embeddings(spark, sf_dir),
+        _qvec_list(spark, sf_dir),
+        k=TOP_K,
+        metric="ip",
+        dim=EMB_DIM,
+    )
+
+
+_ORACLES["mips_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round({_SQL_DOT.format(a='e.embedding', b='q.qv')}, 6) AS score
+FROM embeddings e, q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {TOP_K}
+"""
+
 MAXSIM_PARTS = 4
 
 
@@ -6690,6 +6713,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_recall": q_bq_recall,
         "radius_search": q_radius_search,
         "maxsim_topk": q_maxsim_topk,
+        "mips_topk": q_mips_topk,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

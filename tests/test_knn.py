@@ -144,3 +144,22 @@ def test_maxsim_self_is_top_and_plan_shuffle_free(spark, embs):
     assert rows[0].vec_id == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan  # TakeOrderedAndProject only
+
+
+def test_mips_matches_numpy_and_allows_negative(spark, embs):
+    import numpy as np
+
+    q = np.array(
+        embs.where(F.col("vec_id") == 0).first().embedding, dtype=np.float64
+    )
+    rows = embs.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    truth = X @ q
+    order = np.lexsort((ids, -np.round(truth, 6)))
+    want = [int(ids[i]) for i in order[:10]]
+    got = knn_exact(embs, list(q), k=10, metric="ip", dim=64).collect()
+    assert [r.vec_id for r in got] == want
+    # raw inner products — scores are NOT clamped to [0, 1]
+    full = knn_exact(embs, list(q), k=embs.count(), metric="ip", dim=64).collect()
+    assert any(r.score < 0 for r in full)
