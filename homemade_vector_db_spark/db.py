@@ -14,7 +14,9 @@ parquet + a JSON manifest instead of pickle sniffing (local_db.py:210-265).
 
 index_type: 'flat' → exact brute-force (default; the only hash-checkable
 path, mirroring test_local_db.py:155-157's "flat is exact" stance);
-'lsh' (HNSW role) and 'ivf' (IVF-PQ role) → ann.py, recall-tested.
+'lsh' (HNSW role) and 'ivf' (IVF-PQ role) → ann.py, recall-tested;
+'nsw' (graph tier behind the 'hnsw' alias) → nsw.py; 'sq8' / 'bq'
+(compressed shortlist → exact rerank) → sq.py / bq.py.
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ from pyspark.sql import types as T
 
 from homemade_vector_db_spark.operators import bm25, hybrid, knn
 
-_INDEX_TYPES = ("flat", "lsh", "ivf", "nsw")
+_INDEX_TYPES = ("flat", "lsh", "ivf", "nsw", "sq8", "bq")
 # Reference spellings (local_db.py:24: 'hnsw' | 'flat' | 'ivfpq') map onto
 # the Spark-native tier that fills the same role, so reference call sites
 # port 1:1: HNSW's graph-ANN role → random-projection LSH; IVFPQ's
@@ -318,6 +320,20 @@ class VectorDatabase:
                     self._df, id_col=self.id_col, vec_col=self.vec_col,
                     m=self.M, ef_construction=self.ef_construction,
                 )
+            elif self.index_type == "sq8":
+                from homemade_vector_db_spark.operators import sq as sqmod
+
+                self._ann_index = sqmod.build_sq(
+                    self._df, id_col=self.id_col, vec_col=self.vec_col,
+                    dim=self.dim,
+                )
+            elif self.index_type == "bq":
+                from homemade_vector_db_spark.operators import bq as bqmod
+
+                self._ann_index = bqmod.build_bq(
+                    self._df, id_col=self.id_col, vec_col=self.vec_col,
+                    dim=self.dim,
+                )
             else:  # ivf
                 self._ann_index = ann.build_ivf(
                     self._df, id_col=self.id_col, vec_col=self.vec_col,
@@ -328,6 +344,22 @@ class VectorDatabase:
         if self.index_type == "nsw":
             return nswmod.nsw_search(
                 self._ann_index, vector, k=top_k, ef_search=self.ef_search
+            )
+        if self.index_type in ("sq8", "bq"):
+            # compressed shortlist -> exact rerank; pool mirrors the
+            # reference hybrid's widened k (max(top_k*10, 100),
+            # local_db.py:362)
+            from homemade_vector_db_spark.operators import bq as bqmod
+            from homemade_vector_db_spark.operators import sq as sqmod
+
+            pool = max(top_k * 10, 100)
+            search = (
+                sqmod.sq_rerank_search
+                if self.index_type == "sq8"
+                else bqmod.bq_rerank_search
+            )
+            return search(
+                self._ann_index, self._df, vector, k=top_k, pool=pool
             )
         # ef_search plays the probe-width role (recall/cost knob): the
         # reference default ef_search=50 → nprobe 5 ≈ FAISS's nlist//10
@@ -462,7 +494,15 @@ class VectorDatabase:
                 from homemade_vector_db_spark.operators import nsw as nswmod
 
                 nswmod.save_nsw(self._ann_index, ann_path)
-            has_ann = self.index_type in ("lsh", "ivf", "nsw")
+            elif self.index_type == "sq8":
+                from homemade_vector_db_spark.operators import sq as sqmod
+
+                sqmod.save_sq(self._ann_index, ann_path)
+            elif self.index_type == "bq":
+                from homemade_vector_db_spark.operators import bq as bqmod
+
+                bqmod.save_bq(self._ann_index, ann_path)
+            has_ann = self.index_type in ("lsh", "ivf", "nsw", "sq8", "bq")
         manifest = {
             "dim": self.dim,
             "index_type": self.index_type,
@@ -512,6 +552,14 @@ class VectorDatabase:
                 from homemade_vector_db_spark.operators import nsw as nswmod
 
                 db._ann_index = nswmod.load_nsw(spark, ann_path)
+            elif m["index_type"] == "sq8":
+                from homemade_vector_db_spark.operators import sq as sqmod
+
+                db._ann_index = sqmod.load_sq(spark, ann_path)
+            elif m["index_type"] == "bq":
+                from homemade_vector_db_spark.operators import bq as bqmod
+
+                db._ann_index = bqmod.load_bq(spark, ann_path)
         return db
 
     # ------------------------------------------------------------------ misc
