@@ -1233,10 +1233,14 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQ8 scalar-quantized ADC top-k (rows-only; shortlist gate below).
-    The compression tier the reference's test suite exercises as a FAISS
-    scalar-quantizer foreign index (test_local_db.py:185), first-class
-    here: 4× memory cut at far lower distortion than PQ per byte."""
+    """SQ8 scalar-quantized ADC top-k. The compression tier the
+    reference's test suite exercises as a FAISS scalar-quantizer foreign
+    index (test_local_db.py:185), first-class here: 4× memory cut at far
+    lower distortion than PQ per byte. FULL value oracle (round 2e, same
+    determinism argument as bq_topk): the [min,max] range geometry is
+    order-independent, codes round positive quotients identically in
+    both engines, and the oracle's list(... ORDER BY i) + list_sum fold
+    reproduces the ascending-dim left-associated ADC sum bit-for-bit."""
     from homemade_vector_db_spark.operators import sq as sqmod
 
     q = _qvec_list(spark, sf_dir)
@@ -6493,6 +6497,41 @@ ham AS (
 SELECT vec_id, hamming FROM ham ORDER BY hamming ASC, vec_id ASC LIMIT {TOP_K}
 """
 _ORACLES["bq_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
+
+# SQ8 ADC full value oracle — DuckDB re-derives the exact codes from the
+# order-independent [min,max] range geometry (see q_sq_topk docstring).
+_ORACLES["sq_topk"] = f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+geo AS (
+  SELECT i, min(x) AS mn,
+         CASE WHEN (max(x) - min(x)) / 255.0 = 0 THEN 1.0
+              ELSE (max(x) - min(x)) / 255.0 END AS s
+  FROM flat GROUP BY i
+),
+codes AS (
+  SELECT f.vec_id, f.i,
+         CAST(round((f.x - g.mn) / g.s) AS INT) AS c
+  FROM flat f JOIN geo g USING (i)
+),
+q AS (
+  SELECT f.i, (f.x - g.mn) AS r
+  FROM flat f JOIN geo g USING (i) WHERE f.vec_id = 0
+),
+terms AS (
+  SELECT c.vec_id, c.i,
+         ((q.r - c.c * g.s) * (q.r - c.c * g.s)) AS t
+  FROM codes c JOIN geo g USING (i) JOIN q USING (i)
+),
+dl AS (
+  SELECT vec_id, list(t ORDER BY i) AS tl FROM terms GROUP BY vec_id
+)
+SELECT vec_id, round(1.0 / (1.0 + list_sum(tl)), 6) AS score
+FROM dl ORDER BY score DESC, vec_id ASC LIMIT {TOP_K}
+"""
 
 RADIUS_THRESHOLD = 0.4  # similarity floor: ~15 rows at sf0.01 (incl. self)
 
