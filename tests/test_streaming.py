@@ -764,3 +764,81 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         (1, 5.0): "silver",
         (2, 1.0): "none",
     }
+
+
+def test_knn_server_chunked_equals_batch(spark, tmp_path):
+    """Streaming k-NN serving: answering queries in two micro-batches
+    gives exactly the batch knn_batch result for the union — chunk
+    boundaries are invisible (each query is answered independently
+    against the full static corpus)."""
+    from homemade_vector_db_spark.operators.knn import knn_batch
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+    from homemade_vector_db_spark.streaming.serving import KnnServer
+    from tests.conftest import SF_SMOKE
+
+    embs = load_embeddings(spark, SF_SMOKE).cache()
+    qall = embs.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    srv = KnnServer(spark, embs, str(tmp_path / "ans"), k=5)
+    srv.answer_batch(qall.where(F.col("query_id") < 3), 0)
+    srv.answer_batch(qall.where(F.col("query_id") >= 3), 1)
+    got = {
+        (r.query_id, r.vec_id, r.score, r.rn) for r in srv.answers().collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.score, r.rn)
+        for r in knn_batch(embs, qall, k=5).collect()
+    }
+    assert got == want
+
+
+def test_knn_server_replay_idempotent(spark, tmp_path):
+    """At-least-once replay of a micro-batch rewrites its own batch dir
+    instead of duplicating answers."""
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+    from homemade_vector_db_spark.streaming.serving import KnnServer
+    from tests.conftest import SF_SMOKE
+
+    embs = load_embeddings(spark, SF_SMOKE).cache()
+    q = embs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    srv = KnnServer(spark, embs, str(tmp_path / "ans"), k=5)
+    srv.answer_batch(q, 0)
+    before = sorted(
+        (r.query_id, r.vec_id, r.rn) for r in srv.answers().collect()
+    )
+    srv.answer_batch(q, 0)  # replay
+    after = sorted(
+        (r.query_id, r.vec_id, r.rn) for r in srv.answers().collect()
+    )
+    assert after == before
+    assert len(after) == 5
+
+
+def test_knn_server_end_to_end_readstream(spark, tmp_path):
+    """Real readStream → foreachBatch → answer log."""
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+    from homemade_vector_db_spark.streaming.serving import KnnServer
+    from tests.conftest import SF_SMOKE
+
+    embs = load_embeddings(spark, SF_SMOKE).cache()
+    src = tmp_path / "qsrc"
+    embs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "query_id LONG, qv ARRAY<FLOAT>"
+    ).parquet(str(src))
+    srv = KnnServer(spark, embs, str(tmp_path / "ans"), k=3)
+    q = srv.attach_stream(stream, checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ans = srv.answers()
+    assert ans.select("query_id").distinct().count() == 4
+    # each query's rank-1 hit is itself (exact self-match)
+    top1 = {r.query_id: r.vec_id for r in ans.where(F.col("rn") == 1).collect()}
+    assert top1 == {i: i for i in range(4)}
