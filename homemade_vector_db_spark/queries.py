@@ -6582,6 +6582,51 @@ ORDER BY score DESC, e.vec_id ASC
 LIMIT {TOP_K}
 """
 
+def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k retrieval: the 3 nearest neighbors WITHIN each
+    label partition, in one corpus scan — the grouped form of knn_exact
+    (diversified results / per-category shelves). Plan: scan → literal
+    distance kernel → window rank over (label, score) → filter ≤ 3; ONE
+    shuffle on label, no join. At 100 TB the alternative — one top-k
+    query per group — rescans the corpus |labels| times."""
+    from pyspark.sql.window import Window
+
+    q = _qvec_list(spark, sf_dir)
+    from homemade_vector_db_spark.functions.vector import squared_l2_lit
+
+    score = F.round(
+        1.0 / (1.0 + squared_l2_lit("embedding", q)), 6
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        load_embeddings(spark, sf_dir)
+        .select("vec_id", "label", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("label", "rn", "vec_id", "score")
+        .orderBy("label", "rn")
+    )
+
+
+_ORACLES["knn_per_label"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.label, e.vec_id,
+         round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.qv')}), 6)
+           AS score
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT label, vec_id, score,
+         row_number() OVER (
+           PARTITION BY label ORDER BY score DESC, vec_id ASC
+         ) AS rn
+  FROM scored
+)
+SELECT label, rn, vec_id, score FROM ranked WHERE rn <= 3
+ORDER BY label, rn
+"""
+
 MAXSIM_PARTS = 4
 
 
@@ -6753,6 +6798,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_search": q_radius_search,
         "maxsim_topk": q_maxsim_topk,
         "mips_topk": q_mips_topk,
+        "knn_per_label": q_knn_per_label,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,
