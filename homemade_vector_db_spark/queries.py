@@ -6588,7 +6588,10 @@ def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     (diversified results / per-category shelves). Plan: scan → literal
     distance kernel → window rank over (label, score) → filter ≤ 3; ONE
     shuffle on label, no join. At 100 TB the alternative — one top-k
-    query per group — rescans the corpus |labels| times."""
+    query per group — rescans the corpus |labels| times. A pathologically
+    hot label would serialize on one reducer; the fix is the knn_batch
+    trick (partition-local top-k per label before the window) — not
+    needed at this fixture's near-uniform labels."""
     from pyspark.sql.window import Window
 
     q = _qvec_list(spark, sf_dir)
