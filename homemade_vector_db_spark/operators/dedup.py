@@ -226,10 +226,11 @@ def _signatures_from_shingled(
     ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h")
     )
+    # parsed-string aggs (one py4j round-trip per hash instead of ~6;
+    # INT literals × BIGINT h promote exactly as the F.lit form did, so
+    # signatures are bit-identical — functions/vector.py kernel note)
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(
-            f"m{i}"
-        )
+        F.expr(f"min(pmod({a} * h + {b}, {_MERSENNE}))").alias(f"m{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
     ]
     return ex.groupBy("doc_id").agg(*aggs)
@@ -243,18 +244,15 @@ def band_buckets(
     (minhash_lsh_pairs) and streaming near-dup gating
     (streaming.dedup.IncrementalNearDup)."""
     rows = num_hashes // bands
+    band_sql = ", ".join(
+        "xxhash64(concat_ws(',', "
+        + ", ".join(f"m{i * rows + j}" for j in range(rows))
+        + "))"
+        for i in range(bands)
+    )
     return sig.select(
         "doc_id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", *[F.col(f"m{i * rows + j}") for j in range(rows)]
-                    )
-                )
-                for i in range(bands)
-            ])
-        ).alias("band", "bucket"),
+        F.posexplode(F.expr(f"array({band_sql})")).alias("band", "bucket"),
     )
 
 
