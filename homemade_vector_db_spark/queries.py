@@ -6681,10 +6681,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     self-check gates, then this round's composed flagship
     (corpus_prep_hygiene) + the oldest unchecked round-2 op in slots
     49-50. Rotation plan for later rounds: promote the not-yet-checked
-    block (repetition_stats onward through the round-2d entries) into
-    the window each round until every entry has a driver row; the full
-    set is continuously verified locally by scripts/check_correctness.py
-    (sf0.01 AND sf0.001) and scripts/run_all.py (sf0.1 execution)."""
+    block (boilerplate_ngrams onward through the round-2d/2e entries —
+    TPC-H shapes, corpus-statistics ops, hygiene tier, SCD2, bq/radius/
+    maxsim/mips/knn_per_label) into the window each round until every
+    entry has a driver row; the full set is continuously verified locally
+    by scripts/check_correctness.py (sf0.01 AND sf0.001, 147/147
+    hash-checked at end of round 2) and scripts/run_all.py (sf0.1
+    execution)."""
     return {
         # -- round-1 unchecked entries (drivers window: verify these first)
         "events_sliding": q_events_sliding,
