@@ -4649,15 +4649,18 @@ def q_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     MULTI-PROBE assignment (each vector lands in its `SEMDEDUP_PROBES`
     nearest centroids' buckets — the nprobe idea applied to the corpus
     side; single-assignment measured 0.43 recall on the boundary pairs,
-    top-2 measures 0.93), exact cosine verification WITHIN buckets only.
-    Precision is exact by construction (every candidate is verified);
-    bucketing buys never comparing across buckets: O(p²·Σ|cluster|²)
+    top-2 measures 0.93), exact cosine verification within buckets only
+    in the production operator: precision is exact by construction and
+    bucketing buys never comparing across buckets, O(p²·Σ|cluster|²)
     ≪ O(n²). The bucket assignment is the same posexplode-over-centroid-
     literals codegen path as kmeans_check (per-vector window over nlist
-    rows — bounded), so the whole candidate generation is JVM-side. The
-    gate returns the TRUE pair count (exact BLAS path — SQL-checkable)
-    plus the recall-floor verdict; deterministic fixed-seed Lloyd makes
-    the recall a fixture constant with the floor set well below it."""
+    rows — bounded). This GATE measures the blocking recall as
+    |exact ∩ shares-a-bucket| / |exact| — identical to re-scoring every
+    in-bucket pair (same cosine test both sides) at the cost of one
+    small join instead of Σ|bucket|² distance evaluations. It returns
+    the TRUE pair count (exact BLAS path — SQL-checkable) plus the
+    recall-floor verdict; deterministic fixed-seed Lloyd makes the
+    recall a fixture constant with the floor set well below it."""
     from pyspark.sql.window import Window
 
     idx = _doc_cluster_index(spark, sf_dir)
@@ -4679,31 +4682,25 @@ def q_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         dist.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= SEMDEDUP_PROBES)
-        .select("vec_id", "embedding", "cid")
-    )
-    b = buckets.select(
-        F.col("vec_id").alias("b_vid"),
-        F.col("embedding").alias("b_emb"),
-        F.col("cid").alias("b_cid"),
-    )
-    num = dot_fixed("embedding", "b_emb", EMB_DIM)
-    na = F.sqrt(dot_fixed("embedding", "embedding", EMB_DIM))
-    nb = F.sqrt(dot_fixed("b_emb", "b_emb", EMB_DIM))
-    cos = F.when((na > 0) & (nb > 0), num / (na * nb)).otherwise(F.lit(0.0))
-    within = (
-        buckets.join(
-            b,
-            (F.col("cid") == F.col("b_cid"))
-            & (F.col("vec_id") < F.col("b_vid")),
-        )
-        .where(cos >= COSINE_NEARDUP_THRESHOLD)
-        .select("vec_id", "b_vid")
-        .distinct()
+        .select("vec_id", "cid")
     )
     exact = dedup.embedding_neardup_pairs_blas(
         load_embeddings(spark, sf_dir),
         threshold=COSINE_NEARDUP_THRESHOLD,
-    ).select("a_id", "b_id")
+    ).select("a_id", "b_id").persist()
+    # Recall numerator = exact pairs whose endpoints SHARE a bucket.
+    # Equivalent to re-scoring every in-bucket pair (any bucketed pair
+    # that passes the cosine test IS an exact pair, same test both
+    # sides) but costs a join of the small exact pair set against the
+    # slim (vec_id, cid) assignment — not Σ|bucket|² distance
+    # evaluations (12M pairs, ~8 s at sf0.1 in the join form).
+    ba = buckets.select(F.col("vec_id").alias("a_id"), "cid")
+    bb = buckets.select(F.col("vec_id").alias("b_id"), "cid")
+    within = (
+        exact.join(ba, "a_id").join(bb, ["b_id", "cid"])
+        .select("a_id", "b_id")
+        .distinct()
+    )
     n_exact = exact.count()
     n_within = within.count()
     recall = n_within / n_exact if n_exact else 1.0
