@@ -303,3 +303,53 @@ def test_scd2_matches_python_model(spark, events):
             seq.append((u, s, ts, eid))
     want = [row for u in sorted(by_user) for row in by_user[u]]
     assert got == want
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=5, max_size=5,
+        ),
+        min_size=1, max_size=6,
+    ),
+    q=st.lists(
+        st.floats(
+            min_value=-100, max_value=100,
+            allow_nan=False, allow_infinity=False, width=32,
+        ),
+        min_size=5, max_size=5,
+    ),
+)
+def test_literal_kernel_bit_identical_to_column_form(spark, vecs, q):
+    """The parsed-SQL literal kernels (squared_l2_lit / dot_lit) must be
+    BIT-identical (no rounding tolerance) to the Column-composed fixed
+    forms on arbitrary float32 inputs — the equivalence every
+    hash-checked oracle of the reworked query paths rests on."""
+    from pyspark.sql import functions as F
+
+    from homemade_vector_db_spark.functions.vector import (
+        dot_fixed,
+        dot_lit,
+        squared_l2_fixed,
+        squared_l2_lit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id LONG, embedding ARRAY<FLOAT>",
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    rows = df.select(
+        squared_l2_fixed("embedding", qlit, 5).alias("d2_col"),
+        squared_l2_lit("embedding", [float(x) for x in q]).alias("d2_str"),
+        dot_fixed("embedding", qlit, 5).alias("dot_col"),
+        dot_lit("embedding", [float(x) for x in q]).alias("dot_str"),
+    ).collect()
+    for r in rows:
+        assert r.d2_col == r.d2_str  # exact, not approx
+        assert r.dot_col == r.dot_str
