@@ -353,3 +353,37 @@ def test_literal_kernel_bit_identical_to_column_form(spark, vecs, q):
     for r in rows:
         assert r.d2_col == r.d2_str  # exact, not approx
         assert r.dot_col == r.dot_str
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-50, max_value=50,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=3, max_size=3,
+        ),
+        min_size=2, max_size=6,
+    ),
+)
+def test_bq_pack_and_hamming_match_model(spark, vecs):
+    """BQ sign-bit packing and Hamming distances vs a numpy model on
+    random float32 vectors (fixture-independent twin of test_bq)."""
+    from homemade_vector_db_spark.operators import bq
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    idx = bq.build_bq(df, dim=3, cache=False)
+    X = np.array(vecs, dtype=np.float64)
+    thr = (X.min(axis=0) + X.max(axis=0)) / 2.0
+    assert np.allclose(idx.thresholds, thr, rtol=0, atol=0)
+    bits = X > thr[None, :]
+    q = [float(x) for x in vecs[0]]
+    qbits = np.asarray(q, dtype=np.float64) > thr
+    truth = {i: int((b != qbits).sum()) for i, b in enumerate(bits)}
+    got = {r.vec_id: r.hamming for r in bq.bq_search(idx, q, k=len(vecs)).collect()}
+    assert got == truth
