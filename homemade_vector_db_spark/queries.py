@@ -6630,6 +6630,44 @@ ORDER BY label, rn
 MAXSIM_PARTS = 4
 
 
+def q_maxsim_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIABLE-LENGTH MaxSim decomposition (the scale path
+    q_maxsim_topk's docstring promises for data-driven part counts):
+    posexplode the per-doc sub-vectors into rows, compute each row's dot
+    against every query part, per-doc max per query part, sum — ONE
+    shuffle on vec_id (plan-contracted), no explode of the query side.
+    Same scores as the fused codegen form, so it shares maxsim_topk's
+    oracle verbatim: the two plans are proven interchangeable."""
+    from homemade_vector_db_spark.functions.vector import dot_lit
+
+    q = _qvec_list(spark, sf_dir)
+    w = EMB_DIM // MAXSIM_PARTS
+    parts_arr = F.array(
+        *[F.slice("embedding", d * w + 1, w) for d in range(MAXSIM_PARTS)]
+    )
+    rows = load_embeddings(spark, sf_dir).select(
+        "vec_id", F.explode(parts_arr).alias("sub")
+    )
+    dots = rows.select(
+        "vec_id",
+        *[
+            dot_lit("sub", q[p * w : (p + 1) * w]).alias(f"d{p}")
+            for p in range(MAXSIM_PARTS)
+        ],
+    )
+    agg = dots.groupBy("vec_id").agg(
+        *[F.max(f"d{p}").alias(f"m{p}") for p in range(MAXSIM_PARTS)]
+    )
+    score = F.round(
+        sum(F.col(f"m{p}") for p in range(MAXSIM_PARTS)), 6
+    ).alias("score")
+    return (
+        agg.select("vec_id", score)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction MaxSim top-k (operators/knn.maxsim_search):
     score = Σ_p max_d dot(q_p, doc_d) over 4×16-dim sub-vector slices —
@@ -6668,6 +6706,9 @@ LIMIT {TOP_K}
 
 
 _ORACLES["maxsim_topk"] = _maxsim_oracle()
+# the grouped decomposition is bit-identical by construction (same dots,
+# same fold order) — it shares the fused form's oracle verbatim
+_ORACLES["maxsim_grouped"] = _maxsim_oracle()
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6802,6 +6843,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_topk": q_maxsim_topk,
         "mips_topk": q_mips_topk,
         "knn_per_label": q_knn_per_label,
+        "maxsim_grouped": q_maxsim_grouped,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
         "bm25_topk": q_bm25_topk,

@@ -467,3 +467,18 @@ def test_lateral_top1_decorrelates_to_window_join(spark):
     plan = physical_plan(Q.q_latest_order_lateral(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_maxsim_grouped_one_shuffle_and_equals_fused(spark):
+    """The variable-length MaxSim decomposition shuffles exactly once
+    (vec_id partial-agg) and returns bit-identical rows to the fused
+    zero-shuffle codegen form — the two plans are interchangeable."""
+    from homemade_vector_db_spark import queries as Q
+    from homemade_vector_db_spark.plans.explain import count_exchanges
+
+    sf = "/root/testdata/sf0.001"
+    grouped = Q.q_maxsim_grouped(spark, sf)
+    assert count_exchanges(grouped) <= 1, grouped._jdf.queryExecution().toString()
+    assert [tuple(r) for r in grouped.collect()] == [
+        tuple(r) for r in Q.q_maxsim_topk(spark, sf).collect()
+    ]
