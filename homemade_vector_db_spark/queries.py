@@ -4509,8 +4509,12 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shuffle class as the BM25 index build — and the per-doc
     score reuses the (doc, bigram) grouping. No UDFs: bigram extraction
     is a codegen'd transform over the token array."""
-    toks = load_documents(spark, sf_dir).select(
-        "doc_id", tokenize("text").alias("toks")
+    # tokenize ONCE: the bigram pass and the vocabulary count both read
+    # this narrow persisted relation instead of re-parsing the corpus
+    toks = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", tokenize("text").alias("toks"))
+        .persist()
     )
     bi = toks.where(F.size("toks") >= 2).select(
         "doc_id",
@@ -4526,10 +4530,8 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     c12 = doc_bi.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = (
-        load_documents(spark, sf_dir)
-        .select(F.explode(tokenize("text")).alias("t"))
-        .agg(F.countDistinct("t").alias("V"))
+    vocab = toks.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").alias("V")
     )
     lm = (
         c12.join(c1, "w1")
