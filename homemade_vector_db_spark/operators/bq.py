@@ -94,6 +94,20 @@ def pack_query(query: Sequence[float], thresholds: Sequence[float]) -> list[int]
     return words
 
 
+def _fit_thresholds(df: DataFrame, vec_col: str, dim: int) -> list[float]:
+    """Per-dimension midrange split points via one distributed agg."""
+    aggs = []
+    for i in range(1, dim + 1):
+        e = F.element_at(F.col(vec_col), i)
+        aggs.append(F.min(e).alias(f"mn{i}"))
+        aggs.append(F.max(e).alias(f"mx{i}"))
+    row = df.agg(*aggs).first()
+    return [
+        (float(row[f"mn{i}"]) + float(row[f"mx{i}"])) / 2.0
+        for i in range(1, dim + 1)
+    ]
+
+
 def build_bq(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -108,17 +122,7 @@ def build_bq(
             raise ValueError("cannot build BQ index on empty table")
         dim = len(first[0])
 
-    aggs = []
-    for i in range(1, dim + 1):
-        e = F.element_at(F.col(vec_col), i)
-        aggs.append(F.min(e).alias(f"mn{i}"))
-        aggs.append(F.max(e).alias(f"mx{i}"))
-    row = df.agg(*aggs).first()
-    thresholds = [
-        (float(row[f"mn{i}"]) + float(row[f"mx{i}"])) / 2.0
-        for i in range(1, dim + 1)
-    ]
-
+    thresholds = _fit_thresholds(df, vec_col, dim)
     codes = df.select(
         F.col(id_col), pack_bits_expr(vec_col, thresholds, dim).alias("words")
     )
@@ -208,4 +212,89 @@ def load_bq(spark, path: str) -> BQIndex:
     codes = spark.read.parquet(os.path.join(path, "codes"))
     return BQIndex(
         codes, meta["thresholds"], meta["dim"], meta["id_col"], meta["vec_col"]
+    )
+
+
+@dataclass
+class IVFBQIndex:
+    """Combined coarse cells + binary codes: the two-level pruning the
+    big vector stores run at scale — IVF cells prune the SCAN (probe a
+    few clusters), binary codes prune the ARITHMETIC (Hamming shortlist
+    before exact rerank). Codes carry the cluster id, so probing is a
+    pure filter (partition-prunable when persisted cluster-partitioned,
+    like ann.save_ivf's layout) — no join on the query path."""
+
+    codes: DataFrame  # id + cluster INT + words ARRAY<BIGINT>
+    thresholds: list[float]
+    centroids: list[list[float]]  # nlist × dim (driver-side, tiny)
+    dim: int
+    id_col: str
+    vec_col: str
+
+
+def build_ivfbq(ivf_index, dim: int | None = None, cache: bool = True) -> IVFBQIndex:
+    """Pack sign bits over an existing IVF index's assignments,
+    retaining the cluster column. Thresholds are fit on the FULL table
+    (global geometry — per-cell thresholds would make Hamming distances
+    incomparable across probed cells)."""
+    df = ivf_index.assignments
+    if dim is None:
+        first = df.select(ivf_index.vec_col).first()
+        if first is None:
+            raise ValueError("cannot build IVF-BQ index on empty table")
+        dim = len(first[0])
+    thresholds = _fit_thresholds(df, ivf_index.vec_col, dim)
+    codes = df.select(
+        F.col(ivf_index.id_col),
+        F.col("cluster"),
+        pack_bits_expr(ivf_index.vec_col, thresholds, dim).alias("words"),
+    )
+    if cache:
+        codes = codes.cache()
+    return IVFBQIndex(
+        codes, thresholds, ivf_index.centroids, dim,
+        ivf_index.id_col, ivf_index.vec_col,
+    )
+
+
+def ivfbq_search(
+    index: IVFBQIndex,
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int | None = None,
+    pool: int = 100,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """probe → Hamming shortlist → exact rerank. Centroid ranking is
+    driver-side numpy (nlist×dim floats — same as ann.ivf_search); the
+    cluster filter prunes the code scan to the probed cells; the
+    shortlist bounds the exact arithmetic to `pool` rows."""
+    import numpy as np
+
+    from homemade_vector_db_spark.operators.knn import knn_exact
+
+    q = [float(x) for x in query]
+    if len(q) != index.dim:
+        raise ValueError(f"query dim {len(q)} != {index.dim}")
+    nlist = len(index.centroids)
+    if nprobe is None:
+        nprobe = max(1, nlist // 10)
+    nprobe = min(nprobe, nlist)
+    cents = np.asarray(index.centroids, dtype="float64")
+    d2 = ((cents - np.asarray(q)) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2, kind="stable")[:nprobe]]
+
+    qwords = pack_query(q, index.thresholds)
+    shortlist = (
+        index.codes.where(F.col("cluster").isin(probe))
+        .select(F.col(index.id_col), hamming_expr("words", qwords).alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(index.id_col))
+        .limit(pool)
+        .select(index.id_col)
+    )
+    cand = df.join(F.broadcast(shortlist), index.id_col)
+    return knn_exact(
+        cand, q, id_col=index.id_col, vec_col=index.vec_col,
+        k=k, dim=index.dim, score_decimals=score_decimals,
     )

@@ -6471,6 +6471,38 @@ def q_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(approx, exact, TOP_K)
 
 
+def _ivfbq_index(spark: SparkSession, sf_dir: str):
+    from homemade_vector_db_spark.operators import bq as bqmod
+
+    key = ("ivfbq", sf_dir)
+    if key not in _ANN_IDX:
+        _ANN_IDX[key] = bqmod.build_ivfbq(
+            _ivf_index(spark, sf_dir), dim=EMB_DIM
+        )
+    return _ANN_IDX[key]
+
+
+def q_ivfbq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the combined IVF+BQ pipeline (probe nprobe=8 of 16
+    cells → Hamming shortlist within the probed cells → exact rerank)
+    vs the global exact top-k — the two-level pruning big vector stores
+    run at scale (cells prune the scan, bits prune the arithmetic);
+    same gate contract as ivfpq_recall."""
+    from homemade_vector_db_spark.operators import bq as bqmod
+
+    embs = load_embeddings(spark, sf_dir)
+    q = _qvec_list(spark, sf_dir)
+    approx = bqmod.ivfbq_search(
+        _ivfbq_index(spark, sf_dir), embs, q, k=TOP_K, nprobe=8,
+        pool=10 * TOP_K,
+    ).select("vec_id")
+    exact = knn.knn_exact(embs, q, k=TOP_K, dim=EMB_DIM).select("vec_id")
+    return _recall_gate(approx, exact, TOP_K)
+
+
+_ORACLES["ivfbq_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
+
+
 # Full-value oracle: DuckDB re-derives the midrange thresholds and sign
 # bits from the raw parquet and counts per-dim sign disagreements — the
 # unpacked equivalent of Σ bit_count(words XOR qwords).
@@ -6841,6 +6873,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsw_recall": q_nsw_recall,
         "bq_topk": q_bq_topk,
         "bq_recall": q_bq_recall,
+        "ivfbq_recall": q_ivfbq_recall,
         "radius_search": q_radius_search,
         "maxsim_topk": q_maxsim_topk,
         "mips_topk": q_mips_topk,

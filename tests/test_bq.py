@@ -95,3 +95,33 @@ def test_save_load_roundtrip(tmp_path, spark, embs, idx, qvec):
     want = [(r.vec_id, r.hamming) for r in bq.bq_search(idx, qvec, k=10).collect()]
     got = [(r.vec_id, r.hamming) for r in bq.bq_search(loaded, qvec, k=10).collect()]
     assert want == got
+
+
+def test_ivfbq_probe_recall_and_probe_containment(spark, embs, qvec):
+    """IVF-BQ two-level pipeline: results come only from probed cells,
+    and with a wide probe + contained pool the pipeline recovers the
+    exact top-k restricted to those cells."""
+    from homemade_vector_db_spark.operators import ann
+    from homemade_vector_db_spark.operators.knn import knn_exact
+
+    ivf = ann.build_ivf(embs, nlist=4)
+    idx = bq.build_ivfbq(ivf, dim=64)
+    n = embs.count()
+    got = bq.ivfbq_search(idx, embs, qvec, k=10, nprobe=4, pool=n).collect()
+    # probing ALL cells + pool >= n means exact equality with flat knn
+    exact = knn_exact(embs, qvec, k=10, dim=64).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in exact
+    ]
+    # narrow probe: every result id must come from the probed cells
+    import numpy as np
+
+    cents = np.asarray(idx.centroids, dtype="float64")
+    d2 = ((cents - np.asarray(qvec)) ** 2).sum(axis=1)
+    probe = set(np.argsort(d2, kind="stable")[:1].tolist())
+    narrow = bq.ivfbq_search(idx, embs, qvec, k=10, nprobe=1, pool=50).collect()
+    cells = {
+        r.vec_id: r.cluster
+        for r in ivf.assignments.select("vec_id", "cluster").collect()
+    }
+    assert all(cells[r.vec_id] in probe for r in narrow)
