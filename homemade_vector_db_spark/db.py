@@ -15,8 +15,9 @@ parquet + a JSON manifest instead of pickle sniffing (local_db.py:210-265).
 index_type: 'flat' → exact brute-force (default; the only hash-checkable
 path, mirroring test_local_db.py:155-157's "flat is exact" stance);
 'lsh' (HNSW role) and 'ivf' (IVF-PQ role) → ann.py, recall-tested;
-'nsw' (graph tier behind the 'hnsw' alias) → nsw.py; 'sq8' / 'bq'
-(compressed shortlist → exact rerank) → sq.py / bq.py.
+'nsw' (graph tier behind the 'hnsw' alias) → nsw.py; 'sq8' / 'bq' /
+'ivfbq' (compressed shortlist → exact rerank; ivfbq adds coarse-cell
+scan pruning) → sq.py / bq.py.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ from pyspark.sql import types as T
 
 from homemade_vector_db_spark.operators import bm25, hybrid, knn
 
-_INDEX_TYPES = ("flat", "lsh", "ivf", "nsw", "sq8", "bq")
+_INDEX_TYPES = ("flat", "lsh", "ivf", "nsw", "sq8", "bq", "ivfbq")
 # Reference spellings (local_db.py:24: 'hnsw' | 'flat' | 'ivfpq') map onto
 # the Spark-native tier that fills the same role, so reference call sites
 # port 1:1: HNSW's graph-ANN role → random-projection LSH; IVFPQ's
@@ -334,6 +335,14 @@ class VectorDatabase:
                     self._df, id_col=self.id_col, vec_col=self.vec_col,
                     dim=self.dim,
                 )
+            elif self.index_type == "ivfbq":
+                from homemade_vector_db_spark.operators import bq as bqmod
+
+                coarse = ann.build_ivf(
+                    self._df, id_col=self.id_col, vec_col=self.vec_col,
+                    nlist=min(self.ivf_clusters, max(1, self._n // 2)),
+                )
+                self._ann_index = bqmod.build_ivfbq(coarse, dim=self.dim)
             else:  # ivf
                 self._ann_index = ann.build_ivf(
                     self._df, id_col=self.id_col, vec_col=self.vec_col,
@@ -344,6 +353,16 @@ class VectorDatabase:
         if self.index_type == "nsw":
             return nswmod.nsw_search(
                 self._ann_index, vector, k=top_k, ef_search=self.ef_search
+            )
+        if self.index_type == "ivfbq":
+            from homemade_vector_db_spark.operators import bq as bqmod
+
+            # ef_search plays the probe-width role, same mapping as ivf
+            nlist = len(self._ann_index.centroids)
+            nprobe = max(1, min(nlist, self.ef_search // 10))
+            return bqmod.ivfbq_search(
+                self._ann_index, self._df, vector, k=top_k, nprobe=nprobe,
+                pool=max(top_k * 10, 100),
             )
         if self.index_type in ("sq8", "bq"):
             # compressed shortlist -> exact rerank; pool mirrors the
@@ -502,7 +521,13 @@ class VectorDatabase:
                 from homemade_vector_db_spark.operators import bq as bqmod
 
                 bqmod.save_bq(self._ann_index, ann_path)
-            has_ann = self.index_type in ("lsh", "ivf", "nsw", "sq8", "bq")
+            elif self.index_type == "ivfbq":
+                from homemade_vector_db_spark.operators import bq as bqmod
+
+                bqmod.save_ivfbq(self._ann_index, ann_path)
+            has_ann = self.index_type in (
+                "lsh", "ivf", "nsw", "sq8", "bq", "ivfbq"
+            )
         manifest = {
             "dim": self.dim,
             "index_type": self.index_type,
@@ -560,6 +585,10 @@ class VectorDatabase:
                 from homemade_vector_db_spark.operators import bq as bqmod
 
                 db._ann_index = bqmod.load_bq(spark, ann_path)
+            elif m["index_type"] == "ivfbq":
+                from homemade_vector_db_spark.operators import bq as bqmod
+
+                db._ann_index = bqmod.load_ivfbq(spark, ann_path)
         return db
 
     # ------------------------------------------------------------------ misc

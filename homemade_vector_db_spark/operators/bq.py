@@ -298,3 +298,39 @@ def ivfbq_search(
         cand, q, id_col=index.id_col, vec_col=index.vec_col,
         k=k, dim=index.dim, score_decimals=score_decimals,
     )
+
+
+def save_ivfbq(index: IVFBQIndex, path: str) -> None:
+    """Persist the combined index: codes parquet PARTITIONED BY cluster
+    (so a probe is a partition-pruned scan on reload — same layout as
+    ann.save_ivf) + threshold/centroid geometry JSON."""
+    import json
+    import os
+
+    index.codes.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "codes")
+    )
+    with open(os.path.join(path, "ivfbq.json"), "w") as f:
+        json.dump(
+            {
+                "thresholds": index.thresholds,
+                "centroids": index.centroids,
+                "dim": index.dim,
+                "id_col": index.id_col,
+                "vec_col": index.vec_col,
+            },
+            f,
+        )
+
+
+def load_ivfbq(spark, path: str) -> IVFBQIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "ivfbq.json")) as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return IVFBQIndex(
+        codes, meta["thresholds"], meta["centroids"], meta["dim"],
+        meta["id_col"], meta["vec_col"],
+    )

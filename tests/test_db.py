@@ -143,7 +143,7 @@ def test_incremental_add(spark):
     assert d.get_document(1) == "second doc"
 
 
-@pytest.mark.parametrize("index_type", ["flat", "lsh", "ivf", "sq8", "bq"])
+@pytest.mark.parametrize("index_type", ["flat", "lsh", "ivf", "sq8", "bq", "ivfbq"])
 def test_query_vector_all_index_types(spark, index_type):
     # reference test style: parametrize over index types
     # (/root/reference/test_local_db.py:47); exact match must surface for
@@ -190,7 +190,7 @@ def test_ndv_sketch_accuracy(spark):
         assert abs(approx[t] - n) <= max(1, 0.05 * n)
 
 
-@pytest.mark.parametrize("index_type", ["lsh", "ivf", "sq8", "bq"])
+@pytest.mark.parametrize("index_type", ["lsh", "ivf", "sq8", "bq", "ivfbq"])
 def test_save_load_with_ann_index(spark, tmp_path_factory, index_type):
     d = VectorDatabase(spark, dim=4, index_type=index_type)
     d.add(DOCS, VECS, METAS)
