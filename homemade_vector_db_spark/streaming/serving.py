@@ -46,7 +46,12 @@ class KnnServer:
         vec_col: str = "embedding",
         query_id_col: str = "query_id",
         qvec_col: str = "qv",
+        answer_fn=None,
     ):
+        """`answer_fn(corpus, queries, k) -> DataFrame[(query_id, id,
+        score, rn)]` overrides the exact operator — the ANN drop-in
+        point (default: knn.knn_batch)."""
+        self.answer_fn = answer_fn
         self.spark = spark
         self.corpus = corpus
         self.root = root
@@ -78,21 +83,26 @@ class KnnServer:
             batch_id = self._next_adhoc_id()
         if queries.isEmpty():  # empty trigger — nothing to answer
             return
-        res = knn_batch(
-            self.corpus,
-            queries.select(self.query_id_col, self.qvec_col),
-            id_col=self.id_col,
-            vec_col=self.vec_col,
-            query_id_col=self.query_id_col,
-            qvec_col=self.qvec_col,
-            k=self.k,
-        )
+        qdf = queries.select(self.query_id_col, self.qvec_col)
+        if self.answer_fn is not None:
+            res = self.answer_fn(self.corpus, qdf, self.k)
+        else:
+            res = knn_batch(
+                self.corpus,
+                qdf,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                query_id_col=self.query_id_col,
+                qvec_col=self.qvec_col,
+                k=self.k,
+            )
         res.write.mode("overwrite").parquet(
             os.path.join(self.root, f"batch={batch_id}")
         )
 
     def answers(self) -> DataFrame:
-        """All answered queries so far: (query_id, vec_id, score, rn)."""
+        """All answered queries so far: (query_id, vec_id, score, rn)
+        plus the `batch` partition column (which micro-batch answered)."""
         return self.spark.read.option("basePath", self.root).parquet(
             os.path.join(self.root, "batch=*")
         )

@@ -842,3 +842,29 @@ def test_knn_server_end_to_end_readstream(spark, tmp_path):
     # each query's rank-1 hit is itself (exact self-match)
     top1 = {r.query_id: r.vec_id for r in ans.where(F.col("rn") == 1).collect()}
     assert top1 == {i: i for i in range(4)}
+
+
+def test_knn_server_ann_drop_in(spark, tmp_path):
+    """The serving path with the LSH batch operator swapped in via
+    answer_fn: same output shape, self-match still rank-1."""
+    from homemade_vector_db_spark.operators import ann
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+    from homemade_vector_db_spark.streaming.serving import KnnServer
+    from tests.conftest import SF_SMOKE
+
+    embs = load_embeddings(spark, SF_SMOKE).cache()
+    idx = ann.build_lsh(embs, bucket_length=2.0, num_hash_tables=3)
+    srv = KnnServer(
+        spark, embs, str(tmp_path / "ans"), k=3,
+        answer_fn=lambda corpus, queries, k: ann.lsh_batch_search(
+            idx, queries, k=k, max_l2=20.0
+        ),
+    )
+    q = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    srv.answer_batch(q, 0)
+    ans = srv.answers()
+    assert {"query_id", "vec_id", "score", "rn"} <= set(ans.columns)
+    top1 = {r.query_id: r.vec_id for r in ans.where(F.col("rn") == 1).collect()}
+    assert top1 == {i: i for i in range(3)}  # exact self-match at dist 0
