@@ -334,3 +334,25 @@ def load_ivfbq(spark, path: str) -> IVFBQIndex:
         codes, meta["thresholds"], meta["centroids"], meta["dim"],
         meta["id_col"], meta["vec_col"],
     )
+
+
+def bq_add(index: BQIndex, new_df: DataFrame) -> BQIndex:
+    """Encode NEW vectors with the EXISTING trained thresholds and union
+    into the codes — FAISS add-after-train semantics (no refit), the
+    BQ sibling of ann.ivf_add for streaming ingest. The geometry is
+    deliberately frozen: re-deriving midrange from the grown corpus
+    would silently re-encode nothing (old codes keep old thresholds) and
+    make Hamming distances incomparable across ingest generations."""
+    new_codes = new_df.select(
+        F.col(index.id_col),
+        pack_bits_expr(index.vec_col, index.thresholds, index.dim).alias(
+            "words"
+        ),
+    )
+    return BQIndex(
+        index.codes.unionByName(new_codes),
+        index.thresholds,
+        index.dim,
+        index.id_col,
+        index.vec_col,
+    )

@@ -174,3 +174,31 @@ def load_sq(spark, path: str) -> SQIndex:
         codes, meta["mins"], meta["scales"], meta["dim"],
         meta["id_col"], meta["vec_col"],
     )
+
+
+def sq_add(index: SQIndex, new_df: DataFrame) -> SQIndex:
+    """Encode NEW vectors with the EXISTING [min,max] range geometry and
+    union into the codes — FAISS add-after-train semantics (no refit),
+    the SQ sibling of ann.ivf_add / bq.bq_add. Out-of-range values in
+    the new batch produce codes outside [0, 255] (the linear map is not
+    clamped); ADC stays well-defined and exact re-encoding on the next
+    full rebuild restores the tight range."""
+    code_exprs = [
+        F.round(
+            (F.element_at(F.col(index.vec_col), i).cast("double")
+             - index.mins[i - 1])
+            / index.scales[i - 1]
+        ).cast("int")
+        for i in range(1, index.dim + 1)
+    ]
+    new_codes = new_df.select(
+        F.col(index.id_col), F.array(*code_exprs).alias("codes")
+    )
+    return SQIndex(
+        index.codes.unionByName(new_codes),
+        index.mins,
+        index.scales,
+        index.dim,
+        index.id_col,
+        index.vec_col,
+    )

@@ -125,3 +125,30 @@ def test_ivfbq_probe_recall_and_probe_containment(spark, embs, qvec):
         for r in ivf.assignments.select("vec_id", "cluster").collect()
     }
     assert all(cells[r.vec_id] in probe for r in narrow)
+
+
+def test_bq_add_after_train(spark, embs, qvec):
+    """bq_add encodes new rows with the FROZEN thresholds: the grown
+    index equals a pack of the union under the ORIGINAL geometry, and a
+    planted duplicate of the query becomes the Hamming-0 co-winner."""
+    half = embs.where(F.col("vec_id") < 250)
+    rest = embs.where(F.col("vec_id") >= 250)
+    idx = bq.build_bq(half, dim=64, cache=False)
+    grown = bq.bq_add(idx, rest)
+    assert grown.thresholds == idx.thresholds  # frozen geometry
+    # every original + added row present exactly once
+    got = {r.vec_id: r.words for r in grown.codes.collect()}
+    assert len(got) == embs.count()
+    # added rows encode identically to a fresh pack under old thresholds
+    repack = {
+        r.vec_id: r.words
+        for r in rest.select(
+            "vec_id",
+            bq.pack_bits_expr("embedding", idx.thresholds, 64).alias("words"),
+        ).collect()
+    }
+    for vid, words in repack.items():
+        assert got[vid] == words
+    # search over the grown index still self-matches at Hamming 0
+    top = bq.bq_search(grown, qvec, k=1).collect()[0]
+    assert top.vec_id == 0 and top.hamming == 0

@@ -84,3 +84,17 @@ def test_sq_save_load_roundtrip(spark, embs, qvec, tmp_path):
     assert idx2.mins == idx.mins and idx2.scales == idx.scales
     got = [(r.vec_id, r.score) for r in sq.sq_search(idx2, qvec, k=10).collect()]
     assert got == want
+
+
+def test_sq_add_after_train(spark, embs, qvec):
+    """sq_add encodes new rows with the FROZEN [min,max] geometry; the
+    grown index contains every row once and rerank still finds the
+    exact self-match."""
+    half = embs.where(F.col("vec_id") < 250)
+    rest = embs.where(F.col("vec_id") >= 250)
+    idx = sq.build_sq(half, dim=64, cache=False)
+    grown = sq.sq_add(idx, rest)
+    assert grown.mins == idx.mins and grown.scales == idx.scales
+    assert grown.codes.count() == embs.count()
+    top = sq.sq_rerank_search(grown, embs, qvec, k=1).collect()[0]
+    assert top.vec_id == 0 and top.score == 1.0
