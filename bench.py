@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from homemade_vector_db_spark import queries as Q
-from homemade_vector_db_spark.session import get_spark
+from homemade_vector_db_spark.session import get_spark, release_transient
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -95,6 +95,7 @@ def main() -> None:
             fn(spark, SF_DIR).collect()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 4)
+        release_transient()
     spark.stop()
     out = {
         "metric": "headline_queries_total_sec",

@@ -139,6 +139,15 @@ class VectorDatabase:
             from homemade_vector_db_spark.operators import ann
 
             self._ann_index = ann.ivf_add(self._ann_index, new)
+        elif self._ann_index is not None and self.index_type == "sq8":
+            # add-after-train: encode with the FROZEN trained geometry
+            from homemade_vector_db_spark.operators import sq as sqmod
+
+            self._ann_index = sqmod.sq_add(self._ann_index, new)
+        elif self._ann_index is not None and self.index_type == "bq":
+            from homemade_vector_db_spark.operators import bq as bqmod
+
+            self._ann_index = bqmod.bq_add(self._ann_index, new)
         else:
             self._ann_index = None
 

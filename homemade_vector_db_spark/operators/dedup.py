@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from homemade_vector_db_spark.functions.text import tokenize
 from homemade_vector_db_spark.functions.vector import cosine
+from homemade_vector_db_spark.session import track_persist as _track_persist
 
 # Mersenne prime 2^31-1: (a·x + b) mod p stays in int64 for a,x < p.
 _MERSENNE = (1 << 31) - 1
@@ -128,7 +129,7 @@ def ngram_jaccard_pairs(
     # (~2^-64/pair) are noise relative to the threshold decision.
     hashed = sh.select(
         "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
-    ).persist()
+    ).transform(_track_persist)
     ex = hashed.select("doc_id", F.explode("hs").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     if max_shingle_freq is not None:
@@ -153,7 +154,7 @@ def ngram_jaccard_pairs(
             F.transform("fss", lambda x: x.shingle).alias("sset"),
             F.size("fss").alias("nsh"),
         )
-        .persist()  # read by the two prefix sides + two verification joins
+        .transform(_track_persist)  # read by the two prefix sides + two verification joins
     )
     prefix_len = F.col("nsh") - F.ceil(F.lit(float(threshold)) * F.col("nsh")) + 1
     pref = sets.select(
@@ -283,7 +284,7 @@ def minhash_lsh_pairs(
     # caller-provided `shingled` relation (already cached) skips the
     # per-call materialization entirely.
     sh = (
-        _shingled(df, id_col, text_col, n).persist()
+        _shingled(df, id_col, text_col, n).transform(_track_persist)
         if shingled is None
         else shingled
     )
@@ -604,7 +605,7 @@ def embedding_neardup_pairs_lsh(
         seed=seed,
     )
     model = lsh.fit(unit)
-    hashed = model.transform(unit).persist()  # read by both join sides
+    hashed = model.transform(unit).transform(_track_persist)  # read by both join sides
     max_unit_l2 = (2.0 * (1.0 - threshold)) ** 0.5 + 1e-9
     joined = model.approxSimilarityJoin(hashed, hashed, max_unit_l2, distCol="__d")
     a_id, b_id = F.col("datasetA.id"), F.col("datasetB.id")
@@ -787,7 +788,7 @@ def duplicated_span_stats(
     spans = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(windows).alias("w"))
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-        .persist()
+        .transform(_track_persist)
     )
     dup_hashes = (
         spans.groupBy("h")

@@ -51,3 +51,39 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# --------------------------------------------------------------------------
+# Transient-persist tracking. Several operators persist() an intermediate
+# relation that both sides of a downstream self-join/verification read (the
+# persist is load-bearing there, not an optimization). The returned result
+# is lazy, so the operator itself can never unpersist — but over a long
+# sweep (149 registry queries in one session) those blocks accumulate in
+# executor storage memory. Spark's unified memory manager evicts them LRU
+# under pressure, so this is hygiene rather than an OOM risk; still, sweep
+# drivers (scripts/check_correctness.py, scripts/run_all.py, bench.py) call
+# release_transient() after consuming each query's result. Long-lived
+# session caches (corpus, index state, BM25 stats) are deliberately NOT
+# tracked here.
+
+_TRANSIENT: list = []
+
+
+def track_persist(df):
+    """persist() a DataFrame and register it for release_transient()."""
+    df = df.persist()
+    _TRANSIENT.append(df)
+    return df
+
+
+def release_transient() -> int:
+    """Unpersist every tracked transient DataFrame; returns count."""
+    n = 0
+    while _TRANSIENT:
+        df = _TRANSIENT.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n

@@ -24,6 +24,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from homemade_vector_db_spark.session import track_persist as _track_persist
 
 DOCUMENTS_SCHEMA = T.StructType(
     [
@@ -78,7 +79,7 @@ def read_jsonl_audited(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
-        .persist()
+        .transform(_track_persist)
     )
     good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.where(F.col(CORRUPT_COL).isNotNull()).select(

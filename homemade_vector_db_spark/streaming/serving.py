@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from homemade_vector_db_spark.operators.knn import knn_batch
 
@@ -102,7 +103,25 @@ class KnnServer:
 
     def answers(self) -> DataFrame:
         """All answered queries so far: (query_id, vec_id, score, rn)
-        plus the `batch` partition column (which micro-batch answered)."""
+        plus the `batch` partition column (which micro-batch answered).
+        Before any batch has been answered (e.g. a stream that only saw
+        empty triggers) there are no batch= dirs — return an empty frame
+        with the answer schema instead of raising PATH_NOT_FOUND."""
+        import glob
+
+        if not glob.glob(os.path.join(self.root, "batch=*")):
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(self.query_id_col, T.LongType()),
+                        T.StructField(self.id_col, T.LongType()),
+                        T.StructField("score", T.DoubleType()),
+                        T.StructField("rn", T.IntegerType()),
+                        T.StructField("batch", T.LongType()),
+                    ]
+                ),
+            )
         return self.spark.read.option("basePath", self.root).parquet(
             os.path.join(self.root, "batch=*")
         )

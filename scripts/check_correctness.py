@@ -50,7 +50,7 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     import __spark_entry__ as ent
-    from homemade_vector_db_spark.session import get_spark
+    from homemade_vector_db_spark.session import get_spark, release_transient
 
     only = set(sys.argv[1:])
     spark = get_spark(app_name="correctness-check", cpus=8, shuffle_partitions=8)
@@ -70,6 +70,7 @@ def main() -> int:
         t0 = time.time()
         spark_pdf = fn(spark, SF_DIR).toPandas()
         t_spark = time.time() - t0
+        release_transient()
         if name not in oracles:
             print(f"  {name:28s} rows-only: {len(spark_pdf)} rows  ({t_spark:.1f}s)")
             continue

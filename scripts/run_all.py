@@ -17,7 +17,7 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 from homemade_vector_db_spark import queries as Q
-from homemade_vector_db_spark.session import get_spark
+from homemade_vector_db_spark.session import get_spark, release_transient
 
 SF_DIR = os.environ.get("RUN_SF_DIR", "/root/testdata/sf0.1")
 
@@ -34,6 +34,7 @@ def main() -> int:
         try:
             n = fn(spark, SF_DIR).count()
             dt = time.time() - t0
+            release_transient()
             timings.append((dt, name))
             print(f"{name:34s} rows={n:<8d} {dt:6.2f}s", flush=True)
         except Exception:

@@ -359,3 +359,30 @@ def test_hnsw_routes_to_graph_tier_and_roundtrips(spark, tmp_path):
     assert back.index_type == "nsw"
     assert back._ann_index is not None  # manifest restored the graph
     assert back.query_vector(vecs[17], top_k=3)[0] == 17
+
+
+@pytest.mark.parametrize("itype", ["sq8", "bq"])
+def test_incremental_add_extends_compressed_tiers_without_retrain(spark, itype):
+    """add() after an sq8/bq index is built routes through sq_add/bq_add
+    (frozen trained geometry, FAISS add-after-train semantics) instead of
+    discarding the index and rebuilding on the next query."""
+    import random
+
+    rng = random.Random(11)
+    mk = lambda: [rng.random() for _ in range(8)]
+    db = VectorDatabase(spark, dim=8, index_type=itype)
+    db.add([f"doc {i}" for i in range(30)], [mk() for _ in range(30)])
+    db.query_vector(mk(), top_k=3)  # force index build
+    idx_before = db._ann_index
+    assert idx_before is not None
+    target = mk()
+    db.add(["late arrival"], [target])
+    assert db._ann_index is not None
+    if itype == "sq8":
+        assert db._ann_index.mins is idx_before.mins
+        assert db._ann_index.scales is idx_before.scales
+    else:
+        assert db._ann_index.thresholds is idx_before.thresholds
+    # new doc is searchable through the maintained index (self-match)
+    got = db.query_vector(target, top_k=1)
+    assert got == [30]

@@ -37,20 +37,10 @@ def test_registry_and_oracles_consistent():
     assert set(o) <= set(q)
     for name, sql in o.items():
         assert "SELECT" in sql.upper(), name
-    # the deliberate rows-only tier is exactly the ANN/sketch family
+    # round 3: every registered entry carries a full value oracle — the
+    # former rows-only tier is folded into its hash-checked gates
     rows_only = set(q) - set(o)
-    assert rows_only <= {
-        "ann_ivf_topk",
-        "ann_knn_batch",
-        "ann_lsh_topk",
-        "ivfpq_topk",
-        "lsh_neardup",
-        "ndv_sketch",
-        "nsw_topk",
-        "pq_topk",
-        "simhash_neardup",
-        "sq_topk",
-    }, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_registry_callables_run_on_smoke_sf(spark):

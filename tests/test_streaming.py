@@ -868,3 +868,22 @@ def test_knn_server_ann_drop_in(spark, tmp_path):
     assert {"query_id", "vec_id", "score", "rn"} <= set(ans.columns)
     top1 = {r.query_id: r.vec_id for r in ans.where(F.col("rn") == 1).collect()}
     assert top1 == {i: i for i in range(3)}  # exact self-match at dist 0
+
+
+def test_knn_server_answers_empty_before_any_batch(spark, tmp_path):
+    """answers() before any non-empty micro-batch returns an empty frame
+    with the answer schema instead of raising PATH_NOT_FOUND (a stream
+    that only saw empty triggers is a normal cold start)."""
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+    from homemade_vector_db_spark.streaming.serving import KnnServer
+    from tests.conftest import SF_SMOKE
+
+    embs = load_embeddings(spark, SF_SMOKE)
+    srv = KnnServer(spark, embs, str(tmp_path / "ans"), k=3)
+    empty = embs.where(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    srv.answer_batch(empty, 0)  # empty trigger: no batch dir written
+    got = srv.answers()
+    assert got.count() == 0
+    assert {"query_id", "vec_id", "score", "rn", "batch"} <= set(got.columns)
