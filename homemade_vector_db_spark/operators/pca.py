@@ -9,16 +9,19 @@ part of the similarity-search scale path layered on top.
 Split of labor, same as the IVF/PQ quantizers (operators/ann.py:94,
 pq.py): TRAINING is driver-side numpy SVD on a deterministic
 hash-ordered sample (bounded 20k rows — orders of magnitude below the
-corpus, the FAISS strategy), APPLICATION is a distributed pure-codegen
-projection: dim_out fixed-dim dot products against literal component
-vectors — no UDF, no shuffle, scan-side.
+corpus, the FAISS strategy), APPLICATION is distributed and tiered on
+kernel width: literal codegen dot products while the expression fits a
+janino method, Arrow-batched BLAS gemm beyond (see CODEGEN_MAX_TERMS) —
+no shuffle either way, scan-side.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SAMPLE_LIMIT = 20_000
 
@@ -53,22 +56,55 @@ def fit_pca(
     return mean, comps
 
 
+# Whole-stage codegen inlines the entire projection into one janino
+# method (columnar input leaves no split points), and the JVM caps a
+# method at 64 KB of bytecode: a 16×64 = 1024-term multiply-add chain
+# does NOT compile (janino "Code grows beyond 64 KB") and Spark silently
+# falls back to interpreted evaluation — a whole-scan slowdown at 100 TB.
+# 512 terms compiles with ample margin (contract-tested with
+# spark.sql.codegen.fallback=false in tests/test_plans.py), so wider
+# kernels take the Arrow tier below instead.
+CODEGEN_MAX_TERMS = 512
+
+
 def project(
     df: DataFrame,
     mean: np.ndarray,
     components: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "proj",
+    max_codegen_terms: int = CODEGEN_MAX_TERMS,
 ) -> DataFrame:
     """Append `out_col ARRAY<DOUBLE>` = components @ (vec - mean).
 
-    Pure column expressions: each output coordinate is one fixed-dim dot
-    against a literal row of `components`, with the constant offset
-    (components @ mean) folded driver-side — so the per-row work is
-    exactly dim_out × dim_in codegen multiply-adds. The expression is
-    assembled as ONE SQL string and parsed JVM-side: building the same
-    tree from dim_out×dim_in individual F.lit/Column ops costs thousands
-    of py4j round-trips (~10 s of driver time for 16×64)."""
+    Two execution tiers, dispatched on kernel width (dim_out × dim_in):
+
+    - ≤ max_codegen_terms: pure column expressions — each output
+      coordinate is one fixed-dim dot against a literal row of
+      `components`, with the constant offset (components @ mean) folded
+      driver-side. Stays inside whole-stage codegen; zero Python.
+    - wider: Arrow-batched matmul — (X - mean) @ componentsᵀ as one BLAS
+      gemm per Arrow batch (the FAISS PCAMatrix execution shape). A wide
+      kernel overflows janino's 64 KB method limit as a single codegen
+      expression (see CODEGEN_MAX_TERMS), and at that width a batched
+      gemm beats a thousand scalar codegen ops per row anyway.
+    """
+    if components.shape[0] * components.shape[1] <= max_codegen_terms:
+        return _project_codegen(df, mean, components, vec_col, out_col)
+    return _project_arrow(df, mean, components, vec_col, out_col)
+
+
+def _project_codegen(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Literal-kernel tier. The expression is assembled as ONE SQL string
+    and parsed JVM-side: building the same tree from dim_out×dim_in
+    individual F.lit/Column ops costs thousands of py4j round-trips
+    (~10 s of driver time for 16×64)."""
     dim_in = components.shape[1]
     offsets = components @ mean  # fold the centering into a constant
     coords = []
@@ -79,3 +115,25 @@ def project(
         )
         coords.append(f"({terms}) - ({float(offsets[j])!r}D)")
     return df.withColumn(out_col, F.expr("array(" + ", ".join(coords) + ")"))
+
+
+def _project_arrow(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Arrow tier: one float64 gemm per Arrow batch. mean/components ride
+    in the serialized closure (KB-scale), so executors pay no per-row
+    Python cost beyond the Arrow column transfer."""
+    mu = np.asarray(mean, dtype="float64")
+    ct = np.asarray(components, dtype="float64").T  # (dim_in, dim_out)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _proj(batch: pd.Series) -> pd.Series:
+        X = np.array(batch.tolist(), dtype="float64")  # (n, dim_in)
+        Y = (X - mu) @ ct
+        return pd.Series(Y.tolist())
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

@@ -482,3 +482,59 @@ def test_maxsim_grouped_one_shuffle_and_equals_fused(spark):
     assert [tuple(r) for r in grouped.collect()] == [
         tuple(r) for r in Q.q_maxsim_topk(spark, sf).collect()
     ]
+
+
+def test_no_codegen_fallback_on_literal_kernels(spark):
+    """Every registered literal-kernel query must COMPILE under whole-stage
+    codegen. Janino caps a generated method at 64 KB of bytecode; an
+    oversized kernel makes Spark silently fall back to interpreted
+    evaluation (correct answers, whole-scan slowdown — the worst failure
+    mode at 100 TB because nothing fails). `spark.sql.codegen.fallback=
+    false` turns that silent fallback into an exception, which is the
+    contract this test pins. The 16×64 PCA projection used to be the
+    offender; it now dispatches to the Arrow gemm tier (see
+    operators/pca.py:CODEGEN_MAX_TERMS)."""
+    from homemade_vector_db_spark.operators import pca as pcamod
+
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in [
+            "knn_exact",        # squared-L2 literal kernel
+            "cosine_topk",      # cosine literal kernel
+            "mips_topk",        # inner-product literal kernel
+            "radius_search",    # literal kernel + codegen filter
+            "maxsim_topk",      # parts² dots + greatest() fused kernel
+            "sq_topk",          # SQ8 ADC lookup kernel
+            "bq_topk",          # bit-pack + Hamming popcount kernel
+            "truncated_rerank_topk",  # 16-dim shortlist + 64-dim rerank
+            "pca_check",        # wide PCA → must route to the Arrow tier
+        ]:
+            Q.registry()[name](spark, SF_SMOKE).collect()
+        # PQ asymmetric-distance LUT kernel (folded out of the registry
+        # into ivfpq_recall/pq_recall; exercise the operator directly)
+        Q.q_pq_topk(spark, SF_SMOKE).collect()
+        Q.q_ivfpq_topk(spark, SF_SMOKE).collect()
+        # the codegen tier itself compiles at its width bound (8×64=512)
+        embs = load_embeddings(spark, SF_SMOKE)
+        mean, comps = pcamod.fit_pca(embs, dim_in=64, dim_out=8)
+        assert comps.shape[0] * comps.shape[1] <= pcamod.CODEGEN_MAX_TERMS
+        pcamod._project_codegen(embs, mean, comps, "embedding", "proj") \
+            .limit(5).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_wide_pca_projection_uses_arrow_tier(spark):
+    """Above CODEGEN_MAX_TERMS the projection must plan as one
+    ArrowEvalPython (batched gemm), never an interpreted 1024-term
+    expression; below, it must stay a codegen Project with no Python."""
+    from homemade_vector_db_spark.operators import pca as pcamod
+
+    embs = load_embeddings(spark, SF_SMOKE)
+    mean, comps = pcamod.fit_pca(embs, dim_in=64, dim_out=16)
+    wide = pcamod.project(embs, mean, comps)
+    assert has_operator(wide, "ArrowEvalPython")
+    mean8, comps8 = pcamod.fit_pca(embs, dim_in=64, dim_out=8)
+    narrow = pcamod.project(embs, mean8, comps8)
+    assert not has_operator(narrow, "ArrowEvalPython")
