@@ -550,6 +550,42 @@ def embedding_neardup_pairs_blas(
     )
 
 
+def embedding_neardup_pairs_auto(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int | None = None,
+    blas_max_rows: int = 200_000,
+) -> DataFrame:
+    """Automatic tier dispatch for cosine near-dup pairs (same output
+    contract as both tiers): a row-count probe picks
+
+    - n ≤ blas_max_rows → `embedding_neardup_pairs_blas`: EXACT, the
+      (id, unit-vector) matrix broadcast once (200k × 64-d float64 =
+      ~100 MB) and each partition BLAS-multiplies its block — right while
+      both the broadcast and the O(n²) flop count are affordable;
+    - n > blas_max_rows → `embedding_neardup_pairs_lsh`: bucketed
+      candidates + exact verify — precision stays exact, candidate recall
+      is probabilistic (≈1 at realistic thresholds), and nothing is ever
+      collected to the driver.
+
+    This is the registered entry point (queries.py cosine_neardup): the
+    exact tier's driver-broadcast ceiling can't be hit accidentally at
+    scale because the dispatch flips to the bucketed plan first. Callers
+    that need a specific tier call it directly.
+    """
+    n = df.count()
+    if n <= blas_max_rows:
+        return embedding_neardup_pairs_blas(
+            df, id_col, vec_col,
+            threshold=threshold, max_broadcast_rows=blas_max_rows,
+        )
+    return embedding_neardup_pairs_lsh(
+        df, id_col, vec_col, threshold=threshold, dim=dim
+    )
+
+
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

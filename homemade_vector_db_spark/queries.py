@@ -1094,17 +1094,22 @@ def q_knn_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs — exact, as a BLAS-blocked
-    distributed matmul (broadcast unit matrix + per-partition numpy
-    blocks) instead of the unguarded O(n²) pair cross join; same oracle.
+    """Embedding-cosine near-dup pairs via AUTOMATIC tier dispatch
+    (dedup.embedding_neardup_pairs_auto): a row-count probe routes to the
+    exact BLAS-blocked matmul (broadcast unit matrix + per-partition
+    numpy blocks) while the matrix fits the 200k-row bound, and to the
+    LSH-bucketed candidates + exact-verify plan beyond — so the exact
+    tier's driver-broadcast ceiling cannot be hit by accident at scale.
     At this corpus's wide radius (t=0.45 on near-random embeddings) no
     bucketing can prune — measured: approxSimilarityJoin candidates cost
     2× the brute-force matmul — so the honest scale statement is: exact
-    quadratic at BLAS speed up to ~1M vectors, LSH/ANN blocking
-    (lsh_neardup) beyond that or at realistic (≥0.9) thresholds."""
-    return dedup.embedding_neardup_pairs_blas(
+    quadratic at BLAS speed up to the bound, LSH/ANN blocking beyond
+    that or at realistic (≥0.9) thresholds. Dispatch is pytest-pinned
+    (test_dedup::test_embedding_neardup_auto_*)."""
+    return dedup.embedding_neardup_pairs_auto(
         load_embeddings(spark, sf_dir),
         threshold=COSINE_NEARDUP_THRESHOLD,
+        dim=EMB_DIM,
     )
 
 

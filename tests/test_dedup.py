@@ -226,3 +226,45 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
     assert set(got.values()) == {0} and len(got) == 12
+
+
+def test_embedding_neardup_auto_dispatches_blas_below_bound(spark):
+    """Auto tier: under the row bound the plan is the broadcast-matmul
+    form (MapInPandas) and the result equals the exact all-pairs form."""
+    import random
+
+    from homemade_vector_db_spark.plans.explain import has_operator
+
+    rng = random.Random(9)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((40, [x * 2.0 for x in rows[7][1]]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    auto = dedup.embedding_neardup_pairs_auto(df, threshold=0.9, dim=8)
+    assert has_operator(auto, "MapInPandas")
+    want = [
+        (r.a_id, r.b_id, r.cosine)
+        for r in dedup.embedding_neardup_pairs(df, threshold=0.9, dim=8).collect()
+    ]
+    assert [(r.a_id, r.b_id, r.cosine) for r in auto.collect()] == want
+
+
+def test_embedding_neardup_auto_dispatches_lsh_above_bound(spark):
+    """Auto tier: above the row bound the plan is the LSH-bucketed form
+    (no MapInPandas, no driver collect) with the same verified pairs."""
+    import random
+
+    from homemade_vector_db_spark.plans.explain import has_operator
+
+    rng = random.Random(10)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((40, [x * 2.0 for x in rows[7][1]]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    auto = dedup.embedding_neardup_pairs_auto(
+        df, threshold=0.9, dim=8, blas_max_rows=10
+    )
+    assert not has_operator(auto, "MapInPandas")
+    want = [
+        (r.a_id, r.b_id, r.cosine)
+        for r in dedup.embedding_neardup_pairs(df, threshold=0.9, dim=8).collect()
+    ]
+    assert [(r.a_id, r.b_id, r.cosine) for r in auto.collect()] == want
