@@ -600,6 +600,70 @@ class VectorDatabase:
                 db._ann_index = bqmod.load_ivfbq(spark, ann_path)
         return db
 
+    @classmethod
+    def import_reference(
+        cls,
+        spark: SparkSession,
+        folder_path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        vec_col: str = "embedding",
+    ) -> "VectorDatabase":
+        """Import a folder saved by the REFERENCE engine's save():
+        `data.pkl` (docs+metas pickle) + `vectors.npy` + a native index
+        file (local_db.py:210-222) — the first thing a migrating user
+        does with an existing database.
+
+        Type detection mirrors the reference's load() sniffing
+        (local_db.py:233-248): `hnsw.idx` present → the graph tier;
+        `faiss.idx` sniffed for the IVFPQ signature — the reference needs
+        `faiss.read_index` + `isinstance` for this, but the same
+        information is in the file's leading fourcc (FAISS index_write
+        serialization: IndexIVFPQ writes "IwPQ", IndexFlat writes
+        "IxF2"/"IxFI"/"IxFl"), readable without the library; anything
+        unrecognized → 'flat', the reference's own default. Index
+        CONTENTS are native hnswlib/FAISS serializations only those
+        libraries can deserialize — derived state is rebuilt here,
+        exactly as the reference's load() already rebuilds BM25 from
+        scratch (local_db.py:257).
+
+        Note: `data.pkl` is unpickled — only import folders you trust,
+        the same trust boundary the reference's load() has.
+        """
+        import pickle
+
+        import numpy as np
+
+        with open(os.path.join(folder_path, "data.pkl"), "rb") as f:
+            data = pickle.load(f)
+        docs = list(data["docs"])
+        metas = list(data["metas"])
+        vectors = np.asarray(np.load(os.path.join(folder_path, "vectors.npy")))
+        if vectors.ndim != 2:
+            raise ValueError(f"vectors.npy must be 2-D, got {vectors.shape}")
+        if len(docs) != vectors.shape[0] or len(metas) != len(docs):
+            raise ValueError(
+                f"inconsistent reference folder: {len(docs)} docs, "
+                f"{len(metas)} metas, {vectors.shape[0]} vectors"
+            )
+        index_type = "flat"
+        if os.path.exists(os.path.join(folder_path, "hnsw.idx")):
+            index_type = "hnsw"
+        elif os.path.exists(os.path.join(folder_path, "faiss.idx")):
+            with open(os.path.join(folder_path, "faiss.idx"), "rb") as f:
+                fourcc = f.read(4)
+            index_type = "ivfpq" if fourcc == b"IwPQ" else "flat"
+        db = cls(
+            spark,
+            dim=int(vectors.shape[1]),
+            index_type=index_type,
+            id_col=id_col,
+            text_col=text_col,
+            vec_col=vec_col,
+        )
+        db.add(docs, vectors.tolist(), metas)
+        return db
+
     # ------------------------------------------------------------------ misc
     def __len__(self) -> int:
         return self._n

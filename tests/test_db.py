@@ -386,3 +386,82 @@ def test_incremental_add_extends_compressed_tiers_without_retrain(spark, itype):
     # new doc is searchable through the maintained index (self-match)
     got = db.query_vector(target, top_k=1)
     assert got == [30]
+
+
+def _write_reference_layout(tmp_path, docs, metas, vectors, index_file=None):
+    """Write the reference engine's on-disk layout (local_db.py:210-222):
+    data.pkl + vectors.npy + optionally a (fake-signature) index file."""
+    import pickle
+
+    import numpy as np
+
+    folder = tmp_path / "refdb"
+    folder.mkdir()
+    with open(folder / "data.pkl", "wb") as f:
+        pickle.dump({"docs": docs, "metas": metas}, f)
+    np.save(folder / "vectors.npy", np.asarray(vectors, dtype="float32"))
+    if index_file is not None:
+        name, payload = index_file
+        (folder / name).write_bytes(payload)
+    return str(folder)
+
+
+def test_import_reference_round_trips_data_and_flat_search(spark, tmp_path):
+    """Mirror of the reference's own save/load equality test
+    (test_local_db.py:152-157): importing a reference-layout folder
+    reproduces docs/metas/vectors exactly, and flat-index text+vector
+    search equals a db built by add() directly."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    docs = [f"alpha beta doc {i}" for i in range(8)]
+    metas = [{"team": "eng" if i % 2 else "ops", "amount": 1250.75 + i} for i in range(8)]
+    vectors = rng.rand(8, 6).astype("float32")
+    folder = _write_reference_layout(tmp_path, docs, metas, vectors)
+
+    db = VectorDatabase.import_reference(spark, folder)
+    assert db.index_type == "flat" and db.dim == 6 and len(db) == 8
+    rows = {r["doc_id"]: r for r in db._df.collect()}
+    for i in range(8):
+        assert rows[i]["text"] == docs[i]
+        assert rows[i]["meta"] == {k: str(v) for k, v in metas[i].items()}
+        assert np.allclose(rows[i]["embedding"], vectors[i])
+
+    twin = VectorDatabase(spark, dim=6, index_type="flat")
+    twin.add(docs, vectors.tolist(), metas)
+    q = vectors[3] + 0.01
+    assert db.query_vector(q, top_k=3, return_scores=True) == \
+        twin.query_vector(q, top_k=3, return_scores=True)
+    assert db.query_text("alpha doc", top_k=3, return_scores=True) == \
+        twin.query_text("alpha doc", top_k=3, return_scores=True)
+
+
+def test_import_reference_detects_index_type(spark, tmp_path):
+    """hnsw.idx routes to the graph tier; faiss.idx with the IVFPQ fourcc
+    routes to ivf; an unrecognized faiss payload defaults to flat — the
+    reference's own fallback (local_db.py:246-248)."""
+    import numpy as np
+
+    docs, metas = ["a b"], [{}]
+    vectors = np.ones((1, 4), dtype="float32")
+    cases = [
+        (("hnsw.idx", b"\x00"), "nsw"),  # 'hnsw' alias → NSW graph tier
+        (("faiss.idx", b"IwPQ" + b"\x00" * 16), "ivf"),  # IVFPQ fourcc
+        (("faiss.idx", b"IxF2" + b"\x00" * 16), "flat"),  # IndexFlatL2
+        (("faiss.idx", b"????" + b"\x00" * 16), "flat"),  # unknown → flat
+    ]
+    for i, (index_file, want) in enumerate(cases):
+        sub = tmp_path / f"case{i}"
+        sub.mkdir()
+        folder = _write_reference_layout(sub, docs, metas, vectors, index_file)
+        assert VectorDatabase.import_reference(spark, folder).index_type == want
+
+
+def test_import_reference_rejects_inconsistent_folder(spark, tmp_path):
+    import numpy as np
+
+    folder = _write_reference_layout(
+        tmp_path, ["one", "two"], [{}], np.ones((3, 4), dtype="float32")
+    )
+    with pytest.raises(ValueError, match="inconsistent"):
+        VectorDatabase.import_reference(spark, folder)
