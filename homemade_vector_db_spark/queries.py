@@ -200,6 +200,24 @@ def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _EMB_NORMED[sf_dir]
 
 
+# Tokenized corpus materialized once per session — the ordered-sequence
+# sibling of the BM25 postings cache above (postings lose token ORDER, so
+# the n-gram/LM queries can't derive from them). vocab_stats and
+# bigram_logprob share this relation; a real pipeline materializes the
+# token arrays once at ingest next to the postings.
+_TOKENS: dict[str, DataFrame] = {}
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _TOKENS:
+        _TOKENS[sf_dir] = (
+            load_documents(spark, sf_dir)
+            .select("doc_id", "lang", tokenize("text").alias("toks"))
+            .cache()
+        )
+    return _TOKENS[sf_dir]
+
+
 # documents ⋈ embeddings materialized once per session — the analogue of
 # the reference holding _docs/_metas/_vectors resident in parallel arrays
 # (local_db.py:35-37). Hybrid queries then score without re-running the
@@ -3687,10 +3705,11 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of the single most frequent term. One explode → (lang, term)
     partial-agg shuffle, then a tiny per-lang rollup; identical cost
     class to BM25 stats construction, so it holds at 100 TB (the shuffle
-    key is (lang, term) — high cardinality, no hot key)."""
-    d = load_documents(spark, sf_dir)
+    key is (lang, term) — high cardinality, no hot key). Reads the
+    session-cached `_tokens` relation shared with bigram_logprob."""
     per_term = (
-        d.select("lang", F.explode(tokenize("text")).alias("t"))
+        _tokens(spark, sf_dir)
+        .select("lang", F.explode("toks").alias("t"))
         .groupBy("lang", "t")
         .agg(F.count(F.lit(1)).alias("ctf"))
     )
@@ -4511,17 +4530,18 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-one-smoothed corpus bigram model, per-doc mean negative log
     P(w2|w1) with c(w1) = the history's bigram count and V = corpus
     unigram vocabulary; the `BIGRAM_TOP_N` most surprising docs. All
-    counts are postings-shaped partial aggs on (w1, w2) / (w1,) keys —
-    the same shuffle class as the BM25 index build — and the per-doc
-    score reuses the (doc, bigram) grouping. No UDFs: bigram extraction
-    is a codegen'd transform over the token array."""
-    # tokenize ONCE: the bigram pass and the vocabulary count both read
-    # this narrow persisted relation instead of re-parsing the corpus
-    toks = (
-        load_documents(spark, sf_dir)
-        .select("doc_id", tokenize("text").alias("toks"))
-        .transform(_track_persist)
-    )
+    counts are window sums on (w1, w2) / (w1,) keys over the one
+    (doc, bigram) grouping — c12 = Σ tf within (w1,w2) and c1 = Σ tf
+    within (w1) are algebraic identities of the count-relation joins, so
+    each doc_bi row flows through the plan exactly once (no self-read,
+    no persist barrier, two fewer stages than the join form; the shuffle
+    class is unchanged — high-cardinality bigram keys, no hot key). The
+    token arrays come from the session-cached `_tokens` relation shared
+    with vocab_stats. No UDFs: bigram extraction is a codegen'd
+    transform over the token array."""
+    from pyspark.sql.window import Window
+
+    toks = _tokens(spark, sf_dir)
     bi = toks.where(F.size("toks") >= 2).select(
         "doc_id",
         F.expr(
@@ -4533,23 +4553,22 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("tf")
-    ).transform(_track_persist)
-    c12 = doc_bi.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    )
     vocab = toks.select(F.explode("toks").alias("t")).agg(
         F.countDistinct("t").alias("V")
     )
-    lm = (
-        c12.join(c1, "w1")
+    scored = (
+        doc_bi.withColumn(
+            "c12", F.sum("tf").over(Window.partitionBy("w1", "w2"))
+        )
+        .withColumn("c1", F.sum("tf").over(Window.partitionBy("w1")))
         .crossJoin(F.broadcast(vocab))
-        .select(
-            "w1", "w2",
-            F.log((F.col("c12") + 1) / (F.col("c1") + F.col("V"))).alias("lp"),
+        .withColumn(
+            "lp", F.log((F.col("c12") + 1) / (F.col("c1") + F.col("V")))
         )
     )
     return (
-        doc_bi.join(lm, ["w1", "w2"])
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.sum("tf").cast("long").alias("n_bigrams"),
             F.round(-F.sum(F.col("tf") * F.col("lp")) / F.sum("tf"), 6).alias(
