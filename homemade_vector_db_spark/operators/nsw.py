@@ -1,7 +1,8 @@
-"""Partition-local NSW graph index — the HNSW-role tier as a *shard-local
-graph*, the architecture real distributed vector stores use for graph ANN
-(each shard owns an independent navigable-small-world graph; a query beam-
-searches every shard and the tiny per-shard top-k lists merge globally).
+"""Partition-local HNSW graph index — the HNSW-role tier as *shard-local
+hierarchical graphs*, the architecture real distributed vector stores use
+for graph ANN (each shard owns an independent hierarchical navigable-
+small-world graph; a query descends every shard's hierarchy and the tiny
+per-shard top-k lists merge globally).
 
 Reference parity: hnswlib IS the reference's primary index
 (local_db.py:41-47, M / ef_construction / ef_search kwargs). A single
@@ -13,18 +14,31 @@ shard tables + a global TakeOrderedAndProject merge. The LSH/IVF tiers
 remain the bucketed alternatives; this tier exists for graph-parity and
 for corpora where graph search's recall/probe tradeoff wins.
 
-Determinism: insertion order is id-ascending within a shard, shard
-assignment is a pure hash of the id, and all distance ties break on id —
-same build every run, any cluster size.
+Hierarchy (Malkov & Yashunin 2016, the published HNSW algorithm — and
+hnswlib's semantics): each node draws a geometric level ℓ =
+⌊−ln(U)·mL⌋ with mL = 1/ln(M); layer ℓ and above contain only nodes
+with level ≥ ℓ. Insert/search greedy-descend from the top entry point
+through the upper layers (single-nearest hop per layer) and run the
+ef-bounded beam only on the lower layers — so per-query distance
+evaluations grow O(log n) with shard size instead of the flat-NSW
+behavior where one layer's beam degrades as the shard grows. Level 0
+keeps 2M links per node (hnswlib's M0 = 2M), upper levels M.
+
+Determinism: the level draw hashes the node id (splitmix64 → U(0,1]),
+insertion order is id-ascending within a shard, shard assignment is a
+pure hash of the id, and all distance ties break on id — same build
+every run, any cluster size.
 
 Scale: shards are bounded (`rows_per_shard`); at 100 TB the graph table
-is (id, vec, neighbors[M]) rows partitioned by shard — neighbors add
-M×8 bytes/row. Build cost is O(n·ef_construction) distance evals done
-shard-locally in numpy; no shuffle beyond the initial hash partition.
+is (id, vec, level, neighbors-by-layer) rows partitioned by shard —
+links add ≤ (2M + M·level)×8 bytes/row. Build cost is
+O(n·ef_construction·log n) distance evals done shard-locally in numpy;
+no shuffle beyond the initial hash partition.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -32,52 +46,107 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_M64 = (1 << 64) - 1
+_LEVEL_CAP = 12
+
+
+def _level_of(node_id: int, m_l: float, cap: int = _LEVEL_CAP) -> int:
+    """Deterministic geometric level: splitmix64 of the id → U(0,1] →
+    ⌊−ln(U)·mL⌋ (the HNSW level law with the RNG replaced by an id hash
+    so rebuilds are bit-identical)."""
+    h = (node_id + 0x9E3779B97F4A7C15) & _M64
+    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & _M64
+    h ^= h >> 31
+    u = (h + 1) / float(1 << 64)  # in (0, 1]
+    return min(int(-math.log(u) * m_l), cap)
+
+
+def _greedy_hop(X, adj, q, ep: int, lvl: int) -> int:
+    """Single-nearest greedy walk on one layer: hop to the closest
+    neighbor until no neighbor improves. Ties break on position (== id
+    order, since positions are id-ascending)."""
+    d_ep = float(((X[ep] - q) ** 2).sum())
+    improved = True
+    while improved:
+        improved = False
+        for v in adj[ep][lvl]:
+            dv = float(((X[v] - q) ** 2).sum())
+            if dv < d_ep:
+                d_ep, ep, improved = dv, v, True
+    return ep
+
+
+def _search_layer(X, adj, q, eps: list[int], ef: int, lvl: int):
+    """ef-bounded beam on one layer from entry positions `eps`; returns
+    the ef closest (d², position) pairs sorted ascending, ties on
+    position. Sort-based beam — shards are bounded (rows_per_shard), so
+    the simple form beats heap bookkeeping at these sizes."""
+    d2 = lambda j: float(((X[j] - q) ** 2).sum())  # noqa: E731
+    visited = set(eps)
+    best = sorted((d2(p), p) for p in eps)
+    cand = list(best)
+    while cand:
+        cand.sort()
+        d, u = cand.pop(0)
+        if len(best) >= ef and d > best[-1][0]:
+            break
+        for v in adj[u][lvl]:
+            if v in visited:
+                continue
+            visited.add(v)
+            dv = d2(v)
+            best.append((dv, v))
+            cand.append((dv, v))
+        best.sort()
+        best = best[:ef]
+    return best
+
+
+def _hnsw_insertions(X: np.ndarray, ids: np.ndarray, m: int, ef: int):
+    """Sequential HNSW build over one shard (numpy, id-ascending order).
+    Returns (levels, adjacency) with adjacency[p][lvl] = neighbor
+    positions of node p on layer lvl. Distances are squared L2."""
+    n = len(ids)
+    m_l = 1.0 / math.log(max(m, 2))
+    levels = [_level_of(int(i), m_l) for i in ids]
+    adj: list[list[list[int]]] = [
+        [[] for _ in range(levels[p] + 1)] for p in range(n)
+    ]
+    entry, max_lvl = 0, levels[0]
+    for i in range(1, n):
+        q = X[i]
+        l_i = levels[i]
+        ep = entry
+        for lvl in range(max_lvl, l_i, -1):
+            ep = _greedy_hop(X, adj, q, ep, lvl)
+        eps = [ep]
+        for lvl in range(min(l_i, max_lvl), -1, -1):
+            found = _search_layer(X, adj, q, eps, ef, lvl)
+            mm = 2 * m if lvl == 0 else m
+            links = [v for _, v in found[:mm]]
+            adj[i][lvl] = links
+            for v in links:  # undirected: backlink, keep the mm closest
+                adj[v][lvl].append(i)
+                if len(adj[v][lvl]) > mm:
+                    dv = sorted(
+                        (float(((X[w] - X[v]) ** 2).sum()), w)
+                        for w in adj[v][lvl]
+                    )
+                    adj[v][lvl] = [w for _, w in dv[:mm]]
+            eps = [v for _, v in found]
+        if l_i > max_lvl:
+            entry, max_lvl = i, l_i
+    return levels, adj
+
 
 @dataclass
 class NSWIndex:
-    graph: DataFrame  # shard, id, vec, neighbors (array<long>)
+    graph: DataFrame  # shard, id, vec, level, neighbors (array<array<long>>)
     id_col: str
     vec_col: str
     m: int
     ef_construction: int
-
-
-def _greedy_insertions(X: np.ndarray, ids: np.ndarray, m: int, ef: int):
-    """Sequential NSW build over one shard (numpy, id-ascending order).
-    Returns neighbor id lists aligned with `ids`. Distances are squared
-    L2; candidate ties break on id via stable argsort."""
-    n = len(ids)
-    nbrs: list[list[int]] = [[] for _ in range(n)]
-    for i in range(1, n):
-        # beam search existing graph from node 0 for the ef closest
-        q = X[i]
-        dist = lambda j: float(((X[j] - q) ** 2).sum())  # noqa: E731
-        visited = {0}
-        cand = [(dist(0), 0)]
-        best = list(cand)
-        while cand:
-            cand.sort()
-            d, u = cand.pop(0)
-            if best and d > max(b[0] for b in best) and len(best) >= ef:
-                break
-            for v in nbrs[u]:
-                if v in visited:
-                    continue
-                visited.add(v)
-                dv = dist(v)
-                best.append((dv, v))
-                cand.append((dv, v))
-            best.sort()
-            best = best[:ef]
-        links = [v for _, v in best[:m]]
-        nbrs[i] = links
-        for v in links:  # undirected: backlink, keep the m closest
-            nbrs[v].append(i)
-            if len(nbrs[v]) > m:
-                dv = [(float(((X[w] - X[v]) ** 2).sum()), w) for w in nbrs[v]]
-                dv.sort()
-                nbrs[v] = [w for _, w in dv[:m]]
-    return [[int(ids[v]) for v in lst] for lst in nbrs]
 
 
 def build_nsw(
@@ -101,19 +170,25 @@ def build_nsw(
         pdf = pdf.sort_values("id").reset_index(drop=True)
         ids = pdf["id"].to_numpy(dtype=np.int64)
         X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        nbrs = _greedy_insertions(X, ids, m, ef_construction)
+        levels, adj = _hnsw_insertions(X, ids, m, ef_construction)
         return pd.DataFrame(
             {
                 "shard": key[0],
                 "id": ids,
                 "vec": list(pdf["vec"]),
-                "neighbors": nbrs,
+                "level": levels,
+                "neighbors": [
+                    [[int(ids[v]) for v in lvl_links] for lvl_links in adj[p]]
+                    for p in range(len(ids))
+                ],
             }
         )
 
     vec_t = dict(df.dtypes)[vec_col]
     graph = sharded.groupBy("shard").applyInPandas(
-        build, f"shard long, id long, vec {vec_t}, neighbors array<bigint>"
+        build,
+        f"shard long, id long, vec {vec_t}, level int, "
+        "neighbors array<array<bigint>>",
     )
     if cache:
         graph = graph.persist()
@@ -123,7 +198,8 @@ def build_nsw(
 def nsw_search(
     index: NSWIndex, query, k: int = 10, ef_search: int = 50
 ) -> DataFrame:
-    """Beam-search every shard's graph, merge the per-shard top-k lists
+    """Descend every shard's hierarchy (greedy on the upper layers, one
+    ef_search-bounded beam on layer 0), merge the per-shard top-k lists
     with one global TakeOrderedAndProject. Score = 1/(1+L2²) ∈ (0, 1]
     (the reference's normalized-similarity convention, shared with the
     LSH tier — ann.py:246), rounded 6dp; ties break on id ascending."""
@@ -137,26 +213,19 @@ def nsw_search(
         ids = pdf["id"].to_numpy(dtype=np.int64)
         X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         pos = {int(i): p for p, i in enumerate(ids)}
-        nbrs = [[pos[int(v)] for v in lst] for lst in pdf["neighbors"]]
-        d2 = lambda j: float(((X[j] - q) ** 2).sum())  # noqa: E731
-        visited = {0}
-        d0 = d2(0)
-        cand = [(d0, 0)]
-        best = [(d0, 0)]
-        while cand:
-            cand.sort()
-            d, u = cand.pop(0)
-            if len(best) >= ef_search and d > best[-1][0]:
-                break
-            for v in nbrs[u]:
-                if v in visited:
-                    continue
-                visited.add(v)
-                dv = d2(v)
-                best.append((dv, v))
-                cand.append((dv, v))
-            best.sort(key=lambda t: (t[0], ids[t[1]]))
-            best = best[:ef_search]
+        levels = pdf["level"].to_numpy(dtype=np.int64)
+        adj = [
+            [[pos[int(v)] for v in lvl_links] for lvl_links in node_links]
+            for node_links in pdf["neighbors"]
+        ]
+        # entry = first inserted node holding the max level (insertion is
+        # id-ascending, so: lowest position among max-level nodes)
+        max_lvl = int(levels.max())
+        ep = int(np.flatnonzero(levels == max_lvl)[0])
+        for lvl in range(max_lvl, 0, -1):
+            ep = _greedy_hop(X, adj, q, ep, lvl)
+        best = _search_layer(X, adj, q, [ep], ef_search, 0)
+        best.sort(key=lambda t: (t[0], ids[t[1]]))
         top = best[:k]
         return pd.DataFrame(
             {
@@ -187,6 +256,7 @@ def save_nsw(index: NSWIndex, path: str) -> None:
                 "vec_col": index.vec_col,
                 "m": index.m,
                 "ef_construction": index.ef_construction,
+                "layout": "hnsw-v2",  # level + per-layer neighbor lists
             },
             f,
         )

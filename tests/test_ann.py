@@ -232,3 +232,34 @@ def test_nsw_finds_planted_duplicate(spark, embs):
     top = nsw.nsw_search(idx, target, k=3, ef_search=50).collect()
     assert top[0].vec_id == 7
     assert top[0].score == 1.0  # 1/(1+d2) at d2=0
+
+
+def test_hnsw_hierarchy_structure():
+    """The layered build obeys the HNSW invariants: levels follow the
+    deterministic id-hash geometric law, every node carries exactly
+    level+1 adjacency lists, upper-layer links only reach nodes whose
+    level is >= that layer, and layer-0 degree is bounded by 2M (M
+    above). Pure-numpy check, no Spark."""
+    import numpy as np
+
+    from homemade_vector_db_spark.operators import nsw
+
+    rng = np.random.RandomState(5)
+    ids = np.arange(300, dtype=np.int64)
+    X = rng.rand(300, 8).astype(np.float64)
+    m, ef = 6, 24
+    levels, adj = nsw._hnsw_insertions(X, ids, m, ef)
+    import math
+
+    m_l = 1.0 / math.log(m)
+    assert levels == [nsw._level_of(int(i), m_l) for i in ids]
+    assert max(levels) >= 1  # 300 draws at mL=1/ln 6: P(all zero) ~ 1e-39
+    for p in range(300):
+        assert len(adj[p]) == levels[p] + 1
+        for lvl in range(levels[p] + 1):
+            cap = 2 * m if lvl == 0 else m
+            assert len(adj[p][lvl]) <= cap
+            assert all(levels[v] >= lvl for v in adj[p][lvl])
+    # deterministic rebuild
+    levels2, adj2 = nsw._hnsw_insertions(X, ids, m, ef)
+    assert levels2 == levels and adj2 == adj
