@@ -32,6 +32,60 @@ def py_tokenize(text: str) -> list[str]:
     return text.split()
 
 
+# ----------------------------------------------------------------- BPE
+# Real merge-based byte-pair encoding (Sennrich et al. 2016). The merges
+# table is VENDORED (bpe_merges.txt, trained by scripts/train_bpe.py on
+# the fixture corpus, rank = line order) so the Spark encoder and the
+# DuckDB recursive-CTE oracle consume the identical table. Encoding is
+# the standard greedy loop: repeatedly find the lowest-rank merge whose
+# pair occurs in the word, merge ALL its non-overlapping occurrences
+# left-to-right, stop when no merge applies. No end-of-word marker —
+# word-internal merges only, which keeps both implementations in exact
+# lockstep (documented in scripts/train_bpe.py).
+
+import os as _os
+
+_MERGES_PATH = _os.path.join(_os.path.dirname(__file__), "bpe_merges.txt")
+
+
+def load_bpe_merges() -> list[tuple[str, str]]:
+    """The vendored merges in rank order."""
+    with open(_MERGES_PATH) as f:
+        return [tuple(line.rstrip("\n").split(" ", 1)) for line in f if line.strip()]
+
+
+def bpe_encode(word: str, ranks: dict[tuple[str, str], int],
+               merges: list[tuple[str, str]]) -> list[str]:
+    """Greedy min-rank BPE encoding of one word (driver/executor Python).
+
+    Runs only over the COMPACT distinct-word relation (see
+    queries._bpe_word_pieces) — never over corpus-scale rows — so the
+    Python cost is O(vocab), not O(tokens), and at 100 TB the corpus-scale
+    work stays as JVM joins against the encoded vocabulary.
+    """
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = merges[best]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 # PII patterns kept to the common subset of Java regex (Spark) and RE2
 # (DuckDB): no backreferences, no lookaround, so the same literal string
 # runs on both engines and in the oracle SQL.

@@ -307,6 +307,112 @@ def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ANN_IDX[key]
 
 
+def _bpe_word_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-based BPE encoding of the corpus VOCABULARY: (word, pieces,
+    n_pieces), disk-materialized derived state. The Python encoder
+    (functions.text.bpe_encode, vendored merges table) runs via
+    mapInPandas over the compact DISTINCT-word relation only — O(vocab)
+    Python, Arrow-batched — while every corpus-scale consumer
+    (token_count_bpe, pack_sequences, token_chunks) stays JVM-side as a
+    join against this relation. At 100 TB the vocabulary is the Zipf
+    tail, orders of magnitude smaller than the corpus, and usually
+    broadcast-able; AQE picks the join strategy."""
+    key = ("bpe_word_pieces", sf_dir)
+    if key not in _ANN_IDX:
+        path = _derived_path(sf_dir, "bpe_word_pieces", "documents.parquet")
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+            from homemade_vector_db_spark.functions.text import (
+                bpe_encode,
+                load_bpe_merges,
+            )
+
+            merges = load_bpe_merges()
+            ranks = {m: i for i, m in enumerate(merges)}
+
+            def _encode_batches(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    pieces = [bpe_encode(w, ranks, merges) for w in pdf["word"]]
+                    yield pd.DataFrame(
+                        {
+                            "word": pdf["word"],
+                            "pieces": pieces,
+                            "n_pieces": [len(p) for p in pieces],
+                        }
+                    )
+
+            (
+                _tokens(spark, sf_dir)
+                .select(F.explode("toks").alias("word"))
+                .distinct()
+                .mapInPandas(
+                    _encode_batches,
+                    schema="word string, pieces array<string>, n_pieces long",
+                )
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+        _ANN_IDX[key] = spark.read.parquet(path).cache()
+    return _ANN_IDX[key]
+
+
+def _bpe_oracle_cte() -> str:
+    """Shared DuckDB fragment computing `wp(word, n_pieces)` with the SAME
+    vendored merges table and the SAME greedy min-rank semantics as
+    functions.text.bpe_encode: symbols are chr(1)-delimited inside a
+    string; each recursion step finds the lowest-rank merge whose pair
+    occurs, then `replace()` merges all non-overlapping occurrences
+    left-to-right (per-symbol delimiters make adjacent occurrences
+    independent); the fixed point is the shortest string per word. Must
+    be placed inside a WITH RECURSIVE. Verified piece-for-piece against
+    the Python encoder in tests/test_pipeline_ops.py."""
+    from homemade_vector_db_spark.functions.text import load_bpe_merges
+
+    merges = load_bpe_merges()
+    assert all("'" not in a + b for a, b in merges)
+    ml = "[" + ", ".join(f"'{a} {b}'" for a, b in merges) + "]"
+    return f"""
+bpe_toks AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+bpe_words AS (SELECT DISTINCT unnest(tokens) AS word FROM bpe_toks),
+bpe AS (
+  SELECT word,
+         list_reduce(list_transform(string_split(word, ''),
+                                    c -> chr(1) || c || chr(1)),
+                     (x, y) -> x || y) AS s
+  FROM bpe_words
+  UNION ALL
+  SELECT word,
+         replace(s,
+                 chr(1) || split_part(pair, ' ', 1) || chr(1)
+                   || chr(1) || split_part(pair, ' ', 2) || chr(1),
+                 chr(1) || replace(pair, ' ', '') || chr(1)) AS s
+  FROM (
+    SELECT word, s, ({ml})[best_rank] AS pair
+    FROM (
+      SELECT word, s,
+             list_min(list_filter(
+               list_transform(range(1, len(syms)),
+                              i -> list_position({ml}, syms[i] || ' ' || syms[i+1])),
+               r -> r IS NOT NULL AND r > 0)) AS best_rank
+      FROM (SELECT word, s,
+                   list_filter(string_split(s, chr(1)), x -> x <> '') AS syms
+            FROM bpe)
+    )
+    WHERE best_rank IS NOT NULL
+  )
+),
+wp AS (
+  SELECT word,
+         len(list_filter(string_split(min_by(s, length(s)), chr(1)),
+                         x -> x <> '')) AS n_pieces
+  FROM bpe GROUP BY word
+)"""
+
+
 def _unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus unigram totals (t, ctf) — tiny disk-materialized derived
     state; vocabulary size is its row count."""
@@ -872,13 +978,31 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single window pass. Partitioned by lang so the running sums
     parallelize — an unpartitioned cumsum funnels the whole table
     through one task at 100 TB (shard by a hash bucket when strata are
-    few). Returns per-bin fill stats."""
+    few). Returns per-bin fill stats.
+
+    Round 4: the token budget is measured in REAL BPE tokens (vendored
+    merges table via `_bpe_word_pieces`), not the whitespace proxy — the
+    quantity a trainer's context window actually constrains. The BPE
+    lookup is a join against the compact vocabulary relation; the
+    packing window is unchanged."""
     from pyspark.sql.window import Window
 
-    from homemade_vector_db_spark.functions.text import tokenize
-
+    wp = _bpe_word_pieces(spark, sf_dir).select("word", "n_pieces")
+    per_doc = (
+        _tokens(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("word"))
+        .join(wp, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").alias("n_tokens"))
+    )
     docs = load_documents(spark, sf_dir)
-    toks = docs.select("doc_id", "lang", F.size(tokenize("text")).alias("n_tokens"))
+    toks = (
+        docs.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "lang", F.coalesce("n_tokens", F.lit(0)).alias("n_tokens")
+        )
+    )
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
@@ -1182,14 +1306,29 @@ def q_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex tokenization: letter-runs / digit-runs / single
-    punctuation, the pre-merge word-split of byte-pair tokenizers."""
-    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    """REAL merge-based BPE token counts (round 4 — replaces the round-1
+    regex proxy): per-doc subword count under the vendored merges table
+    (scripts/train_bpe.py; Sennrich-style greedy min-rank encoding).
+    Corpus-scale work is JVM-only: explode the token arrays and join the
+    `_bpe_word_pieces` vocabulary relation on `word` (broadcast-able at
+    any scale — vocabulary is the Zipf tail), then one per-doc sum.
+    Left join from documents so zero-token docs count 0, exactly like
+    the oracle."""
+    wp = _bpe_word_pieces(spark, sf_dir).select("word", "n_pieces")
+    per_doc = (
+        _tokens(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("word"))
+        .join(wp, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").alias("n_bpe_tokens"))
+    )
     return (
         load_documents(spark, sf_dir)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_tokens"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
         )
         .orderBy("doc_id")
     )
@@ -2105,13 +2244,16 @@ CHUNK_STRIDE = 12
 
 def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (training/RAG ingestion): split each doc
-    into 16-token windows with stride 12 (4-token overlap), emitting
-    (doc_id, chunk_idx, n_chunk_tokens, md5 of the chunk text). The
-    chunk starts come from `sequence(...)` + transform over the token
-    array — one projection, zero joins/shuffles before the final sort;
-    at 100 TB chunking is embarrassingly parallel map work and this plan
-    keeps it that way. Bounded to doc_id < 100 to keep the fixture
-    output small."""
+    into 16-word windows with stride 12 (4-word overlap), emitting
+    (doc_id, chunk_idx, n_chunk_words, n_chunk_bpe_tokens, chunk md5).
+    Chunk boundaries stay on word edges (the realistic RAG chunker);
+    the BUDGET column n_chunk_bpe_tokens is the chunk's REAL merge-based
+    BPE token count (round 4) — what a context window actually admits.
+    The chunk starts come from `sequence(...)` + transform over the
+    token array (pure map work); the BPE measure is one posexplode +
+    broadcast-able join against the compact `_bpe_word_pieces`
+    vocabulary + regroup on the high-cardinality (doc_id, chunk_idx)
+    key. Bounded to doc_id < 100 to keep the fixture output small."""
     d = load_documents(spark, sf_dir).where(F.col("doc_id") < 100)
     toks = tokenize("text")
     starts = F.sequence(
@@ -2124,14 +2266,27 @@ def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(toks, s, CHUNK_TOKENS).alias("ctoks"),
         ),
     )
-    ex = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
-    return (
-        ex.where(F.size("c.ctoks") > 0)
+    ex = (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .where(F.size("c.ctoks") > 0)
         .select(
             "doc_id",
             "chunk_idx",
-            F.size("c.ctoks").alias("n_chunk_tokens"),
+            F.col("c.ctoks").alias("ctoks"),
             F.md5(F.array_join("c.ctoks", " ")).alias("chunk_md5"),
+        )
+    )
+    wp = _bpe_word_pieces(spark, sf_dir).select("word", "n_pieces")
+    return (
+        ex.select(
+            "doc_id", "chunk_idx", "chunk_md5", F.explode("ctoks").alias("word")
+        )
+        .join(wp, "word")
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunk_words"),
+            F.sum("n_pieces").cast("long").alias("n_chunk_bpe_tokens"),
+            F.first("chunk_md5").alias("chunk_md5"),
         )
         .orderBy("doc_id", "chunk_idx")
     )
@@ -3177,11 +3332,20 @@ GROUP BY window_start
 ORDER BY window_start
 """
 
-_ORACLES["pack_sequences"] = """
-WITH toks AS (
-  SELECT doc_id, lang,
-         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens
+_ORACLES["pack_sequences"] = f"""
+WITH RECURSIVE {_bpe_oracle_cte()},
+ex AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS word
   FROM documents
+),
+per_doc AS (
+  SELECT doc_id, sum(n_pieces) AS n_bpe
+  FROM ex JOIN wp USING (word) GROUP BY doc_id
+),
+toks AS (
+  SELECT d.doc_id, d.lang, coalesce(per_doc.n_bpe, 0) AS n_tokens
+  FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 ), binned AS (
   SELECT lang, n_tokens,
          CAST(floor(coalesce(sum(n_tokens) OVER (
@@ -3640,11 +3804,20 @@ FROM rev
 ORDER BY revenue DESC, n_name
 """
 
-_ORACLES["token_count_bpe"] = r"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
-FROM documents
-ORDER BY doc_id
+_ORACLES["token_count_bpe"] = f"""
+WITH RECURSIVE {_bpe_oracle_cte()},
+ex AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS word
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, sum(n_pieces) AS n_bpe_tokens
+  FROM ex JOIN wp USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+ORDER BY d.doc_id
 """
 
 
@@ -3714,7 +3887,8 @@ ORDER BY source
 """
 
 _ORACLES["token_chunks"] = rf"""
-WITH toks AS (
+WITH RECURSIVE {_bpe_oracle_cte()},
+toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tokens
   FROM documents WHERE doc_id < 100
 ),
@@ -3726,11 +3900,19 @@ ex AS (
            unnest(range(1, greatest(len(tokens), 1) + 1, {CHUNK_STRIDE})) AS s
     FROM toks
   )
-)
-SELECT doc_id, CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
-       len(ctoks) AS n_chunk_tokens,
-       md5(array_to_string(ctoks, ' ')) AS chunk_md5
-FROM ex WHERE len(ctoks) > 0
+),
+chunks AS (
+  SELECT doc_id, CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+         ctoks, md5(array_to_string(ctoks, ' ')) AS chunk_md5
+  FROM ex WHERE len(ctoks) > 0
+),
+cw AS (SELECT doc_id, chunk_idx, chunk_md5, unnest(ctoks) AS word FROM chunks)
+SELECT doc_id, chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_chunk_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_chunk_bpe_tokens,
+       any_value(chunk_md5) AS chunk_md5
+FROM cw JOIN wp USING (word)
+GROUP BY doc_id, chunk_idx
 ORDER BY doc_id, chunk_idx
 """
 

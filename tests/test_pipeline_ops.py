@@ -375,3 +375,77 @@ def test_bloom_empty_member_set_rejects_everything(spark):
         .count()
     )
     assert hits == 0
+
+
+# ------------------------------------------------------------------- BPE
+def test_bpe_encode_greedy_min_rank_semantics():
+    """Pin the encoder contract the oracle CTE mirrors: lowest-rank merge
+    first, ALL non-overlapping occurrences merged left-to-right per step,
+    stop at fixed point."""
+    from homemade_vector_db_spark.functions.text import bpe_encode
+
+    merges = [("a", "a"), ("aa", "b"), ("b", "c")]
+    ranks = {m: i for i, m in enumerate(merges)}
+    # 'aaa': rank-0 pair merges left-to-right non-overlapping -> [aa, a]
+    assert bpe_encode("aaa", ranks, merges) == ["aa", "a"]
+    # 'aab c': aa first (rank 0), then aab (rank 1); the (b,c) merge is
+    # pre-empted because rank 1 < rank 2 claims the 'b'
+    assert bpe_encode("aabc", ranks, merges) == ["aab", "c"]
+    # no applicable merge -> characters
+    assert bpe_encode("xyz", ranks, merges) == ["x", "y", "z"]
+    # single char / empty
+    assert bpe_encode("a", ranks, merges) == ["a"]
+    assert bpe_encode("", ranks, merges) == []
+
+
+def test_bpe_vendored_merges_loaded_in_rank_order():
+    from homemade_vector_db_spark.functions.text import load_bpe_merges
+
+    merges = load_bpe_merges()
+    assert len(merges) >= 16
+    assert all(len(m) == 2 and m[0] and m[1] for m in merges)
+
+
+def test_bpe_oracle_cte_matches_python_encoder(spark):
+    """Run the DuckDB recursive-CTE fragment the three token oracles
+    embed and compare piece-for-piece with the Python encoder over the
+    full fixture vocabulary — the lockstep guarantee the driver's hash
+    gate rests on."""
+    import duckdb
+
+    from homemade_vector_db_spark.functions.text import (
+        bpe_encode,
+        load_bpe_merges,
+    )
+    from homemade_vector_db_spark.queries import _bpe_oracle_cte
+
+    merges = load_bpe_merges()
+    ranks = {m: i for i, m in enumerate(merges)}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    sql = (
+        f"WITH RECURSIVE {_bpe_oracle_cte()},\n"
+        "fin AS (SELECT word, min_by(s, length(s)) AS s FROM bpe GROUP BY word)\n"
+        "SELECT word, list_filter(string_split(s, chr(1)), x -> x <> '') AS pieces "
+        "FROM fin ORDER BY word"
+    )
+    rows = con.execute(sql).fetchall()
+    assert len(rows) >= 20
+    for word, pieces in rows:
+        assert pieces == bpe_encode(word, ranks, merges), word
+
+
+def test_bpe_word_pieces_relation_consistent(spark):
+    """The disk-materialized vocab relation agrees with the encoder and
+    n_pieces column is the pieces length; reassembling pieces restores
+    the word (BPE is a partition of the character sequence)."""
+    from homemade_vector_db_spark import queries as q
+
+    wp = q._bpe_word_pieces(spark, SF_SMOKE).collect()
+    assert len(wp) >= 20
+    for r in wp:
+        assert r["n_pieces"] == len(r["pieces"])
+        assert "".join(r["pieces"]) == r["word"]

@@ -218,14 +218,16 @@ def test_contamination_no_self_join_quadratic(spark):
     assert all("source" not in ln for ln in join_lines), join_lines
 
 
-def test_token_chunks_no_shuffle_before_sort(spark):
-    """Chunking is map-only work: the only exchange allowed is the final
-    rangepartitioning for the output sort."""
-    from homemade_vector_db_spark.plans.explain import count_exchanges
-
+def test_token_chunks_broadcast_vocab_single_regroup(spark):
+    """Chunk generation is map-only; the round-4 BPE measure adds exactly
+    one hashpartitioning exchange (the (doc_id, chunk_idx) regroup) and
+    the vocabulary lookup must be a BROADCAST join — a shuffle join on
+    `word` would re-key corpus-scale rows on a Zipfian token key."""
     df = Q.q_token_chunks(spark, SF_SMOKE)
     plan = physical_plan(df)
-    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan  # map-side combine before the exchange
 
 
 def test_repetition_stats_single_postings_shuffle(spark):
