@@ -401,16 +401,30 @@ class VectorDatabase:
         udf = F.udf(lambda m: bool(flt(m or {})), T.BooleanType())
         return udf(F.col("meta"))
 
+    # query_metadata returns a driver-side id LIST for reference parity
+    # (local_db.py:313-315 returns all ids too). That is fine at the
+    # reference's scale and lethal at 100 TB, so an un-limited collect is
+    # capped: above the cap the call raises and points at the
+    # `as_dataframe=True` escape hatch, which returns the (distributed)
+    # id DataFrame instead of collecting anything.
+    UNBOUNDED_COLLECT_CAP = 10_000_000
+
     def query_metadata(
         self,
         filter_func: Callable[[dict], bool] | None = None,
         conditions: Mapping[str, Any] | None = None,
         top_k: int | None = None,
-    ) -> list[int]:
+        as_dataframe: bool = False,
+    ) -> list[int] | DataFrame:
         """local_db.py:276-321 incl. conditions-shadows-filter_func and
-        positional top_k. Empty db → []."""
+        positional top_k. Empty db → []. With ``as_dataframe=True``
+        returns the sorted id DataFrame without collecting (the
+        billion-row-safe form); the default list form refuses to collect
+        more than UNBOUNDED_COLLECT_CAP ids."""
         if self._df is None or self._n == 0:
-            return []
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} long"
+            ) if as_dataframe else []
         df = self._df
         if conditions:
             # conditions over the meta map (stringified values, parity with
@@ -437,6 +451,14 @@ class VectorDatabase:
             out = df.select(self.id_col).orderBy(F.asc(self.id_col))
             if top_k is not None and 0 < top_k:
                 out = out.limit(top_k)
+        if as_dataframe:
+            return out
+        if (top_k is None or top_k <= 0) and self._n > self.UNBOUNDED_COLLECT_CAP:
+            raise ValueError(
+                f"query_metadata would collect up to {self._n} ids to the "
+                f"driver (cap {self.UNBOUNDED_COLLECT_CAP}); pass top_k or "
+                "as_dataframe=True for the distributed form"
+            )
         return [r[self.id_col] for r in out.collect()]
 
     def hybrid_search(
@@ -627,15 +649,30 @@ class VectorDatabase:
         exactly as the reference's load() already rebuilds BM25 from
         scratch (local_db.py:257).
 
-        Note: `data.pkl` is unpickled — only import folders you trust,
-        the same trust boundary the reference's load() has.
+        Security: `data.pkl` is loaded through a RESTRICTED unpickler
+        that only admits plain builtins (dict/list/tuple/set/str/bytes/
+        int/float/bool/None) — the reference layout stores nothing else
+        (local_db.py:210-222 pickles docs list + metas list of dicts), so
+        a payload whose pickle references ANY importable object (the
+        arbitrary-code-execution vector) is rejected with
+        UnpicklingError instead of executed. Stricter than the
+        reference's own load(), which trusts the folder (ADVICE r3).
         """
         import pickle
 
         import numpy as np
 
+        class _BuiltinsOnlyUnpickler(pickle.Unpickler):
+            def find_class(self, module, name):  # noqa: ARG002
+                raise pickle.UnpicklingError(
+                    f"refusing to unpickle global {module}.{name}: the "
+                    "reference data.pkl layout contains only plain "
+                    "builtins; this folder is not a trustworthy "
+                    "reference export"
+                )
+
         with open(os.path.join(folder_path, "data.pkl"), "rb") as f:
-            data = pickle.load(f)
+            data = _BuiltinsOnlyUnpickler(f).load()
         docs = list(data["docs"])
         metas = list(data["metas"])
         vectors = np.asarray(np.load(os.path.join(folder_path, "vectors.npy")))

@@ -268,6 +268,15 @@ def load_nsw(spark, path: str) -> NSWIndex:
 
     with open(os.path.join(path, "nsw.json")) as f:
         meta = json.load(f)
+    # Fail fast on pre-hnsw-v2 folders (flat neighbor lists, no `level`
+    # column): loading one silently would only surface later as an opaque
+    # executor-side KeyError inside nsw_search (ADVICE r3).
+    if meta.get("layout") != "hnsw-v2":
+        raise ValueError(
+            f"NSW index at {path!r} was built by an older version "
+            f"(layout={meta.get('layout')!r}, expected 'hnsw-v2') — rebuild "
+            "it with build_nsw/save_nsw."
+        )
     graph = spark.read.parquet(os.path.join(path, "graph"))
     return NSWIndex(
         graph, meta["id_col"], meta["vec_col"], meta["m"], meta["ef_construction"]

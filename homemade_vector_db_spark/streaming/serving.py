@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from homemade_vector_db_spark.operators.knn import knn_batch
@@ -110,15 +111,37 @@ class KnnServer:
         import glob
 
         if not glob.glob(os.path.join(self.root, "batch=*")):
+            # Derive the empty frame from the REAL answer plan on zero
+            # queries (ADVICE r3): hardcoded types drifted from what the
+            # parquet-read path returns, making the before-first-batch
+            # and after-first-batch states union-incompatible. `batch` is
+            # cast to int to match Spark's partition-column inference of
+            # the batch=N directories.
+            if self.answer_fn is not None:
+                # A plan-based answer_fn yields its true schema on zero
+                # queries; eager ones (knn_batch collects the block and
+                # rejects empties) fall through to the structural form.
+                try:
+                    no_queries = self.corpus.select(
+                        F.col(self.id_col).alias(self.query_id_col),
+                        F.col(self.vec_col).alias(self.qvec_col),
+                    ).limit(0)
+                    base = self.answer_fn(self.corpus, no_queries, self.k)
+                    return base.limit(0).withColumn(
+                        "batch", F.lit(0).cast("int")
+                    )
+                except Exception:
+                    pass
+            id_type = self.corpus.schema[self.id_col].dataType
             return self.spark.createDataFrame(
                 [],
                 T.StructType(
                     [
-                        T.StructField(self.query_id_col, T.LongType()),
-                        T.StructField(self.id_col, T.LongType()),
+                        T.StructField(self.query_id_col, id_type),
+                        T.StructField(self.id_col, id_type),
                         T.StructField("score", T.DoubleType()),
                         T.StructField("rn", T.IntegerType()),
-                        T.StructField("batch", T.LongType()),
+                        T.StructField("batch", T.IntegerType()),
                     ]
                 ),
             )

@@ -86,6 +86,26 @@ def test_query_metadata_modes(db):
     assert db.query_metadata() == [0, 1, 2, 3, 4]
 
 
+def test_query_metadata_collect_cap_and_dataframe_escape(db):
+    """The unbounded no-filter/no-top_k collect is capped (billion-row
+    safety); as_dataframe=True is the distributed escape hatch and
+    returns the same ids without a driver collect."""
+    sdf = db.query_metadata(as_dataframe=True)
+    assert [r[0] for r in sdf.collect()] == [0, 1, 2, 3, 4]
+    old = db.UNBOUNDED_COLLECT_CAP
+    try:
+        db.UNBOUNDED_COLLECT_CAP = 2
+        with pytest.raises(ValueError, match="as_dataframe"):
+            db.query_metadata()
+        # top_k-bounded collect stays allowed under the cap
+        assert db.query_metadata(top_k=2) == [0, 1]
+        assert db.query_metadata(
+            conditions={"priority": "high"}, as_dataframe=True
+        ).count() == 2
+    finally:
+        db.UNBOUNDED_COLLECT_CAP = old
+
+
 def test_hybrid_weights(db):
     r_vec = db.hybrid_search("meeting", VECS[1], top_k=1, vector_weight=1.0)
     assert r_vec == [1]

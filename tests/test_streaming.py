@@ -887,3 +887,26 @@ def test_knn_server_answers_empty_before_any_batch(spark, tmp_path):
     got = srv.answers()
     assert got.count() == 0
     assert {"query_id", "vec_id", "score", "rn", "batch"} <= set(got.columns)
+
+
+def test_knn_server_cold_start_schema_matches_post_batch(spark, tmp_path):
+    """The before-first-batch empty frame must carry the SAME dtypes as
+    the parquet-read path after a batch lands (ADVICE r3: hardcoded
+    types made the two states union-incompatible)."""
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+    from homemade_vector_db_spark.streaming.serving import KnnServer
+    from tests.conftest import SF_SMOKE
+
+    embs = load_embeddings(spark, SF_SMOKE).cache()
+    srv = KnnServer(spark, embs, str(tmp_path / "ans"), k=3)
+    cold = srv.answers()
+    q = embs.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    srv.answer_batch(q, 0)
+    warm = srv.answers()
+    cold_types = {f.name: f.dataType for f in cold.schema.fields}
+    warm_types = {f.name: f.dataType for f in warm.schema.fields}
+    assert cold_types == warm_types
+    # unionByName across the two states must plan cleanly
+    assert cold.unionByName(warm).count() == warm.count()
