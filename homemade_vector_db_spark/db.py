@@ -148,6 +148,13 @@ class VectorDatabase:
             from homemade_vector_db_spark.operators import bq as bqmod
 
             self._ann_index = bqmod.bq_add(self._ann_index, new)
+        elif self._ann_index is not None and self.index_type in ("hnsw", "nsw"):
+            # incremental graph insert — hnswlib add_items parity
+            # (local_db.py:78-80): same shard hash, same level law, the
+            # shared insertion loop continues from the existing graph
+            from homemade_vector_db_spark.operators import nsw as nswmod
+
+            self._ann_index = nswmod.nsw_add(self._ann_index, new)
         else:
             self._ann_index = None
 

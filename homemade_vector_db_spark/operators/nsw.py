@@ -103,18 +103,20 @@ def _search_layer(X, adj, q, eps: list[int], ef: int, lvl: int):
     return best
 
 
-def _hnsw_insertions(X: np.ndarray, ids: np.ndarray, m: int, ef: int):
-    """Sequential HNSW build over one shard (numpy, id-ascending order).
-    Returns (levels, adjacency) with adjacency[p][lvl] = neighbor
-    positions of node p on layer lvl. Distances are squared L2."""
-    n = len(ids)
-    m_l = 1.0 / math.log(max(m, 2))
-    levels = [_level_of(int(i), m_l) for i in ids]
-    adj: list[list[list[int]]] = [
-        [[] for _ in range(levels[p] + 1)] for p in range(n)
-    ]
-    entry, max_lvl = 0, levels[0]
-    for i in range(1, n):
+def _insert_positions(
+    X: np.ndarray,
+    levels: list[int],
+    adj: list[list[list[int]]],
+    positions: range,
+    m: int,
+    ef: int,
+    entry: int,
+    max_lvl: int,
+) -> tuple[int, int]:
+    """Insert `positions` (in order) into an existing shard graph state —
+    the single insertion loop shared by the fresh build and nsw_add.
+    Mutates `adj`; returns the updated (entry, max_lvl)."""
+    for i in positions:
         q = X[i]
         l_i = levels[i]
         ep = entry
@@ -137,6 +139,20 @@ def _hnsw_insertions(X: np.ndarray, ids: np.ndarray, m: int, ef: int):
             eps = [v for _, v in found]
         if l_i > max_lvl:
             entry, max_lvl = i, l_i
+    return entry, max_lvl
+
+
+def _hnsw_insertions(X: np.ndarray, ids: np.ndarray, m: int, ef: int):
+    """Sequential HNSW build over one shard (numpy, id-ascending order).
+    Returns (levels, adjacency) with adjacency[p][lvl] = neighbor
+    positions of node p on layer lvl. Distances are squared L2."""
+    n = len(ids)
+    m_l = 1.0 / math.log(max(m, 2))
+    levels = [_level_of(int(i), m_l) for i in ids]
+    adj: list[list[list[int]]] = [
+        [[] for _ in range(levels[p] + 1)] for p in range(n)
+    ]
+    _insert_positions(X, levels, adj, range(1, n), m, ef, 0, levels[0])
     return levels, adj
 
 
@@ -147,6 +163,16 @@ class NSWIndex:
     vec_col: str
     m: int
     ef_construction: int
+    # Shard count is part of the index IDENTITY: the id→shard hash law
+    # must stay fixed across incremental adds or routing breaks.
+    n_shards: int = 0
+
+    def shard_count(self) -> int:
+        if self.n_shards <= 0:
+            self.n_shards = (
+                self.graph.agg(F.max("shard")).collect()[0][0] or 0
+            ) + 1
+        return self.n_shards
 
 
 def build_nsw(
@@ -192,7 +218,7 @@ def build_nsw(
     )
     if cache:
         graph = graph.persist()
-    return NSWIndex(graph, id_col, vec_col, m, ef_construction)
+    return NSWIndex(graph, id_col, vec_col, m, ef_construction, n_shards)
 
 
 def nsw_search(
@@ -240,6 +266,124 @@ def nsw_search(
     return per_shard.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def nsw_add(
+    index: NSWIndex,
+    new_df: DataFrame,
+    cache: bool = True,
+) -> NSWIndex:
+    """Incremental insert — the hnswlib `add_items` analogue
+    (local_db.py:78-80): route each new row to its shard with the SAME
+    id-hash law the build used (shard count is index identity and never
+    changes on add), then run the shared `_insert_positions` loop inside
+    each touched shard, continuing from the existing graph state. Old
+    nodes' backlinks are re-pruned exactly as during build, so an
+    add-after-build graph has the same link discipline (and recall) as a
+    fresh rebuild; levels come from the same deterministic id-hash law,
+    so a node gets the same level either way. Untouched shards pass
+    through byte-identical. Insertion order is build-ids-ascending then
+    new-ids-ascending (documented divergence from the pure-rebuild
+    ordering; recall equivalence is pinned in tests/test_ann.py)."""
+    n_shards = index.shard_count()
+    new_rows = new_df.select(
+        F.pmod(F.xxhash64(F.col(index.id_col)), F.lit(n_shards)).alias("shard"),
+        F.col(index.id_col).alias("id"),
+        F.col(index.vec_col).alias("vec"),
+        F.lit(None).cast("int").alias("level"),
+        F.lit(None).cast("array<array<bigint>>").alias("neighbors"),
+        F.lit(True).alias("is_new"),
+    )
+    existing = index.graph.withColumn("is_new", F.lit(False))
+    m, ef = index.m, index.ef_construction
+
+    def insert(key, pdf: pd.DataFrame):
+        old = pdf[~pdf["is_new"]].sort_values("id").reset_index(drop=True)
+        new = pdf[pdf["is_new"]].sort_values("id").reset_index(drop=True)
+        if len(new) == 0:
+            return pdf.drop(columns=["is_new"])
+        m_l = 1.0 / math.log(max(m, 2))
+        if len(old) == 0:
+            ids = new["id"].to_numpy(dtype=np.int64)
+            X = np.stack(new["vec"].to_numpy()).astype(np.float64)
+            levels, adj = _hnsw_insertions(X, ids, m, ef)
+            vecs = list(new["vec"])
+        else:
+            old_ids = old["id"].to_numpy(dtype=np.int64)
+            new_ids = new["id"].to_numpy(dtype=np.int64)
+            ids = np.concatenate([old_ids, new_ids])
+            X = np.stack(
+                list(old["vec"]) + list(new["vec"])
+            ).astype(np.float64)
+            vecs = list(old["vec"]) + list(new["vec"])
+            pos = {int(i): p for p, i in enumerate(old_ids)}
+            levels = [int(lv) for lv in old["level"]] + [
+                _level_of(int(i), m_l) for i in new_ids
+            ]
+            adj = [
+                [[pos[int(v)] for v in lvl_links] for lvl_links in node_links]
+                for node_links in old["neighbors"]
+            ]
+            # a stored level can exceed the stored link-list count only
+            # if the row was truncated — normalize defensively
+            for p in range(len(old_ids)):
+                while len(adj[p]) < levels[p] + 1:
+                    adj[p].append([])
+            adj.extend(
+                [[] for _ in range(levels[len(old_ids) + j] + 1)]
+                for j in range(len(new_ids))
+            )
+            # entry: lowest-id node holding the max level (the same rule
+            # nsw_search applies when it re-derives the entry point)
+            old_levels = np.asarray(levels[: len(old_ids)])
+            max_lvl = int(old_levels.max())
+            entry = int(np.flatnonzero(old_levels == max_lvl)[0])
+            _insert_positions(
+                X,
+                levels,
+                adj,
+                range(len(old_ids), len(ids)),
+                m,
+                ef,
+                entry,
+                max_lvl,
+            )
+        return pd.DataFrame(
+            {
+                "shard": key[0],
+                "id": ids,
+                "vec": vecs,
+                "level": levels,
+                "neighbors": [
+                    [[int(ids[v]) for v in lvl_links] for lvl_links in adj[p]]
+                    for p in range(len(ids))
+                ],
+            }
+        )
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in index.graph.schema.fields
+    )
+    # Only TOUCHED shards pay the Arrow round-trip through the insert
+    # loop; the rest of the graph table unions through untouched — on a
+    # big index a small add rewrites a handful of shards, not all of
+    # them. The touched-shard list is bounded by min(n_new, n_shards).
+    touched = [
+        r[0] for r in new_rows.select("shard").distinct().collect()
+    ]
+    graph = (
+        existing.where(F.col("shard").isin(touched))
+        .unionByName(new_rows)
+        .groupBy("shard")
+        .applyInPandas(insert, schema)
+        .unionByName(index.graph.where(~F.col("shard").isin(touched)))
+    )
+    if cache:
+        graph = graph.persist()
+    return NSWIndex(
+        graph, index.id_col, index.vec_col, m, ef, n_shards
+    )
+
+
 def save_nsw(index: NSWIndex, path: str) -> None:
     """Graph table as shard-partitioned parquet + a params manifest —
     search-time reads prune to shards via partition paths."""
@@ -256,6 +400,7 @@ def save_nsw(index: NSWIndex, path: str) -> None:
                 "vec_col": index.vec_col,
                 "m": index.m,
                 "ef_construction": index.ef_construction,
+                "n_shards": index.shard_count(),
                 "layout": "hnsw-v2",  # level + per-layer neighbor lists
             },
             f,
@@ -279,5 +424,10 @@ def load_nsw(spark, path: str) -> NSWIndex:
         )
     graph = spark.read.parquet(os.path.join(path, "graph"))
     return NSWIndex(
-        graph, meta["id_col"], meta["vec_col"], meta["m"], meta["ef_construction"]
+        graph,
+        meta["id_col"],
+        meta["vec_col"],
+        meta["m"],
+        meta["ef_construction"],
+        meta.get("n_shards", 0),  # pre-round-4 manifests: derive lazily
     )

@@ -485,3 +485,28 @@ def test_import_reference_rejects_inconsistent_folder(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="inconsistent"):
         VectorDatabase.import_reference(spark, folder)
+
+
+def test_incremental_add_extends_hnsw_graph_without_rebuild(spark):
+    """add() after the graph tier is built routes through nsw_add
+    (hnswlib add_items semantics) instead of discarding the index; new
+    docs are immediately searchable and the graph object is extended,
+    not reset."""
+    import numpy as np
+
+    from homemade_vector_db_spark.db import VectorDatabase
+    from homemade_vector_db_spark.operators.nsw import NSWIndex
+
+    rng = np.random.default_rng(9)
+    dim = 8
+    mk = lambda: [float(x) for x in rng.normal(size=dim)]
+    db = VectorDatabase(spark, dim=dim, index_type="hnsw", M=6, ef_search=40)
+    db.add([f"doc {i}" for i in range(60)], [mk() for _ in range(60)])
+    db.query_vector(mk(), top_k=3)  # force graph build
+    built = db._ann_index
+    assert isinstance(built, NSWIndex)
+    planted = mk()
+    db.add(["planted needle"], [planted])
+    assert isinstance(db._ann_index, NSWIndex)  # NOT invalidated
+    assert db._ann_index.graph.count() == 61
+    assert db.query_vector(planted, top_k=1) == [60]
