@@ -225,17 +225,33 @@ def _derived_path(sf_dir: str, kind: str, source_file: str) -> str:
     return os.path.join(_DERIVED_ROOT, f"{kind}_{key}")
 
 
+def _materialized(spark: SparkSession, sf_dir: str, kind: str, build_fn):
+    """Disk-materialized derived relation keyed by a fingerprint of the
+    source file, with a session-cache fallback when the corpus is not
+    file-backed (tests monkeypatch load_documents with in-memory
+    frames)."""
+    key = (kind, sf_dir)
+    if key not in _ANN_IDX:
+        if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+            _ANN_IDX[key] = build_fn().cache()
+        else:
+            path = _derived_path(sf_dir, kind, "documents.parquet")
+            if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+                build_fn().write.mode("overwrite").parquet(path)
+            _ANN_IDX[key] = spark.read.parquet(path).cache()
+    return _ANN_IDX[key]
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _TOKENS:
-        path = _derived_path(sf_dir, "tokens", "documents.parquet")
-        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-            (
-                load_documents(spark, sf_dir)
-                .select("doc_id", "lang", tokenize("text").alias("toks"))
-                .write.mode("overwrite")
-                .parquet(path)
-            )
-        _TOKENS[sf_dir] = spark.read.parquet(path).cache()
+        _TOKENS[sf_dir] = _materialized(
+            spark,
+            sf_dir,
+            "tokens",
+            lambda: load_documents(spark, sf_dir).select(
+                "doc_id", "lang", tokenize("text").alias("toks")
+            ),
+        )
     return _TOKENS[sf_dir]
 
 
@@ -246,29 +262,24 @@ def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     once at ingest; a cold session then pays only a parquet read. Cached
     because bigram_logprob reads it from two plan branches (the per-bigram
     count aggregation and the final per-doc join)."""
-    key = ("doc_bigrams", sf_dir)
-    if key not in _ANN_IDX:
-        path = _derived_path(sf_dir, "doc_bigrams", "documents.parquet")
-        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-            toks = _tokens(spark, sf_dir)
-            (
-                toks.where(F.size("toks") >= 2)
-                .select(
-                    "doc_id",
-                    F.expr(
-                        "transform(slice(toks, 1, size(toks) - 1), "
-                        "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))"
-                    ).alias("bis"),
-                )
-                .select("doc_id", F.explode("bis").alias("b"))
-                .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-                .groupBy("doc_id", "w1", "w2")
-                .agg(F.count(F.lit(1)).alias("tf"))
-                .write.mode("overwrite")
-                .parquet(path)
+    def build():
+        return (
+            _tokens(spark, sf_dir)
+            .where(F.size("toks") >= 2)
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1), "
+                    "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))"
+                ).alias("bis"),
             )
-        _ANN_IDX[key] = spark.read.parquet(path).cache()
-    return _ANN_IDX[key]
+            .select("doc_id", F.explode("bis").alias("b"))
+            .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    return _materialized(spark, sf_dir, "doc_bigrams", build)
 
 
 def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,31 +291,26 @@ def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = groupBy(w1) over the COMPACT per-bigram relation; the w1 join
     happens compact-vs-compact. No (w1,)-partitioned window ever touches
     the raw (doc,bigram) rows."""
-    key = ("bigram_lm", sf_dir)
-    if key not in _ANN_IDX:
-        path = _derived_path(sf_dir, "bigram_lm", "documents.parquet")
-        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-            doc_bi = _doc_bigrams(spark, sf_dir)
-            vocab = _unigram_counts(spark, sf_dir).agg(
-                F.count(F.lit(1)).alias("V")
+    def build():
+        doc_bi = _doc_bigrams(spark, sf_dir)
+        vocab = _unigram_counts(spark, sf_dir).agg(
+            F.count(F.lit(1)).alias("V")
+        )
+        c12 = doc_bi.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+        c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        return (
+            c12.join(c1, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "w1",
+                "w2",
+                F.log((F.col("c12") + 1) / (F.col("c1") + F.col("V"))).alias(
+                    "lp"
+                ),
             )
-            c12 = doc_bi.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
-            c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-            (
-                c12.join(c1, "w1")
-                .crossJoin(F.broadcast(vocab))
-                .select(
-                    "w1",
-                    "w2",
-                    F.log(
-                        (F.col("c12") + 1) / (F.col("c1") + F.col("V"))
-                    ).alias("lp"),
-                )
-                .write.mode("overwrite")
-                .parquet(path)
-            )
-        _ANN_IDX[key] = spark.read.parquet(path).cache()
-    return _ANN_IDX[key]
+        )
+
+    return _materialized(spark, sf_dir, "bigram_lm", build)
 
 
 def _bpe_word_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,44 +323,39 @@ def _bpe_word_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against this relation. At 100 TB the vocabulary is the Zipf
     tail, orders of magnitude smaller than the corpus, and usually
     broadcast-able; AQE picks the join strategy."""
-    key = ("bpe_word_pieces", sf_dir)
-    if key not in _ANN_IDX:
-        path = _derived_path(sf_dir, "bpe_word_pieces", "documents.parquet")
-        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-            from homemade_vector_db_spark.functions.text import (
-                bpe_encode,
-                load_bpe_merges,
-            )
+    def build():
+        from homemade_vector_db_spark.functions.text import (
+            bpe_encode,
+            load_bpe_merges,
+        )
 
-            merges = load_bpe_merges()
-            ranks = {m: i for i, m in enumerate(merges)}
+        merges = load_bpe_merges()
+        ranks = {m: i for i, m in enumerate(merges)}
 
-            def _encode_batches(batches):
-                import pandas as pd
+        def _encode_batches(batches):
+            import pandas as pd
 
-                for pdf in batches:
-                    pieces = [bpe_encode(w, ranks, merges) for w in pdf["word"]]
-                    yield pd.DataFrame(
-                        {
-                            "word": pdf["word"],
-                            "pieces": pieces,
-                            "n_pieces": [len(p) for p in pieces],
-                        }
-                    )
-
-            (
-                _tokens(spark, sf_dir)
-                .select(F.explode("toks").alias("word"))
-                .distinct()
-                .mapInPandas(
-                    _encode_batches,
-                    schema="word string, pieces array<string>, n_pieces long",
+            for pdf in batches:
+                pieces = [bpe_encode(w, ranks, merges) for w in pdf["word"]]
+                yield pd.DataFrame(
+                    {
+                        "word": pdf["word"],
+                        "pieces": pieces,
+                        "n_pieces": [len(p) for p in pieces],
+                    }
                 )
-                .write.mode("overwrite")
-                .parquet(path)
+
+        return (
+            _tokens(spark, sf_dir)
+            .select(F.explode("toks").alias("word"))
+            .distinct()
+            .mapInPandas(
+                _encode_batches,
+                schema="word string, pieces array<string>, n_pieces long",
             )
-        _ANN_IDX[key] = spark.read.parquet(path).cache()
-    return _ANN_IDX[key]
+        )
+
+    return _materialized(spark, sf_dir, "bpe_word_pieces", build)
 
 
 def _bpe_oracle_cte() -> str:
@@ -416,20 +417,17 @@ wp AS (
 def _unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus unigram totals (t, ctf) — tiny disk-materialized derived
     state; vocabulary size is its row count."""
-    key = ("unigram_counts", sf_dir)
-    if key not in _ANN_IDX:
-        path = _derived_path(sf_dir, "unigram_counts", "documents.parquet")
-        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-            (
-                _tokens(spark, sf_dir)
-                .select(F.explode("toks").alias("t"))
-                .groupBy("t")
-                .agg(F.count(F.lit(1)).alias("ctf"))
-                .write.mode("overwrite")
-                .parquet(path)
-            )
-        _ANN_IDX[key] = spark.read.parquet(path).cache()
-    return _ANN_IDX[key]
+    return _materialized(
+        spark,
+        sf_dir,
+        "unigram_counts",
+        lambda: (
+            _tokens(spark, sf_dir)
+            .select(F.explode("toks").alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("ctf"))
+        ),
+    )
 
 
 # documents ⋈ embeddings materialized once per session — the analogue of

@@ -5,7 +5,12 @@ on DuckDB over the same parquet, then compares row count, column names, and
 an order-insensitive value hash (columns sorted by name, rows sorted by all
 values, floats as written — both sides round inside the query).
 
-Usage: python scripts/check_correctness.py [name ...]
+Usage: python scripts/check_correctness.py [--json OUT.json] [name ...]
+
+With --json, writes driver-format rows ({rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}) for the checked queries —
+used to produce the standing CORRECTNESS_sf0.1.json artifact
+(CHECK_SF_DIR=/root/testdata/sf0.1).
 """
 
 from __future__ import annotations
@@ -52,7 +57,13 @@ def main() -> int:
     import __spark_entry__ as ent
     from homemade_vector_db_spark.session import get_spark, release_transient
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
     spark = get_spark(app_name="correctness-check", cpus=8, shuffle_partitions=8)
 
     con = duckdb.connect()
@@ -64,6 +75,7 @@ def main() -> int:
     qs = ent.queries()
     oracles = ent.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -80,6 +92,15 @@ def main() -> int:
         ok_cols = list(a.columns) == list(b.columns)
         ok_hash = ok_rows and ok_cols and value_hash(a) == value_hash(b)
         status = "OK  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        records[name] = {
+            "rows_match": ok_rows,
+            "schema_match": ok_cols,
+            "hash_match": ok_hash,
+            "spark_rows": len(a),
+            "oracle_rows": len(b),
+            "spark_sec": round(t_spark, 2),
+            "err": None,
+        }
         print(
             f"  {name:28s} {status} rows={len(a)}/{len(b)} cols={ok_cols} "
             f"hash={ok_hash}  ({t_spark:.1f}s)"
@@ -91,6 +112,12 @@ def main() -> int:
             diff = merged[merged["_merge"] != "both"]
             print(diff.head(12).to_string())
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "queries": records}, f, indent=2)
+        print(f"wrote {json_out}")
     if failures:
         print(f"\nFAILED: {failures}")
         return 1
