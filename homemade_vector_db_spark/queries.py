@@ -4023,6 +4023,61 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE compression profile (round 4): characters per
+    BPE token and pieces per word under the vendored merges table — the
+    standard tokenizer-fit diagnostic (a language the tokenizer was not
+    trained for shows low chars/token and high pieces/word, i.e. it
+    burns context window). Corpus-scale work: one explode over the
+    token arrays + broadcast-able join against the compact
+    `_bpe_word_pieces` vocabulary + per-lang rollup with map-side
+    combine. No UDF touches corpus-scale rows."""
+    wp = _bpe_word_pieces(spark, sf_dir).select("word", "n_pieces")
+    ex = _tokens(spark, sf_dir).select(
+        "lang", F.explode("toks").alias("word")
+    )
+    return (
+        ex.join(wp, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6).alias(
+                "pieces_per_word"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLES["bpe_stats"] = f"""
+WITH RECURSIVE {_bpe_oracle_cte()},
+ex AS (
+  SELECT lang, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS word
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_bpe_tokens,
+       round(sum(length(word)) / CAST(sum(n_pieces) AS DOUBLE), 6)
+         AS chars_per_token,
+       round(sum(n_pieces) / CAST(count(*) AS DOUBLE), 6) AS pieces_per_word
+FROM ex JOIN wp USING (word)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 PPL_DECILES = 10
 
 
@@ -7085,6 +7140,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "pack_sequences": q_pack_sequences,
         "bigram_logprob": q_bigram_logprob,
+        # slot 12: NEW in round 4 (BPE compression profile)
+        "bpe_stats": q_bpe_stats,
         # remaining slots: r03-green filler (zero regression risk)
         "truncated_rerank_topk": q_truncated_rerank_topk,
         "cosine_neardup": q_cosine_neardup,
@@ -7126,6 +7183,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_state_pit": q_purchase_state_pit,
         "pca_check": q_pca_check,
         "phrase_search": q_phrase_search,
+        # (hll_merge_check rotated just past the window to make room for
+        # bpe_stats; r03-green, no re-check needed)
         "hll_merge_check": q_hll_merge_check,
         "docs_by_params_sql": q_docs_by_params_sql,
         "overlap_pairs": q_overlap_pairs,
