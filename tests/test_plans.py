@@ -540,3 +540,23 @@ def test_wide_pca_projection_uses_arrow_tier(spark):
     mean8, comps8 = pcamod.fit_pca(embs, dim_in=64, dim_out=8)
     narrow = pcamod.project(embs, mean8, comps8)
     assert not has_operator(narrow, "ArrowEvalPython")
+
+
+def test_token_count_bpe_broadcast_vocab(spark):
+    """The BPE vocabulary lookup must broadcast (corpus-scale rows never
+    re-key on the Zipfian `word`); per-doc sum is map-side combined."""
+    df = Q.q_token_count_bpe(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_bpe_stats_broadcast_vocab_no_python_rows(spark):
+    """bpe_stats: vocabulary join broadcast; no Python evaluator touches
+    corpus-scale rows (the only Python in the lineage is the vocab-sized
+    mapInPandas inside the derived-state build, which is materialized to
+    parquet before this plan runs)."""
+    df = Q.q_bpe_stats(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
