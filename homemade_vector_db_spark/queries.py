@@ -889,6 +889,44 @@ SAMPLE_MOD = 1000003
 SAMPLE_MULT = 2654435761
 SAMPLE_PCT = 10
 
+# train/val/test split: a DIFFERENT multiplier so the split assignment is
+# independent of the sampling predicate above (a doc sampled by one must
+# not be correlated with its split) — same int64-safety argument.
+SPLIT_MOD = 1000033
+SPLIT_MULT = 2246822519
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 90, 5
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment (round 4): split =
+    pure multiplicative-hash function of doc_id, so membership is
+    reproducible across engines, runs, repartitionings, and corpus
+    growth — a doc never migrates between splits when new data lands,
+    which is the property that keeps eval sets uncontaminated over the
+    life of a 100 TB pipeline. Plain int64 arithmetic inside whole-stage
+    codegen; one (source, split) rollup shuffle with map-side combine.
+    Reports per-(source, split) doc counts and char volume."""
+    docs = load_documents(spark, sf_dir)
+    b = (F.col("doc_id") % SPLIT_MOD) * F.lit(SPLIT_MULT) % 100
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+# (oracle registered next to hash_sample_docs — _ORACLES is defined
+# after the query-definition section)
+
 
 def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (training-pipeline downsampling): keep
@@ -3296,6 +3334,21 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+_ORACLES["train_val_test_split"] = f"""
+SELECT source,
+       CASE WHEN (doc_id % {SPLIT_MOD}) * {SPLIT_MULT} % 100 < {SPLIT_TRAIN_PCT}
+              THEN 'train'
+            WHEN (doc_id % {SPLIT_MOD}) * {SPLIT_MULT} % 100
+                   < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
+              THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source, split
+ORDER BY source, split
 """
 
 _ORACLES["hash_sample_docs"] = """
@@ -7140,8 +7193,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "pack_sequences": q_pack_sequences,
         "bigram_logprob": q_bigram_logprob,
-        # slot 12: NEW in round 4 (BPE compression profile)
+        # slots 12-13: NEW in round 4 (BPE compression profile,
+        # deterministic split assignment)
         "bpe_stats": q_bpe_stats,
+        "train_val_test_split": q_train_val_test_split,
         # remaining slots: r03-green filler (zero regression risk)
         "truncated_rerank_topk": q_truncated_rerank_topk,
         "cosine_neardup": q_cosine_neardup,
@@ -7182,9 +7237,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_scd2": q_user_state_scd2,
         "purchase_state_pit": q_purchase_state_pit,
         "pca_check": q_pca_check,
+        # (pca_check, phrase_search, hll_merge_check rotated just past
+        # the window to make room for the new round-4 entries; all
+        # r03-green, no re-check needed)
         "phrase_search": q_phrase_search,
-        # (hll_merge_check rotated just past the window to make room for
-        # bpe_stats; r03-green, no re-check needed)
         "hll_merge_check": q_hll_merge_check,
         "docs_by_params_sql": q_docs_by_params_sql,
         "overlap_pairs": q_overlap_pairs,
