@@ -266,6 +266,81 @@ def nsw_search(
     return per_shard.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def nsw_batch_search(
+    index: NSWIndex,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    qvec_col: str = "qv",
+    k: int = 10,
+    ef_search: int = 50,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Batch k-NN through the graph tier — the HNSW analogue of
+    knn.knn_batch / ann.lsh_batch_search, and a drop-in `answer_fn` for
+    streaming.serving.KnnServer.
+
+    Scale shape: the query block (small by definition — it is the thing
+    being broadcast) is collected into a numpy matrix shipped inside the
+    per-shard applyInPandas kernel; each shard decodes its graph ONCE,
+    then runs the greedy-descent + layer-0 beam for every query against
+    that shared decode — per-shard cost O(Q · ef · log shard) instead of
+    Q independent shard scans. The shuffle after the kernel carries only
+    shards × Q × k candidate rows; the final per-query top-k is a window
+    over that candidate set (same candidate-heap discipline as
+    knn_batch). Determinism: scores rounded BEFORE selection, ties on id
+    ascending — identical contract to every other batch searcher."""
+    qrows = queries.select(query_id_col, qvec_col).collect()
+    if not qrows:
+        raise ValueError("empty query block")
+    qids = np.array([r[query_id_col] for r in qrows], dtype=np.int64)
+    qmat = np.stack(
+        [np.asarray(list(r[qvec_col]), dtype=np.float64) for r in qrows]
+    )
+    id_col = index.id_col
+
+    def search(key, pdf: pd.DataFrame):
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        pos = {int(i): p for p, i in enumerate(ids)}
+        levels = pdf["level"].to_numpy(dtype=np.int64)
+        adj = [
+            [[pos[int(v)] for v in lvl_links] for lvl_links in node_links]
+            for node_links in pdf["neighbors"]
+        ]
+        max_lvl = int(levels.max())
+        entry = int(np.flatnonzero(levels == max_lvl)[0])
+        out_qid, out_id, out_score = [], [], []
+        for j in range(len(qids)):
+            q = qmat[j]
+            ep = entry
+            for lvl in range(max_lvl, 0, -1):
+                ep = _greedy_hop(X, adj, q, ep, lvl)
+            best = _search_layer(X, adj, q, [ep], ef_search, 0)
+            best.sort(key=lambda t: (t[0], ids[t[1]]))
+            for d, v in best[:k]:
+                out_qid.append(qids[j])
+                out_id.append(int(ids[v]))
+                out_score.append(round(1.0 / (1.0 + d), score_decimals))
+        return pd.DataFrame(
+            {query_id_col: out_qid, id_col: out_id, "score": out_score}
+        )
+
+    from pyspark.sql.window import Window
+
+    per_shard = index.graph.groupBy("shard").applyInPandas(
+        search, f"{query_id_col} long, {id_col} long, score double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        per_shard.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .orderBy(query_id_col, "rn")
+    )
+
+
 def nsw_add(
     index: NSWIndex,
     new_df: DataFrame,

@@ -6835,6 +6835,42 @@ def q_nsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["nsw_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
 
 
+def q_nsw_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate recall of the graph-tier BATCH search (round 4:
+    nsw_batch_search — per-shard single graph decode amortized across
+    the query block) vs the exact batch operator across 5 queries, plus
+    the every-query-finds-itself invariant — the graph analogue of
+    ann_batch_recall and the driver-visible twin of
+    test_nsw_batch_search_matches_point_search."""
+    from homemade_vector_db_spark.operators import nsw as nswmod
+
+    embs = load_embeddings(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    a = nswmod.nsw_batch_search(
+        _nsw_index(spark, sf_dir), qs, k=5, ef_search=50
+    ).select("query_id", "vec_id")
+    e = knn.knn_batch(embs, qs, k=5).select("query_id", "vec_id")
+    hits = a.join(e, ["query_id", "vec_id"]).agg(F.count(F.lit(1)).alias("h"))
+    selfs = (
+        a.where(F.col("query_id") == F.col("vec_id"))
+        .select("query_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    return hits.crossJoin(selfs).select(
+        F.lit(5).alias("n_queries"),
+        (F.col("h") >= int(25 * ANN_RECALL_MIN)).alias("recall_ok"),
+        (F.col("s") == 5).alias("all_self_hit"),
+    )
+
+
+_ORACLES["nsw_batch_recall"] = (
+    "SELECT 5 AS n_queries, true AS recall_ok, true AS all_self_hit"
+)
+
+
 def _bq_index(spark: SparkSession, sf_dir: str):
     from homemade_vector_db_spark.operators import bq as bqmod
 
@@ -7193,10 +7229,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "pack_sequences": q_pack_sequences,
         "bigram_logprob": q_bigram_logprob,
-        # slots 12-13: NEW in round 4 (BPE compression profile,
-        # deterministic split assignment)
+        # slots 12-14: NEW in round 4 (BPE compression profile,
+        # deterministic split assignment, graph-tier batch search gate)
         "bpe_stats": q_bpe_stats,
         "train_val_test_split": q_train_val_test_split,
+        "nsw_batch_recall": q_nsw_batch_recall,
         # remaining slots: r03-green filler (zero regression risk)
         "truncated_rerank_topk": q_truncated_rerank_topk,
         "cosine_neardup": q_cosine_neardup,
@@ -7236,10 +7273,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_star_check": q_components_star_check,
         "user_state_scd2": q_user_state_scd2,
         "purchase_state_pit": q_purchase_state_pit,
-        "pca_check": q_pca_check,
         # (pca_check, phrase_search, hll_merge_check rotated just past
         # the window to make room for the new round-4 entries; all
         # r03-green, no re-check needed)
+        "pca_check": q_pca_check,
         "phrase_search": q_phrase_search,
         "hll_merge_check": q_hll_merge_check,
         "docs_by_params_sql": q_docs_by_params_sql,

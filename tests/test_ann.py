@@ -340,3 +340,51 @@ def test_nsw_add_save_load_roundtrip(spark, embs, qvec, tmp_path):
     a = [(r.vec_id, r.score) for r in nsw.nsw_search(added, qvec, k=5).collect()]
     b = [(r.vec_id, r.score) for r in nsw.nsw_search(loaded, qvec, k=5).collect()]
     assert a == b
+
+
+def test_nsw_batch_search_matches_point_search(spark, embs):
+    """Batch graph search ≡ running nsw_search per query (same shards,
+    same beam, same tie rule), and self-match ranks first."""
+    from homemade_vector_db_spark.operators import nsw
+
+    idx = nsw.build_nsw(embs, rows_per_shard=150)
+    qdf = embs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    batch = nsw.nsw_batch_search(idx, qdf, k=5, ef_search=50).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.score, r.rn))
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid in range(4):
+        got = [(v, s) for v, s, _ in sorted(by_q[qid], key=lambda t: t[2])]
+        qv = list(embs.where(F.col("vec_id") == qid).first().embedding)
+        want = [
+            (r.vec_id, r.score)
+            for r in nsw.nsw_search(idx, qv, k=5, ef_search=50).collect()
+        ]
+        assert got == want
+        assert got[0] == (qid, 1.0)  # exact self-match first
+
+
+def test_nsw_batch_drop_in_for_knn_server(spark, embs, tmp_path):
+    """The graph tier plugs into the streaming server via answer_fn —
+    same output shape as the flat/LSH paths, self-match rank-1."""
+    from homemade_vector_db_spark.operators import nsw
+    from homemade_vector_db_spark.streaming.serving import KnnServer
+
+    idx = nsw.build_nsw(embs, rows_per_shard=200)
+    srv = KnnServer(
+        spark, embs, str(tmp_path / "ans"), k=3,
+        answer_fn=lambda corpus, queries, k: nsw.nsw_batch_search(
+            idx, queries, k=k, ef_search=50
+        ),
+    )
+    q = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    srv.answer_batch(q, 0)
+    ans = srv.answers()
+    assert {"query_id", "vec_id", "score", "rn"} <= set(ans.columns)
+    top1 = {r.query_id: r.vec_id for r in ans.where(F.col("rn") == 1).collect()}
+    assert top1 == {i: i for i in range(3)}
