@@ -237,6 +237,17 @@ def _materialized(spark: SparkSession, sf_dir: str, kind: str, build_fn):
         else:
             path = _derived_path(sf_dir, kind, "documents.parquet")
             if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+                # GC siblings built from a STALE fingerprint of the same
+                # (kind, corpus) before building the fresh one
+                import glob as _glob
+                import shutil as _shutil
+
+                base = os.path.basename(os.path.normpath(sf_dir))
+                for old in _glob.glob(
+                    os.path.join(_DERIVED_ROOT, f"{kind}_{base}_*")
+                ):
+                    if old != path:
+                        _shutil.rmtree(old, ignore_errors=True)
                 build_fn().write.mode("overwrite").parquet(path)
             _ANN_IDX[key] = spark.read.parquet(path).cache()
     return _ANN_IDX[key]
