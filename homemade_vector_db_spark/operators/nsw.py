@@ -459,6 +459,33 @@ def nsw_add(
     )
 
 
+def nsw_rebalance(
+    index: NSWIndex,
+    rows_per_shard: int = 2000,
+    cache: bool = True,
+) -> NSWIndex:
+    """Re-shard after incremental growth: `nsw_add` keeps the shard
+    count fixed (it is index identity), so a long add stream eventually
+    pushes shards past the size where the per-shard sequential insert
+    and beam stay cheap. Rebalance = rebuild from the graph's (id, vec)
+    rows with the shard count re-derived from the CURRENT corpus size —
+    the hnswlib analogue is a resize+rebuild, and like index compaction
+    it is an offline maintenance op, not a query-path one. Levels are a
+    pure id-hash law, so every node keeps its level; only shard
+    membership and links change."""
+    return build_nsw(
+        index.graph.select(
+            F.col("id").alias(index.id_col), F.col("vec").alias(index.vec_col)
+        ),
+        id_col=index.id_col,
+        vec_col=index.vec_col,
+        m=index.m,
+        ef_construction=index.ef_construction,
+        rows_per_shard=rows_per_shard,
+        cache=cache,
+    )
+
+
 def save_nsw(index: NSWIndex, path: str) -> None:
     """Graph table as shard-partitioned parquet + a params manifest —
     search-time reads prune to shards via partition paths."""

@@ -388,3 +388,25 @@ def test_nsw_batch_drop_in_for_knn_server(spark, embs, tmp_path):
     assert {"query_id", "vec_id", "score", "rn"} <= set(ans.columns)
     top1 = {r.query_id: r.vec_id for r in ans.where(F.col("rn") == 1).collect()}
     assert top1 == {i: i for i in range(3)}
+
+
+def test_nsw_rebalance_after_growth(spark, embs, qvec):
+    """Rebalance re-derives the shard count from the grown corpus and
+    preserves search quality; node levels are invariant (pure id-hash
+    law), only shard membership changes."""
+    from homemade_vector_db_spark.operators import nsw
+    from homemade_vector_db_spark.operators.knn import knn_exact
+
+    idx = nsw.build_nsw(embs.where(F.col("vec_id") < 100), rows_per_shard=100)
+    grown = nsw.nsw_add(idx, embs.where(F.col("vec_id") >= 100))
+    assert grown.shard_count() == idx.shard_count()  # adds never reshard
+    reb = nsw.nsw_rebalance(grown, rows_per_shard=100)
+    assert reb.shard_count() == 5  # 500 rows / 100
+    assert reb.graph.count() == 500
+    # levels invariant under resharding
+    lv_a = {r.id: r.level for r in grown.graph.select("id", "level").collect()}
+    lv_b = {r.id: r.level for r in reb.graph.select("id", "level").collect()}
+    assert lv_a == lv_b
+    exact = [r.vec_id for r in knn_exact(embs, qvec, k=10, dim=64).collect()]
+    got = [r.vec_id for r in nsw.nsw_search(reb, qvec, k=10, ef_search=50).collect()]
+    assert len(set(got) & set(exact)) / 10 >= 0.8
