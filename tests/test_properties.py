@@ -387,3 +387,46 @@ def test_bq_pack_and_hamming_match_model(spark, vecs):
     truth = {i: int((b != qbits).sum()) for i, b in enumerate(bits)}
     got = {r.vec_id: r.hamming for r in bq.bq_search(idx, q, k=len(vecs)).collect()}
     assert got == truth
+
+
+@settings(
+    deadline=None,
+    max_examples=25,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=12),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_bpe_oracle_cte_matches_encoder_on_arbitrary_words(words):
+    """Cross-engine BPE property: the DuckDB recursive-CTE fragment and
+    the Python encoder agree piece-for-piece on ARBITRARY words (not
+    just the fixture vocabulary) under the vendored merges table — the
+    lockstep guarantee generalized. The CTE derives its word set from a
+    `documents` view, so the random words are planted as one text."""
+    import duckdb
+
+    from homemade_vector_db_spark.functions.text import (
+        bpe_encode,
+        load_bpe_merges,
+    )
+    from homemade_vector_db_spark.queries import _bpe_oracle_cte
+
+    merges = load_bpe_merges()
+    ranks = {m: i for i, m in enumerate(merges)}
+    con = duckdb.connect()
+    text = " ".join(words).replace("'", "")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT '{text}' AS text"
+    )
+    sql = (
+        f"WITH RECURSIVE {_bpe_oracle_cte()},\n"
+        "fin AS (SELECT word, min_by(s, length(s)) AS s FROM bpe GROUP BY word)\n"
+        "SELECT word, list_filter(string_split(s, chr(1)), x -> x <> '') AS pieces "
+        "FROM fin"
+    )
+    for word, pieces in con.execute(sql).fetchall():
+        assert pieces == bpe_encode(word, ranks, merges), word
