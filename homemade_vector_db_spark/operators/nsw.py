@@ -356,8 +356,12 @@ def nsw_add(
     fresh rebuild; levels come from the same deterministic id-hash law,
     so a node gets the same level either way. Untouched shards pass
     through byte-identical. Insertion order is build-ids-ascending then
-    new-ids-ascending (documented divergence from the pure-rebuild
-    ordering; recall equivalence is pinned in tests/test_ann.py)."""
+    new-ids-ascending — in the APPEND case (every new id sorts after the
+    existing ids, which is what db.add's monotonic id allocator always
+    produces) that replays the full build's exact insertion sequence, so
+    the result is BIT-IDENTICAL to a fresh rebuild
+    (tests/test_properties.py pins this with hypothesis); for
+    interleaved ids it is recall-equivalent (tests/test_ann.py)."""
     n_shards = index.shard_count()
     new_rows = new_df.select(
         F.pmod(F.xxhash64(F.col(index.id_col)), F.lit(n_shards)).alias("shard"),

@@ -430,3 +430,44 @@ def test_bpe_oracle_cte_matches_encoder_on_arbitrary_words(words):
     )
     for word, pieces in con.execute(sql).fetchall():
         assert pieces == bpe_encode(word, ranks, merges), word
+
+
+@settings(deadline=None, max_examples=20)
+@given(
+    n=st.integers(min_value=4, max_value=50),
+    split=st.floats(min_value=0.2, max_value=0.8),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_nsw_incremental_insert_bit_identical_when_appending(n, split, seed):
+    """Determinism law of nsw_add at the numpy level: when every added
+    id sorts AFTER the existing ids (the append case — db.add always
+    allocates ascending ids), the incremental insert replays the exact
+    insertion sequence of a fresh full build, so levels AND adjacency
+    are bit-identical — not merely recall-equivalent."""
+    import math
+
+    from homemade_vector_db_spark.operators import nsw
+
+    rng = np.random.RandomState(seed)
+    X = rng.rand(n, 4).astype(np.float64)
+    ids = np.arange(n, dtype=np.int64) * 3 + 1  # arbitrary ascending ids
+    m, ef = 4, 12
+    s = max(1, min(n - 1, int(n * split)))
+
+    levels_full, adj_full = nsw._hnsw_insertions(X, ids, m, ef)
+
+    levels0, adj0 = nsw._hnsw_insertions(X[:s], ids[:s], m, ef)
+    m_l = 1.0 / math.log(max(m, 2))
+    levels_inc = list(levels0) + [
+        nsw._level_of(int(i), m_l) for i in ids[s:]
+    ]
+    adj = [list(map(list, node)) for node in adj0] + [
+        [[] for _ in range(levels_inc[p] + 1)] for p in range(s, n)
+    ]
+    old_levels = np.asarray(levels_inc[:s])
+    max_lvl = int(old_levels.max())
+    entry = int(np.flatnonzero(old_levels == max_lvl)[0])
+    nsw._insert_positions(X, levels_inc, adj, range(s, n), m, ef, entry, max_lvl)
+
+    assert levels_inc == levels_full
+    assert adj == adj_full
