@@ -1300,6 +1300,37 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_documents(spark, sf_dir), key_cols=["text"])
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup (round 4): the C4/
+    RefinedWeb fingerprint variant — lowercase, strip non-alphanumerics
+    (keeping spaces), collapse whitespace runs, THEN hash-groupBy. Two
+    docs differing only in case/punctuation/spacing collapse to one
+    cluster that plain `dedup_exact` keeps apart. The normalization is
+    three chained codegen string functions fused into the scan
+    projection; the groupBy key is the md5 of the normalized text, so
+    the wide text column never shuffles — same discipline as the
+    fingerprint dedup in corpus_prep. Reports clusters with their
+    representative (min id) and multiplicity."""
+    d = load_documents(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(norm).alias("nfp"))
+        .groupBy("nfp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
 def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: n-gram shingle Jaccard over all candidate pairs."""
     return dedup.ngram_jaccard_pairs(
@@ -2910,6 +2941,15 @@ _ORACLES["dedup_exact"] = """
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents
 GROUP BY text
+ORDER BY keep_id
+"""
+
+_ORACLES["dedup_normalized"] = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')))
 ORDER BY keep_id
 """
 
@@ -7240,11 +7280,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "pack_sequences": q_pack_sequences,
         "bigram_logprob": q_bigram_logprob,
-        # slots 12-14: NEW in round 4 (BPE compression profile,
-        # deterministic split assignment, graph-tier batch search gate)
+        # slots 12-15: NEW in round 4 (BPE compression profile,
+        # deterministic split assignment, graph-tier batch search gate,
+        # normalization-insensitive dedup)
         "bpe_stats": q_bpe_stats,
         "train_val_test_split": q_train_val_test_split,
         "nsw_batch_recall": q_nsw_batch_recall,
+        "dedup_normalized": q_dedup_normalized,
         # remaining slots: r03-green filler (zero regression risk)
         "truncated_rerank_topk": q_truncated_rerank_topk,
         "cosine_neardup": q_cosine_neardup,
@@ -7283,6 +7325,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_order_lateral": q_latest_order_lateral,
         "components_star_check": q_components_star_check,
         "user_state_scd2": q_user_state_scd2,
+        # (purchase_state_pit, pca_check, phrase_search, hll_merge_check
+        # rotated just past the window for the round-4 entries)
         "purchase_state_pit": q_purchase_state_pit,
         # (pca_check, phrase_search, hll_merge_check rotated just past
         # the window to make room for the new round-4 entries; all

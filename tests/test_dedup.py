@@ -268,3 +268,26 @@ def test_embedding_neardup_auto_dispatches_lsh_above_bound(spark):
         for r in dedup.embedding_neardup_pairs(df, threshold=0.9, dim=8).collect()
     ]
     assert [(r.a_id, r.b_id, r.cosine) for r in auto.collect()] == want
+
+
+def test_dedup_normalized_collapses_case_and_punct(spark):
+    """Planted variants differing only in case/punctuation/whitespace
+    collapse to one cluster; genuinely different texts do not."""
+    import homemade_vector_db_spark.queries as q
+
+    df = spark.createDataFrame(
+        [
+            (0, "Hello, World!"),
+            (1, "hello world"),
+            (2, "HELLO   world."),
+            (3, "goodbye world"),
+        ],
+        ["doc_id", "text"],
+    )
+    orig = q.load_documents
+    try:
+        q.load_documents = lambda spark, sf: df
+        rows = {r.keep_id: r.n_copies for r in q.q_dedup_normalized(spark, "x").collect()}
+    finally:
+        q.load_documents = orig
+    assert rows == {0: 3, 3: 1}
