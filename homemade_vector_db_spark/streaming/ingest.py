@@ -55,6 +55,7 @@ class IncrementalCorpus:
         self.postings_path = os.path.join(root, "postings")
         self.termdf_path = os.path.join(root, "term_df")
         self.corpus_path = os.path.join(root, "corpus_scalars")
+        self.bpe_vocab_path = os.path.join(root, "bpe_vocab")
 
     def _write(self, df: DataFrame, root: str, batch_id: int) -> None:
         # idempotent per batch: replays of the same micro-batch overwrite
@@ -118,6 +119,41 @@ class IncrementalCorpus:
             self.termdf_path,
             batch_id,
         )
+
+        # incremental BPE vocabulary: encode only the batch's DISTINCT
+        # words (vocab-sized Python via Arrow — never per-token), appended
+        # additively. n_pieces is a pure function of (word, merges), so
+        # cross-batch duplicates agree and the reader view just dedups —
+        # the streaming twin of queries._bpe_word_pieces.
+        from homemade_vector_db_spark.functions.text import (
+            bpe_encode,
+            load_bpe_merges,
+        )
+
+        merges = load_bpe_merges()
+        ranks = {m: i for i, m in enumerate(merges)}
+
+        def _encode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "word": pdf["term"],
+                        "n_pieces": [
+                            len(bpe_encode(w, ranks, merges))
+                            for w in pdf["term"]
+                        ],
+                    }
+                )
+
+        self._write(
+            postings.select("term").distinct().mapInPandas(
+                _encode, schema="word string, n_pieces long"
+            ),
+            self.bpe_vocab_path,
+            batch_id,
+        )
         batch.unpersist()
 
     def compact(self, target_file_mb: int = 256) -> None:
@@ -129,7 +165,7 @@ class IncrementalCorpus:
         )
 
         for p in (self.docs_path, self.postings_path, self.termdf_path,
-                  self.corpus_path):
+                  self.corpus_path, self.bpe_vocab_path):
             compact_batched_state(self.spark, p, target_file_mb=target_file_mb)
 
     # -- derived views (query-time, cheap)
@@ -170,6 +206,38 @@ class IncrementalCorpus:
             (
                 F.sum("n_tokens").cast("double") / F.sum("n_docs")
             ).alias("avgdl"),
+        )
+
+    def bpe_vocab(self) -> DataFrame:
+        """(word, n_pieces) — distinct over the additive per-batch
+        writes; duplicates across batches carry identical n_pieces (pure
+        function of the vendored merges), so distinct() is exact."""
+        return self._read(self.bpe_vocab_path).distinct()
+
+    def bpe_token_counts(self) -> DataFrame:
+        """Per-doc BPE token counts derived from state already
+        maintained at ingest: Σ tf(word)·n_pieces(word) over the
+        postings — no re-tokenization, no text read. A zero-token doc
+        has no postings rows and is reported with 0 via the doc_len
+        side. Matches the batch twin (queries.q_token_count_bpe) row
+        for row."""
+        p = self.postings()
+        counts = (
+            p.join(self.bpe_vocab(), p["term"] == F.col("word"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("tf") * F.col("n_pieces")).alias("n_bpe_tokens")
+            )
+        )
+        all_docs = self._read(self.docs_path).select("doc_id")
+        return (
+            all_docs.join(counts, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_bpe_tokens", F.lit(0))
+                .cast("long")
+                .alias("n_bpe_tokens"),
+            )
         )
 
     def bm25_stats(self):

@@ -910,3 +910,46 @@ def test_knn_server_cold_start_schema_matches_post_batch(spark, tmp_path):
     assert cold_types == warm_types
     # unionByName across the two states must plan cleanly
     assert cold.unionByName(warm).count() == warm.count()
+
+
+def test_incremental_bpe_counts_equal_batch_twin(spark, tmp_path):
+    """The streamed BPE token counts (postings ⋈ additive vocab, no
+    re-tokenize) equal encoding every doc directly with the Python
+    encoder — including the zero-token docs reported as 0."""
+    from homemade_vector_db_spark.functions.text import (
+        bpe_encode,
+        load_bpe_merges,
+    )
+
+    corpus = IncrementalCorpus(spark, str(tmp_path / "corpus"))
+    corpus.ingest_batch(_df(spark, BATCH1), 0)
+    corpus.ingest_batch(_df(spark, BATCH2), 1)
+    got = {r.doc_id: r.n_bpe_tokens for r in corpus.bpe_token_counts().collect()}
+    merges = load_bpe_merges()
+    ranks = {m: i for i, m in enumerate(merges)}
+    want = {
+        did: sum(len(bpe_encode(w, ranks, merges)) for w in text.split())
+        for did, text in BATCH1 + BATCH2
+    }
+    assert got == want
+    assert got[4] == 0 and got[5] == 0  # zero-token docs present as 0
+
+
+def test_incremental_bpe_vocab_replay_idempotent(spark, tmp_path):
+    """Replaying a micro-batch rewrites its vocab batch dir; the distinct
+    reader view and the derived counts are unchanged."""
+    corpus = IncrementalCorpus(spark, str(tmp_path / "corpus"))
+    corpus.ingest_batch(_df(spark, BATCH1), 0)
+    before_vocab = sorted(
+        (r.word, r.n_pieces) for r in corpus.bpe_vocab().collect()
+    )
+    before = sorted(
+        (r.doc_id, r.n_bpe_tokens) for r in corpus.bpe_token_counts().collect()
+    )
+    corpus.ingest_batch(_df(spark, BATCH1), 0)  # replay
+    assert sorted(
+        (r.word, r.n_pieces) for r in corpus.bpe_vocab().collect()
+    ) == before_vocab
+    assert sorted(
+        (r.doc_id, r.n_bpe_tokens) for r in corpus.bpe_token_counts().collect()
+    ) == before
