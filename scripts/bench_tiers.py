@@ -47,6 +47,10 @@ def main() -> None:
     }
 
     tiers = {
+        "flat": (
+            lambda: embs,  # brute force: the corpus IS the index
+            lambda idx, qv: knn_exact(idx, qv, k=K, dim=DIM),
+        ),
         "lsh": (
             lambda: ann.build_lsh(embs, bucket_length=2.0, num_hash_tables=3),
             lambda idx, qv: ann.lsh_search(idx, qv, k=K),
