@@ -939,6 +939,48 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # after the query-definition section)
 
 
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination gate (round 4): a normalized fingerprint
+    (same normalization as dedup_normalized) that appears in more than
+    one of train/val/test means an eval doc is a near-copy of a training
+    doc — the leak every benchmark-decontamination pipeline exists to
+    prevent. One fingerprint groupBy with a countDistinct(split); emits
+    per-split doc counts plus the leaky-fingerprint count. The split is
+    the same pure hash law as train_val_test_split, so this gate is
+    reproducible anywhere the data lands."""
+    d = load_documents(spark, sf_dir)
+    b = (F.col("doc_id") % SPLIT_MOD) * F.lit(SPLIT_MULT) % 100
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    tagged = d.select(F.md5(norm).alias("nfp"), split.alias("split"))
+    leaky = (
+        tagged.groupBy("nfp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaky_fingerprints")
+        )
+    )
+    counts = tagged.groupBy().pivot("split", ["train", "val", "test"]).count()
+    return leaky.crossJoin(F.broadcast(counts)).select(
+        "n_leaky_fingerprints",
+        F.coalesce("train", F.lit(0)).cast("long").alias("n_train"),
+        F.coalesce("val", F.lit(0)).cast("long").alias("n_val"),
+        F.coalesce("test", F.lit(0)).cast("long").alias("n_test"),
+    )
+
+
 def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (training-pipeline downsampling): keep
     ~10% of documents by multiplicative hash of doc_id, then profile per
@@ -3400,6 +3442,32 @@ SELECT source,
 FROM documents
 GROUP BY source, split
 ORDER BY source, split
+"""
+
+_ORACLES["split_leakage_check"] = f"""
+WITH tagged AS (
+  SELECT md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g'))) AS nfp,
+         CASE WHEN (doc_id % {SPLIT_MOD}) * {SPLIT_MULT} % 100
+                   < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN (doc_id % {SPLIT_MOD}) * {SPLIT_MULT} % 100
+                   < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+leaky AS (
+  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaky_fingerprints
+  FROM (SELECT nfp, count(DISTINCT split) AS ns FROM tagged GROUP BY nfp)
+),
+counts AS (
+  SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM tagged
+)
+SELECT n_leaky_fingerprints, n_train, n_val, n_test FROM leaky, counts
 """
 
 _ORACLES["hash_sample_docs"] = """
@@ -7287,6 +7355,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": q_train_val_test_split,
         "nsw_batch_recall": q_nsw_batch_recall,
         "dedup_normalized": q_dedup_normalized,
+        "split_leakage_check": q_split_leakage_check,
         # remaining slots: r03-green filler (zero regression risk)
         "truncated_rerank_topk": q_truncated_rerank_topk,
         "cosine_neardup": q_cosine_neardup,
@@ -7324,9 +7393,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_paths_sql": q_funnel_paths_sql,
         "latest_order_lateral": q_latest_order_lateral,
         "components_star_check": q_components_star_check,
+        # (user_state_scd2, purchase_state_pit, pca_check, phrase_search,
+        # hll_merge_check rotated just past the window for the round-4
+        # entries; all r03-green)
         "user_state_scd2": q_user_state_scd2,
-        # (purchase_state_pit, pca_check, phrase_search, hll_merge_check
-        # rotated just past the window for the round-4 entries)
         "purchase_state_pit": q_purchase_state_pit,
         # (pca_check, phrase_search, hll_merge_check rotated just past
         # the window to make room for the new round-4 entries; all
