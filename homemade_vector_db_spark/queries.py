@@ -1015,6 +1015,126 @@ def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tag_splits(d: DataFrame) -> DataFrame:
+    """(doc_id, nfp, split) relation shared by the leakage gate and the
+    decontamination repair: normalized fingerprint (dedup_normalized's
+    normalization) + the md5-window split law. Takes any
+    documents-shaped relation (doc_id, text) so tests can plant
+    cross-split duplicates."""
+    b = _md5_bucket(F.col("doc_id"), SPLIT_HEX_OFF)
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select("doc_id", F.md5(norm).alias("nfp"), split.alias("split"))
+
+
+def q_split_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage REPAIR (round 6; acts on what split_leakage_check
+    only counts): an eval doc whose normalized fingerprint also appears
+    in train is a near-copy of training data and must be dropped from
+    val/test before evaluation — the C4/RefinedWeb benchmark-
+    decontamination step, applied to the pipeline's own held-out splits.
+    Train is canonical and never dropped.
+
+    Plan: ONE shuffle — groupBy(nfp) with per-split partial counts
+    (map-side combine), then the per-split before/dropped/after rollup
+    folds the per-fingerprint rows (cardinality ≤ corpus) into 3 rows.
+    No join: the 'fingerprint seen in train' flag is computed inside the
+    same aggregate that holds the eval counts, so at 100 TB this is one
+    fingerprint-keyed exchange, the same shape the exact-dedup pass
+    already pays."""
+    return split_decontam_counts(load_documents(spark, sf_dir))
+
+
+def split_decontam_counts(docs: DataFrame) -> DataFrame:
+    """Core of q_split_decontam over any (doc_id, text) relation."""
+    per_fp = (
+        _tag_splits(docs)
+        .groupBy("nfp")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "n_train"
+            ),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias(
+                "n_val"
+            ),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+                "n_test"
+            ),
+        )
+    )
+    in_train = F.col("n_train") > 0
+    rows = per_fp.select(
+        F.col("n_train").alias("before_train"),
+        F.col("n_val").alias("before_val"),
+        F.col("n_test").alias("before_test"),
+        F.lit(0).alias("drop_train"),
+        F.when(in_train, F.col("n_val")).otherwise(0).alias("drop_val"),
+        F.when(in_train, F.col("n_test")).otherwise(0).alias("drop_test"),
+    ).agg(
+        *[
+            F.sum(c).cast("long").alias(c)
+            for c in (
+                "before_train",
+                "before_val",
+                "before_test",
+                "drop_train",
+                "drop_val",
+                "drop_test",
+            )
+        ]
+    )
+    stacked = rows.selectExpr(
+        "stack(3, 'train', before_train, drop_train, "
+        "'val', before_val, drop_val, "
+        "'test', before_test, drop_test) AS (split, n_before, n_dropped)"
+    )
+    return stacked.select(
+        "split",
+        "n_before",
+        "n_dropped",
+        (F.col("n_before") - F.col("n_dropped")).alias("n_after"),
+    ).orderBy("split")
+
+
+SPLIT_DECONTAM_LIST_N = 50
+
+
+def q_split_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dropped-doc list behind q_split_decontam (first N by doc_id,
+    bounded for the gate; the unbounded relation is what a pipeline
+    would anti-join against train shards). Left-semi join of eval docs
+    against the distinct train fingerprint set — the standard
+    decontamination shape: both sides shuffle on nfp once, no data
+    explosion, and the train side carries only the 32-char fingerprint
+    column at any corpus size."""
+    dropped = split_decontam_dropped(load_documents(spark, sf_dir))
+    return dropped.orderBy("doc_id").limit(SPLIT_DECONTAM_LIST_N)
+
+
+def split_decontam_dropped(docs: DataFrame) -> DataFrame:
+    """Unbounded (doc_id, split) relation of eval docs contaminated by a
+    train near-copy — what a pipeline anti-joins against eval shards."""
+    tagged = _tag_splits(docs)
+    train_fps = (
+        tagged.where(F.col("split") == "train").select("nfp").distinct()
+    )
+    return (
+        tagged.where(F.col("split") != "train")
+        .join(train_fps, "nfp", "left_semi")
+        .select("doc_id", "split")
+    )
+
+
 def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (training-pipeline downsampling): keep
     ~10% of documents by md5-window hash of doc_id (round-6 law, see
@@ -3506,6 +3626,60 @@ counts AS (
   FROM tagged
 )
 SELECT n_leaky_fingerprints, n_train, n_val, n_test FROM leaky, counts
+"""
+
+_SPLIT_TAGGED_SQL = f"""
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g'))) AS nfp,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL}
+                   < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+"""
+
+_ORACLES["split_decontam"] = f"""
+WITH tagged AS ({_SPLIT_TAGGED_SQL}),
+per_fp AS (
+  SELECT nfp,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+  FROM tagged GROUP BY nfp
+),
+tot AS (
+  SELECT CAST(sum(n_train) AS BIGINT) AS before_train,
+         CAST(sum(n_val) AS BIGINT) AS before_val,
+         CAST(sum(n_test) AS BIGINT) AS before_test,
+         CAST(0 AS BIGINT) AS drop_train,
+         CAST(sum(CASE WHEN n_train > 0 THEN n_val ELSE 0 END) AS BIGINT)
+           AS drop_val,
+         CAST(sum(CASE WHEN n_train > 0 THEN n_test ELSE 0 END) AS BIGINT)
+           AS drop_test
+  FROM per_fp
+)
+SELECT split, n_before, n_dropped, n_before - n_dropped AS n_after
+FROM (
+  SELECT 'train' AS split, before_train AS n_before, drop_train AS n_dropped
+    FROM tot
+  UNION ALL
+  SELECT 'val', before_val, drop_val FROM tot
+  UNION ALL
+  SELECT 'test', before_test, drop_test FROM tot
+)
+ORDER BY split
+"""
+
+_ORACLES["split_decontam_docs"] = f"""
+WITH tagged AS ({_SPLIT_TAGGED_SQL})
+SELECT doc_id, split
+FROM tagged
+WHERE split <> 'train'
+  AND nfp IN (SELECT nfp FROM tagged WHERE split = 'train')
+ORDER BY doc_id
+LIMIT {SPLIT_DECONTAM_LIST_N}
 """
 
 _ORACLES["hash_sample_docs"] = f"""
@@ -7398,6 +7572,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsw_batch_recall": q_nsw_batch_recall,
         "dedup_normalized": q_dedup_normalized,
         "split_leakage_check": q_split_leakage_check,
+        "split_decontam": q_split_decontam,
+        "split_decontam_docs": q_split_decontam_docs,
         # remaining slots: r03-green filler (zero regression risk)
         "truncated_rerank_topk": q_truncated_rerank_topk,
         "cosine_neardup": q_cosine_neardup,

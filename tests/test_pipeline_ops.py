@@ -493,3 +493,32 @@ def test_split_law_has_full_bucket_range(spark):
         )
         moved = shifted.where(F.col("b") != F.col("b2")).count()
         assert moved > 9_500, (off, moved)
+
+
+def test_split_decontam_drops_planted_train_leaks(spark):
+    """Planted cross-split near-copies: eval docs whose NORMALIZED text
+    matches a train doc are dropped; val<->test leaks without a train
+    copy are kept (decontamination is train->eval only); train is never
+    dropped. doc_ids below are precomputed split-class members of the
+    md5-window law (train: 0-5, val: 34,50, test: 25,80)."""
+    rows = [
+        (0, "The quick brown fox!"),      # train
+        (1, "unique train one"),          # train
+        (2, "another train doc"),         # train
+        (34, "the quick   brown fox"),    # val — normalized dupe of 0 → drop
+        (50, "shared eval only text"),    # val — dupe of 25, no train copy
+        (25, "Shared EVAL only text."),   # test — dupe of 50, no train copy
+        (80, "unique test doc"),          # test — clean
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = {
+        r["split"]: (r["n_before"], r["n_dropped"], r["n_after"])
+        for r in Q.split_decontam_counts(docs).collect()
+    }
+    assert counts == {
+        "train": (3, 0, 3),
+        "val": (2, 1, 1),
+        "test": (2, 0, 2),
+    }
+    dropped = Q.split_decontam_dropped(docs).collect()
+    assert [(r["doc_id"], r["split"]) for r in dropped] == [(34, "val")]
