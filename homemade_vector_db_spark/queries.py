@@ -218,18 +218,52 @@ _DERIVED_ROOT = os.path.join(
 )
 
 
+def _corpus_tag(sf_dir: str) -> str:
+    """Stable per-CORPUS-PATH tag for derived-state naming: an md5 prefix
+    of the absolute path, NOT the basename — `sf0.1` and `sf0.1_alt`
+    (or two corpora that merely share a directory name) must never
+    glob-match each other's derived state (ADVICE r4 item 4)."""
+    import hashlib as _hashlib
+
+    p = os.path.abspath(os.path.normpath(sf_dir))
+    return _hashlib.md5(p.encode()).hexdigest()[:12]
+
+
 def _derived_path(sf_dir: str, kind: str, source_file: str) -> str:
     src = os.path.join(sf_dir, source_file)
     st = os.stat(src)
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_size}_{st.st_mtime_ns}"
+    key = f"{_corpus_tag(sf_dir)}_{st.st_size}_{st.st_mtime_ns}"
     return os.path.join(_DERIVED_ROOT, f"{kind}_{key}")
+
+
+def _publish_derived(tmp: str, path: str) -> None:
+    """Atomically promote a freshly-built derived-state dir: a single
+    same-filesystem rename, so readers only ever see absent or complete
+    state. If a concurrent session won the race (target exists), keep
+    the winner and discard our build — both builds are deterministic
+    functions of the same source fingerprint, so either is correct."""
+    import shutil as _shutil
+
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        _shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+            raise
 
 
 def _materialized(spark: SparkSession, sf_dir: str, kind: str, build_fn):
     """Disk-materialized derived relation keyed by a fingerprint of the
     source file, with a session-cache fallback when the corpus is not
     file-backed (tests monkeypatch load_documents with in-memory
-    frames)."""
+    frames).
+
+    Round 6 (ADVICE r4 item 4): the build is write-to-temp + atomic
+    rename — two sessions can no longer overwrite the same final path
+    and GC each other mid-read — and the stale-state GC glob is anchored
+    on a hash of the corpus's absolute path, so it can only ever match
+    older fingerprints of THIS corpus, never a sibling whose basename
+    shares a prefix."""
     key = (kind, sf_dir)
     if key not in _ANN_IDX:
         if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
@@ -238,17 +272,20 @@ def _materialized(spark: SparkSession, sf_dir: str, kind: str, build_fn):
             path = _derived_path(sf_dir, kind, "documents.parquet")
             if not os.path.isfile(os.path.join(path, "_SUCCESS")):
                 # GC siblings built from a STALE fingerprint of the same
-                # (kind, corpus) before building the fresh one
+                # (kind, corpus-path) before building the fresh one
                 import glob as _glob
                 import shutil as _shutil
+                import uuid as _uuid
 
-                base = os.path.basename(os.path.normpath(sf_dir))
+                tag = _corpus_tag(sf_dir)
                 for old in _glob.glob(
-                    os.path.join(_DERIVED_ROOT, f"{kind}_{base}_*")
+                    os.path.join(_DERIVED_ROOT, f"{kind}_{tag}_*")
                 ):
-                    if old != path:
+                    if old != path and not old.startswith(f"{path}.tmp."):
                         _shutil.rmtree(old, ignore_errors=True)
-                build_fn().write.mode("overwrite").parquet(path)
+                tmp = f"{path}.tmp.{os.getpid()}_{_uuid.uuid4().hex[:8]}"
+                build_fn().write.mode("overwrite").parquet(tmp)
+                _publish_derived(tmp, path)
             _ANN_IDX[key] = spark.read.parquet(path).cache()
     return _ANN_IDX[key]
 

@@ -522,3 +522,54 @@ def test_split_decontam_drops_planted_train_leaks(spark):
     }
     dropped = Q.split_decontam_dropped(docs).collect()
     assert [(r["doc_id"], r["split"]) for r in dropped] == [(34, "val")]
+
+
+def test_corpus_tag_isolates_sibling_basenames(tmp_path):
+    """ADVICE r4 item 4: derived-state names for /x/sf0.1 and /x/sf0.1_alt
+    must not glob-match each other (the old basename-keyed GC glob
+    `tokens_sf0.1_*` also matched `tokens_sf0.1_alt_...`)."""
+    import fnmatch
+
+    a, b = tmp_path / "sf0.1", tmp_path / "sf0.1_alt"
+    for d in (a, b):
+        d.mkdir()
+        (d / "documents.parquet").write_bytes(b"x")
+    pa = Q._derived_path(str(a), "tokens", "documents.parquet")
+    pb = Q._derived_path(str(b), "tokens", "documents.parquet")
+    tag_a = Q._corpus_tag(str(a))
+    assert tag_a != Q._corpus_tag(str(b))
+    assert not fnmatch.fnmatch(
+        pb.rsplit("/", 1)[-1], f"tokens_{tag_a}_*"
+    ), (pa, pb)
+
+
+def test_publish_derived_win_and_lose(tmp_path):
+    """Atomic promote: the winner's state survives a concurrent loser's
+    publish untouched; a win renames the temp into place."""
+    # win: no existing final
+    tmp1 = tmp_path / "build1"
+    tmp1.mkdir()
+    (tmp1 / "_SUCCESS").write_text("")
+    (tmp1 / "part-0").write_text("winner")
+    final = tmp_path / "final"
+    Q._publish_derived(str(tmp1), str(final))
+    assert (final / "part-0").read_text() == "winner"
+    assert not tmp1.exists()
+    # lose: final already present and complete -> loser build discarded
+    tmp2 = tmp_path / "build2"
+    tmp2.mkdir()
+    (tmp2 / "_SUCCESS").write_text("")
+    (tmp2 / "part-0").write_text("loser")
+    Q._publish_derived(str(tmp2), str(final))
+    assert (final / "part-0").read_text() == "winner"
+    assert not tmp2.exists()
+    # corrupt target (non-empty partial state, no _SUCCESS): loser
+    # cleans up its temp and surfaces the error instead of reading junk
+    broken = tmp_path / "broken"
+    broken.mkdir()
+    (broken / "part-0").write_text("partial")
+    tmp3 = tmp_path / "build3"
+    tmp3.mkdir()
+    with pytest.raises(OSError):
+        Q._publish_derived(str(tmp3), str(broken))
+    assert not tmp3.exists()
