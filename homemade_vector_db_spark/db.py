@@ -95,6 +95,9 @@ class VectorDatabase:
         # (id reuse would silently alias two docs in BM25/knn results).
         # None = unknown (attached/loaded df) → computed lazily as max(id)+1.
         self._next_id: int | None = 0
+        # graph-tier build target; small values let tests exercise the
+        # add-stream rebalance trigger without thousands of rows
+        self._nsw_rows_per_shard = 2000
 
     # ------------------------------------------------------------------ ingest
     def add(
@@ -155,6 +158,18 @@ class VectorDatabase:
             from homemade_vector_db_spark.operators import nsw as nswmod
 
             self._ann_index = nswmod.nsw_add(self._ann_index, new)
+            # hnswlib resize analogue (local_db.py:45 max_elements): a
+            # long add stream keeps the shard count fixed (it is index
+            # identity), so shards fatten until the per-shard sequential
+            # insert/beam dominates. When mean shard size reaches 4x the
+            # build-time target, re-shard offline — recall is preserved
+            # (levels are an id-hash law; links re-prune under the same
+            # discipline), only shard membership changes.
+            idx = self._ann_index
+            if self._n >= 4 * idx.rows_per_shard * idx.shard_count():
+                self._ann_index = nswmod.nsw_rebalance(
+                    idx, rows_per_shard=idx.rows_per_shard
+                )
         else:
             self._ann_index = None
 
@@ -336,6 +351,7 @@ class VectorDatabase:
                 self._ann_index = nswmod.build_nsw(
                     self._df, id_col=self.id_col, vec_col=self.vec_col,
                     m=self.M, ef_construction=self.ef_construction,
+                    rows_per_shard=self._nsw_rows_per_shard,
                 )
             elif self.index_type == "sq8":
                 from homemade_vector_db_spark.operators import sq as sqmod
@@ -656,30 +672,56 @@ class VectorDatabase:
         exactly as the reference's load() already rebuilds BM25 from
         scratch (local_db.py:257).
 
-        Security: `data.pkl` is loaded through a RESTRICTED unpickler
-        that only admits plain builtins (dict/list/tuple/set/str/bytes/
-        int/float/bool/None) — the reference layout stores nothing else
-        (local_db.py:210-222 pickles docs list + metas list of dicts), so
-        a payload whose pickle references ANY importable object (the
-        arbitrary-code-execution vector) is rejected with
-        UnpicklingError instead of executed. Stricter than the
-        reference's own load(), which trusts the folder (ADVICE r3).
+        Security: `data.pkl` is loaded through a RESTRICTED unpickler.
+        Plain builtins (dict/list/tuple/set/str/bytes/int/float/bool/
+        None) need no globals and always pass; beyond those, only a
+        fixed allowlist of inert data constructors is admitted —
+        datetime date/datetime/time/timedelta/timezone and the numpy
+        scalar/array reconstructors (dtype, scalar, _reconstruct,
+        ndarray) — because real reference exports carry metadata values
+        like `{'added': datetime.now(), 'score': np.float32(...)}`
+        (ADVICE r4: the builtins-only round-3 gate rejected legitimate
+        folders). These constructors build values, never run user code;
+        any OTHER global (the arbitrary-code-execution vector, e.g.
+        os.system or object.__reduce__ payloads) raises UnpicklingError
+        instead of executing. Still stricter than the reference's own
+        load(), which trusts the folder outright (ADVICE r3).
         """
         import pickle
 
         import numpy as np
 
-        class _BuiltinsOnlyUnpickler(pickle.Unpickler):
-            def find_class(self, module, name):  # noqa: ARG002
+        _SAFE_GLOBALS = {
+            ("datetime", "date"),
+            ("datetime", "datetime"),
+            ("datetime", "time"),
+            ("datetime", "timedelta"),
+            ("datetime", "timezone"),
+            ("numpy", "dtype"),
+            ("numpy", "ndarray"),
+            # numpy moved multiarray into _core in 2.x; exports written
+            # by either lineage must load under both spellings
+            ("numpy.core.multiarray", "scalar"),
+            ("numpy._core.multiarray", "scalar"),
+            ("numpy.core.multiarray", "_reconstruct"),
+            ("numpy._core.multiarray", "_reconstruct"),
+        }
+
+        class _RestrictedUnpickler(pickle.Unpickler):
+            def find_class(self, module, name):
+                if (module, name) in _SAFE_GLOBALS:
+                    import importlib
+
+                    return getattr(importlib.import_module(module), name)
                 raise pickle.UnpicklingError(
                     f"refusing to unpickle global {module}.{name}: the "
                     "reference data.pkl layout contains only plain "
-                    "builtins; this folder is not a trustworthy "
-                    "reference export"
+                    "builtins plus datetime/numpy scalar values; this "
+                    "folder is not a trustworthy reference export"
                 )
 
         with open(os.path.join(folder_path, "data.pkl"), "rb") as f:
-            data = _BuiltinsOnlyUnpickler(f).load()
+            data = _RestrictedUnpickler(f).load()
         docs = list(data["docs"])
         metas = list(data["metas"])
         vectors = np.asarray(np.load(os.path.join(folder_path, "vectors.npy")))

@@ -165,14 +165,21 @@ class NSWIndex:
     ef_construction: int
     # Shard count is part of the index IDENTITY: the id→shard hash law
     # must stay fixed across incremental adds or routing breaks.
+    # 0 = unknown (legacy pre-round-4 manifest without n_shards).
     n_shards: int = 0
+    # Build-time shard-size target — the denominator of the
+    # rebalance-trigger ratio (hnswlib max_elements analogue).
+    rows_per_shard: int = 2000
 
     def shard_count(self) -> int:
-        if self.n_shards <= 0:
-            self.n_shards = (
-                self.graph.agg(F.max("shard")).collect()[0][0] or 0
-            ) + 1
-        return self.n_shards
+        """Declared shard count when known. For a legacy manifest this
+        derives max(shard)+1 — a LOWER BOUND only, because the id→shard
+        hash can leave trailing shards empty; the derived value is never
+        cached as authoritative, and nsw_add refuses to extend an index
+        whose exact law is unknown (ADVICE r4)."""
+        if self.n_shards > 0:
+            return self.n_shards
+        return (self.graph.agg(F.max("shard")).collect()[0][0] or 0) + 1
 
 
 def build_nsw(
@@ -218,7 +225,15 @@ def build_nsw(
     )
     if cache:
         graph = graph.persist()
-    return NSWIndex(graph, id_col, vec_col, m, ef_construction, n_shards)
+    return NSWIndex(
+        graph,
+        id_col,
+        vec_col,
+        m,
+        ef_construction,
+        n_shards,
+        rows_per_shard=rows_per_shard,
+    )
 
 
 def nsw_search(
@@ -228,7 +243,10 @@ def nsw_search(
     ef_search-bounded beam on layer 0), merge the per-shard top-k lists
     with one global TakeOrderedAndProject. Score = 1/(1+L2²) ∈ (0, 1]
     (the reference's normalized-similarity convention, shared with the
-    LSH tier — ann.py:246), rounded 6dp; ties break on id ascending."""
+    LSH tier — ann.py:246). Per-shard selection ranks on exact distance
+    with id tiebreak; emitted scores are rounded 6dp and the global
+    top-k ranks on the rounded score, ties on id ascending (same
+    contract as nsw_batch_search)."""
     q = np.asarray(list(query), dtype=np.float64)
     # close over plain values only — capturing the NSWIndex would drag
     # its DataFrame (and the SparkContext) into the executor pickle
@@ -287,8 +305,17 @@ def nsw_batch_search(
     Q independent shard scans. The shuffle after the kernel carries only
     shards × Q × k candidate rows; the final per-query top-k is a window
     over that candidate set (same candidate-heap discipline as
-    knn_batch). Determinism: scores rounded BEFORE selection, ties on id
-    ascending — identical contract to every other batch searcher."""
+    knn_batch).
+
+    Determinism contract (ADVICE r4 — docstring now matches the code):
+    per-shard candidate selection ranks on the EXACT distance with id
+    tiebreak (the k-boundary cut inside a shard sees unrounded
+    distances); rounding to `score_decimals` is applied to the EMITTED
+    scores, and the global per-query top-k window then ranks on that
+    rounded score, ties on id ascending. Exact-distance ties therefore
+    cut deterministically by id; distances that only collide AFTER
+    rounding can cut by their pre-rounding order within a shard — the
+    same behavior as nsw_search."""
     qrows = queries.select(query_id_col, qvec_col).collect()
     if not qrows:
         raise ValueError("empty query block")
@@ -362,7 +389,16 @@ def nsw_add(
     the result is BIT-IDENTICAL to a fresh rebuild
     (tests/test_properties.py pins this with hypothesis); for
     interleaved ids it is recall-equivalent (tests/test_ann.py)."""
-    n_shards = index.shard_count()
+    if index.n_shards <= 0:
+        raise ValueError(
+            "shard count unknown (legacy manifest without n_shards): "
+            "max(shard)+1 is only a lower bound — trailing shards can be "
+            "hash-empty — and extending under a wrong shard law would "
+            "mis-route every future id. Run nsw_rebalance() (full "
+            "re-shard, which re-declares the count) before incremental "
+            "adds."
+        )
+    n_shards = index.n_shards
     new_rows = new_df.select(
         F.pmod(F.xxhash64(F.col(index.id_col)), F.lit(n_shards)).alias("shard"),
         F.col(index.id_col).alias("id"),
@@ -457,9 +493,22 @@ def nsw_add(
         .unionByName(index.graph.where(~F.col("shard").isin(touched)))
     )
     if cache:
+        # Materialize the successor BEFORE releasing the superseded
+        # graph (the new plan reads it), then unpersist — otherwise a
+        # long add stream accumulates one orphaned cached graph per
+        # batch in executor storage (ADVICE r4).
         graph = graph.persist()
+        graph.count()
+        if index.graph.is_cached:
+            index.graph.unpersist()
     return NSWIndex(
-        graph, index.id_col, index.vec_col, m, ef, n_shards
+        graph,
+        index.id_col,
+        index.vec_col,
+        m,
+        ef,
+        n_shards,
+        rows_per_shard=index.rows_per_shard,
     )
 
 
@@ -476,8 +525,9 @@ def nsw_rebalance(
     the hnswlib analogue is a resize+rebuild, and like index compaction
     it is an offline maintenance op, not a query-path one. Levels are a
     pure id-hash law, so every node keeps its level; only shard
-    membership and links change."""
-    return build_nsw(
+    membership and links change. Also the escape hatch for a legacy
+    manifest with unknown shard count: the rebuild re-declares it."""
+    rebuilt = build_nsw(
         index.graph.select(
             F.col("id").alias(index.id_col), F.col("vec").alias(index.vec_col)
         ),
@@ -488,6 +538,11 @@ def nsw_rebalance(
         rows_per_shard=rows_per_shard,
         cache=cache,
     )
+    if cache and index.graph.is_cached:
+        # same supersede discipline as nsw_add: materialize, then free
+        rebuilt.graph.count()
+        index.graph.unpersist()
+    return rebuilt
 
 
 def save_nsw(index: NSWIndex, path: str) -> None:
@@ -506,7 +561,11 @@ def save_nsw(index: NSWIndex, path: str) -> None:
                 "vec_col": index.vec_col,
                 "m": index.m,
                 "ef_construction": index.ef_construction,
-                "n_shards": index.shard_count(),
+                # honest manifest: 0 stays 0 for a legacy-loaded index —
+                # a derived max(shard)+1 is a lower bound, and baking it
+                # in would silently change the shard law on a later add
+                "n_shards": index.n_shards,
+                "rows_per_shard": index.rows_per_shard,
                 "layout": "hnsw-v2",  # level + per-layer neighbor lists
             },
             f,
@@ -535,5 +594,6 @@ def load_nsw(spark, path: str) -> NSWIndex:
         meta["vec_col"],
         meta["m"],
         meta["ef_construction"],
-        meta.get("n_shards", 0),  # pre-round-4 manifests: derive lazily
+        meta.get("n_shards", 0),  # 0 = unknown; nsw_add refuses, search fine
+        rows_per_shard=meta.get("rows_per_shard", 2000),
     )

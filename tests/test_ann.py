@@ -410,3 +410,72 @@ def test_nsw_rebalance_after_growth(spark, embs, qvec):
     exact = [r.vec_id for r in knn_exact(embs, qvec, k=10, dim=64).collect()]
     got = [r.vec_id for r in nsw.nsw_search(reb, qvec, k=10, ef_search=50).collect()]
     assert len(set(got) & set(exact)) / 10 >= 0.8
+
+
+def test_nsw_add_refuses_unknown_shard_count(spark, embs):
+    """Legacy manifests without n_shards: max(shard)+1 is a lower bound
+    (trailing shards can be hash-empty), so nsw_add must refuse rather
+    than silently change the id->shard law (ADVICE r4)."""
+    from dataclasses import replace
+
+    from homemade_vector_db_spark.operators import nsw
+
+    idx = nsw.build_nsw(embs.where(F.col("vec_id") < 200), rows_per_shard=100)
+    legacy = replace(idx, n_shards=0)
+    one = embs.where(F.col("vec_id") == 400)
+    with pytest.raises(ValueError, match="shard count unknown"):
+        nsw.nsw_add(legacy, one)
+    # search still works on a legacy index, and rebalance repairs it
+    dim = len(embs.first().embedding)
+    assert nsw.nsw_search(legacy, [0.0] * dim, k=3).count() == 3
+    repaired = nsw.nsw_rebalance(legacy, rows_per_shard=100)
+    assert repaired.n_shards > 0
+    nsw.nsw_add(repaired, one)  # no raise
+
+
+def test_nsw_add_unpersists_superseded_graph(spark, embs):
+    """A long add stream must not accumulate orphaned cached graphs:
+    nsw_add materializes the successor then releases its input
+    (ADVICE r4)."""
+    from homemade_vector_db_spark.operators import nsw
+
+    idx = nsw.build_nsw(embs.where(F.col("vec_id") < 300), rows_per_shard=150)
+    assert idx.graph.is_cached
+    step1 = nsw.nsw_add(idx, embs.where(F.col("vec_id") == 301))
+    assert step1.graph.is_cached and not idx.graph.is_cached
+    step2 = nsw.nsw_add(step1, embs.where(F.col("vec_id") == 302))
+    assert step2.graph.is_cached and not step1.graph.is_cached
+    # rebalance follows the same supersede discipline
+    reb = nsw.nsw_rebalance(step2, rows_per_shard=150)
+    assert reb.graph.is_cached and not step2.graph.is_cached
+
+
+def test_db_add_stream_triggers_rebalance(spark):
+    """Facade maintenance policy (hnswlib resize analogue): when a
+    add stream pushes mean shard size to >=4x the build target, db.add
+    auto-runs nsw_rebalance — shard count grows, recall floor holds."""
+    import numpy as np
+
+    from homemade_vector_db_spark.db import VectorDatabase
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    db = VectorDatabase(spark, dim=dim, index_type="hnsw")
+    db._nsw_rows_per_shard = 8
+    vecs = rng.normal(size=(16, dim)).astype(float)
+    db.add([f"d{i}" for i in range(16)], [list(v) for v in vecs])
+    db.query_vector(list(vecs[0]), top_k=3)  # builds the graph index
+    n0 = db._ann_index.shard_count()
+    more = rng.normal(size=(60, dim)).astype(float)
+    for lo in range(0, 60, 20):
+        batch = more[lo : lo + 20]
+        db.add(
+            [f"e{lo + i}" for i in range(len(batch))],
+            [list(v) for v in batch],
+        )
+    assert db._ann_index.shard_count() > n0  # rebalance fired
+    assert db._ann_index.graph.is_cached
+    # recall floor vs the exact tier on the same corpus
+    target = list(vecs[3])
+    got = db.query_vector(target, top_k=3)
+    assert got[0] == 3  # the exact stored vector is its own 1-NN

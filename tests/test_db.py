@@ -487,6 +487,58 @@ def test_import_reference_rejects_inconsistent_folder(spark, tmp_path):
         VectorDatabase.import_reference(spark, folder)
 
 
+def test_import_reference_allows_datetime_and_numpy_metadata(spark, tmp_path):
+    """ADVICE r4 item 2: legitimate reference exports pickle metadata
+    values like datetime.now() or numpy scalars; the restricted
+    unpickler must admit those inert constructors (they become str()'d
+    meta values, same as every other add() path)."""
+    import datetime
+
+    import numpy as np
+
+    docs = ["with rich meta", "plain"]
+    metas = [
+        {
+            "added": datetime.datetime(2026, 8, 14, 12, 30, 0),
+            "day": datetime.date(2026, 8, 14),
+            "score": np.float32(0.25),
+            "rank": np.int64(7),
+        },
+        {"k": "v"},
+    ]
+    vectors = np.ones((2, 4), dtype="float32")
+    folder = _write_reference_layout(tmp_path, docs, metas, vectors)
+    db = VectorDatabase.import_reference(spark, folder)
+    rows = {r["doc_id"]: r for r in db._df.collect()}
+    assert rows[0]["meta"]["added"] == "2026-08-14 12:30:00"
+    assert rows[0]["meta"]["day"] == "2026-08-14"
+    assert float(rows[0]["meta"]["score"]) == 0.25
+    assert int(rows[0]["meta"]["rank"]) == 7
+    assert rows[1]["meta"] == {"k": "v"}
+
+
+def test_import_reference_rejects_code_execution_pickle(spark, tmp_path):
+    """Any global outside the datetime/numpy allowlist — the arbitrary-
+    code-execution vector — still raises instead of executing."""
+    import pickle
+
+    import numpy as np
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("echo pwned",))
+
+    folder = tmp_path / "evil"
+    folder.mkdir()
+    with open(folder / "data.pkl", "wb") as f:
+        pickle.dump({"docs": ["x"], "metas": [{"payload": Evil()}]}, f)
+    np.save(folder / "vectors.npy", np.ones((1, 4), dtype="float32"))
+    with pytest.raises(pickle.UnpicklingError, match="refusing to unpickle"):
+        VectorDatabase.import_reference(spark, str(folder))
+
+
 def test_incremental_add_extends_hnsw_graph_without_rebuild(spark):
     """add() after the graph tier is built routes through nsw_add
     (hnswlib add_items semantics) instead of discarding the index; new
