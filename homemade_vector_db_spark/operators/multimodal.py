@@ -2,11 +2,18 @@
 
 Media are opaque BINARY columns with typed metadata — the parquet-native
 pattern (no media codecs needed to plan/filter/shuffle). The Spark plumbing
-(schemas, Arrow batch shape, partition sizing) is real and tested; the
-actual codec calls are STUBBED behind `_decode_image_bytes` /
-`_extract_audio_features` because no image/audio libraries exist in this
-container — swap those two functions for PIL/torchaudio/ffmpeg in a real
-deployment and nothing else changes.
+(schemas, Arrow batch shape, partition sizing) is real and tested.
+
+Decode status (round 6): images in PPM/PGM, uncompressed BMP, and PNG are
+decoded FOR REAL by the pure-numpy/zlib codec in
+`functions/imagecodec.py` — width/height/mean-luma come from actual
+pixels, and `resize_images` emits a real nearest-neighbor PPM thumbnail.
+JPEG raises NotImplementedError (no libjpeg in this container — swap in
+PIL and nothing else changes); payloads with no known image magic fall
+back to the deterministic byte-derived fake so schema/batch plumbing
+stays testable with arbitrary bytes. Audio decode
+(`_extract_audio_features`) remains a documented stub for the same
+container reason.
 
 Scale notes:
 - decode work is a `mapInPandas` over Arrow record batches: rows stream
@@ -50,17 +57,29 @@ FRAME_SCHEMA = "media_id LONG, frame_idx INT, frame_bytes BINARY"
 
 
 def _decode_image_bytes(content: bytes) -> "tuple[int, int, float]":
-    """STUB decode — deterministic fake standing in for PIL/turbojpeg.
+    """Returns (width, height, mean_luma).
 
-    Returns (width, height, mean_luma). Real deployments replace this body
-    with `PIL.Image.open(io.BytesIO(content))`; the Spark-side contract
-    (bytes in, scalars out, called inside an Arrow batch loop) is what the
-    pipeline tests pin down.
+    PPM/PGM/BMP/PNG payloads are REALLY decoded (pure numpy + stdlib
+    zlib — functions/imagecodec.py); JPEG raises NotImplementedError
+    honestly (needs libjpeg); bytes with no known image magic keep the
+    deterministic byte-derived fake so the Arrow-batch plumbing remains
+    testable with arbitrary payloads.
     """
     if content is None or len(content) == 0:
         raise NotImplementedError(
             "real image decode requires an imaging library (PIL/libjpeg); "
             "empty payloads have no deterministic fake"
+        )
+    from homemade_vector_db_spark.functions import imagecodec as ic
+
+    fmt = ic.sniff_format(content)
+    if fmt in ("ppm", "pgm", "bmp", "png"):
+        arr = ic.decode_image(content)
+        h, w = arr.shape[:2]
+        return w, h, ic.mean_luma(arr)
+    if fmt == "jpeg":
+        raise NotImplementedError(
+            "JPEG decode requires libjpeg (swap in PIL in deployment)"
         )
     # deterministic fake derived from the payload so tests can assert
     w = 1 + (len(content) % 64)
@@ -104,13 +123,16 @@ THUMB_SCHEMA = "media_id LONG, tw INT, th INT, thumb BINARY"
 
 
 def resize_images(df: DataFrame, target: int = 32) -> DataFrame:
-    """Resize/thumbnail plumbing: (media_id, tw, th, thumb) with the long
-    side scaled to `target`, aspect preserved. Stub 'resample' is a
-    deterministic byte downsample (every len/target-th byte) standing in
-    for PIL `Image.resize`; the pipeline contract — binary in, smaller
-    binary + new dims out, Arrow-batched, 1:1 rows — is real. Thumbnails
+    """Resize/thumbnail: (media_id, tw, th, thumb) with the long side
+    scaled to `target`, aspect preserved. For decodable formats
+    (PPM/PGM/BMP/PNG) the thumb is a REAL nearest-neighbor resample
+    re-encoded as binary PPM/PGM (imagecodec.resize_nearest); for
+    unknown payloads the deterministic byte-downsample stub stands in.
+    The pipeline contract — binary in, smaller binary + new dims out,
+    Arrow-batched, 1:1 rows — is identical on both paths. Thumbnails
     belong in their own output table keyed by media_id (see module
     docstring), so this returns only the derived columns."""
+    from homemade_vector_db_spark.functions import imagecodec as ic
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,8 +142,13 @@ def resize_images(df: DataFrame, target: int = 32) -> DataFrame:
                 w, h, _ = _decode_image_bytes(data)
                 scale = target / max(w, h)
                 tw, th = max(1, round(w * scale)), max(1, round(h * scale))
-                step = max(1, len(data) // max(1, target))
-                rows.append((mid, tw, th, data[::step][:target]))
+                if ic.sniff_format(data) in ("ppm", "pgm", "bmp", "png"):
+                    small = ic.resize_nearest(ic.decode_image(data), tw, th)
+                    thumb = ic.encode_ppm(small)
+                else:
+                    step = max(1, len(data) // max(1, target))
+                    thumb = data[::step][:target]
+                rows.append((mid, tw, th, thumb))
             yield pd.DataFrame(rows, columns=["media_id", "tw", "th", "thumb"])
 
     src = df.where(F.col("kind") == "image").select("media_id", "content")

@@ -852,6 +852,84 @@ def q_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMG_STATS_N = 24  # docs turned into synthetic images per format
+IMG_SIDE = 8  # 8x8 RGB
+IMG_CHECKSUM_MOD = 1000003
+
+
+def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec gate (round 6): for each of the first IMG_STATS_N
+    doc_ids, build an 8x8 RGB image whose pixel law is pure arithmetic
+    (v = (doc_id*7 + i*13 + c*29) % 256), ENCODE it as both binary PPM
+    and PNG (zlib deflate), DECODE it back with the pure-numpy codec
+    (functions/imagecodec.py), and emit per-(doc, format) stats from the
+    DECODED pixels: dimensions, mean pixel value, and a
+    position-weighted checksum (sum((i*3+c+1)*v) mod p — permutation-
+    SENSITIVE, so a decoder that transposes rows, swaps channels, or
+    mis-unfilters cannot pass). The DuckDB oracle re-derives the same
+    stats directly from the arithmetic law without any codec — the hash
+    match therefore certifies encoder->decoder pixel fidelity end to
+    end, including the PNG inflate + unfilter path.
+
+    Scale shape: mapInPandas over the id relation — the codec runs
+    Arrow-batched on executors exactly like the production
+    image_features kernel; no driver-side decode."""
+    import pandas as _pd
+
+    from homemade_vector_db_spark.functions import imagecodec as ic
+
+    side, mod = IMG_SIDE, IMG_CHECKSUM_MOD
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                i_idx = _np.arange(side * side)
+                c_idx = _np.arange(3)
+                v = (
+                    did * 7 + i_idx[:, None] * 13 + c_idx[None, :] * 29
+                ) % 256
+                arr = v.reshape(side, side, 3).astype(_np.uint8)
+                for fmt, enc in (("png", ic.encode_png), ("ppm", ic.encode_ppm)):
+                    dec = ic.decode_image(enc(arr))
+                    h, w = dec.shape[:2]
+                    flat = dec.reshape(-1).astype(_np.int64)
+                    weights = _np.arange(1, flat.size + 1, dtype=_np.int64)
+                    out.append(
+                        (
+                            did,
+                            fmt,
+                            w,
+                            h,
+                            round(float(flat.mean()) / 255.0, 6),
+                            int((weights * flat).sum() % mod),
+                        )
+                    )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "fmt", "width", "height", "mean_px", "pos_checksum",
+                ],
+            )
+
+    ids = (
+        load_documents(spark, sf_dir)
+        .where(F.col("doc_id") < IMG_STATS_N)
+        .select("doc_id")
+        .distinct()
+    )
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, fmt string, width int, height int, "
+            "mean_px double, pos_checksum long"
+        ),
+    ).orderBy("doc_id", "fmt")
+
+
 def q_top_orders_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-table join: customer ⋈ orders ⋈ lineitem,
     revenue per order, top-10. No forced broadcasts: the filter on
@@ -3895,6 +3973,32 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 ORDER BY lang
+"""
+
+# The oracle derives the pixel stats straight from the arithmetic law —
+# no codec — so a hash match certifies the Spark side's encode->decode
+# round-trip reproduced every pixel in position (see q_image_pixel_stats).
+_ORACLES["image_pixel_stats"] = f"""
+WITH ids AS (
+  SELECT DISTINCT doc_id FROM documents WHERE doc_id < {IMG_STATS_N}
+),
+px AS (
+  SELECT ids.doc_id, f.fmt, i.i, c.c,
+         (ids.doc_id * 7 + i.i * 13 + c.c * 29) % 256 AS v
+  FROM ids,
+       (SELECT unnest(['png', 'ppm']) AS fmt) f,
+       generate_series(0, {IMG_SIDE * IMG_SIDE - 1}) i(i),
+       generate_series(0, 2) c(c)
+)
+SELECT doc_id, fmt,
+       CAST({IMG_SIDE} AS INT) AS width,
+       CAST({IMG_SIDE} AS INT) AS height,
+       round(avg(v) / 255, 6) AS mean_px,
+       CAST(sum((i * 3 + c + 1) * v) % {IMG_CHECKSUM_MOD} AS BIGINT)
+         AS pos_checksum
+FROM px
+GROUP BY doc_id, fmt
+ORDER BY doc_id, fmt
 """
 
 _ORACLES["top_orders_q3"] = f"""
@@ -7611,6 +7715,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_check": q_split_leakage_check,
         "split_decontam": q_split_decontam,
         "split_decontam_docs": q_split_decontam_docs,
+        "image_pixel_stats": q_image_pixel_stats,
         # remaining slots: r03-green filler (zero regression risk)
         "truncated_rerank_topk": q_truncated_rerank_topk,
         "cosine_neardup": q_cosine_neardup,

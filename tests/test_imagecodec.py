@@ -1,0 +1,154 @@
+"""Pure-numpy image codec: decode/encode round-trips, hand-built BMP
+layouts, all five PNG scanline filters, and honest refusal of formats a
+no-imaging-libs container cannot decode."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from homemade_vector_db_spark.functions import imagecodec as ic
+
+
+def _rand_rgb(h, w, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_ppm_round_trip():
+    arr = _rand_rgb(5, 7)
+    out = ic.decode_image(ic.encode_ppm(arr))
+    assert out.shape == (5, 7, 3)
+    assert np.array_equal(out, arr)
+
+
+def test_pgm_round_trip_and_header_comments():
+    gray = np.random.default_rng(1).integers(0, 256, (4, 6), dtype=np.uint8)
+    data = ic.encode_ppm(gray)
+    assert data[:2] == b"P5"
+    assert np.array_equal(ic.decode_image(data), gray)
+    # comments between header fields are legal PNM
+    commented = b"P5\n# a comment\n6 4\n# more\n255\n" + gray.tobytes()
+    assert np.array_equal(ic.decode_image(commented), gray)
+
+
+def test_png_round_trip_color_and_gray():
+    arr = _rand_rgb(9, 4, seed=2)
+    assert np.array_equal(ic.decode_image(ic.encode_png(arr)), arr)
+    gray = np.random.default_rng(3).integers(0, 256, (3, 8), dtype=np.uint8)
+    assert np.array_equal(ic.decode_image(ic.encode_png(gray)), gray)
+
+
+def _png_with_filters(arr: np.ndarray, ftypes: list[int]) -> bytes:
+    """Encode truecolor PNG applying a given filter type per scanline
+    (forward-filtering independently of the decoder under test)."""
+    h, w, _ = arr.shape
+    nch, stride = 3, 3 * w
+    a32 = arr.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = a32[y]
+        f = ftypes[y % len(ftypes)]
+        line = cur.copy()
+        for x in range(stride):
+            left = cur[x - nch] if x >= nch else 0
+            up = prev[x]
+            ul = prev[x - nch] if x >= nch else 0
+            if f == 1:
+                line[x] = (cur[x] - left) & 0xFF
+            elif f == 2:
+                line[x] = (cur[x] - up) & 0xFF
+            elif f == 3:
+                line[x] = (cur[x] - ((left + up) >> 1)) & 0xFF
+            elif f == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left
+                    if (pa <= pb and pa <= pc)
+                    else (up if pb <= pc else ul)
+                )
+                line[x] = (cur[x] - pred) & 0xFF
+        out.append(f)
+        out.extend(int(v) for v in line)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        ic.PNG_MAGIC
+        + ic._png_chunk(b"IHDR", ihdr)
+        + ic._png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + ic._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_decode():
+    arr = _rand_rgb(10, 6, seed=4)
+    for ftypes in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = ic.decode_image(_png_with_filters(arr, ftypes))
+        assert np.array_equal(got, arr), ftypes
+
+
+def _bmp24(arr: np.ndarray, top_down: bool = False) -> bytes:
+    """Hand-assemble a 24-bit BI_RGB BMP (4-byte row padding)."""
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = arr[:, :, ::-1]  # RGB → BGR
+    if not top_down:
+        rows = rows[::-1]
+    body = bytearray()
+    for y in range(h):
+        body.extend(rows[y].tobytes())
+        body.extend(b"\x00" * (stride - w * 3))
+    hdr_h = h if not top_down else -h
+    info = struct.pack("<IiiHHIIiiII", 40, w, hdr_h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    off = 14 + 40
+    file_hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return file_hdr + info + bytes(body)
+
+
+def test_bmp_bottom_up_and_top_down():
+    arr = _rand_rgb(5, 3, seed=5)  # w=3 → stride padding exercised
+    assert np.array_equal(ic.decode_image(_bmp24(arr)), arr)
+    assert np.array_equal(ic.decode_image(_bmp24(arr, top_down=True)), arr)
+
+
+def test_bmp32_alpha_dropped():
+    arr = _rand_rgb(2, 2, seed=6)
+    h, w = 2, 2
+    bgra = np.zeros((h, w, 4), dtype=np.uint8)
+    bgra[:, :, :3] = arr[:, :, ::-1]
+    bgra[:, :, 3] = 200
+    body = bgra[::-1].tobytes()  # stride = 8, already 4-aligned
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(body), 0, 0, 0, 0)
+    off = 14 + 40
+    data = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + info + body
+    assert np.array_equal(ic.decode_image(data), arr)
+
+
+def test_unsupported_formats_refuse_honestly():
+    with pytest.raises(NotImplementedError, match="libjpeg"):
+        ic.decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
+    with pytest.raises(NotImplementedError):
+        ic.decode_image(b"GIF89a notsupported")
+    # compressed BMP refuses rather than mis-decoding
+    bad = bytearray(_bmp24(_rand_rgb(2, 2)))
+    struct.pack_into("<I", bad, 14 + 16, 1)  # compression = BI_RLE8
+    with pytest.raises(NotImplementedError, match="compressed BMP"):
+        ic.decode_image(bytes(bad))
+
+
+def test_mean_luma_and_resize():
+    flat = np.full((4, 4, 3), 255, dtype=np.uint8)
+    assert ic.mean_luma(flat) == pytest.approx(1.0)
+    gray = np.full((4, 4), 51, dtype=np.uint8)
+    assert ic.mean_luma(gray) == pytest.approx(0.2)
+    arr = _rand_rgb(8, 12, seed=7)
+    small = ic.resize_nearest(arr, 6, 4)
+    assert small.shape == (4, 6, 3)
+    # nearest-neighbor: every output pixel is some input pixel
+    assert np.array_equal(small[0, 0], arr[0, 0])
+    g = ic.resize_nearest(gray, 2, 2)
+    assert g.shape == (2, 2) and g.dtype == np.uint8
