@@ -157,6 +157,14 @@ class VectorDatabase:
             # shared insertion loop continues from the existing graph
             from homemade_vector_db_spark.operators import nsw as nswmod
 
+            if self._ann_index.n_shards <= 0:
+                # legacy pre-round-4 manifest (shard count unknown):
+                # db.add already knows how to rebalance, so repair here
+                # instead of surfacing nsw_add's operator-level ValueError
+                # — the hard error stays for direct operator use.
+                self._ann_index = nswmod.nsw_rebalance(
+                    self._ann_index, rows_per_shard=self._nsw_rows_per_shard
+                )
             self._ann_index = nswmod.nsw_add(self._ann_index, new)
             # hnswlib resize analogue (local_db.py:45 max_elements): a
             # long add stream keeps the shard count fixed (it is index

@@ -39,11 +39,18 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(data: bytes) -> str:
-    """'ppm' | 'pgm' | 'bmp' | 'png' | 'jpeg' | 'unknown' by magic."""
+    """'ppm' | 'pgm' | 'pnm-ascii' | 'pbm' | 'bmp' | 'png' | 'jpeg' |
+    'unknown' by magic. pnm-ascii (P1/P2/P3) and pbm (P4) are recognized
+    so callers can refuse honestly rather than treat a real image format
+    as opaque bytes."""
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"P5":
         return "pgm"
+    if data[:2] in (b"P1", b"P2", b"P3"):
+        return "pnm-ascii"
+    if data[:2] == b"P4":
+        return "pbm"
     if data[:2] == b"BM":
         return "bmp"
     if data[:8] == PNG_MAGIC:
@@ -141,9 +148,25 @@ def decode_bmp(data: bytes) -> np.ndarray:
 # -------------------------------------------------------------------- PNG
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Per-scanline pixel bound for the two serial (per-byte Python) PNG
+# filters, Average and Paeth. None/Up/Sub are vectorized and unbounded.
+# 4096 px/row keeps worst-case interpreter work per row ~16k iterations —
+# fine for gate images and thumbnails, honest refusal beyond.
+_MAX_SERIAL_FILTER_PX = 4096
+
 
 def _unfilter(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
-    """Undo per-scanline filters; raw is h rows of 1 filter byte + w*nch."""
+    """Undo per-scanline filters; raw is h rows of 1 filter byte + w*nch.
+
+    None/Up/Sub are fully vectorized (Up is a whole-row add; Sub is a
+    per-channel prefix sum — cumsum mod 256 along the pixel axis, exact in
+    int64 for any realistic width). Average and Paeth carry a true serial
+    data dependence (each byte needs the already-reconstructed left
+    neighbor filtered through a nonlinear predictor), so they remain
+    per-byte Python; rows using them are bounded by _MAX_SERIAL_FILTER_PX
+    pixels per scanline to keep the executor-side decode honest about its
+    cost — real large-corpus PNG decode should swap in libpng/Pillow at
+    the documented seam (decode_image)."""
     stride = w * nch
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -153,17 +176,32 @@ def _unfilter(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
         if ftype == 0:  # None
             cur = line
         elif ftype == 1:  # Sub
-            cur = line.copy()
-            for x in range(nch, stride):
-                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+            # cur[x] = (line[x] + cur[x-nch]) mod 256 — per channel this
+            # is a running sum, so one cumsum per row replaces the
+            # per-byte loop (int64: no overflow below ~3.6e16 px/row)
+            cur = (
+                np.cumsum(line.reshape(w, nch).astype(np.int64), axis=0) & 0xFF
+            ).reshape(stride).astype(np.int32)
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average
+            if stride > _MAX_SERIAL_FILTER_PX * nch:
+                raise NotImplementedError(
+                    f"PNG Average-filtered scanline of {stride // nch} px "
+                    f"exceeds the {_MAX_SERIAL_FILTER_PX}-px pure-Python "
+                    "bound; swap in libpng/Pillow for large corpora"
+                )
             cur = line.copy()
             for x in range(stride):
                 left = cur[x - nch] if x >= nch else 0
                 cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
+            if stride > _MAX_SERIAL_FILTER_PX * nch:
+                raise NotImplementedError(
+                    f"PNG Paeth-filtered scanline of {stride // nch} px "
+                    f"exceeds the {_MAX_SERIAL_FILTER_PX}-px pure-Python "
+                    "bound; swap in libpng/Pillow for large corpora"
+                )
             cur = line.copy()
             for x in range(stride):
                 a = cur[x - nch] if x >= nch else 0
@@ -293,4 +331,4 @@ def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
     h, w = arr.shape[:2]
     ys = np.minimum((np.arange(th) * h) // th, h - 1)
     xs = np.minimum((np.arange(tw) * w) // tw, w - 1)
-    return arr[np.ix_(ys, xs)] if arr.ndim == 2 else arr[np.ix_(ys, xs)]
+    return arr[np.ix_(ys, xs)]

@@ -81,6 +81,13 @@ def _decode_image_bytes(content: bytes) -> "tuple[int, int, float]":
         raise NotImplementedError(
             "JPEG decode requires libjpeg (swap in PIL in deployment)"
         )
+    if fmt in ("pnm-ascii", "pbm"):
+        # recognizable image formats the codec doesn't implement — refuse
+        # like JPEG does instead of fabricating stats from raw bytes
+        raise NotImplementedError(
+            f"{fmt} (P1-P4) decode not implemented; only binary P5/P6 "
+            "PNM is supported (swap in PIL in deployment)"
+        )
     # deterministic fake derived from the payload so tests can assert
     w = 1 + (len(content) % 64)
     h = 1 + (content[0] if isinstance(content[0], int) else ord(content[0])) % 64

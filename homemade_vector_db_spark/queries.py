@@ -1032,6 +1032,7 @@ SAMPLE_PCT = 10
 # form is engine-portable; 2^32 mod 100 bias is ~1e-8.
 SAMPLE_HEX_OFF = 1  # md5 hex chars [1,8] → sampling buckets
 SPLIT_HEX_OFF = 9  # md5 hex chars [9,16] → split assignment
+STRATA_HEX_OFF = 17  # md5 hex chars [17,24] → stratified keep-fractions
 SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 90, 5
 
 
@@ -1288,15 +1289,22 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling: per-language keep-fractions over
-    the same md5-window key hash as hash_sample_docs (en kept at 20%,
-    other langs at 5%) — the 'rebalance the language mix' op of a training
-    pipeline. Reproducible across runs, engines, and repartitionings,
-    unlike .sampleBy(); the predicate is codegen'd (md5/conv are JVM
-    intrinsics), so at 100 TB it's a scan-side filter with no extra
-    pass."""
+    """Deterministic stratified sampling: per-language keep-fractions
+    (en kept at 20%, other langs at 5%) — the 'rebalance the language
+    mix' op of a training pipeline. Reproducible across runs, engines,
+    and repartitionings, unlike .sampleBy(); the predicate is codegen'd
+    (md5/conv are JVM intrinsics), so at 100 TB it's a scan-side filter
+    with no extra pass.
+
+    Round 7: buckets come from the STRATA md5 window (hex chars
+    [17,24]), disjoint from both the 10% hash-sample window [1,8] and
+    the split window [9,16] — so stratified membership is independent of
+    the downsampling pass and of split assignment, extending the round-6
+    independence rationale to all three laws (previously stratified
+    shared the SAMPLE window, making its keep-set a superset of the 10%
+    sample)."""
     docs = load_documents(spark, sf_dir)
-    bucket = _md5_bucket(F.col("doc_id"), SAMPLE_HEX_OFF)
+    bucket = _md5_bucket(F.col("doc_id"), STRATA_HEX_OFF)
     frac = F.when(F.col("lang") == "en", F.lit(20)).otherwise(F.lit(5))
     return (
         docs.where(bucket < frac)
@@ -3702,6 +3710,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 
 _SPLIT_BUCKET_SQL = _md5_bucket_sql("doc_id", SPLIT_HEX_OFF)
 _SAMPLE_BUCKET_SQL = _md5_bucket_sql("doc_id", SAMPLE_HEX_OFF)
+_STRATA_BUCKET_SQL = _md5_bucket_sql("doc_id", STRATA_HEX_OFF)
 
 _ORACLES["train_val_test_split"] = f"""
 SELECT source,
@@ -3810,7 +3819,7 @@ ORDER BY lang
 _ORACLES["stratified_sample"] = f"""
 SELECT lang, count(*) AS n_docs
 FROM documents
-WHERE {_SAMPLE_BUCKET_SQL}
+WHERE {_STRATA_BUCKET_SQL}
       < CASE WHEN lang = 'en' THEN 20 ELSE 5 END
 GROUP BY lang
 ORDER BY lang

@@ -562,3 +562,26 @@ def test_incremental_add_extends_hnsw_graph_without_rebuild(spark):
     assert isinstance(db._ann_index, NSWIndex)  # NOT invalidated
     assert db._ann_index.graph.count() == 61
     assert db.query_vector(planted, top_k=1) == [60]
+
+
+def test_add_repairs_legacy_nsw_index(spark):
+    """db.add() on a legacy-loaded NSW index (pre-round-4 manifest,
+    n_shards=0) auto-rebalances before the incremental insert instead of
+    surfacing nsw_add's operator-level ValueError — the hard error stays
+    for direct operator use (ADVICE r6)."""
+    from dataclasses import replace
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    n, dim = 60, 8
+    vecs = [[float(x) for x in rng.normal(size=dim)] for _ in range(n)]
+    db = VectorDatabase(spark, dim=dim, index_type="hnsw", M=6, ef_search=40)
+    db.add([f"doc {i}" for i in range(n)], vecs)
+    db.query_vector(vecs[0], top_k=1)  # force index build
+    assert db._ann_index is not None
+    db._ann_index = replace(db._ann_index, n_shards=0)  # legacy shape
+    late = [float(x) for x in rng.normal(size=dim)]
+    db.add(["late arrival"], [late])  # no raise: add() repaired the index
+    assert db._ann_index.n_shards > 0
+    assert db.query_vector(late, top_k=1) == [n]

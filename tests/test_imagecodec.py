@@ -152,3 +152,35 @@ def test_mean_luma_and_resize():
     assert np.array_equal(small[0, 0], arr[0, 0])
     g = ic.resize_nearest(gray, 2, 2)
     assert g.shape == (2, 2) and g.dtype == np.uint8
+
+
+def test_png_sub_filter_vectorized_wide():
+    """Sub unfilter is a per-channel cumsum (round-7 vectorization) —
+    exercise a wide scanline to catch any mod-256/overflow slip."""
+    arr = _rand_rgb(3, 1500, seed=17)
+    got = ic.decode_image(_png_with_filters(arr, [1]))
+    assert np.array_equal(got, arr)
+
+
+def test_png_serial_filters_bounded():
+    """Average/Paeth keep a true serial data dependence so they stay
+    per-byte Python — scanlines past the documented bound refuse honestly
+    (ADVICE r6); the vectorized filters have no bound."""
+    w = ic._MAX_SERIAL_FILTER_PX + 1
+    wide = np.zeros((1, w, 3), dtype=np.uint8)
+    for f in (3, 4):
+        with pytest.raises(NotImplementedError, match="pure-Python"):
+            ic.decode_image(_png_with_filters(wide, [f]))
+    assert ic.decode_image(_png_with_filters(wide, [1])).shape == (1, w, 3)
+    assert ic.decode_image(_png_with_filters(wide, [2])).shape == (1, w, 3)
+
+
+def test_sniff_recognizes_ascii_pnm_and_pbm():
+    """P1/P2/P3 (ASCII PNM) and P4 (PBM) sniff as real formats, not
+    'unknown', so the multimodal tier can refuse instead of fabricating
+    stats from their raw bytes (ADVICE r6)."""
+    assert ic.sniff_format(b"P3\n2 2\n255\n0 0 0 1 1 1 2 2 2 3 3 3") == "pnm-ascii"
+    assert ic.sniff_format(b"P1\n2 2\n0 1 1 0") == "pnm-ascii"
+    assert ic.sniff_format(b"P2\n2 2\n255\n0 1 2 3") == "pnm-ascii"
+    assert ic.sniff_format(b"P4\n2 2\n\x80\x40") == "pbm"
+    assert ic.sniff_format(b"Px not a magic") == "unknown"

@@ -157,3 +157,21 @@ def test_jpeg_refuses_honestly_through_spark(spark):
     )
     with pytest.raises(Exception, match="libjpeg"):
         multimodal.image_features(df).collect()
+
+
+def test_ascii_pnm_refuses_honestly_through_spark(spark):
+    """P1-P4 payloads are recognizable image formats the codec doesn't
+    decode — they refuse like JPEG instead of silently taking the
+    byte-derived fake-stats path (ADVICE r6)."""
+    df = spark.createDataFrame(
+        [
+            (13, "image", b"P3\n2 2\n255\n" + b"0 " * 12, "image/x-ppm",
+             None, None, None),
+            (14, "image", b"P4\n2 2\n\x80\x40", "image/x-pbm",
+             None, None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    for mid in (13, 14):
+        with pytest.raises(Exception, match="P1-P4"):
+            multimodal.image_features(df.where(f"media_id = {mid}")).collect()

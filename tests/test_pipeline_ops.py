@@ -573,3 +573,19 @@ def test_publish_derived_win_and_lose(tmp_path):
     with pytest.raises(OSError):
         Q._publish_derived(str(tmp3), str(broken))
     assert not tmp3.exists()
+
+
+def test_strata_window_independent_of_sample_and_split(spark):
+    """Round-7 (ADVICE r6 #5): stratified sampling reads its OWN md5
+    window (hex [17,24]), disjoint from the 10% hash-sample window [1,8]
+    and the split window [9,16] — so inside the 10% sample the 20%-strata
+    keep-fraction still holds (under the old shared window the strata
+    keep-set was a superset of the whole sample: conditional frac = 1)."""
+    df = spark.range(0, 20_000).select(F.col("id").alias("doc_id"))
+    bcol = Q._md5_bucket(F.col("doc_id"), Q.STRATA_HEX_OFF)
+    assert df.select(bcol.alias("b")).distinct().count() == 100
+    sampled = df.where(Q._md5_bucket(F.col("doc_id"), Q.SAMPLE_HEX_OFF) < 10)
+    n_sampled = sampled.count()
+    n_both = sampled.where(bcol < 20).count()
+    frac = n_both / n_sampled
+    assert 0.15 <= frac <= 0.25, (frac, n_both, n_sampled)
