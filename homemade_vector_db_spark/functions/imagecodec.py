@@ -116,6 +116,26 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 # -------------------------------------------------------------------- BMP
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) RGB uint8 → 24-bit BI_RGB BMP (bottom-up, rows padded
+    to 4 bytes) — the inverse of decode_bmp's 24-bit path."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp wants (H, W, 3) RGB")
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = arr[::-1, :, ::-1]  # bottom-up, RGB → BGR
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = rows.reshape(h, w * 3)
+    payload = body.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(payload), 0, 0, 0, 0
+    )
+    off = 14 + 40
+    file_hdr = b"BM" + struct.pack("<IHHI", off + len(payload), 0, 0, off)
+    return file_hdr + info + payload
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM":
         raise ValueError("not a BMP")

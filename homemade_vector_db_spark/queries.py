@@ -858,14 +858,17 @@ IMG_CHECKSUM_MOD = 1000003
 
 
 def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-codec gate (round 6): for each of the first IMG_STATS_N
-    doc_ids, build an 8x8 RGB image whose pixel law is pure arithmetic
-    (v = (doc_id*7 + i*13 + c*29) % 256), ENCODE it as both binary PPM
-    and PNG (zlib deflate), DECODE it back with the pure-numpy codec
-    (functions/imagecodec.py), and emit per-(doc, format) stats from the
-    DECODED pixels: dimensions, mean pixel value, and a
-    position-weighted checksum (sum((i*3+c+1)*v) mod p — permutation-
-    SENSITIVE, so a decoder that transposes rows, swaps channels, or
+    """Real-codec gate (round 6; round 7 covers ALL FOUR decodable
+    formats): for each of the first IMG_STATS_N doc_ids, build an 8x8
+    RGB image whose pixel law is pure arithmetic
+    (v = (doc_id*7 + i*13 + c*29) % 256), ENCODE it as binary PPM, PNG
+    (zlib deflate), and 24-bit BMP, plus the single-channel law
+    (v = (doc_id*7 + i*13) % 256) as binary PGM, DECODE each back with
+    the pure-numpy codec (functions/imagecodec.py), and emit
+    per-(doc, format) stats from the DECODED pixels: dimensions, mean
+    pixel value, and a position-weighted checksum (sum((i*nch+c+1)*v)
+    mod p — permutation-SENSITIVE, so a decoder that transposes rows,
+    swaps channels, flips BMP's bottom-up rows or BGR order, or
     mis-unfilters cannot pass). The DuckDB oracle re-derives the same
     stats directly from the arithmetic law without any codec — the hash
     match therefore certifies encoder->decoder pixel fidelity end to
@@ -893,8 +896,18 @@ def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     did * 7 + i_idx[:, None] * 13 + c_idx[None, :] * 29
                 ) % 256
                 arr = v.reshape(side, side, 3).astype(_np.uint8)
-                for fmt, enc in (("png", ic.encode_png), ("ppm", ic.encode_ppm)):
-                    dec = ic.decode_image(enc(arr))
+                gray = (
+                    ((did * 7 + i_idx * 13) % 256)
+                    .reshape(side, side)
+                    .astype(_np.uint8)
+                )
+                for fmt, enc, img in (
+                    ("bmp", ic.encode_bmp, arr),
+                    ("pgm", ic.encode_ppm, gray),
+                    ("png", ic.encode_png, arr),
+                    ("ppm", ic.encode_ppm, arr),
+                ):
+                    dec = ic.decode_image(enc(img))
                     h, w = dec.shape[:2]
                     flat = dec.reshape(-1).astype(_np.int64)
                     weights = _np.arange(1, flat.size + 1, dtype=_np.int64)
@@ -3995,18 +4008,27 @@ px AS (
   SELECT ids.doc_id, f.fmt, i.i, c.c,
          (ids.doc_id * 7 + i.i * 13 + c.c * 29) % 256 AS v
   FROM ids,
-       (SELECT unnest(['png', 'ppm']) AS fmt) f,
+       (SELECT unnest(['bmp', 'png', 'ppm']) AS fmt) f,
        generate_series(0, {IMG_SIDE * IMG_SIDE - 1}) i(i),
        generate_series(0, 2) c(c)
+),
+stats AS (
+  SELECT doc_id, fmt, avg(v) AS m,
+         sum((i * 3 + c + 1) * v) AS cs
+  FROM px GROUP BY doc_id, fmt
+  UNION ALL
+  SELECT ids.doc_id, 'pgm' AS fmt,
+         avg((ids.doc_id * 7 + i.i * 13) % 256),
+         sum((i.i + 1) * ((ids.doc_id * 7 + i.i * 13) % 256))
+  FROM ids, generate_series(0, {IMG_SIDE * IMG_SIDE - 1}) i(i)
+  GROUP BY ids.doc_id
 )
 SELECT doc_id, fmt,
        CAST({IMG_SIDE} AS INT) AS width,
        CAST({IMG_SIDE} AS INT) AS height,
-       round(avg(v) / 255, 6) AS mean_px,
-       CAST(sum((i * 3 + c + 1) * v) % {IMG_CHECKSUM_MOD} AS BIGINT)
-         AS pos_checksum
-FROM px
-GROUP BY doc_id, fmt
+       round(m / 255, 6) AS mean_px,
+       CAST(cs % {IMG_CHECKSUM_MOD} AS BIGINT) AS pos_checksum
+FROM stats
 ORDER BY doc_id, fmt
 """
 
@@ -6884,17 +6906,26 @@ HYGIENE_MAX_DUP_FRAC = 0.5
 
 
 def q_corpus_prep_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second-generation corpus-prep flagship, composing the round-2d
-    hygiene gates in ONE declarative plan: Gopher rule gate (pure
-    scan-side predicates) → exact dedup on normalized-text fingerprint
-    (keep min doc_id, arg-min via struct-min so text never shuffles) →
-    duplicated-span coverage filter (docs with > 50% of token positions
-    inside cross-doc duplicated 8-gram spans are dropped) → per-source
-    profile. Span duplication is computed over the FULL corpus, before
-    dedup (exact duplicates share every span, so survivors' coverage is
-    identical; this keeps a single scan feeding both branches).
-    Shuffle census: span-hash agg, doc_id window, fingerprint agg, final
-    per-source rollup — none of them carries document text."""
+    """Third-generation corpus-prep flagship (round 7), composing the
+    FULL training-data job in ONE declarative plan: Gopher rule gate
+    (pure scan-side predicates) → exact dedup on normalized-text
+    fingerprint (keep min doc_id, arg-min via struct-min so text never
+    shuffles) → duplicated-span coverage filter (docs with > 50% of
+    token positions inside cross-doc duplicated 8-gram spans are
+    dropped) → deterministic train/val/test split (md5-window law) →
+    cross-split decontamination (an eval survivor whose NORMALIZED
+    fingerprint — lowercase, punctuation-stripped, strictly stronger
+    than the dedup fingerprint, so post-dedup collisions still exist —
+    also appears on a train survivor is a train near-copy and is
+    dropped; train is canonical) → per-(source, split) profile with
+    leak counts. Span duplication is computed over the FULL corpus,
+    before dedup (exact duplicates share every span, so survivors'
+    coverage is identical; this keeps a single scan feeding both
+    branches).
+    Shuffle census: span-hash agg, doc_id window, fingerprint agg, ONE
+    nfp-keyed exchange for the train-seen flag (a window over the
+    already-small survivor set — 32-char hashes, never text), final
+    per-(source, split) rollup."""
     from pyspark.sql.window import Window
 
     d = load_documents(spark, sf_dir)
@@ -6919,16 +6950,26 @@ def q_corpus_prep_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (alpha >= 0.8)
         & (stops >= 2)
     )
+    nfp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        )
+    )
     kept = d.where(keep).select(
         "doc_id",
         "source",
         n.alias("n_tokens"),
         F.md5(F.concat_ws(" ", toks)).alias("fp"),
+        nfp.alias("nfp"),
     )
     survivors = (
         kept.groupBy("fp")
-        .agg(F.min(F.struct("doc_id", "source", "n_tokens")).alias("r"))
-        .select("r.doc_id", "r.source", "r.n_tokens")
+        .agg(F.min(F.struct("doc_id", "source", "n_tokens", "nfp")).alias("r"))
+        .select("r.doc_id", "r.source", "r.n_tokens", "r.nfp")
     )
     # cross-corpus duplicated 8-gram spans → per-doc covered positions
     k = DUP_SPAN_K
@@ -6981,14 +7022,37 @@ def q_corpus_prep_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dup_frac") <= HYGIENE_MAX_DUP_FRAC)
     )
+    # split assignment (pure hash of doc_id — docs never migrate) +
+    # decontamination: drop eval survivors whose normalized fingerprint
+    # also survives in train (split_decontam's law, applied post-dedup)
+    b = _md5_bucket(F.col("doc_id"), SPLIT_HEX_OFF)
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    tagged = final.withColumn("split", split)
+    train_seen = F.max(
+        F.when(F.col("split") == "train", 1).otherwise(0)
+    ).over(Window.partitionBy("nfp"))
+    dec = tagged.withColumn(
+        "leak",
+        F.when((F.col("split") != "train") & (train_seen == 1), 1).otherwise(0),
+    )
+    keep_row = F.col("leak") == 0
     return (
-        final.groupBy("source")
+        dec.groupBy("source", "split")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens_total"),
-            F.round(F.avg("dup_frac"), 6).alias("mean_dup_frac"),
+            F.sum(F.when(keep_row, 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(keep_row, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_total"),
+            F.sum("leak").cast("long").alias("n_dropped_leaks"),
+            F.round(F.avg(F.when(keep_row, F.col("dup_frac"))), 6).alias(
+                "mean_dup_frac"
+            ),
         )
-        .orderBy("source")
+        .orderBy("source", "split")
     )
 
 
@@ -7011,11 +7075,14 @@ g AS (
                            [{GOPHER_SQL_STOPS}])) >= 2
 ),
 surv AS (
-  SELECT doc_id, source, n_tokens
+  SELECT doc_id, source, n_tokens, nfp
   FROM (
-    SELECT doc_id, source, n_tokens,
-           row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
-    FROM g
+    SELECT g.doc_id, g.source, g.n_tokens,
+           md5(trim(regexp_replace(
+             regexp_replace(lower(d.text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g'))) AS nfp,
+           row_number() OVER (PARTITION BY md5(g.norm) ORDER BY g.doc_id) AS rn
+    FROM g JOIN documents d USING (doc_id)
   ) WHERE rn = 1
 ),
 w AS (
@@ -7033,19 +7100,38 @@ cov AS (
   GROUP BY doc_id
 ),
 final AS (
-  SELECT s.source, s.n_tokens,
+  SELECT s.doc_id, s.source, s.n_tokens, s.nfp,
          CAST(coalesce(cov.covered, 0) AS DOUBLE) / s.n_tokens AS dup_frac
   FROM surv s LEFT JOIN cov USING (doc_id)
   WHERE CAST(coalesce(cov.covered, 0) AS DOUBLE) / s.n_tokens
           <= {HYGIENE_MAX_DUP_FRAC}
+),
+dec AS (
+  SELECT source, n_tokens, dup_frac,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL}
+                   < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         max(CASE WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PCT}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY nfp) AS train_seen
+  FROM final
+),
+dec2 AS (
+  SELECT source, split, n_tokens, dup_frac,
+         CASE WHEN split <> 'train' AND train_seen = 1
+              THEN 1 ELSE 0 END AS leak
+  FROM dec
 )
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
-       round(avg(dup_frac), 6) AS mean_dup_frac
-FROM final
-GROUP BY source
-ORDER BY source
+SELECT source, split,
+       CAST(sum(CASE WHEN leak = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN leak = 0 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS n_tokens_total,
+       CAST(sum(leak) AS BIGINT) AS n_dropped_leaks,
+       round(avg(CASE WHEN leak = 0 THEN dup_frac END), 6) AS mean_dup_frac
+FROM dec2
+GROUP BY source, split
+ORDER BY source, split
 """
 
 

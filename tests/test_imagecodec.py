@@ -184,3 +184,14 @@ def test_sniff_recognizes_ascii_pnm_and_pbm():
     assert ic.sniff_format(b"P2\n2 2\n255\n0 1 2 3") == "pnm-ascii"
     assert ic.sniff_format(b"P4\n2 2\n\x80\x40") == "pbm"
     assert ic.sniff_format(b"Px not a magic") == "unknown"
+
+
+def test_encode_bmp_round_trip():
+    """Round-7 encoder (completes the 4-format in-plan certification):
+    encode_bmp → decode_image restores every pixel, including non-4-byte
+    row strides and the bottom-up BGR layout."""
+    for (h, w) in ((8, 8), (5, 7), (3, 2)):
+        arr = _rand_rgb(h, w, seed=h * 10 + w)
+        assert np.array_equal(ic.decode_image(ic.encode_bmp(arr)), arr)
+    with pytest.raises(ValueError, match="RGB"):
+        ic.encode_bmp(np.zeros((4, 4), dtype=np.uint8))

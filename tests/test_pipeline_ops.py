@@ -589,3 +589,46 @@ def test_strata_window_independent_of_sample_and_split(spark):
     n_both = sampled.where(bcol < 20).count()
     frac = n_both / n_sampled
     assert 0.15 <= frac <= 0.25, (frac, n_both, n_sampled)
+
+
+def test_flagship_composes_split_decontam(spark, tmp_path):
+    """Round-7 flagship composition: corpus_prep_hygiene's final stage
+    drops an eval survivor whose NORMALIZED fingerprint matches a train
+    survivor. Planted pair: same words, case flipped every 8th token —
+    distinct dedup fingerprints (case-sensitive), zero shared 8-gram
+    spans (dup_frac 0), identical nfp — so both survive gate+dedup+span
+    and the eval copy is dropped as a leak."""
+    # 24 words: two stopwords (len 3) + 22 len-5 words -> mwl 4.83,
+    # all-alpha, passes the Gopher gate (20..90 tokens, mwl 4..5)
+    words = ["the", "and"] + [f"word{chr(97 + i)}" for i in range(22)]
+    base = list(words)
+    # flip case at 0-indexed positions 2/10/18 (never the stopwords, which
+    # the gate matches case-sensitively); every 8-token window contains a
+    # flipped token, so the pair shares zero exact 8-gram spans
+    cased = [
+        w.upper() if i in (2, 10, 18) else w for i, w in enumerate(base)
+    ]
+    # find doc_ids landing in train vs not under the md5 split law
+    ids = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    b = Q._md5_bucket(F.col("doc_id"), Q.SPLIT_HEX_OFF)
+    buckets = {r.doc_id: r.b for r in ids.select("doc_id", b.alias("b")).collect()}
+    train_id = next(i for i, v in buckets.items() if v < 90)
+    eval_id = next(i for i, v in buckets.items() if v >= 90)
+    rows = [
+        (train_id, " ".join(base), "en", "web", len(" ".join(base))),
+        (eval_id, " ".join(cased), "en", "web", len(" ".join(cased))),
+    ]
+    d = tmp_path / "corpus"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = {
+        (r.source, r.split): r
+        for r in Q.q_corpus_prep_hygiene(spark, str(d)).collect()
+    }
+    train_row = out[("web", "train")]
+    assert train_row.n_docs == 1 and train_row.n_dropped_leaks == 0
+    eval_split = "val" if buckets[eval_id] < 95 else "test"
+    eval_row = out[("web", eval_split)]
+    assert eval_row.n_dropped_leaks == 1 and eval_row.n_docs == 0
