@@ -211,3 +211,140 @@ class DecontamGate:
             .outputMode("append")
             .start()
         )
+
+
+class SplitDecontamGate:
+    """Streaming twin of queries.split_decontam (round 7): keep eval
+    splits clean under INCREMENTAL ingest. Split assignment is a pure
+    hash of doc_id (the md5-window law), so a doc's split is known the
+    moment it arrives; contamination is not — an eval doc can land
+    BEFORE the train near-copy that contaminates it. The gate therefore
+    splits ingest-time state from serve-time judgment:
+
+    - per micro-batch (foreachBatch, batch=<id> overwrite idempotency —
+      a replayed batch rewrites its own directories, never duplicates):
+      train docs' distinct normalized fingerprints append to a
+      fingerprint ledger; eval docs (doc_id, split, nfp) append to an
+      eval ledger, UNDROPPED;
+    - at read time, `kept_eval()` anti-joins the eval ledger against
+      the union of all train fingerprints seen so far — so a train
+      near-copy arriving in batch 7 retroactively disqualifies the eval
+      doc from batch 2, exactly matching the batch operator over the
+      union of all batches (pytest-pinned equality with
+      split_decontam_counts).
+
+    Scale shape: the train ledger carries only 32-char fingerprints
+    (deduped within each batch); the serve-time anti-join is one
+    nfp-keyed shuffle — the same single exchange the batch twin pays.
+    """
+
+    def __init__(self, spark, root: str, text_col: str = "text"):
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.text_col = text_col
+        self.train_fp_path = os.path.join(root, "train_fps")
+        self.eval_path = os.path.join(root, "eval_docs")
+        self.train_kept_path = os.path.join(root, "train_docs")
+
+    def _tagged(self, batch: DataFrame) -> DataFrame:
+        from homemade_vector_db_spark import queries as _q
+
+        return _q._tag_splits(batch)
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        import os
+
+        if batch_id is None:
+            batch_id = 0
+        tagged = self._tagged(batch).persist()
+        try:
+            (
+                tagged.where(F.col("split") == "train")
+                .select("nfp")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.train_fp_path, f"batch={batch_id}"))
+            )
+            (
+                tagged.where(F.col("split") == "train")
+                .select("doc_id", "split")
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.train_kept_path, f"batch={batch_id}"))
+            )
+            (
+                tagged.where(F.col("split") != "train")
+                .select("doc_id", "split", "nfp")
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.eval_path, f"batch={batch_id}"))
+            )
+        finally:
+            tagged.unpersist()
+
+    def _train_fps(self) -> DataFrame:
+        return self.spark.read.parquet(self.train_fp_path).select("nfp").distinct()
+
+    def eval_ledger(self) -> DataFrame:
+        return self.spark.read.parquet(self.eval_path).drop("batch")
+
+    def kept_eval(self) -> DataFrame:
+        """Eval docs clean against every train doc seen SO FAR."""
+        return self.eval_ledger().join(
+            self._train_fps(), "nfp", "left_anti"
+        ).select("doc_id", "split")
+
+    def dropped_eval(self) -> DataFrame:
+        """(doc_id, split) of eval docs contaminated by any train doc
+        seen so far — the streaming twin of split_decontam_dropped."""
+        return self.eval_ledger().join(
+            self._train_fps(), "nfp", "left_semi"
+        ).select("doc_id", "split")
+
+    def counts(self) -> DataFrame:
+        """(split, n_before, n_dropped, n_after) over everything ingested
+        so far — schema-identical to queries.split_decontam_counts."""
+        ev = self.eval_ledger()
+        dropped_flag = F.when(
+            F.col("nfp").isNotNull() & F.col("seen").isNotNull(), 1
+        ).otherwise(0)
+        seen = self._train_fps().withColumn("seen", F.lit(1))
+        ev_counts = (
+            ev.join(seen, "nfp", "left")
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_before"),
+                F.sum(dropped_flag).cast("long").alias("n_dropped"),
+            )
+        )
+        train_counts = (
+            self.spark.read.parquet(self.train_kept_path)
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_before"),
+                F.lit(0).cast("long").alias("n_dropped"),
+            )
+        )
+        return (
+            ev_counts.unionByName(train_counts)
+            .select(
+                "split",
+                "n_before",
+                "n_dropped",
+                (F.col("n_before") - F.col("n_dropped")).alias("n_after"),
+            )
+            .orderBy("split")
+        )
+
+    def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
+        import os
+
+        return (
+            stream.writeStream.foreachBatch(self.ingest_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.root, "_sd_checkpoint"),
+            )
+            .outputMode("append")
+            .start()
+        )

@@ -953,3 +953,67 @@ def test_incremental_bpe_vocab_replay_idempotent(spark, tmp_path):
     assert sorted(
         (r.doc_id, r.n_bpe_tokens) for r in corpus.bpe_token_counts().collect()
     ) == before
+
+
+def test_split_decontam_gate_chunked_equals_batch(spark, tmp_path):
+    """Round-7 streaming twin of split_decontam: ingesting the documents
+    table in 3 chunks yields the SAME counts/dropped set as the batch
+    operator over the whole table — including retroactive drops (an eval
+    doc arriving before its train near-copy is disqualified once the
+    train copy lands). Replay of a batch is idempotent."""
+    from homemade_vector_db_spark import queries as Q
+    from homemade_vector_db_spark.streaming.filters import SplitDecontamGate
+
+    from tests.conftest import SF_SMOKE
+    docs = Q.load_documents(spark, SF_SMOKE).persist()
+    want_counts = [
+        tuple(r) for r in Q.split_decontam_counts(docs).collect()
+    ]
+    want_dropped = sorted(
+        tuple(r) for r in Q.split_decontam_dropped(docs).collect()
+    )
+
+    gate = SplitDecontamGate(spark, str(tmp_path / "sdg"))
+    # descending chunks: later chunks hold the SMALLEST doc_ids, so any
+    # train copy with a small id arrives after its eval near-copies
+    chunks = [
+        docs.where("doc_id % 3 = 2"),
+        docs.where("doc_id % 3 = 1"),
+        docs.where("doc_id % 3 = 0"),
+    ]
+    for i, ch in enumerate(chunks):
+        gate.ingest_batch(ch, i)
+    got_counts = [tuple(r) for r in gate.counts().collect()]
+    got_dropped = sorted(tuple(r) for r in gate.dropped_eval().collect())
+    assert got_counts == want_counts
+    assert got_dropped == want_dropped
+    # replay: re-run the middle batch; nothing changes
+    gate.ingest_batch(chunks[1], 1)
+    assert [tuple(r) for r in gate.counts().collect()] == want_counts
+    docs.unpersist()
+
+
+def test_split_decontam_gate_retroactive_drop(spark, tmp_path):
+    """An eval doc ingested BEFORE its train near-copy is kept at first,
+    then retroactively dropped when the train copy arrives — the property
+    that distinguishes the cross-split gate from the static-benchmark
+    DecontamGate."""
+    from homemade_vector_db_spark import queries as Q
+    from homemade_vector_db_spark.streaming.filters import SplitDecontamGate
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    b = Q._md5_bucket(F.col("doc_id"), Q.SPLIT_HEX_OFF)
+    buckets = {r.doc_id: r.b for r in ids.select("doc_id", b.alias("b")).collect()}
+    train_id = next(i for i, v in buckets.items() if v < 90)
+    eval_id = next(i for i, v in buckets.items() if v >= 90)
+    text = "shared near copy text"
+    schema = "doc_id long, text string"
+    gate = SplitDecontamGate(spark, str(tmp_path / "retro"))
+    gate.ingest_batch(spark.createDataFrame([(eval_id, text)], schema), 0)
+    assert [r.doc_id for r in gate.kept_eval().collect()] == [eval_id]
+    gate.ingest_batch(
+        spark.createDataFrame([(train_id, text.upper() + "!")], schema), 1
+    )  # same normalized fingerprint, different surface form
+    assert gate.kept_eval().count() == 0
+    assert [r.doc_id for r in gate.dropped_eval().collect()] == [eval_id]
