@@ -7784,9 +7784,24 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scripts/check_correctness.py (sf0.01 AND sf0.001) and
     scripts/run_all.py (sf0.1 execution)."""
     return {
-        # ---- driver window (slots 1-50), round 4 ----
-        # slots 1-8: the final never-driver-checked entries (judge-verified
-        # green in round 3; this rotation completes the driver record)
+        # ---- driver window (slots 1-50), round 7 ----
+        # slots 1-2 (VERDICT r6 Next #1): the two sampling entries whose
+        # bucket law changed in round 6 (md5 window) — and stratified's
+        # changed AGAIN this round (own disjoint STRATA window, ADVICE
+        # r6 #5) — re-earn driver rows here
+        "hash_sample_docs": q_hash_sample_docs,
+        "stratified_sample": q_stratified_sample,
+        # slots 3-4: changed this round — the flagship now composes the
+        # split + decontamination stages (new (source, split) schema),
+        # and the codec gate covers all 4 formats (bmp/pgm added)
+        "corpus_prep_hygiene": q_corpus_prep_hygiene,
+        "image_pixel_stats": q_image_pixel_stats,
+        # slots 5-7: batch-search entries whose operator code gained the
+        # bounded-collect guard this round (knn_batch / nsw_batch_search)
+        "knn_batch": q_knn_batch,
+        "ann_batch_recall": q_ann_batch_recall,
+        "nsw_batch_recall": q_nsw_batch_recall,
+        # remaining slots: r06-green filler (zero regression risk)
         "maxsim_grouped": q_maxsim_grouped,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "token_chunks": q_token_chunks,
@@ -7805,12 +7820,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # normalization-insensitive dedup)
         "bpe_stats": q_bpe_stats,
         "train_val_test_split": q_train_val_test_split,
-        "nsw_batch_recall": q_nsw_batch_recall,
         "dedup_normalized": q_dedup_normalized,
         "split_leakage_check": q_split_leakage_check,
         "split_decontam": q_split_decontam,
         "split_decontam_docs": q_split_decontam_docs,
-        "image_pixel_stats": q_image_pixel_stats,
         # remaining slots: r03-green filler (zero regression risk)
         "truncated_rerank_topk": q_truncated_rerank_topk,
         "cosine_neardup": q_cosine_neardup,
@@ -7911,12 +7924,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "sq_recall": q_sq_recall,
         "ivfpq_recall": q_ivfpq_recall,
-        "ann_batch_recall": q_ann_batch_recall,
         "lsh_neardup_check": q_lsh_neardup_check,
         "simhash_check": q_simhash_check,
         "ndv_sketch_check": q_ndv_sketch_check,
         "pctl_sketch_check": q_pctl_sketch_check,
-        "corpus_prep_hygiene": q_corpus_prep_hygiene,
         "repetition_stats": q_repetition_stats,
         # ---- r01-verified tail (green rows in CORRECTNESS_r01.json) ----
         "knn_exact": q_knn_exact,
@@ -7942,7 +7953,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_total": q_user_running_total,
         "knn_prepost": q_knn_prepost,
         "minhash_neardup": q_minhash_neardup,
-        "knn_batch": q_knn_batch,
         "asof_click_before_purchase": q_asof_click_before_purchase,
         "pricing_rollup": q_pricing_rollup,
         "clickers_not_buyers": q_clickers_not_buyers,
@@ -7958,9 +7968,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_q3": q_top_orders_q3,
         "cube_pricing": q_cube_pricing,
         "grouping_sets_pricing": q_grouping_sets_pricing,
-        "hash_sample_docs": q_hash_sample_docs,
         "length_histogram": q_length_histogram,
-        "stratified_sample": q_stratified_sample,
     }
 
 
