@@ -105,6 +105,25 @@ def _bm25_stats(spark: SparkSession, sf_dir: str) -> "bm25.BM25Stats":
     return _BM25_STATS[sf_dir]
 
 
+_BM25_STATS_CORPUS: dict[str, "bm25.BM25Stats"] = {}
+
+
+def _bm25_stats_corpus(spark: SparkSession, sf_dir: str) -> "bm25.BM25Stats":
+    """BM25 stats over the HYBRID corpus (documents ⋈ embeddings) — the
+    reference's hybrid_search scores with the BM25 object built over the
+    database's own docs, all of which carry vectors (local_db.py:35-37,
+    323-401). Distinct from _bm25_stats (full documents table, the
+    text-only entries' corpus): at sf0.1 embeddings covers only a subset
+    of documents, so N/avgdl/df/idf genuinely differ — round 7 caught
+    the hybrid entries scoring with full-corpus stats while their
+    oracles (correctly) used joined-corpus stats."""
+    if sf_dir not in _BM25_STATS_CORPUS:
+        _BM25_STATS_CORPUS[sf_dir] = bm25.build_bm25_stats(
+            _corpus(spark, sf_dir)
+        ).cache()
+    return _BM25_STATS_CORPUS[sf_dir]
+
+
 # ANN/PQ indexes built once per (variant, corpus) per session — same
 # index-built-at-add-time treatment as the BM25 state above (the
 # reference's query path never trains an index, local_db.py:137-200);
@@ -570,7 +589,7 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qvec_list(spark, sf_dir),
         top_k=TOP_K,
         vector_weight=HYBRID_W,
-        stats=_bm25_stats(spark, sf_dir),
+        stats=_bm25_stats_corpus(spark, sf_dir),
         dim=EMB_DIM,
     )
 
@@ -586,23 +605,36 @@ def q_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=TOP_K,
         vector_weight=HYBRID_W,
         filter_pred=F.col("lang") == "en",
-        stats=_bm25_stats(spark, sf_dir),
+        stats=_bm25_stats_corpus(spark, sf_dir),
         dim=EMB_DIM,
     )
 
 
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational agg coverage (§2.2): TPC-H Q1-style pricing summary."""
+    """Relational agg coverage (§2.2): TPC-H Q1-style pricing summary.
+
+    Round 7: the money sums aggregate in DECIMAL, not double. At sf0.1
+    the price sums reach ~2.8e9, where a 6dp-rounded double sum needs 16
+    significant digits — past float64's guarantee — so different
+    summation orders (Spark partial aggs vs DuckDB) disagreed in the
+    last digits. Prices/discounts are 2-decimal money values, so the
+    decimal(12,2) casts are exact, decimal summation is associative
+    (order-independent at ANY scale — the property a 1000-executor
+    aggregation needs), and both engines produce the identical value;
+    the final cast back to double is then the same number. sum_qty stays
+    double: integer quantities sum exactly below 2^53."""
     li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("sum_disc_price"),
+            F.round(F.sum(price), 6).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)), 6)
+            .cast("double")
+            .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -3242,8 +3274,12 @@ _ORACLES["hybrid_filtered"] = _hybrid_sql("AND lang = 'en'")
 _ORACLES["lineitem_pricing"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 6) AS DOUBLE)
+         AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(12,2))
+                         - CAST(l_discount AS DECIMAL(12,2)))), 6) AS DOUBLE)
+         AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -7801,6 +7837,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": q_knn_batch,
         "ann_batch_recall": q_ann_batch_recall,
         "nsw_batch_recall": q_nsw_batch_recall,
+        # slots 8-10: sf0.1-hardening fixes found by the full-registry
+        # sf0.1 sweep this round — hybrid entries now score with
+        # joined-corpus BM25 stats (reference parity; full-docs stats
+        # diverged once embeddings stopped covering every doc), and the
+        # TPC-H Q1 money sums aggregate in decimal (order-independent at
+        # any scale; the double sums needed 16 sig digits at sf0.1)
+        "hybrid_topk": q_hybrid_topk,
+        "hybrid_filtered": q_hybrid_filtered,
+        "lineitem_pricing": q_lineitem_pricing,
         # remaining slots: r06-green filler (zero regression risk)
         "maxsim_grouped": q_maxsim_grouped,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -7938,9 +7983,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_conditions": q_meta_conditions,
         "point_lookup": q_point_lookup,
         "count": q_count,
-        "hybrid_topk": q_hybrid_topk,
-        "hybrid_filtered": q_hybrid_filtered,
-        "lineitem_pricing": q_lineitem_pricing,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "dedup_exact": q_dedup_exact,
