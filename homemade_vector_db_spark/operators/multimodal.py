@@ -224,27 +224,54 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
-def _extract_audio_features(content: bytes) -> "tuple[float, list[float]]":
-    """STUB audio decode — deterministic fake standing in for
-    librosa/torchaudio. Returns (rms, mfcc-like coefficients). Real
-    deployments replace this body with a resample + MFCC pipeline; the
-    Spark contract (bytes in, fixed-width floats out, Arrow-batched) is
-    what the tests pin down."""
+def _extract_audio_features(
+    content: bytes,
+) -> "tuple[int | None, float, list[float]]":
+    """Audio decode. Returns (duration_ms | None, rms, mfcc-like coeffs).
+
+    RIFF/WAVE payloads are REALLY decoded (pure numpy + struct —
+    functions/audiocodec.py: PCM 8/16/24/32-bit + float32/64, extensible
+    wrappers, chunk-walking): duration and RMS come from the samples.
+    The mfcc vector remains a documented STUB (a real MFCC needs an FFT
+    + mel filterbank + DCT pipeline — librosa's domain), seeded from the
+    real (rms, zcr) so it is deterministic per decoded signal.
+    Recognizable compressed formats (MP3/FLAC/OGG) refuse honestly like
+    JPEG; unknown magic keeps the deterministic byte-derived fake so the
+    Arrow-batch plumbing stays testable with arbitrary payloads."""
     if content is None or len(content) == 0:
         raise NotImplementedError(
             "real audio decode requires an audio library (librosa/ffmpeg); "
             "empty payloads have no deterministic fake"
         )
+    from homemade_vector_db_spark.functions import audiocodec as ac
+
+    fmt = ac.sniff_audio_format(content)
+    if fmt == "wav":
+        rate, x = ac.decode_wav(content)
+        dur_ms = int(round(1000.0 * x.shape[0] / rate)) if rate else 0
+        r = ac.rms(x)
+        z = ac.zero_crossing_rate(x)
+        mfcc = [
+            float((((r + z) * 131 + i * 17) % 20) - 10.0) for i in range(13)
+        ]
+        return dur_ms, r, mfcc
+    if fmt in ("mp3", "flac", "ogg"):
+        raise NotImplementedError(
+            f"{fmt} decode requires ffmpeg/librosa (swap in at this seam "
+            "in deployment); only RIFF/WAVE PCM decodes natively"
+        )
     rms = (sum(content[:32]) % 1000) / 1000.0
     mfcc = [float(((rms * 131 + i * 17) % 20) - 10.0) for i in range(13)]
-    return rms, mfcc
+    return None, rms, mfcc
 
 
 def audio_features(df: DataFrame) -> DataFrame:
     """Decode + feature-extract audio rows via mapInPandas (Arrow batches):
-    (media_id, duration_ms, n_bytes, rms, mfcc[13]). Same batched shape as
-    image_features — swap the stub for a real DSP call and the plan,
-    partitioning, and schema are unchanged."""
+    (media_id, duration_ms, n_bytes, rms, mfcc[13]). WAV payloads are
+    really decoded (duration_ms and rms come from the samples — the
+    metadata column is overridden by ground truth); other payloads keep
+    the metadata duration and the stub features. Same batched shape as
+    image_features."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -253,8 +280,11 @@ def audio_features(df: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["duration_ms"], pdf["content"]
             ):
                 data = bytes(content) if content is not None else b""
-                rms, mfcc = _extract_audio_features(data)
-                rows.append((mid, dur, len(data), rms, mfcc))
+                real_dur, rms, mfcc = _extract_audio_features(data)
+                rows.append(
+                    (mid, real_dur if real_dur is not None else dur,
+                     len(data), rms, mfcc)
+                )
             yield pd.DataFrame(
                 rows, columns=["media_id", "duration_ms", "n_bytes", "rms", "mfcc"]
             )

@@ -888,6 +888,96 @@ IMG_STATS_N = 24  # docs turned into synthetic images per format
 IMG_SIDE = 8  # 8x8 RGB
 IMG_CHECKSUM_MOD = 1000003
 
+AUDIO_STATS_N = 24  # docs turned into synthetic PCM clips per format
+AUDIO_N_SAMPLES = 480  # 30 ms @ 16 kHz, mono
+AUDIO_RATE = 16000
+# (format, bits, modulus, multiplier): the shifted-sample law is
+# v = ((doc_id*31 + i*7) * mult) % modulus, stored as int = v - modulus/2
+_AUDIO_FMTS = (
+    ("wav8", 8, 256, 1),
+    ("wav16", 16, 65536, 97),
+    ("wav24", 24, 16777216, 12289),
+)
+
+
+def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-audio-codec gate (round 7; sibling of q_image_pixel_stats):
+    for each of the first AUDIO_STATS_N doc_ids and each PCM width
+    (8/16/24-bit), build a 480-sample mono clip whose SHIFTED sample law
+    is pure arithmetic (v = ((doc_id*31 + i*7)*mult) mod 2^bits, stored
+    sample = v - 2^(bits-1)), ENCODE it as RIFF/WAVE, DECODE it back
+    with the pure-numpy codec (functions/audiocodec.py), reconstruct the
+    integer samples from the normalized floats, and emit per-(doc, fmt)
+    stats from the DECODED samples: frame count, sample rate, duration,
+    mean shifted amplitude, and a position-weighted checksum
+    (sum((i+1)*v) mod p — permutation-sensitive, so a decoder that
+    reverses byte order, mis-widens 24-bit frames, or drops the chunk
+    walk cannot pass). The DuckDB oracle re-derives the same stats
+    straight from the law with no codec — a hash match certifies
+    encoder->decoder sample fidelity end to end. Working with the
+    SHIFTED value v keeps both engines' modulo semantics positive.
+
+    Scale shape: mapInPandas over the id relation — Arrow-batched on
+    executors like the production audio_features kernel; no driver
+    decode."""
+    import pandas as _pd
+
+    from homemade_vector_db_spark.functions import audiocodec as ac
+
+    n, rate, mod = AUDIO_N_SAMPLES, AUDIO_RATE, IMG_CHECKSUM_MOD
+    fmts = _AUDIO_FMTS
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                i_idx = _np.arange(n, dtype=_np.int64)
+                for fmt, bits, modulus, mult in fmts:
+                    half = modulus // 2
+                    v = ((did * 31 + i_idx * 7) * mult) % modulus
+                    ints = v - half
+                    wav = ac.encode_wav(ints.astype(_np.int64), rate, bits=bits)
+                    got_rate, x = ac.decode_wav(wav)
+                    v2 = (
+                        _np.round(x[:, 0] * half).astype(_np.int64) + half
+                    )
+                    weights = _np.arange(1, len(v2) + 1, dtype=_np.int64)
+                    out.append(
+                        (
+                            did,
+                            fmt,
+                            int(x.shape[0]),
+                            int(got_rate),
+                            int(round(1000.0 * x.shape[0] / got_rate)),
+                            round(float(v2.sum()) / len(v2) / modulus, 6),
+                            int((weights * v2).sum() % mod),
+                        )
+                    )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "fmt", "n_samples", "sr", "duration_ms",
+                    "mean_amp", "pos_checksum",
+                ],
+            )
+
+    ids = (
+        load_documents(spark, sf_dir)
+        .where(F.col("doc_id") < AUDIO_STATS_N)
+        .select("doc_id")
+        .distinct()
+    )
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, fmt string, n_samples int, sr int, "
+            "duration_ms int, mean_amp double, pos_checksum long"
+        ),
+    ).orderBy("doc_id", "fmt")
+
 
 def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-codec gate (round 6; round 7 covers ALL FOUR decodable
@@ -4065,6 +4155,34 @@ SELECT doc_id, fmt,
        round(m / 255, 6) AS mean_px,
        CAST(cs % {IMG_CHECKSUM_MOD} AS BIGINT) AS pos_checksum
 FROM stats
+ORDER BY doc_id, fmt
+"""
+
+# Audio sibling of the image gate above: the oracle re-derives the PCM
+# stats straight from the arithmetic sample law — no codec — so a hash
+# match certifies the Spark side's WAV encode->decode reproduced every
+# sample in position, across 8/16/24-bit widths.
+_ORACLES["audio_pcm_stats"] = f"""
+WITH ids AS (
+  SELECT DISTINCT doc_id FROM documents WHERE doc_id < {AUDIO_STATS_N}
+),
+fmts(fmt, modulus, mult) AS (
+  VALUES ('wav8', 256, 1), ('wav16', 65536, 97), ('wav24', 16777216, 12289)
+),
+v AS (
+  SELECT ids.doc_id, f.fmt, f.modulus, i.i,
+         ((ids.doc_id * 31 + i.i * 7) * f.mult) % f.modulus AS v
+  FROM ids, fmts f, generate_series(0, {AUDIO_N_SAMPLES - 1}) i(i)
+)
+SELECT doc_id, fmt,
+       CAST({AUDIO_N_SAMPLES} AS INT) AS n_samples,
+       CAST({AUDIO_RATE} AS INT) AS sr,
+       CAST(round(1000.0 * {AUDIO_N_SAMPLES} / {AUDIO_RATE}) AS INT)
+         AS duration_ms,
+       round(avg(v) / modulus, 6) AS mean_amp,
+       CAST(sum((i + 1) * v) % {IMG_CHECKSUM_MOD} AS BIGINT) AS pos_checksum
+FROM v
+GROUP BY doc_id, fmt, modulus
 ORDER BY doc_id, fmt
 """
 
@@ -7846,6 +7964,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": q_hybrid_topk,
         "hybrid_filtered": q_hybrid_filtered,
         "lineitem_pricing": q_lineitem_pricing,
+        # slot 11: NEW this round — WAV/PCM codec certification (the
+        # audio sibling of image_pixel_stats)
+        "audio_pcm_stats": q_audio_pcm_stats,
         # remaining slots: r06-green filler (zero regression risk)
         "maxsim_grouped": q_maxsim_grouped,
         "boilerplate_ngrams": q_boilerplate_ngrams,
