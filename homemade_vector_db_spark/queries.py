@@ -2395,19 +2395,30 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window lag(): per-user event-to-event value deltas, profiled per
     user. One shuffle on user_id serves both the lag window and the final
-    group-by (same partitioning, Catalyst reuses the exchange)."""
+    group-by (same partitioning, Catalyst reuses the exchange).
+
+    Round 7: deltas and their sum are decimal(12,2) (values are 2-decimal
+    money, so the casts are exact and the sum is order-independent); the
+    mean divides the exact sum as a double — at sf0.1 one user's double
+    avg landed exactly on a .5e-6 rounding boundary and the two engines'
+    summation orders rounded it apart."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    delta = F.col("value") - F.lag("value").over(w)
+    val = F.col("value").cast("decimal(12,2)")
+    delta = val - F.lag(val).over(w)
     return (
         ev.withColumn("delta", delta)
         .where(F.col("delta").isNotNull())
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_deltas"),
-            F.round(F.avg(F.abs(F.col("delta"))), 6).alias("avg_abs_delta"),
+            F.round(
+                F.sum(F.abs(F.col("delta"))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_abs_delta"),
         )
         .orderBy("user_id")
     )
@@ -2451,13 +2462,19 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum("o_totalprice").alias("rev"))
+        # decimal money sum (round 7): per-nation revenue reaches ~1.6e9
+        # at sf0.1, past double's 16-digit guarantee under reordering
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"))
     )
     total = Window.partitionBy()
     return rev.select(
         "n_name",
-        F.round("rev", 6).alias("revenue"),
-        F.round(F.col("rev") / F.sum("rev").over(total), 6).alias("share"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(total).cast("double"),
+            6,
+        ).alias("share"),
     ).orderBy(F.desc("revenue"), F.asc("n_name"))
 
 
@@ -4471,12 +4488,12 @@ WHERE p.p_partkey = l.l_partkey
 _ORACLES["user_value_delta"] = """
 WITH d AS (
   SELECT user_id,
-         value - lag(value) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS delta
+         CAST(value AS DECIMAL(12,2)) - lag(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
   FROM events
 )
 SELECT user_id, count(*) AS n_deltas,
-       round(avg(abs(delta)), 6) AS avg_abs_delta
+       round(CAST(sum(abs(delta)) AS DOUBLE) / count(*), 6) AS avg_abs_delta
 FROM d
 WHERE delta IS NOT NULL
 GROUP BY user_id
@@ -4501,13 +4518,14 @@ ORDER BY o_orderpriority, decile
 
 _ORACLES["nation_revenue_share"] = """
 WITH rev AS (
-  SELECT n_name, sum(o_totalprice) AS rev
+  SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
   FROM orders, customer, nation
   WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
   GROUP BY n_name
 )
-SELECT n_name, round(rev, 6) AS revenue,
-       round(rev / sum(rev) OVER (), 6) AS share
+SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE), 6)
+         AS share
 FROM rev
 ORDER BY revenue DESC, n_name
 """
@@ -4795,13 +4813,26 @@ def q_ppl_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-decile profile (the CCNet bucketing step): per-doc
     unigram NLL (same LM as `unigram_logprob`), split into 10
     equal-population buckets, reporting each bucket's size and mean
-    NLL/length. Scale-first decile assignment: the 9 boundaries come from
-    ONE `percentile` aggregate (a tree-reduce, rows never leave their
-    partitions) broadcast back as an array literal — not a global-window
-    `ntile`, which would funnel every row through a single partition at
-    100 TB. Bucket = 1 + #boundaries below my nll (duplicate-heavy
-    corpora make boundary values exact, so the comparison is
-    engine-stable)."""
+    NLL/length.
+
+    Round 7: boundaries are DISCRETE order statistics computed from the
+    rounded-nll distribution, not an interpolated `percentile` — at
+    sf0.1 Spark's linear-interpolation percentile and DuckDB's
+    quantile_cont disagreed in the last float digits of an interpolated
+    boundary and 3 boundary-tied docs flipped buckets. Now: b_k = the
+    smallest rounded nll whose cumulative doc count reaches
+    ceil(n·k/10); every comparison is between 6dp-rounded values both
+    engines agree on exactly (verified doc-for-doc at sf0.1), so
+    assignment is engine-stable by construction; ties collapse into the
+    lower bucket, the standard deterministic treatment.
+
+    Scale shape: per-doc NLL is postings-shaped (one shuffle); the
+    cumulative window runs over the DISTINCT-rounded-value relation
+    (≤ a few thousand rows regardless of corpus size — bounded by the
+    6dp value grid, not by docs), so the single-partition window is a
+    constant-size step, and the 9 boundaries broadcast back."""
+    from pyspark.sql import Window
+
     stats = _bm25_stats(spark, sf_dir)
     totals = stats.postings.groupBy("term").agg(F.sum("tf").alias("ctf"))
     corpus_tokens = totals.agg(F.sum("ctf").alias("T"))
@@ -4817,26 +4848,30 @@ def q_ppl_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll")
         )
     )
-    qs = [i / PPL_DECILES for i in range(1, PPL_DECILES)]
-    bounds = per_doc.agg(
-        F.percentile("nll", F.array(*[F.lit(q) for q in qs])).alias("bs")
+    dist = per_doc.groupBy("nll").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("nll").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select("nll", F.sum("c").over(wv).alias("cum"))
+    total = cum.agg(F.max("cum").alias("n"))
+    ks = range(1, PPL_DECILES)
+    bounds = cum.crossJoin(F.broadcast(total)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.floor((F.col("n") * k + (PPL_DECILES - 1)) / float(PPL_DECILES)),
+                    F.col("nll"),
+                )
+            ).alias(f"b{k}")
+            for k in ks
+        ]
     )
     docs = load_documents(spark, sf_dir).select("doc_id", "n_chars")
+    decile = 1 + sum(
+        F.when(F.col("nll") > F.col(f"b{k}"), 1).otherwise(0) for k in ks
+    )
     return (
         per_doc.crossJoin(F.broadcast(bounds))
-        .select(
-            "doc_id",
-            "nll",
-            (
-                1
-                + F.aggregate(
-                    "bs",
-                    F.lit(0),
-                    lambda acc, b: acc
-                    + F.when(F.col("nll") > b, 1).otherwise(0),
-                )
-            ).alias("decile"),
-        )
+        .select("doc_id", "nll", decile.alias("decile"))
         .join(docs, "doc_id")
         .groupBy("decile")
         .agg(
@@ -5281,14 +5316,23 @@ per_doc AS (
   FROM postings p0 JOIN lm ON p0.term = lm.term
   GROUP BY p0.doc_id
 ),
+dist AS (SELECT nll, count(*) AS c FROM per_doc GROUP BY nll),
+cum AS (SELECT nll, sum(c) OVER (ORDER BY nll) AS cum FROM dist),
+tot AS (SELECT max(cum) AS n FROM cum),
 bounds AS (
-  SELECT quantile_cont(nll, [{", ".join(str(i / PPL_DECILES) for i in range(1, PPL_DECILES))}]) AS bs
-  FROM per_doc
+  SELECT {", ".join(
+      f"min(CASE WHEN cum >= floor((n * {k} + {PPL_DECILES - 1}) / {PPL_DECILES}.0) "
+      f"THEN nll END) AS b{k}"
+      for k in range(1, PPL_DECILES)
+  )}
+  FROM cum, tot
 ),
 bucketed AS (
   SELECT d.doc_id, d.nll,
-         1 + list_sum(list_transform(b.bs,
-             x -> CASE WHEN d.nll > x THEN 1 ELSE 0 END)) AS decile
+         1 + {" + ".join(
+      f"(CASE WHEN d.nll > b.b{k} THEN 1 ELSE 0 END)"
+      for k in range(1, PPL_DECILES)
+  )} AS decile
   FROM per_doc d, bounds b
 )
 SELECT CAST(decile AS BIGINT) AS decile,
@@ -7967,6 +8011,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 11: NEW this round — WAV/PCM codec certification (the
         # audio sibling of image_pixel_stats)
         "audio_pcm_stats": q_audio_pcm_stats,
+        # slots 12-14: the remaining sf0.1-sweep findings — discrete
+        # order-statistic decile boundaries (interpolated percentile was
+        # engine-divergent), and decimal money aggregation for the lag-
+        # delta profile and the revenue-share rollup
+        "ppl_deciles": q_ppl_deciles,
+        "user_value_delta": q_user_value_delta,
+        "nation_revenue_share": q_nation_revenue_share,
         # remaining slots: r06-green filler (zero regression risk)
         "maxsim_grouped": q_maxsim_grouped,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -7994,7 +8045,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncated_rerank_topk": q_truncated_rerank_topk,
         "cosine_neardup": q_cosine_neardup,
         "vocab_stats": q_vocab_stats,
-        "ppl_deciles": q_ppl_deciles,
         "dsir_weights": q_dsir_weights,
         "pii_scan": q_pii_scan,
         "weighted_sample": q_weighted_sample,
@@ -8064,9 +8114,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "late_orders_by_priority": q_late_orders_by_priority,
         "small_qty_revenue": q_small_qty_revenue,
-        "user_value_delta": q_user_value_delta,
         "order_price_deciles": q_order_price_deciles,
-        "nation_revenue_share": q_nation_revenue_share,
         "corpus_prep": q_corpus_prep,
         "segment_revenue_sql": q_segment_revenue_sql,
         "salted_event_weights": q_salted_event_weights,
