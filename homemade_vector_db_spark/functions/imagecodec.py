@@ -326,9 +326,16 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "jpeg":
+        # round 7: baseline sequential JPEG decodes for real
+        # (functions/jpegcodec.py); progressive/12-bit still refuse
+        # inside decode_jpeg with NotImplementedError
+        from homemade_vector_db_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(bytes(data))
     raise NotImplementedError(
-        f"no pure-python decoder for format {fmt!r} (JPEG and friends "
-        "need libjpeg/ffmpeg — swap in PIL in a real deployment)"
+        f"no pure-python decoder for format {fmt!r} "
+        "(swap in PIL in a real deployment)"
     )
 
 

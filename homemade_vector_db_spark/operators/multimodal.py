@@ -60,10 +60,11 @@ def _decode_image_bytes(content: bytes) -> "tuple[int, int, float]":
     """Returns (width, height, mean_luma).
 
     PPM/PGM/BMP/PNG payloads are REALLY decoded (pure numpy + stdlib
-    zlib — functions/imagecodec.py); JPEG raises NotImplementedError
-    honestly (needs libjpeg); bytes with no known image magic keep the
-    deterministic byte-derived fake so the Arrow-batch plumbing remains
-    testable with arbitrary payloads.
+    zlib — functions/imagecodec.py), and since round 7 so is baseline
+    sequential JPEG (functions/jpegcodec.py — standard Huffman + DCT;
+    progressive/12-bit refuse inside the decoder); bytes with no known
+    image magic keep the deterministic byte-derived fake so the
+    Arrow-batch plumbing remains testable with arbitrary payloads.
     """
     if content is None or len(content) == 0:
         raise NotImplementedError(
@@ -73,14 +74,10 @@ def _decode_image_bytes(content: bytes) -> "tuple[int, int, float]":
     from homemade_vector_db_spark.functions import imagecodec as ic
 
     fmt = ic.sniff_format(content)
-    if fmt in ("ppm", "pgm", "bmp", "png"):
+    if fmt in ("ppm", "pgm", "bmp", "png", "jpeg"):
         arr = ic.decode_image(content)
         h, w = arr.shape[:2]
         return w, h, ic.mean_luma(arr)
-    if fmt == "jpeg":
-        raise NotImplementedError(
-            "JPEG decode requires libjpeg (swap in PIL in deployment)"
-        )
     if fmt in ("pnm-ascii", "pbm"):
         # recognizable image formats the codec doesn't implement — refuse
         # like JPEG does instead of fabricating stats from raw bytes
@@ -149,7 +146,7 @@ def resize_images(df: DataFrame, target: int = 32) -> DataFrame:
                 w, h, _ = _decode_image_bytes(data)
                 scale = target / max(w, h)
                 tw, th = max(1, round(w * scale)), max(1, round(h * scale))
-                if ic.sniff_format(data) in ("ppm", "pgm", "bmp", "png"):
+                if ic.sniff_format(data) in ("ppm", "pgm", "bmp", "png", "jpeg"):
                     small = ic.resize_nearest(ic.decode_image(data), tw, th)
                     thumb = ic.encode_ppm(small)
                 else:
@@ -163,12 +160,21 @@ def resize_images(df: DataFrame, target: int = 32) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
-    """Frame-sampling plumbing for video rows: emits (media_id, frame_idx,
-    frame_bytes) — 1→N row fan-out through mapInPandas, the exact shape a
-    real ffmpeg-backed sampler produces. Stub slices the payload
-    deterministically instead of decoding a container format."""
+    """Frame sampling for video rows: emits (media_id, frame_idx,
+    frame_bytes) — 1→N row fan-out through mapInPandas.
+
+    MJPEG-AVI payloads are REALLY parsed (round 7,
+    functions/avicodec.py: RIFF chunk walk into the movi list): every
+    every_n-th frame chunk is emitted, up to max_frames, and each
+    frame_bytes is a standalone baseline JPEG the image tier can decode
+    (functions/jpegcodec.py handles MJPEG's DHT-less convention).
+    MP4/MKV refuse honestly (H.264 etc. genuinely need ffmpeg); unknown
+    payloads keep the deterministic byte-slicing stub so the plumbing
+    stays testable."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from homemade_vector_db_spark.functions import avicodec as av
+
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -176,6 +182,17 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> Data
                 if not data:
                     raise NotImplementedError(
                         "real frame sampling requires ffmpeg; empty payload"
+                    )
+                fmt = av.sniff_video_format(data)
+                if fmt == "avi":
+                    frames = av.extract_frames(data)
+                    for i, fb in enumerate(frames[:: max(1, every_n)][:max_frames]):
+                        out.append((mid, i, fb))
+                    continue
+                if fmt in ("mp4", "mkv"):
+                    raise NotImplementedError(
+                        f"{fmt} demux/decode requires ffmpeg (swap in at "
+                        "this seam); only MJPEG-AVI parses natively"
                     )
                 n = min(max_frames, max(1, len(data) // every_n))
                 for i in range(n):

@@ -888,6 +888,177 @@ IMG_STATS_N = 24  # docs turned into synthetic images per format
 IMG_SIDE = 8  # 8x8 RGB
 IMG_CHECKSUM_MOD = 1000003
 
+JPEG_STATS_N = 24
+JPEG_SIDE = 16
+JPEG_TOL = 12  # max abs pixel error at q95 on the smooth law image
+
+
+def q_jpeg_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG gate (round 7). JPEG is lossy, so the exact
+    arithmetic-law oracle of image_pixel_stats/audio_pcm_stats cannot
+    apply; instead this is a self-checking gate in the recall-gate
+    style: for each of the first JPEG_STATS_N doc_ids, build a SMOOTH
+    16x16 law image (gradient + per-doc offset — JPEG's designed-for
+    case), encode with the pure-numpy baseline codec at two layouts
+    (4:4:4 q95, 4:2:0 q90 — the subsampled path walks the generic MCU
+    loop), decode, and emit per-(doc, layout) contract rows: decoded
+    dims (hash-pinned exactly) and within_tol = max|err| ≤ JPEG_TOL,
+    which the oracle pins to true. Runs Arrow-batched on executors like
+    every codec kernel."""
+    import pandas as _pd
+
+    from homemade_vector_db_spark.functions import jpegcodec as jc
+
+    side, tol = JPEG_SIDE, JPEG_TOL
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                i = _np.arange(side)
+                base = (
+                    i[:, None] * 6 + i[None, :] * 3 + (did % 32)
+                ).astype(_np.float64)
+                img = _np.clip(
+                    _np.stack(
+                        [base, base + 20, base + 40], axis=-1
+                    ),
+                    0,
+                    255,
+                ).astype(_np.uint8)
+                for layout, kw in (
+                    ("444_q95", {"quality": 95, "subsample": False}),
+                    ("420_q90", {"quality": 90, "subsample": True}),
+                ):
+                    dec = jc.decode_jpeg(jc.encode_jpeg(img, **kw))
+                    err = int(
+                        _np.abs(
+                            dec.astype(_np.int64) - img.astype(_np.int64)
+                        ).max()
+                    )
+                    out.append(
+                        (
+                            did,
+                            layout,
+                            int(dec.shape[1]),
+                            int(dec.shape[0]),
+                            bool(err <= tol),
+                        )
+                    )
+            yield _pd.DataFrame(
+                out,
+                columns=["doc_id", "layout", "width", "height", "within_tol"],
+            )
+
+    ids = (
+        load_documents(spark, sf_dir)
+        .where(F.col("doc_id") < JPEG_STATS_N)
+        .select("doc_id")
+        .distinct()
+    )
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, layout string, width int, height int, "
+            "within_tol boolean"
+        ),
+    ).orderBy("doc_id", "layout")
+
+
+VIDEO_STATS_N = 24
+VIDEO_FRAMES = 3
+VIDEO_SIDE = 16
+
+
+def q_mjpeg_frames_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-AVI video gate (round 7): for each of the first
+    VIDEO_STATS_N doc_ids, build a VIDEO_FRAMES-frame MJPEG AVI from
+    smooth law images (functions/avicodec.py + jpegcodec.py), then run
+    the REAL pipeline — container parse → per-frame JPEG decode — and
+    emit per-(doc, frame) contract rows: decoded dims (hash-pinned
+    exactly), container metadata n_frames, and within_tol = max|err| ≤
+    JPEG_TOL vs the law frame, pinned true by the oracle (recall-gate
+    pattern; JPEG is lossy so the exact-value oracle can't apply).
+    Arrow-batched on executors like every codec kernel."""
+    import pandas as _pd
+
+    from homemade_vector_db_spark.functions import avicodec as av
+    from homemade_vector_db_spark.functions import jpegcodec as jc
+
+    side, nf, tol = VIDEO_SIDE, VIDEO_FRAMES, JPEG_TOL
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                i = _np.arange(side)
+                frames = []
+                for fi in range(nf):
+                    base = (
+                        i[:, None] * 6 + i[None, :] * 3 + (did % 16) + fi * 12
+                    ).astype(_np.float64)
+                    frames.append(
+                        _np.clip(
+                            _np.stack([base, base + 15, base + 30], axis=-1),
+                            0,
+                            255,
+                        ).astype(_np.uint8)
+                    )
+                avi = av.encode_mjpeg_avi(
+                    [jc.encode_jpeg(f, quality=95) for f in frames],
+                    side,
+                    side,
+                    fps=10,
+                )
+                meta = av.avi_metadata(avi)
+                payloads = av.extract_frames(avi)
+                for fi, fb in enumerate(payloads):
+                    dec = jc.decode_jpeg(fb)
+                    err = int(
+                        _np.abs(
+                            dec.astype(_np.int64)
+                            - frames[fi].astype(_np.int64)
+                        ).max()
+                    )
+                    out.append(
+                        (
+                            did,
+                            fi,
+                            int(meta["n_frames"]),
+                            int(dec.shape[1]),
+                            int(dec.shape[0]),
+                            bool(err <= tol),
+                        )
+                    )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "width", "height",
+                    "within_tol",
+                ],
+            )
+
+    ids = (
+        load_documents(spark, sf_dir)
+        .where(F.col("doc_id") < VIDEO_STATS_N)
+        .select("doc_id")
+        .distinct()
+    )
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, frame_idx int, n_frames int, width int, "
+            "height int, within_tol boolean"
+        ),
+    ).orderBy("doc_id", "frame_idx")
+
+
 AUDIO_STATS_N = 24  # docs turned into synthetic PCM clips per format
 AUDIO_N_SAMPLES = 480  # 30 ms @ 16 kHz, mono
 AUDIO_RATE = 16000
@@ -4173,6 +4344,30 @@ SELECT doc_id, fmt,
        CAST(cs % {IMG_CHECKSUM_MOD} AS BIGINT) AS pos_checksum
 FROM stats
 ORDER BY doc_id, fmt
+"""
+
+# JPEG is lossy: the oracle pins the deterministic part (dims) exactly
+# and the codec part as a bounded-error contract (within_tol = true per
+# doc/layout) — the recall-gate pattern.
+_ORACLES["mjpeg_frames_check"] = f"""
+SELECT ids.doc_id, f.frame_idx,
+       CAST({VIDEO_FRAMES} AS INT) AS n_frames,
+       CAST({VIDEO_SIDE} AS INT) AS width,
+       CAST({VIDEO_SIDE} AS INT) AS height,
+       true AS within_tol
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < {VIDEO_STATS_N}) ids,
+     (SELECT unnest(generate_series(0, {VIDEO_FRAMES - 1})) AS frame_idx) f
+ORDER BY doc_id, frame_idx
+"""
+
+_ORACLES["jpeg_roundtrip_check"] = f"""
+SELECT ids.doc_id, l.layout,
+       CAST({JPEG_SIDE} AS INT) AS width,
+       CAST({JPEG_SIDE} AS INT) AS height,
+       true AS within_tol
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < {JPEG_STATS_N}) ids,
+     (SELECT unnest(['420_q90', '444_q95']) AS layout) l
+ORDER BY doc_id, layout
 """
 
 # Audio sibling of the image gate above: the oracle re-derives the PCM
@@ -8011,6 +8206,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 11: NEW this round — WAV/PCM codec certification (the
         # audio sibling of image_pixel_stats)
         "audio_pcm_stats": q_audio_pcm_stats,
+        # slot 11b: NEW — baseline-JPEG bounded-error gate (lossy codec,
+        # recall-gate pattern; dims hash-pinned exactly)
+        "jpeg_roundtrip_check": q_jpeg_roundtrip_check,
+        # slot 11c: NEW — MJPEG-AVI container parse + per-frame decode
+        "mjpeg_frames_check": q_mjpeg_frames_check,
         # slots 12-14: the remaining sf0.1-sweep findings — discrete
         # order-statistic decile boundaries (interpolated percentile was
         # engine-divergent), and decimal money aggregation for the lag-

@@ -129,7 +129,9 @@ def test_bmp32_alpha_dropped():
 
 
 def test_unsupported_formats_refuse_honestly():
-    with pytest.raises(NotImplementedError, match="libjpeg"):
+    # round 7: baseline JPEG now decodes for real; a truncated stream is
+    # a parse error, not a fabricated result
+    with pytest.raises(ValueError, match="no SOS"):
         ic.decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
     with pytest.raises(NotImplementedError):
         ic.decode_image(b"GIF89a notsupported")
