@@ -179,3 +179,35 @@ def zero_crossing_rate(samples: np.ndarray) -> float:
         return 0.0
     s = np.signbit(x)
     return float(np.mean(s[1:] != s[:-1]))
+
+
+def spectral_features(samples: np.ndarray) -> "tuple[int, float, float]":
+    """FFT spectral stats over a mono signal (multichannel is averaged
+    down to mono first): returns (dominant_bin, centroid_bin, flatness).
+
+    - dominant_bin: argmax of |rFFT| over bins 1..n//2 (DC excluded) —
+      for an n-periodic tone at bin k this is exactly k.
+    - centroid_bin: magnitude-weighted mean bin index (spectral
+      centroid in bin units, DC excluded).
+    - flatness: geometric/arithmetic mean ratio of the DC-excluded
+      magnitudes in (0, 1] — near 0 for pure tones, near 1 for white
+      noise; the standard tonality gate for audio quality filtering.
+
+    Pure numpy (np.fft.rfft); O(n log n) per clip, runs inside the
+    Arrow-batched decode kernels on executors.
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    n = x.shape[0]
+    if n < 4:
+        return 0, 0.0, 1.0
+    mag = np.abs(np.fft.rfft(x))[1 : n // 2 + 1]
+    if mag.size == 0 or float(mag.sum()) == 0.0:
+        return 0, 0.0, 1.0
+    dom = int(np.argmax(mag)) + 1
+    bins = np.arange(1, mag.size + 1, dtype=np.float64)
+    centroid = float((bins * mag).sum() / mag.sum())
+    eps = 1e-12
+    flat = float(np.exp(np.mean(np.log(mag + eps))) / (np.mean(mag) + eps))
+    return dom, centroid, min(flat, 1.0)

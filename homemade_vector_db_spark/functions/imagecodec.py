@@ -359,3 +359,47 @@ def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
     ys = np.minimum((np.arange(th) * h) // th, h - 1)
     xs = np.minimum((np.arange(tw) * w) // tw, w - 1)
     return arr[np.ix_(ys, xs)]
+
+
+# ---------------------------------------------------- perceptual hash
+_PHASH_SIDE = 32  # resample side before the DCT
+_PHASH_LOWF = 8  # top-left low-frequency block kept
+_DCT32 = None  # lazily-built orthonormal DCT-II basis, cached per worker
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis: C @ x applies the 1-D DCT of length n."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    i = np.arange(n)[None, :].astype(np.float64)
+    c = np.cos(np.pi * (2.0 * i + 1.0) * k / (2.0 * n)) * np.sqrt(2.0 / n)
+    c[0] *= np.sqrt(0.5)
+    return c
+
+
+def phash64(arr: np.ndarray) -> int:
+    """63-bit DCT perceptual hash of a decoded image (2-D luma or RGB).
+
+    Law (fixed — hashes are only comparable under one law):
+    luma plane → nearest-neighbor 32×32 → orthonormal 2-D DCT-II →
+    top-left 8×8 low-frequency block → DROP the DC coefficient →
+    bit i (i = 0..62) set iff AC coefficient i > median of the 63 ACs.
+    Dropping DC before the median makes the hash exactly invariant to
+    global brightness shifts (a constant image offset only moves DC),
+    which is the perceptual property near-dup image dedup wants.
+    Returns a non-negative int that fits a Spark LongType.
+    """
+    global _DCT32
+    if _DCT32 is None:
+        _DCT32 = _dct_matrix(_PHASH_SIDE)
+    a = np.asarray(arr)
+    if a.ndim == 3:  # Rec.601 luma, same as mean_luma
+        rgb = a.astype(np.float64)
+        a = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    a = a.astype(np.float64)
+    if a.shape != (_PHASH_SIDE, _PHASH_SIDE):
+        a = resize_nearest(a, _PHASH_SIDE, _PHASH_SIDE)
+    d = _DCT32 @ a @ _DCT32.T
+    ac = d[:_PHASH_LOWF, :_PHASH_LOWF].reshape(-1)[1:]  # 63 ACs, DC dropped
+    med = np.median(ac)
+    bits = ac > med
+    return int(sum(int(b) << i for i, b in enumerate(bits)))

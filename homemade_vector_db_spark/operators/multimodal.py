@@ -310,3 +310,230 @@ def audio_features(df: DataFrame) -> DataFrame:
         "media_id", "duration_ms", "content"
     )
     return src.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------- perceptual-hash dedup
+PHASH_SCHEMA = "media_id LONG, phash LONG"
+
+
+def phash_images(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Decode images and emit their 63-bit DCT perceptual hash
+    (functions/imagecodec.phash64): (media_id, phash). Arrow-batched
+    mapInPandas on executors — the heavy binary column never reaches
+    the driver. Decodable formats (PPM/PGM/BMP/PNG/JPEG) hash real
+    pixels; unknown payloads raise — a perceptual hash of undecodable
+    bytes would silently poison the dedup graph."""
+    from homemade_vector_db_spark.functions import imagecodec as ic
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                rows.append((mid, ic.phash64(ic.decode_image(data))))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    cols = [F.col(id_col), F.col("content")]
+    src = (
+        df.where(F.col("kind") == "image").select(*cols)
+        if "kind" in df.columns
+        else df.select(*cols)
+    )
+    return src.mapInPandas(extract, schema=PHASH_SCHEMA)
+
+
+def phash_neardup(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming LSH over 64-bit
+    perceptual hashes: (id_a, id_b, hamming) with id_a < id_b and
+    hamming ≤ max_hamming.
+
+    Split each hash into n_bands disjoint bit windows and bucket-join on
+    (band_idx, band_value): two hashes within Hamming distance d ≤
+    n_bands - 1 differ in at most d bands, so by pigeonhole they
+    collide on at least one band — EXACT recall, never all-pairs. The
+    join shuffles only (id, band) pairs, n_bands rows per image;
+    candidate verification is a JVM-side bit_count(a XOR b). Same scale
+    shape as the MinHash-LSH text path (operators/dedup.py)."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banded LSH is only exact for max_hamming <= n_bands - 1 "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands}); "
+            "raise n_bands"
+        )
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64 (got {n_bands})")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(hash_col), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------ audio spectral features
+AUDIO_SPECTRAL_SCHEMA = (
+    "media_id LONG, n_samples INT, sr INT, dominant_bin INT, "
+    "dominant_hz DOUBLE, centroid_bin DOUBLE, flatness DOUBLE, "
+    "rms DOUBLE, zcr DOUBLE"
+)
+
+
+def audio_spectral_features(df: DataFrame) -> DataFrame:
+    """FFT spectral features per audio row via mapInPandas:
+    (media_id, n_samples, sr, dominant_bin, dominant_hz, centroid_bin,
+    flatness, rms, zcr). RIFF/WAVE payloads are REALLY decoded and
+    transformed (audiocodec.decode_wav + np.fft.rfft in
+    spectral_features); recognizable compressed formats (MP3/FLAC/OGG)
+    refuse honestly; unknown payloads keep a deterministic byte-derived
+    fake so the Arrow plumbing stays testable with arbitrary bytes.
+    Flatness is the standard tonality gate a training pipeline uses to
+    drop sine-sweep/test-tone clips; dominant/centroid bins feed
+    language/music classifiers."""
+    from homemade_vector_db_spark.functions import audiocodec as ac
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                fmt = ac.sniff_audio_format(data)
+                if fmt == "wav":
+                    sr, x = ac.decode_wav(data)
+                    dom, cen, flat = ac.spectral_features(x)
+                    rows.append(
+                        (
+                            mid,
+                            int(x.shape[0]),
+                            int(sr),
+                            dom,
+                            round(dom * sr / x.shape[0], 6) if x.shape[0] else 0.0,
+                            round(cen, 6),
+                            round(flat, 6),
+                            round(ac.rms(x), 6),
+                            round(ac.zero_crossing_rate(x), 6),
+                        )
+                    )
+                elif fmt in ("mp3", "flac", "ogg"):
+                    raise NotImplementedError(
+                        f"{fmt} decode requires ffmpeg/librosa (swap in at "
+                        "this seam); only RIFF/WAVE PCM decodes natively"
+                    )
+                else:
+                    n = max(4, len(data) % 512)
+                    rows.append(
+                        (mid, n, 16000, 1 + len(data) % 7, 0.0, 0.0, 1.0,
+                         (sum(data[:32]) % 1000) / 1000.0, 0.0)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sr", "dominant_bin",
+                    "dominant_hz", "centroid_bin", "flatness", "rms", "zcr",
+                ],
+            )
+
+    src = df.where(F.col("kind") == "audio").select("media_id", "content")
+    return src.mapInPandas(extract, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
+# -------------------------------------------------- video shot boundaries
+SHOT_SCHEMA = (
+    "media_id LONG, frame_idx INT, mean_luma DOUBLE, is_boundary BOOLEAN"
+)
+
+
+def shot_boundaries(df: DataFrame, luma_jump: float = 60.0) -> DataFrame:
+    """Shot-boundary detection over video rows: per frame
+    (media_id, frame_idx, mean_luma, is_boundary) where is_boundary
+    marks frame i ≥ 1 with |luma_i - luma_{i-1}| > luma_jump — the
+    classic luma-delta cut detector a pipeline uses to pick one
+    keyframe per shot instead of N near-identical frames.
+
+    MJPEG-AVI payloads run the REAL path: container parse
+    (avicodec.extract_frames) → per-frame baseline-JPEG decode
+    (jpegcodec) → Rec.601 mean luma, all inside the Arrow batch on
+    executors. MP4/MKV refuse honestly (H.264 needs ffmpeg); unknown
+    payloads keep the deterministic byte-slice fake (one pseudo-frame
+    per 64-byte slice, luma = slice-sum % 256) so plumbing stays
+    testable."""
+    from homemade_vector_db_spark.functions import avicodec as av
+    from homemade_vector_db_spark.functions import imagecodec as ic
+    from homemade_vector_db_spark.functions import jpegcodec as jc
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                fmt = av.sniff_video_format(data)
+                if fmt == "avi":
+                    lumas = [
+                        255.0 * ic.mean_luma(jc.decode_jpeg(fb))
+                        for fb in av.extract_frames(data)
+                    ]
+                elif fmt in ("mp4", "mkv"):
+                    raise NotImplementedError(
+                        f"{fmt} demux/decode requires ffmpeg (swap in at "
+                        "this seam); only MJPEG-AVI parses natively"
+                    )
+                else:
+                    lumas = [
+                        float(sum(data[i : i + 64]) % 256)
+                        for i in range(0, max(1, len(data)), 64)
+                    ]
+                for i, luma in enumerate(lumas):
+                    out.append(
+                        (
+                            mid,
+                            i,
+                            round(luma, 6),
+                            i > 0 and abs(luma - lumas[i - 1]) > luma_jump,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "mean_luma", "is_boundary"],
+            )
+
+    src = df.where(F.col("kind") == "video").select("media_id", "content")
+    return src.mapInPandas(detect, schema=SHOT_SCHEMA)

@@ -1236,6 +1236,211 @@ def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "fmt")
 
 
+PHASH_STATS_N = 24  # docs turned into synthetic images (8 clusters of 3)
+PHASH_CLUSTER = 3  # brightness-shifted variants per cluster
+PHASH_MAX_HAMMING = 3  # with 4 bands: exact-recall banded Hamming LSH
+
+
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image-dedup gate (round 7): certifies the REAL
+    production operators `multimodal.phash_images` (decode → 63-bit DCT
+    pHash, Arrow-batched) and `multimodal.phash_neardup` (banded
+    Hamming LSH bucket join — never all-pairs) end to end, in one plan.
+
+    Law: the first PHASH_STATS_N doc_ids form clusters of
+    PHASH_CLUSTER; cluster members share one 32×32 grayscale
+    noise pattern (v = ((cluster*2654435761 + y*97 + x*31) * 40503)
+    % 200) and differ only by a global brightness shift of
+    (doc_id % 3) * 7. Each variant is encoded as binary PGM and piped
+    through the production pipeline. The pHash drops the DC
+    coefficient before its median threshold, so a brightness shift is
+    provably hash-invariant → every intra-cluster pair surfaces at
+    Hamming 0, while distinct noise patterns sit ≥ 12 bits apart
+    (deterministic; the doc_id universe is identical at every SF), so
+    NO cross-cluster pair survives max_hamming=3. The oracle therefore
+    enumerates the exact pair list arithmetically — a hash match
+    certifies decode, DCT hash, banding, bucket join, and the Hamming
+    verifier all at once."""
+    import pandas as _pd
+
+    from homemade_vector_db_spark.functions import imagecodec as ic
+    from homemade_vector_db_spark.operators import multimodal as mm
+
+    side = 32
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                cl, off = did // PHASH_CLUSTER, (did % PHASH_CLUSTER) * 7
+                y, x = _np.meshgrid(
+                    _np.arange(side), _np.arange(side), indexing="ij"
+                )
+                base = ((cl * 2654435761 + y * 97 + x * 31) * 40503) % 200
+                img = (base + off).astype(_np.uint8)  # ≤ 213, never clips
+                out.append((did, ic.encode_ppm(img)))
+            yield _pd.DataFrame(out, columns=["media_id", "content"])
+
+    ids = (
+        load_documents(spark, sf_dir)
+        .where(F.col("doc_id") < PHASH_STATS_N)
+        .select("doc_id")
+        .distinct()
+    )
+    media = ids.mapInPandas(gen, schema="media_id long, content binary")
+    hashes = mm.phash_images(media)
+    pairs = mm.phash_neardup(
+        hashes, max_hamming=PHASH_MAX_HAMMING, n_bands=4
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+AUDIO_SPECTRAL_N = 24  # docs turned into synthetic pure-tone clips
+
+
+def q_audio_spectral_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFT spectral-feature gate (round 7): certifies the REAL
+    production operator `multimodal.audio_spectral_features` (WAV
+    decode → np.fft.rfft spectral stats, Arrow-batched) end to end.
+
+    Law: doc_id < AUDIO_SPECTRAL_N becomes a 16-bit PCM WAV pure tone
+    at FFT bin k = 3 + doc_id % 13 of an AUDIO_N_SAMPLES-sample window
+    (samples = round(12000·sin(2π·k·i/N))). For an exactly N-periodic
+    tone the dominant rFFT bin is k with enormous margin (quantization
+    noise is ~60 dB down), the spectral centroid lands within 0.5 bins
+    of k, and flatness is < 0.01 — the oracle re-derives k and the
+    derived Hz arithmetically and pins the tonality booleans, so a
+    hash match certifies the whole decode→FFT→feature path. This is
+    the tonality gate a pipeline uses to drop test-tone/sine-sweep
+    clips before training."""
+    import pandas as _pd
+
+    from homemade_vector_db_spark.functions import audiocodec as ac
+    from homemade_vector_db_spark.operators import multimodal as mm
+
+    n, rate = AUDIO_N_SAMPLES, AUDIO_RATE
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = 3 + did % 13
+                i = _np.arange(n)
+                s = _np.round(
+                    12000.0 * _np.sin(2.0 * _np.pi * k * i / n)
+                ).astype(_np.int16)
+                out.append((did, "audio", ac.encode_wav(s, rate, bits=16)))
+            yield _pd.DataFrame(
+                out, columns=["media_id", "kind", "content"]
+            )
+
+    ids = (
+        load_documents(spark, sf_dir)
+        .where(F.col("doc_id") < AUDIO_SPECTRAL_N)
+        .select("doc_id")
+        .distinct()
+    )
+    media = ids.mapInPandas(
+        gen, schema="media_id long, kind string, content binary"
+    )
+    feats = mm.audio_spectral_features(media)
+    return (
+        feats.select(
+            F.col("media_id").alias("doc_id"),
+            "n_samples",
+            "sr",
+            "dominant_bin",
+            "dominant_hz",
+            (F.col("flatness") < 0.01).alias("tonal"),
+            (
+                F.abs(F.col("centroid_bin") - F.col("dominant_bin")) < 0.5
+            ).alias("centroid_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SHOT_STATS_N = 24  # docs turned into synthetic two-shot videos
+SHOT_FRAMES = 6
+
+
+def q_shot_boundary_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary gate (round 7): certifies the REAL production
+    operator `multimodal.shot_boundaries` (MJPEG-AVI container parse →
+    per-frame baseline-JPEG decode → Rec.601 luma-delta cut detector)
+    end to end.
+
+    Law: doc_id < SHOT_STATS_N becomes a SHOT_FRAMES-frame MJPEG AVI
+    with exactly one hard cut at frame b = 1 + doc_id % 4: frames
+    before b are constant luma 40, frames from b constant luma 200.
+    JPEG is lossy but a 160-luma jump vs ~0 intra-shot delta leaves a
+    huge margin around the 60-luma threshold, so the detector must
+    find exactly one boundary at exactly b — which the oracle
+    re-derives arithmetically. Keyframe-per-shot sampling is how a
+    video pipeline avoids training on N near-identical frames."""
+    import pandas as _pd
+
+    from homemade_vector_db_spark.functions import avicodec as av
+    from homemade_vector_db_spark.functions import jpegcodec as jc
+    from homemade_vector_db_spark.operators import multimodal as mm
+
+    nf, side = SHOT_FRAMES, VIDEO_SIDE
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b = 1 + did % 4
+                frames = [
+                    jc.encode_jpeg(
+                        _np.full(
+                            (side, side, 3),
+                            40 if fi < b else 200,
+                            _np.uint8,
+                        ),
+                        quality=95,
+                    )
+                    for fi in range(nf)
+                ]
+                out.append(
+                    (did, "video", av.encode_mjpeg_avi(frames, side, side))
+                )
+            yield _pd.DataFrame(
+                out, columns=["media_id", "kind", "content"]
+            )
+
+    ids = (
+        load_documents(spark, sf_dir)
+        .where(F.col("doc_id") < SHOT_STATS_N)
+        .select("doc_id")
+        .distinct()
+    )
+    media = ids.mapInPandas(
+        gen, schema="media_id long, kind string, content binary"
+    )
+    frames = mm.shot_boundaries(media, luma_jump=60.0)
+    return (
+        frames.groupBy(F.col("media_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.col("is_boundary").cast("long")).alias("n_boundaries"),
+            F.min(
+                F.when(F.col("is_boundary"), F.col("frame_idx"))
+            ).alias("boundary_idx"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_top_orders_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-table join: customer ⋈ orders ⋈ lineitem,
     revenue per order, top-10. No forced broadcasts: the filter on
@@ -4396,6 +4601,51 @@ SELECT doc_id, fmt,
 FROM v
 GROUP BY doc_id, fmt, modulus
 ORDER BY doc_id, fmt
+"""
+
+# pHash near-dup gate: the oracle enumerates the exact expected pair
+# list from the cluster law — every intra-cluster pair at Hamming 0
+# (brightness shift is provably pHash-invariant), zero cross-cluster
+# pairs (noise patterns sit >= 12 bits apart, deterministic at all SFs
+# since the doc_id universe is fixed). A hash match certifies decode,
+# DCT hash, LSH banding, bucket join, and the XOR/bit_count verifier.
+_ORACLES["image_phash_neardup"] = f"""
+WITH c AS (
+  SELECT DISTINCT doc_id // {PHASH_CLUSTER} AS cl
+  FROM documents WHERE doc_id < {PHASH_STATS_N}
+),
+p(a, b) AS (VALUES (0, 1), (0, 2), (1, 2))
+SELECT cl * {PHASH_CLUSTER} + p.a AS id_a,
+       cl * {PHASH_CLUSTER} + p.b AS id_b,
+       CAST(0 AS INT) AS hamming
+FROM c, p
+ORDER BY id_a, id_b
+"""
+
+# FFT spectral gate: dominant bin / Hz re-derived from the tone law;
+# tonality booleans pinned (pure tone => flatness < 0.01, centroid
+# within half a bin of the tone).
+_ORACLES["audio_spectral_check"] = f"""
+SELECT doc_id,
+       CAST({AUDIO_N_SAMPLES} AS INT) AS n_samples,
+       CAST({AUDIO_RATE} AS INT) AS sr,
+       CAST(3 + doc_id % 13 AS INT) AS dominant_bin,
+       round((3 + doc_id % 13) * {AUDIO_RATE}.0 / {AUDIO_N_SAMPLES}, 6)
+         AS dominant_hz,
+       true AS tonal,
+       true AS centroid_ok
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < {AUDIO_SPECTRAL_N})
+ORDER BY doc_id
+"""
+
+# Shot-boundary gate: exactly one cut at frame 1 + doc_id % 4.
+_ORACLES["shot_boundary_check"] = f"""
+SELECT doc_id,
+       CAST({SHOT_FRAMES} AS BIGINT) AS n_frames,
+       CAST(1 AS BIGINT) AS n_boundaries,
+       CAST(1 + doc_id % 4 AS INT) AS boundary_idx
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < {SHOT_STATS_N})
+ORDER BY doc_id
 """
 
 _ORACLES["top_orders_q3"] = f"""
@@ -8211,6 +8461,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip_check": q_jpeg_roundtrip_check,
         # slot 11c: NEW — MJPEG-AVI container parse + per-frame decode
         "mjpeg_frames_check": q_mjpeg_frames_check,
+        # slots 11d-11f: NEW round-7 training-pipeline media operators —
+        # perceptual-hash image dedup (DCT pHash + banded Hamming LSH),
+        # FFT spectral tonality features, and luma-delta shot-boundary
+        # detection, each certifying its production operator in-plan
+        "image_phash_neardup": q_image_phash_neardup,
+        "audio_spectral_check": q_audio_spectral_check,
+        "shot_boundary_check": q_shot_boundary_check,
         # slots 12-14: the remaining sf0.1-sweep findings — discrete
         # order-statistic decile boundaries (interpolated percentile was
         # engine-divergent), and decimal money aggregation for the lag-

@@ -197,3 +197,48 @@ def test_encode_bmp_round_trip():
         assert np.array_equal(ic.decode_image(ic.encode_bmp(arr)), arr)
     with pytest.raises(ValueError, match="RGB"):
         ic.encode_bmp(np.zeros((4, 4), dtype=np.uint8))
+
+
+# ---------------------------------------------------- perceptual hash
+def test_phash64_brightness_invariance():
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import imagecodec as ic
+
+    y, x = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    base = ((y * 97 + x * 31) * 40503 % 200).astype(np.uint8)
+    h0 = ic.phash64(base)
+    # global brightness shift only moves the (dropped) DC coefficient
+    assert ic.phash64(base + 7) == h0
+    assert ic.phash64(base + 40) == h0
+    assert 0 <= h0 < (1 << 63)
+
+
+def test_phash64_rgb_and_resize_paths():
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import imagecodec as ic
+
+    y, x = np.meshgrid(np.arange(64), np.arange(48), indexing="ij")
+    gray = ((y * 13 + x * 29) % 256).astype(np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    # grayscale and its RGB replication share the luma plane → same hash,
+    # and the non-32x32 input exercises the resize_nearest path
+    assert ic.phash64(gray) == ic.phash64(rgb)
+
+
+def test_phash64_distinct_patterns_far_apart():
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import imagecodec as ic
+
+    y, x = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    hashes = []
+    for c in range(6):
+        img = (((c * 2654435761 + y * 97 + x * 31) * 40503) % 200).astype(
+            np.uint8
+        )
+        hashes.append(ic.phash64(img))
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            assert bin(hashes[i] ^ hashes[j]).count("1") >= 8

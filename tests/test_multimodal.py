@@ -197,3 +197,121 @@ def test_ascii_pnm_refuses_honestly_through_spark(spark):
     for mid in (13, 14):
         with pytest.raises(Exception, match="P1-P4"):
             multimodal.image_features(df.where(f"media_id = {mid}")).collect()
+
+
+# --------------------------------------------- round-7 media operators
+def test_phash_images_and_neardup_real_decode(spark):
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import imagecodec as ic
+
+    y, x = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    base = ((y * 97 + x * 31) * 40503 % 200).astype(np.uint8)
+    other = (((7 * 2654435761 + y * 97 + x * 31) * 40503) % 200).astype(
+        np.uint8
+    )
+    rows = [
+        (0, ic.encode_ppm(base)),
+        (1, ic.encode_ppm((base + 7).astype(np.uint8))),  # brightness var
+        (2, ic.encode_ppm(other)),  # different pattern
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = multimodal.phash_images(df)
+    pairs = multimodal.phash_neardup(hashes, max_hamming=3).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def test_phash_neardup_banding_exact_recall(spark):
+    # hand-built hashes: hamming-3 pair spread over 3 bands must collide
+    # on the untouched 4th band; hamming-4 pair touching all 4 bands
+    # must be (correctly) excluded by the threshold
+    rows = [
+        (0, 0),
+        (1, (1 << 0) | (1 << 16) | (1 << 32)),  # d(0,1)=3, band 3 clean
+        (2, (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)),  # d(0,2)=4
+    ]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    pairs = multimodal.phash_neardup(df, max_hamming=3).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [
+        (0, 1, 3),
+        (1, 2, 1),
+    ]
+
+
+def test_phash_neardup_guards():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bands"):
+        multimodal.phash_neardup(None, max_hamming=4, n_bands=4)
+    with _pytest.raises(ValueError, match="divide"):
+        multimodal.phash_neardup(None, max_hamming=2, n_bands=5)
+
+
+def test_audio_spectral_features_real_wav(spark):
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import audiocodec as ac
+
+    n, rate, k = 480, 16000, 9
+    i = np.arange(n)
+    s = np.round(12000 * np.sin(2 * np.pi * k * i / n)).astype(np.int16)
+    rows = [
+        (0, "audio", ac.encode_wav(s, rate, bits=16), "audio/wav",
+         None, None, 30),
+        (1, "audio", b"\x99unknown-payload" * 8, "application/x",
+         None, None, 5),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           multimodal.audio_spectral_features(df).collect()}
+    assert out[0].dominant_bin == k
+    assert out[0].sr == rate and out[0].n_samples == n
+    assert abs(out[0].dominant_hz - k * rate / n) < 1e-6
+    assert out[0].flatness < 0.01  # pure tone
+    assert abs(out[0].centroid_bin - k) < 0.5
+    assert out[1].flatness == 1.0  # deterministic fake path
+
+
+def test_audio_spectral_features_refuses_compressed(spark):
+    rows = [(0, "audio", b"ID3" + bytes(64), "audio/mpeg", None, None, 10)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="mp3"):
+        multimodal.audio_spectral_features(df).collect()
+
+
+def test_shot_boundaries_real_mjpeg(spark):
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import avicodec as av
+    from homemade_vector_db_spark.functions import jpegcodec as jc
+
+    frames = [
+        jc.encode_jpeg(
+            np.full((16, 16, 3), 40 if fi < 2 else 200, np.uint8),
+            quality=95,
+        )
+        for fi in range(5)
+    ]
+    avi = av.encode_mjpeg_avi(frames, 16, 16)
+    rows = [(0, "video", avi, "video/avi", 16, 16, 500)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = sorted(
+        multimodal.shot_boundaries(df, luma_jump=60.0).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert len(out) == 5
+    assert [r.is_boundary for r in out] == [False, False, True, False, False]
+    assert out[0].mean_luma < 60 and out[4].mean_luma > 180
+
+
+def test_shot_boundaries_refuses_mp4_and_fakes_unknown(spark):
+    mp4 = bytes(4) + b"ftypisom" + bytes(32)
+    rows = [(0, "video", mp4, "video/mp4", 16, 16, 500)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="mp4"):
+        multimodal.shot_boundaries(df).collect()
+    rows2 = [(1, "video", bytes(range(200)), "application/x", 16, 16, 500)]
+    df2 = spark.createDataFrame(rows2, multimodal.MEDIA_SCHEMA)
+    out = multimodal.shot_boundaries(df2).collect()
+    assert len(out) == 4  # 200 bytes / 64-byte pseudo-frames
+    assert all(isinstance(r.mean_luma, float) for r in out)
