@@ -348,6 +348,7 @@ def phash_neardup(
     n_bands: int = 4,
     id_col: str = "media_id",
     hash_col: str = "phash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by banded Hamming LSH over 64-bit
     perceptual hashes: (id_a, id_b, hamming) with id_a < id_b and
@@ -359,7 +360,17 @@ def phash_neardup(
     collide on at least one band — EXACT recall, never all-pairs. The
     join shuffles only (id, band) pairs, n_bands rows per image;
     candidate verification is a JVM-side bit_count(a XOR b). Same scale
-    shape as the MinHash-LSH text path (operators/dedup.py)."""
+    shape as the MinHash-LSH text path (operators/dedup.py).
+
+    max_bucket_size (off by default, result-identical when None): image
+    corpora have pathological hot buckets — billions of near-constant
+    frames (black/white/test-card) share one hash and would make a
+    single bucket's pair explosion quadratic. Setting a cap drops
+    buckets larger than max_bucket_size from CANDIDATE GENERATION
+    before the join (one tiny aggregate on the band relation), trading
+    recall only inside those degenerate clusters — the standard
+    production escape; exact dedup on the full hash catches the
+    all-identical case those buckets represent."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"banded LSH is only exact for max_hamming <= n_bands - 1 "
@@ -383,6 +394,16 @@ def phash_neardup(
             )
         ).alias("band_idx", "band_val"),
     )
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bands = (
+            bands.join(
+                sizes.where(F.col("_bn") <= max_bucket_size),
+                ["band_idx", "band_val"],
+            ).drop("_bn")
+        )
     cand = (
         bands.alias("a")
         .join(

@@ -1441,6 +1441,69 @@ def q_shot_boundary_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding distribution drift (round 7): for each label
+    (standing in for a data source / crawl snapshot), the L2 distance
+    and cosine between the group centroid and the global corpus
+    centroid, plus group size and mean vector norm. This is the
+    distribution-shift monitor a training pipeline runs per source per
+    snapshot — a drifting source gets flagged before it skews the mix
+    (the same per-dim relational shape as a data-quality dashboard's
+    feature-drift job).
+
+    Scale shape: posexplode to (label, dim, v) then ONE partial-agg
+    shuffle keyed (label, dim) — output is |labels|·dim rows no matter
+    the corpus size; the global centroid is a second tiny agg on dim,
+    broadcast into the join; the per-vector norm pass is scan-shaped
+    (F.aggregate, no Python). Everything downstream operates on
+    centroid-sized relations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "vf")
+    ).select("label", "dim", F.col("vf").cast("double").alias("v"))
+    lm = ex.groupBy("label", "dim").agg(F.avg("v").alias("lm"))
+    gm = ex.groupBy("dim").agg(F.avg("v").alias("gm"))
+    stats = (
+        lm.join(F.broadcast(gm), "dim")
+        .groupBy("label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("lm") - F.col("gm")) * (F.col("lm") - F.col("gm")))
+            ).alias("drift_l2"),
+            (
+                F.sum(F.col("lm") * F.col("gm"))
+                / (
+                    F.sqrt(F.sum(F.col("lm") * F.col("lm")))
+                    * F.sqrt(F.sum(F.col("gm") * F.col("gm")))
+                )
+            ).alias("centroid_cos"),
+        )
+    )
+    norms = emb.select(
+        "label",
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("norm"),
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("norm").alias("mean_norm")
+    )
+    return (
+        stats.join(norms, "label")
+        .select(
+            "label",
+            "n",
+            F.round("mean_norm", 6).alias("mean_norm"),
+            F.round("drift_l2", 6).alias("drift_l2"),
+            F.round("centroid_cos", 6).alias("centroid_cos"),
+        )
+        .orderBy("label")
+    )
+
+
 def q_top_orders_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-table join: customer ⋈ orders ⋈ lineitem,
     revenue per order, top-10. No forced broadcasts: the filter on
@@ -4636,6 +4699,40 @@ SELECT doc_id,
        true AS centroid_ok
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < {AUDIO_SPECTRAL_N})
 ORDER BY doc_id
+"""
+
+# Embedding drift: per-label centroid vs global centroid, both
+# re-derived relationally (struct-unnest to (label, dim, v)).
+_ORACLES["embedding_drift"] = """
+WITH ex AS (
+  SELECT label,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                               i -> {dim: i, v: embedding[i]})) AS u
+  FROM embeddings
+),
+exf AS (SELECT label, u.dim AS dim, CAST(u.v AS DOUBLE) AS v FROM ex),
+lm AS (SELECT label, dim, avg(v) AS m FROM exf GROUP BY 1, 2),
+gm AS (SELECT dim, avg(v) AS m FROM exf GROUP BY 1),
+stats AS (
+  SELECT lm.label,
+         sqrt(sum((lm.m - gm.m) * (lm.m - gm.m))) AS drift_l2,
+         sum(lm.m * gm.m)
+           / (sqrt(sum(lm.m * lm.m)) * sqrt(sum(gm.m * gm.m))) AS centroid_cos
+  FROM lm JOIN gm USING (dim)
+  GROUP BY lm.label
+),
+norms AS (
+  SELECT label, count(*) AS n,
+         avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * x)))) AS mean_norm
+  FROM embeddings GROUP BY label
+)
+SELECT s.label, n.n,
+       round(n.mean_norm, 6) AS mean_norm,
+       round(s.drift_l2, 6) AS drift_l2,
+       round(s.centroid_cos, 6) AS centroid_cos
+FROM stats s JOIN norms n USING (label)
+ORDER BY label
 """
 
 # Shot-boundary gate: exactly one cut at frame 1 + doc_id % 4.
@@ -8468,6 +8565,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": q_image_phash_neardup,
         "audio_spectral_check": q_audio_spectral_check,
         "shot_boundary_check": q_shot_boundary_check,
+        # slot 11g: NEW round 7 — per-source embedding distribution
+        # drift monitor (centroid L2/cos vs global, relational shape)
+        "embedding_drift": q_embedding_drift,
         # slots 12-14: the remaining sf0.1-sweep findings — discrete
         # order-statistic decile boundaries (interpolated percentile was
         # engine-divergent), and decimal money aggregation for the lag-

@@ -315,3 +315,16 @@ def test_shot_boundaries_refuses_mp4_and_fakes_unknown(spark):
     out = multimodal.shot_boundaries(df2).collect()
     assert len(out) == 4  # 200 bytes / 64-byte pseudo-frames
     assert all(isinstance(r.mean_luma, float) for r in out)
+
+
+def test_phash_neardup_hot_bucket_cap(spark):
+    # ten identical hashes form a hot bucket; cap excludes them from
+    # candidate generation while a distinct close pair still surfaces
+    far = (0xFF << 8) | (0xFF << 24) | (0xFF << 40)  # >> 3 bits from 0
+    rows = [(i, 0) for i in range(10)] + [(100, far), (101, far ^ 1)]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    capped = multimodal.phash_neardup(df, max_hamming=3, max_bucket_size=5)
+    assert [(p.id_a, p.id_b) for p in capped.collect()] == [(100, 101)]
+    # uncapped: the hot bucket contributes all 45 identical pairs too
+    full = multimodal.phash_neardup(df, max_hamming=3)
+    assert full.count() == 45 + 1
