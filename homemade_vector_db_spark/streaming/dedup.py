@@ -160,3 +160,131 @@ class IncrementalNearDup:
             .outputMode("append")
             .start()
         )
+
+
+class IncrementalPhashDedup:
+    """Streaming perceptual-hash image dedup — the media twin of
+    IncrementalNearDup, with two deliberate upgrades the 64-bit hash
+    makes affordable:
+
+    - EXACT verification: band-bucket collisions only nominate
+      candidates; a new image is dropped only when a previously-seen
+      SMALLER-id image sits within `max_hamming` bits (JVM
+      bit_count(XOR) verify), so there is no candidate over-drop.
+    - CHUNK-INVARIANT law: an image is kept iff NO smaller-id image in
+      the whole seen universe (kept or dropped) is within the
+      threshold. Because the law never depends on whether the earlier
+      neighbor itself survived, any partition of the input into
+      micro-batches yields exactly the batch result: kept =
+      all − {id_b | (id_a, id_b) ∈ phash_neardup(all)}. State
+      therefore stores EVERY seen hash's band rows (a long and two
+      ints per band), not just the kept ones.
+
+    Writes are per-batch idempotent (batch=<id> subdirs with
+    overwrite; a replayed batch excludes its own previous attempt from
+    the state read), matching the IncrementalCorpus contract. Shuffles
+    carry only (band_idx, band_val, media_id, phash) longs; the heavy
+    binary column is consumed once by the Arrow-batched phash scan."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        max_hamming: int = 3,
+        n_bands: int = 4,
+    ):
+        from homemade_vector_db_spark.operators.multimodal import phash_neardup
+
+        if max_hamming >= n_bands:  # same exactness guard as the batch op
+            phash_neardup(None, max_hamming=max_hamming, n_bands=n_bands)
+        self.spark = spark
+        self.root = root
+        self.max_hamming, self.n_bands = max_hamming, n_bands
+        self.bands_path = os.path.join(root, "phash_bands")
+        self.kept_path = os.path.join(root, "kept_media")
+
+    def _band_rows(self, hashes: DataFrame) -> DataFrame:
+        width = 64 // self.n_bands
+        mask = (1 << width) - 1
+        return hashes.select(
+            "media_id",
+            "phash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("phash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        for i in range(self.n_bands)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    def _state(self, exclude_batch: int) -> DataFrame | None:
+        try:
+            return (
+                self.spark.read.parquet(self.bands_path)
+                .where(F.col("batch").cast("string") != str(exclude_batch))
+                .drop("batch")
+            )
+        except Exception:
+            return None  # first batch
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        from homemade_vector_db_spark.operators.multimodal import phash_images
+
+        if batch_id is None:
+            batch_id = 0
+        batch = batch.persist()
+        bands = self._band_rows(phash_images(batch)).persist()
+
+        def losers_vs(other: DataFrame) -> DataFrame:
+            cand = bands.alias("new").join(
+                other.alias("old"),
+                on=[
+                    F.col("new.band_idx") == F.col("old.band_idx"),
+                    F.col("new.band_val") == F.col("old.band_val"),
+                    F.col("old.media_id") < F.col("new.media_id"),
+                ],
+            )
+            return (
+                cand.where(
+                    F.bit_count(
+                        F.col("new.phash").bitwiseXOR(F.col("old.phash"))
+                    )
+                    <= self.max_hamming
+                )
+                .select(F.col("new.media_id").alias("media_id"))
+                .distinct()
+            )
+
+        seen = self._state(exclude_batch=batch_id)
+        dropped = losers_vs(bands)  # within-batch, smaller id wins
+        if seen is not None:
+            dropped = dropped.union(losers_vs(seen)).distinct()
+        kept = batch.join(dropped, "media_id", "left_anti")
+        kept.select("media_id").write.mode("overwrite").parquet(
+            os.path.join(self.kept_path, f"batch={batch_id}")
+        )
+        # ALL seen hashes enter state — chunk invariance needs dropped
+        # images' hashes as future comparison anchors too
+        bands.write.mode("overwrite").parquet(
+            os.path.join(self.bands_path, f"batch={batch_id}")
+        )
+        bands.unpersist()
+        batch.unpersist()
+
+    def kept(self) -> DataFrame:
+        return self.spark.read.parquet(self.kept_path).drop("batch")
+
+    def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
+        """stream must have (media_id, content); returns the query."""
+        return (
+            stream.writeStream.foreachBatch(self.ingest_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.root, "_ph_checkpoint"),
+            )
+            .outputMode("append")
+            .start()
+        )

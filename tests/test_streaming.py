@@ -1017,3 +1017,58 @@ def test_split_decontam_gate_retroactive_drop(spark, tmp_path):
     )  # same normalized fingerprint, different surface form
     assert gate.kept_eval().count() == 0
     assert [r.doc_id for r in gate.dropped_eval().collect()] == [eval_id]
+
+
+def _phash_media_rows(ids):
+    """Cluster law from q_image_phash_neardup: clusters of 3 brightness
+    variants share a pHash; distinct noise patterns sit >= 12 bits apart."""
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import imagecodec as ic
+
+    rows = []
+    for did in ids:
+        cl, off = did // 3, (did % 3) * 7
+        y, x = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+        img = (
+            ((cl * 2654435761 + y * 97 + x * 31) * 40503) % 200 + off
+        ).astype(np.uint8)
+        rows.append((did, ic.encode_ppm(img)))
+    return rows
+
+
+def test_streaming_phash_dedup_chunked_equals_batch(spark, tmp_path):
+    """IncrementalPhashDedup over 3 chunks == the batch law (kept =
+    all - id_b side of phash_neardup pairs), regardless of chunking."""
+    from homemade_vector_db_spark.operators import multimodal
+    from homemade_vector_db_spark.streaming.dedup import IncrementalPhashDedup
+
+    all_rows = _phash_media_rows(range(12))  # 4 clusters x 3 variants
+    schema = "media_id long, content binary"
+    ph = IncrementalPhashDedup(spark, str(tmp_path / "ph"))
+    for lo, hi in ((0, 5), (5, 6), (6, 12)):  # uneven chunks split clusters
+        ph.ingest_batch(
+            spark.createDataFrame(all_rows[lo:hi], schema), batch_id=lo
+        )
+    kept_stream = sorted(r.media_id for r in ph.kept().collect())
+
+    full = spark.createDataFrame(all_rows, schema)
+    pairs = multimodal.phash_neardup(multimodal.phash_images(full))
+    losers = {r.id_b for r in pairs.collect()}
+    kept_batch = sorted(i for i in range(12) if i not in losers)
+    assert kept_stream == kept_batch == [0, 3, 6, 9]  # cluster heads
+
+
+def test_streaming_phash_dedup_replay_idempotent(spark, tmp_path):
+    from homemade_vector_db_spark.streaming.dedup import IncrementalPhashDedup
+
+    rows = _phash_media_rows(range(6))
+    schema = "media_id long, content binary"
+    ph = IncrementalPhashDedup(spark, str(tmp_path / "ph2"))
+    ph.ingest_batch(spark.createDataFrame(rows[:3], schema), batch_id=0)
+    ph.ingest_batch(spark.createDataFrame(rows[3:], schema), batch_id=1)
+    before = sorted(r.media_id for r in ph.kept().collect())
+    # replay batch 1 (e.g. after a crash between state write and commit)
+    ph.ingest_batch(spark.createDataFrame(rows[3:], schema), batch_id=1)
+    after = sorted(r.media_id for r in ph.kept().collect())
+    assert before == after == [0, 3]
