@@ -560,3 +560,33 @@ def test_bpe_stats_broadcast_vocab_no_python_rows(spark):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_phash_neardup_bucket_join_not_all_pairs(spark):
+    """Round-7 contract: perceptual-hash dedup must candidate-generate
+    through the (band_idx, band_val) equi-join — never a cartesian/
+    nested-loop all-pairs, and the Hamming verify must be JVM-side
+    (bit_count), not Python."""
+    from homemade_vector_db_spark.operators.multimodal import phash_neardup
+
+    hashes = spark.createDataFrame(
+        [(i, i * 7919) for i in range(50)], "media_id long, phash long"
+    )
+    plan = physical_plan(phash_neardup(hashes))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "bit_count" in plan, plan
+    assert "band_idx" in plan and "band_val" in plan, plan
+    # verification never leaves the JVM (no Python eval operator; the
+    # fixture's createDataFrame scan string mentions Python harmlessly)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_embedding_drift_broadcasts_global_centroid(spark):
+    """Round-7 contract: the global centroid (dim rows) is broadcast
+    into the per-label join — the only real shuffles are the (label,
+    dim) partial aggs; no cartesian anywhere."""
+    df = Q.q_embedding_drift(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
