@@ -211,3 +211,88 @@ def spectral_features(samples: np.ndarray) -> "tuple[int, float, float]":
     eps = 1e-12
     flat = float(np.exp(np.mean(np.log(mag + eps))) / (np.mean(mag) + eps))
     return dom, centroid, min(flat, 1.0)
+
+
+def _mel_filterbank(
+    n_mels: int, n_fft: int, rate: int
+) -> np.ndarray:
+    """Triangular mel filterbank (HTK mel scale, public formula
+    mel = 2595·log10(1 + f/700)), shape (n_mels, n_fft//2 + 1)."""
+    fmax = rate / 2.0
+    mel_max = 2595.0 * np.log10(1.0 + fmax / 700.0)
+    mel_pts = np.linspace(0.0, mel_max, n_mels + 2)
+    hz_pts = 700.0 * (10.0 ** (mel_pts / 2595.0) - 1.0)
+    bins = np.floor((n_fft + 1) * hz_pts / rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, ctr, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, ctr):
+            if ctr > lo:
+                fb[m - 1, k] = (k - lo) / (ctr - lo)
+        for k in range(ctr, hi):
+            if hi > ctr:
+                fb[m - 1, k] = (hi - k) / (hi - ctr)
+    return fb
+
+
+def mfcc(
+    samples: np.ndarray,
+    rate: int,
+    n_coeffs: int = 13,
+    frame: int = 256,
+    hop: int = 128,
+    n_mels: int = 20,
+) -> np.ndarray:
+    """REAL MFCC, pure numpy: frame → Hann window → power rFFT → mel
+    filterbank → log → orthonormal DCT-II → first n_coeffs, averaged
+    over frames into one clip descriptor. Deterministic; O(n log n).
+    Replaces the former documented stub — no librosa needed for the
+    canonical pipeline (librosa would swap in at this seam only for
+    exotic variants)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    if x.shape[0] < frame:
+        x = np.pad(x, (0, frame - x.shape[0]))
+    n_frames = 1 + (x.shape[0] - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame) / frame)
+    spec = np.abs(np.fft.rfft(x[idx] * win[None, :], axis=1)) ** 2
+    fb = _mel_filterbank(n_mels, frame, rate)
+    logmel = np.log(spec @ fb.T + 1e-10)
+    # orthonormal DCT-II over the mel axis (same basis law as the
+    # image pHash — imagecodec._dct_matrix)
+    k = np.arange(n_mels)[:, None].astype(np.float64)
+    i = np.arange(n_mels)[None, :].astype(np.float64)
+    dct = np.cos(np.pi * (2 * i + 1) * k / (2 * n_mels)) * np.sqrt(
+        2.0 / n_mels
+    )
+    dct[0] *= np.sqrt(0.5)
+    coeffs = logmel @ dct.T[:, :n_coeffs]
+    return coeffs.mean(axis=0)
+
+
+def fingerprint64(samples: np.ndarray, n_segments: int = 8) -> int:
+    """64-bit melody-contour fingerprint: split the clip into
+    n_segments equal windows, take each window's dominant rFFT bin
+    (capped at 255), pack one byte per segment. The dominant bin is
+    invariant to any positive amplitude scaling (argmax of a scaled
+    spectrum), so re-encoded / volume-normalized copies of a clip
+    produce the SAME fingerprint — the property audio dedup needs.
+    Compare fingerprints with banded Hamming LSH exactly like image
+    pHashes (multimodal.phash_neardup is hash-agnostic)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    n = x.shape[0]
+    seg = max(4, n // n_segments)
+    out = 0
+    for j in range(n_segments):
+        w = x[j * seg : (j + 1) * seg]
+        if w.shape[0] < 4:
+            dom = 0
+        else:
+            mag = np.abs(np.fft.rfft(w))[1 : w.shape[0] // 2 + 1]
+            dom = 0 if mag.size == 0 else int(np.argmax(mag)) + 1
+        out |= (min(dom, 255)) << (8 * j)
+    return out

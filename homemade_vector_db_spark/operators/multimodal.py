@@ -8,12 +8,13 @@ Decode status (round 6): images in PPM/PGM, uncompressed BMP, and PNG are
 decoded FOR REAL by the pure-numpy/zlib codec in
 `functions/imagecodec.py` — width/height/mean-luma come from actual
 pixels, and `resize_images` emits a real nearest-neighbor PPM thumbnail.
-JPEG raises NotImplementedError (no libjpeg in this container — swap in
-PIL and nothing else changes); payloads with no known image magic fall
-back to the deterministic byte-derived fake so schema/batch plumbing
-stays testable with arbitrary bytes. Audio decode
-(`_extract_audio_features`) remains a documented stub for the same
-container reason.
+Payloads with no known media magic fall back to deterministic
+byte-derived fakes so schema/batch plumbing stays testable with
+arbitrary bytes. As of round 7 every tier decodes for real in pure
+numpy/stdlib: images (PPM/PGM/BMP/PNG/baseline JPEG), audio (WAV/PCM
+with real MFCC/spectral features), video (MJPEG-AVI); compressed
+formats that genuinely need native libs (progressive JPEG, MP3/FLAC/
+OGG, H.264-family) refuse honestly at documented swap-in seams.
 
 Scale notes:
 - decode work is a `mapInPandas` over Arrow record batches: rows stream
@@ -244,14 +245,14 @@ AUDIO_FEATURE_SCHEMA = (
 def _extract_audio_features(
     content: bytes,
 ) -> "tuple[int | None, float, list[float]]":
-    """Audio decode. Returns (duration_ms | None, rms, mfcc-like coeffs).
+    """Audio decode. Returns (duration_ms | None, rms, mfcc coeffs).
 
     RIFF/WAVE payloads are REALLY decoded (pure numpy + struct —
     functions/audiocodec.py: PCM 8/16/24/32-bit + float32/64, extensible
-    wrappers, chunk-walking): duration and RMS come from the samples.
-    The mfcc vector remains a documented STUB (a real MFCC needs an FFT
-    + mel filterbank + DCT pipeline — librosa's domain), seeded from the
-    real (rms, zcr) so it is deterministic per decoded signal.
+    wrappers, chunk-walking): duration and RMS come from the samples,
+    and since round 7 the mfcc vector is a REAL MFCC (Hann-framed power
+    rFFT → HTK mel filterbank → log → DCT-II, `audiocodec.mfcc` — pure
+    numpy, no librosa needed for the canonical pipeline).
     Recognizable compressed formats (MP3/FLAC/OGG) refuse honestly like
     JPEG; unknown magic keeps the deterministic byte-derived fake so the
     Arrow-batch plumbing stays testable with arbitrary payloads."""
@@ -267,11 +268,8 @@ def _extract_audio_features(
         rate, x = ac.decode_wav(content)
         dur_ms = int(round(1000.0 * x.shape[0] / rate)) if rate else 0
         r = ac.rms(x)
-        z = ac.zero_crossing_rate(x)
-        mfcc = [
-            float((((r + z) * 131 + i * 17) % 20) - 10.0) for i in range(13)
-        ]
-        return dur_ms, r, mfcc
+        coeffs = [float(c) for c in ac.mfcc(x, rate)]
+        return dur_ms, r, coeffs
     if fmt in ("mp3", "flac", "ogg"):
         raise NotImplementedError(
             f"{fmt} decode requires ffmpeg/librosa (swap in at this seam "
@@ -285,9 +283,10 @@ def _extract_audio_features(
 def audio_features(df: DataFrame) -> DataFrame:
     """Decode + feature-extract audio rows via mapInPandas (Arrow batches):
     (media_id, duration_ms, n_bytes, rms, mfcc[13]). WAV payloads are
-    really decoded (duration_ms and rms come from the samples — the
-    metadata column is overridden by ground truth); other payloads keep
-    the metadata duration and the stub features. Same batched shape as
+    really decoded (duration_ms, rms, and a REAL pure-numpy MFCC come
+    from the samples — the metadata column is overridden by ground
+    truth); unknown payloads keep the metadata duration and the
+    deterministic byte-derived fake features. Same batched shape as
     image_features."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -558,3 +557,44 @@ def shot_boundaries(df: DataFrame, luma_jump: float = 60.0) -> DataFrame:
 
     src = df.where(F.col("kind") == "video").select("media_id", "content")
     return src.mapInPandas(detect, schema=SHOT_SCHEMA)
+
+
+# ------------------------------------------------ audio fingerprint dedup
+FINGERPRINT_SCHEMA = "media_id LONG, fingerprint LONG"
+
+
+def audio_fingerprints(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Decode audio and emit a 64-bit melody-contour fingerprint
+    (audiocodec.fingerprint64: per-segment dominant rFFT bin, one byte
+    per segment — invariant to positive amplitude scaling, so
+    volume-normalized / re-encoded copies fingerprint identically).
+    Arrow-batched like every media kernel. Pair generation reuses the
+    hash-agnostic `phash_neardup` (banded Hamming LSH) unchanged:
+    `phash_neardup(fps, hash_col="fingerprint")` — one dedup engine,
+    two modalities. Undecodable payloads raise: a fingerprint of
+    unknown bytes would poison the dedup graph (same contract as
+    phash_images); MP3/FLAC/OGG refuse at the decode seam."""
+    from homemade_vector_db_spark.functions import audiocodec as ac
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                fmt = ac.sniff_audio_format(data)
+                if fmt != "wav":
+                    raise NotImplementedError(
+                        f"audio fingerprint needs decodable PCM; {fmt!r} "
+                        "requires ffmpeg/librosa (swap in at this seam)"
+                    )
+                _, x = ac.decode_wav(data)
+                rows.append((mid, ac.fingerprint64(x)))
+            yield pd.DataFrame(rows, columns=["media_id", "fingerprint"])
+
+    cols = [F.col(id_col), F.col("content")]
+    src = (
+        df.where(F.col("kind") == "audio").select(*cols)
+        if "kind" in df.columns
+        else df.select(*cols)
+    )
+    return src.mapInPandas(extract, schema=FINGERPRINT_SCHEMA)

@@ -1441,6 +1441,64 @@ def q_shot_boundary_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AFP_STATS_N = 24  # docs turned into synthetic melody clips (8 clusters of 3)
+
+
+def q_audio_fingerprint_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio-dedup gate (round 7; the audio sibling of
+    image_phash_neardup): certifies `multimodal.audio_fingerprints`
+    (WAV decode → per-segment dominant-bin melody fingerprint) and the
+    REUSE of the hash-agnostic `phash_neardup` banded-Hamming engine on
+    a second modality, in one plan.
+
+    Law: doc_id < AFP_STATS_N form clusters of 3; members share one
+    8-segment melody (segment j tone bin = 3 + (cluster*7 + j*5) % 13)
+    and differ only in amplitude (8000/10000/12000). The dominant rFFT
+    bin is invariant to positive amplitude scaling, so intra-cluster
+    fingerprints are identical (Hamming 0) while distinct melodies
+    differ in every segment byte (≥ 12 bits apart end-to-end through
+    the codec, deterministic at every SF) — the oracle enumerates the
+    exact expected pair list arithmetically."""
+    import pandas as _pd
+
+    from homemade_vector_db_spark.functions import audiocodec as ac
+    from homemade_vector_db_spark.operators import multimodal as mm
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                cl, amp = did // 3, 8000 + (did % 3) * 2000
+                segs = []
+                for j in range(8):
+                    k = 3 + ((cl * 7 + j * 5) % 13)
+                    t = _np.arange(480)
+                    segs.append(
+                        _np.round(
+                            amp * _np.sin(2.0 * _np.pi * k * t / 480.0)
+                        )
+                    )
+                clip = _np.concatenate(segs).astype(_np.int16)
+                out.append((did, ac.encode_wav(clip, AUDIO_RATE, bits=16)))
+            yield _pd.DataFrame(out, columns=["media_id", "content"])
+
+    ids = (
+        load_documents(spark, sf_dir)
+        .where(F.col("doc_id") < AFP_STATS_N)
+        .select("doc_id")
+        .distinct()
+    )
+    media = ids.mapInPandas(gen, schema="media_id long, content binary")
+    fps = mm.audio_fingerprints(media)
+    pairs = mm.phash_neardup(fps, max_hamming=3, hash_col="fingerprint")
+    return pairs.orderBy("id_a", "id_b")
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group embedding distribution drift (round 7): for each label
     (standing in for a data source / crawl snapshot), the L2 distance
@@ -4699,6 +4757,21 @@ SELECT doc_id,
        true AS centroid_ok
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < {AUDIO_SPECTRAL_N})
 ORDER BY doc_id
+"""
+
+# Audio fingerprint dedup: same exact-pair-list law as the image gate
+# (clusters of 3 amplitude variants at Hamming 0; melodies >= 12 apart).
+_ORACLES["audio_fingerprint_neardup"] = f"""
+WITH c AS (
+  SELECT DISTINCT doc_id // 3 AS cl
+  FROM documents WHERE doc_id < {AFP_STATS_N}
+),
+p(a, b) AS (VALUES (0, 1), (0, 2), (1, 2))
+SELECT cl * 3 + p.a AS id_a,
+       cl * 3 + p.b AS id_b,
+       CAST(0 AS INT) AS hamming
+FROM c, p
+ORDER BY id_a, id_b
 """
 
 # Embedding drift: per-label centroid vs global centroid, both
@@ -8568,6 +8641,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 11g: NEW round 7 — per-source embedding distribution
         # drift monitor (centroid L2/cos vs global, relational shape)
         "embedding_drift": q_embedding_drift,
+        # slot 11h: NEW round 7 — melody-fingerprint audio dedup
+        # (amplitude-invariant contour hash through the real WAV codec,
+        # pair engine shared with image pHash dedup)
+        "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
         # slots 12-14: the remaining sf0.1-sweep findings — discrete
         # order-statistic decile boundaries (interpolated percentile was
         # engine-divergent), and decimal money aggregation for the lag-

@@ -124,3 +124,54 @@ def test_real_wav_through_spark_audio_tier(spark):
     )
     with pytest.raises(Exception, match="ffmpeg/librosa"):
         multimodal.audio_features(mp3).collect()
+
+
+# ------------------------------------------- round-7 spectral kernels
+def test_mfcc_shape_and_amplitude_law():
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import audiocodec as ac
+
+    # broadband signal: every mel bin carries power well above the log
+    # epsilon, so the amplitude law is clean (a pure tone's empty bins
+    # are epsilon-dominated and break exact invariance)
+    x = np.random.default_rng(7).standard_normal(4096)
+    m1 = ac.mfcc(x, 16000)
+    assert m1.shape == (13,)
+    # scaling amplitude multiplies power by s^2 -> log-mel shifts by a
+    # constant -> only the DC cepstral coefficient moves (orthonormal
+    # DCT row 0 is constant); c1..c12 are amplitude-invariant
+    m2 = ac.mfcc(3.0 * x, 16000)
+    assert abs(m2[0] - m1[0]) > 1.0
+    assert np.allclose(m1[1:], m2[1:], atol=1e-6)
+
+
+def test_mfcc_distinguishes_tones():
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import audiocodec as ac
+
+    t = np.arange(4096)
+    lo = ac.mfcc(np.sin(2 * np.pi * 300 * t / 16000.0), 16000)
+    hi = ac.mfcc(np.sin(2 * np.pi * 3000 * t / 16000.0), 16000)
+    assert float(np.abs(lo[1:] - hi[1:]).max()) > 1.0
+
+
+def test_fingerprint64_amplitude_invariant_and_melody_sensitive():
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import audiocodec as ac
+
+    def clip(bins, amp):
+        t = np.arange(480)
+        return np.concatenate(
+            [np.round(amp * np.sin(2 * np.pi * k * t / 480)) for k in bins]
+        )
+
+    bins = [3, 5, 7, 9, 11, 13, 4, 6]
+    f1 = ac.fingerprint64(clip(bins, 8000))
+    assert f1 == ac.fingerprint64(clip(bins, 12000))  # scale-invariant
+    f2 = ac.fingerprint64(clip([4, 6, 8, 10, 12, 14, 5, 7], 8000))
+    assert bin(f1 ^ f2).count("1") >= 8  # different melody, far apart
+    # byte j is segment j's dominant bin
+    assert (f1 >> 0) & 0xFF == 3 and (f1 >> 8) & 0xFF == 5

@@ -328,3 +328,31 @@ def test_phash_neardup_hot_bucket_cap(spark):
     # uncapped: the hot bucket contributes all 45 identical pairs too
     full = multimodal.phash_neardup(df, max_hamming=3)
     assert full.count() == 45 + 1
+
+
+def test_audio_fingerprints_refuse_non_wav(spark):
+    rows = [(0, b"fLaC" + bytes(64))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    with pytest.raises(Exception, match="flac"):
+        multimodal.audio_fingerprints(df).collect()
+
+
+def test_audio_features_real_mfcc_through_spark(spark):
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import audiocodec as ac
+
+    t = np.arange(4096)
+    wav = ac.encode_wav(
+        np.round(12000 * np.sin(2 * np.pi * 440 * t / 16000.0)).astype(
+            np.int16
+        ),
+        16000,
+        bits=16,
+    )
+    rows = [(0, "audio", wav, "audio/wav", None, None, 256)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    r = multimodal.audio_features(df).collect()[0]
+    _, x = ac.decode_wav(wav)
+    expect = ac.mfcc(x, 16000)
+    assert np.allclose(np.array(r.mfcc), expect, atol=1e-4)  # float32 col
