@@ -71,6 +71,12 @@ HEADLINE = [
     # the scoring-only path these rounds optimized)
     "bigram_logprob",
     "token_count_bpe",
+    # round 7: the new training-pipeline families — media dedup through
+    # the real codecs (both modalities share the banded-Hamming engine)
+    # and the relational embedding-drift monitor (scales with SF)
+    "image_phash_neardup",
+    "audio_fingerprint_neardup",
+    "embedding_drift",
 ]
 
 

@@ -388,6 +388,16 @@ def phash64(arr: np.ndarray) -> int:
     which is the perceptual property near-dup image dedup wants.
     Returns a non-negative int that fits a Spark LongType.
     """
+    ac = dct_lowfreq(arr).reshape(-1)[1:]  # 63 ACs, DC dropped
+    med = np.median(ac)
+    bits = ac > med
+    return int(sum(int(b) << i for i, b in enumerate(bits)))
+
+
+def dct_lowfreq(arr: np.ndarray, k: int = _PHASH_LOWF) -> np.ndarray:
+    """Top-left k×k low-frequency block of the orthonormal 2-D DCT-II
+    of the 32×32-resampled luma plane — the shared transform behind
+    phash64 (thresholded to bits) and dct_descriptor (kept as floats)."""
     global _DCT32
     if _DCT32 is None:
         _DCT32 = _dct_matrix(_PHASH_SIDE)
@@ -399,7 +409,16 @@ def phash64(arr: np.ndarray) -> int:
     if a.shape != (_PHASH_SIDE, _PHASH_SIDE):
         a = resize_nearest(a, _PHASH_SIDE, _PHASH_SIDE)
     d = _DCT32 @ a @ _DCT32.T
-    ac = d[:_PHASH_LOWF, :_PHASH_LOWF].reshape(-1)[1:]  # 63 ACs, DC dropped
-    med = np.median(ac)
-    bits = ac > med
-    return int(sum(int(b) << i for i, b in enumerate(bits)))
+    return d[:k, :k]
+
+
+def dct_descriptor(arr: np.ndarray, dim: int = 8) -> "list[float]":
+    """Real low-frequency visual descriptor: the first `dim` 2-D DCT
+    coefficients of the 32×32 luma plane in reading order, scaled by
+    1/255 so components are O(1). The classic compact baseline
+    embedding for coarse visual similarity — cosine distance between
+    descriptors orders images by low-frequency structure; a vision
+    model forward pass swaps in at this seam for semantic search."""
+    side = int(np.ceil(np.sqrt(dim)))
+    flat = dct_lowfreq(arr, k=max(side, 1)).reshape(-1)[:dim]
+    return [float(v) / 255.0 for v in flat]

@@ -98,10 +98,14 @@ def image_features(
 ) -> DataFrame:
     """Decode + feature-extract images via mapInPandas (Arrow batches).
 
-    Output: (media_id, width, height, n_bytes, mean_luma, feature) where
-    `feature` is a dim-length embedding (stub: luma-seeded deterministic
-    values; real: a vision model forward pass on the decoded tensor).
-    """
+    Output: (media_id, width, height, n_bytes, mean_luma, feature).
+    For decodable formats `feature` is a REAL dim-length low-frequency
+    DCT descriptor of the pixels (imagecodec.dct_descriptor — the
+    compact baseline visual embedding; a vision model forward pass
+    swaps in at this seam for semantic search). Unknown payloads keep
+    the deterministic luma-seeded fake so the Arrow plumbing stays
+    testable with arbitrary bytes."""
+    from homemade_vector_db_spark.functions import imagecodec as ic
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -109,9 +113,15 @@ def image_features(
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 data = bytes(content) if content is not None else b""
                 w, h, luma = _decode_image_bytes(data)
-                feat = [
-                    float(((luma * 997 + i * 31) % 100) / 100.0) for i in range(dim)
-                ]
+                if ic.sniff_format(data) in (
+                    "ppm", "pgm", "bmp", "png", "jpeg",
+                ):
+                    feat = ic.dct_descriptor(ic.decode_image(data), dim)
+                else:
+                    feat = [
+                        float(((luma * 997 + i * 31) % 100) / 100.0)
+                        for i in range(dim)
+                    ]
                 rows.append((mid, w, h, len(data), luma, feat))
             yield pd.DataFrame(
                 rows,

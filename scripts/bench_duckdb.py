@@ -39,10 +39,15 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     oracles = ent.oracle_sql()
+    # Gate-style entries whose oracle is an arithmetic LAW enumeration
+    # (expected pair lists), not the actual decode/hash computation —
+    # timing that SQL would compare Spark's real codec work against a
+    # constant-enumeration no-op, so they are excluded from the proxy.
+    law_only = {"image_phash_neardup", "audio_fingerprint_neardup"}
     timings: dict[str, float] = {}
     skipped = []
     for name in bench.HEADLINE:
-        if name not in oracles:
+        if name not in oracles or name in law_only:
             skipped.append(name)
             continue
         sql = oracles[name]

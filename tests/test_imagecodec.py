@@ -242,3 +242,22 @@ def test_phash64_distinct_patterns_far_apart():
     for i in range(len(hashes)):
         for j in range(i + 1, len(hashes)):
             assert bin(hashes[i] ^ hashes[j]).count("1") >= 8
+
+
+def test_dct_descriptor_real_structure():
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import imagecodec as ic
+
+    flat = np.full((32, 32), 100, np.uint8)
+    d = ic.dct_descriptor(flat, dim=8)
+    assert len(d) == 8
+    # constant image: all energy in DC, zero in every AC coefficient
+    assert abs(d[0] - 100.0 * 32 / 255.0) < 1e-6  # DC = mean * N
+    assert all(abs(v) < 1e-9 for v in d[1:])
+    # horizontal gradient: energy appears in the horizontal AC, and the
+    # descriptor separates it from the flat image
+    grad = np.tile(np.arange(0, 256, 8, dtype=np.uint8), (32, 1))
+    g = ic.dct_descriptor(grad, dim=8)
+    assert abs(g[1]) > 0.5  # first horizontal frequency
+    assert sum((a - b) ** 2 for a, b in zip(d, g)) > 1.0

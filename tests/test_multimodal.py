@@ -1,5 +1,7 @@
-"""Multimodal plumbing: schemas, Arrow batch shape, fan-out — the decode
-itself is a documented stub (no imaging libs in this container)."""
+"""Multimodal plumbing and real pure-numpy decode: schemas, Arrow batch
+shape, fan-out, plus the round-6/7 real codec paths (PPM/PGM/BMP/PNG/
+JPEG images, WAV audio with MFCC, MJPEG-AVI video) and the media dedup
+operators (pHash / melody fingerprint through banded Hamming LSH)."""
 
 import pytest
 from pyspark.sql import functions as F
