@@ -1298,6 +1298,76 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def q_media_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed media-dedup pipeline (round 7): the image pHash pair
+    detector feeds the SAME `connected_components` operator the text
+    near-dup family uses — pairs → canonical clusters → keep/drop
+    decision — certifying that the media tier plugs into the existing
+    dedup machinery end to end (decode → DCT hash → banded-Hamming LSH
+    → pointer-doubling CC → per-cluster profile in ONE plan).
+
+    Law: identical media universe to image_phash_neardup (8 noise
+    clusters × 3 brightness variants), so each component is exactly one
+    cluster with the cluster head as canonical id. Emits per-component
+    (component, n_members, n_canonical) rows the oracle re-derives
+    arithmetically; n_canonical pins the keep-rule (id == component) to
+    exactly one keeper per cluster."""
+    import pandas as _pd
+
+    from homemade_vector_db_spark.functions import imagecodec as ic
+    from homemade_vector_db_spark.operators import multimodal as mm
+    from homemade_vector_db_spark.operators.dedup import connected_components
+
+    side = 32
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                cl, off = did // PHASH_CLUSTER, (did % PHASH_CLUSTER) * 7
+                y, x = _np.meshgrid(
+                    _np.arange(side), _np.arange(side), indexing="ij"
+                )
+                base = ((cl * 2654435761 + y * 97 + x * 31) * 40503) % 200
+                out.append((did, ic.encode_ppm((base + off).astype(_np.uint8))))
+            yield _pd.DataFrame(out, columns=["media_id", "content"])
+
+    ids = (
+        load_documents(spark, sf_dir)
+        .where(F.col("doc_id") < PHASH_STATS_N)
+        .select("doc_id")
+        .distinct()
+    )
+    media = ids.mapInPandas(gen, schema="media_id long, content binary")
+    hashes = mm.phash_images(media).transform(_track_persist)
+    pairs = mm.phash_neardup(
+        hashes, max_hamming=PHASH_MAX_HAMMING, n_bands=4
+    )
+    comp = connected_components(pairs, a_col="id_a", b_col="id_b").select(
+        F.col("doc_id").alias("id"), "component"
+    )
+    # singletons (no pair) are their own component — union them in so
+    # the cluster profile covers the whole universe, like the text path
+    labeled = (
+        hashes.select(F.col("media_id").alias("id"))
+        .join(comp, "id", "left")
+        .withColumn("component", F.coalesce("component", F.col("id")))
+    )
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(
+                (F.col("id") == F.col("component")).cast("long")
+            ).alias("n_canonical"),
+        )
+        .orderBy("component")
+    )
+
+
 AUDIO_SPECTRAL_N = 24  # docs turned into synthetic pure-tone clips
 
 
@@ -4741,6 +4811,19 @@ SELECT cl * {PHASH_CLUSTER} + p.a AS id_a,
        CAST(0 AS INT) AS hamming
 FROM c, p
 ORDER BY id_a, id_b
+"""
+
+# Media dedup composition: each pHash cluster is one component headed
+# by the cluster's smallest doc_id, with exactly one canonical keeper.
+_ORACLES["media_dedup_components"] = f"""
+SELECT cl * {PHASH_CLUSTER} AS component,
+       CAST({PHASH_CLUSTER} AS BIGINT) AS n_members,
+       CAST(1 AS BIGINT) AS n_canonical
+FROM (
+  SELECT DISTINCT doc_id // {PHASH_CLUSTER} AS cl
+  FROM documents WHERE doc_id < {PHASH_STATS_N}
+)
+ORDER BY component
 """
 
 # FFT spectral gate: dominant bin / Hz re-derived from the tone law;
@@ -8645,6 +8728,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (amplitude-invariant contour hash through the real WAV codec,
         # pair engine shared with image pHash dedup)
         "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
+        # slot 11i: NEW round 7 — composed media-dedup pipeline (pHash
+        # pairs -> connected components -> canonical cluster profile)
+        "media_dedup_components": q_media_dedup_components,
         # slots 12-14: the remaining sf0.1-sweep findings — discrete
         # order-statistic decile boundaries (interpolated percentile was
         # engine-divergent), and decimal money aggregation for the lag-
