@@ -1569,6 +1569,93 @@ def q_audio_fingerprint_neardup(
     return pairs.orderBy("id_a", "id_b")
 
 
+# Distributed linear-model training via sufficient statistics: the
+# normal-equation entries are EXACT BIGINT sums over integer features
+# (no float enters the aggregation at all, so partial-agg order is
+# irrelevant at any executor count), converted losslessly to double
+# (< 2^53) for a 3×3 Cramer solve written once and executed by BOTH
+# engines — identical IEEE expression tree ⇒ identical coefficient
+# bits. Residual bound check runs in exact decimal against the rounded
+# coefficients. This is the scalable shape for linear probes: one
+# map-side-combined aggregation pass, parameters never larger than the
+# feature count.
+_PROBE_SQL = """
+WITH feats AS (
+  SELECT CAST(n_chars AS BIGINT) AS x1,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1
+              AS BIGINT) AS x2,
+         CAST(n_chars
+              - 3 * (length(text) - length(replace(text, ' ', '')) + 1)
+              + doc_id % 7 AS BIGINT) AS y
+  FROM {documents}
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x1) AS DOUBLE) AS s1,
+         CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS s2y
+  FROM feats
+),
+solve AS (
+  SELECT
+    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2) AS det,
+    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s2y - s1y * s2) AS det1,
+    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM s
+),
+w AS (
+  SELECT CAST(round(det0 / det, 6) AS DECIMAL(18, 6)) AS w_bias,
+         CAST(round(det1 / det, 6) AS DECIMAL(18, 6)) AS w_chars,
+         CAST(round(det2 / det, 6) AS DECIMAL(18, 6)) AS w_tokens
+  FROM solve
+)
+SELECT CAST(w.w_bias AS DOUBLE) AS w_bias,
+       CAST(w.w_chars AS DOUBLE) AS w_chars,
+       CAST(w.w_tokens AS DOUBLE) AS w_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN abs(
+             CAST(f.y AS DECIMAL(24, 6))
+             - (w.w_bias + w.w_chars * f.x1 + w.w_tokens * f.x2)
+           ) <= CAST(3.5 AS DECIMAL(24, 6)) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_within_tol
+FROM feats f CROSS JOIN w
+GROUP BY w.w_bias, w.w_chars, w.w_tokens
+"""
+
+
+def q_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear quality probe IN-PLAN (round 7): regress a
+    rule-based quality target (chars − 3·tokens + doc_id-seeded noise)
+    on document features (n_chars, whitespace token count) by solving
+    the normal equations from ONE aggregation pass of exact-integer
+    sufficient statistics — the standard way to distill a hand rule
+    into a model at corpus scale. Every X'X / X'y entry is an exact
+    BIGINT sum (order-independent under ANY partitioning — the same
+    at-scale determinism law as the decimal money sums), the 3×3
+    Cramer solve is a fixed IEEE expression tree shared verbatim with
+    the DuckDB oracle, and the residual-bound check (|residual| ≤ 3.5
+    for every doc, noise is doc_id % 7) runs in exact decimal against
+    the 6dp-rounded coefficients. Scale shape: one map-side-combined
+    agg to 9 numbers; the model never exceeds the feature count; the
+    verification pass is a broadcast of a 1-row relation."""
+    load_documents(spark, sf_dir).createOrReplaceTempView("v_probe_docs")
+    return spark.sql(_PROBE_SQL.format(documents="v_probe_docs"))
+
+
+# (oracle registered below — _ORACLES is defined after the
+# query-definition section; the oracle is the SAME SQL text)
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group embedding distribution drift (round 7): for each label
     (standing in for a data source / crawl snapshot), the L2 distance
@@ -4856,6 +4943,10 @@ SELECT cl * 3 + p.a AS id_a,
 FROM c, p
 ORDER BY id_a, id_b
 """
+
+# Linear quality probe: the oracle is the SAME SQL text (exact-BIGINT
+# sufficient stats + shared Cramer expression tree).
+_ORACLES["quality_linear_probe"] = _PROBE_SQL.format(documents="documents")
 
 # Embedding drift: per-label centroid vs global centroid, both
 # re-derived relationally (struct-unnest to (label, dim, v)).
@@ -8731,6 +8822,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 11i: NEW round 7 — composed media-dedup pipeline (pHash
         # pairs -> connected components -> canonical cluster profile)
         "media_dedup_components": q_media_dedup_components,
+        # slot 11j: NEW round 7 — in-plan linear-probe training from
+        # exact-integer sufficient statistics (shared Cramer SQL)
+        "quality_linear_probe": q_quality_linear_probe,
         # slots 12-14: the remaining sf0.1-sweep findings — discrete
         # order-statistic decile boundaries (interpolated percentile was
         # engine-divergent), and decimal money aggregation for the lag-
