@@ -1656,6 +1656,61 @@ def q_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query-definition section; the oracle is the SAME SQL text)
 
 
+EPOCH_SEED = "epoch1"  # production varies this per training epoch
+EPOCH_SHARDS = 8
+EPOCH_CHECKSUM_MOD = 1000003
+
+
+def q_epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + dataloader sharding (round 7):
+    the global reorder a training job does before splitting a corpus
+    across dataloader workers — done as a pure hash law instead of
+    ORDER BY rand(), so the epoch's data order is byte-reproducible
+    across engines, reruns, retries, and repartitionings (rand() gives
+    a DIFFERENT order after any task retry, silently breaking
+    checkpoint-resume determinism at 1000-executor scale).
+
+    Law: ordkey = 32-bit md5 window of '<seed>:<doc_id>' (full
+    avalanche; new seed string per epoch reshuffles everything);
+    shard = ordkey % EPOCH_SHARDS; within-shard order = (ordkey,
+    doc_id). Scale shape: NO global sort — one hash-partition shuffle
+    by shard with a sort inside each partition (exactly the
+    dataloader's read pattern). Emits per-shard doc count, char
+    volume, and a position-weighted order CHECKSUM (permutation-
+    sensitive: any engine disagreeing on the order of even two docs
+    changes it) that the oracle re-derives independently."""
+    from pyspark.sql.window import Window
+
+    docs = load_documents(spark, sf_dir)
+    ordkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(EPOCH_SEED + ":"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h = docs.select("doc_id", "n_chars", ordkey.alias("ordkey"))
+    s = h.withColumn("shard", F.col("ordkey") % EPOCH_SHARDS).withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy("ordkey", "doc_id")
+        ),
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            (
+                F.sum(F.col("pos") * F.col("doc_id")) % EPOCH_CHECKSUM_MOD
+            ).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group embedding distribution drift (round 7): for each label
     (standing in for a data source / crawl snapshot), the L2 distance
@@ -4947,6 +5002,33 @@ ORDER BY id_a, id_b
 # Linear quality probe: the oracle is the SAME SQL text (exact-BIGINT
 # sufficient stats + shared Cramer expression tree).
 _ORACLES["quality_linear_probe"] = _PROBE_SQL.format(documents="documents")
+
+# Epoch shuffle/shard: DuckDB twin of the md5 ordkey (identical value
+# by construction — same hex window law as _md5_bucket_sql, full 32
+# bits, epoch-seeded string key).
+_ORACLES["epoch_shard_plan"] = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5('{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS ordkey
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, ordkey % {EPOCH_SHARDS} AS shard,
+         row_number() OVER (
+           PARTITION BY ordkey % {EPOCH_SHARDS} ORDER BY ordkey, doc_id
+         ) AS pos
+  FROM h
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(pos * doc_id) % {EPOCH_CHECKSUM_MOD} AS BIGINT)
+         AS order_checksum
+FROM s
+GROUP BY shard
+ORDER BY shard
+"""
 
 # Embedding drift: per-label centroid vs global centroid, both
 # re-derived relationally (struct-unnest to (label, dim, v)).
@@ -8825,6 +8907,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 11j: NEW round 7 — in-plan linear-probe training from
         # exact-integer sufficient statistics (shared Cramer SQL)
         "quality_linear_probe": q_quality_linear_probe,
+        # slot 11k: NEW round 7 — reproducible epoch shuffle + shard
+        # plan (md5 ordkey law, permutation-sensitive order checksum)
+        "epoch_shard_plan": q_epoch_shard_plan,
         # slots 12-14: the remaining sf0.1-sweep findings — discrete
         # order-statistic decile boundaries (interpolated percentile was
         # engine-divergent), and decimal money aggregation for the lag-
