@@ -295,4 +295,10 @@ def fingerprint64(samples: np.ndarray, n_segments: int = 8) -> int:
             mag = np.abs(np.fft.rfft(w))[1 : w.shape[0] // 2 + 1]
             dom = 0 if mag.size == 0 else int(np.argmax(mag)) + 1
         out |= (min(dom, 255)) << (8 * j)
+    # two's-complement wrap: byte 7 >= 128 (dominant bin >= 128 in a
+    # long final segment) would otherwise overflow Spark's signed
+    # LongType; the banded-Hamming engine compares bit patterns
+    # (XOR/bit_count), which the wrap preserves exactly
+    if out >= 1 << 63:
+        out -= 1 << 64
     return out

@@ -175,3 +175,21 @@ def test_fingerprint64_amplitude_invariant_and_melody_sensitive():
     assert bin(f1 ^ f2).count("1") >= 8  # different melody, far apart
     # byte j is segment j's dominant bin
     assert (f1 >> 0) & 0xFF == 3 and (f1 >> 8) & 0xFF == 5
+
+
+def test_fingerprint64_high_bin_fits_signed_long():
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import audiocodec as ac
+
+    # 8 segments of 512 samples; the final segment's tone sits at bin
+    # 200 -> byte 7 = 200 has its top bit set -> overall bit 63 set ->
+    # must wrap to a negative signed 64-bit value (Spark LongType),
+    # preserving the bit pattern the Hamming engine compares
+    t = np.arange(512)
+    segs = [np.round(9000 * np.sin(2 * np.pi * 3 * t / 512))] * 7
+    segs.append(np.round(9000 * np.sin(2 * np.pi * 200 * t / 512)))
+    f = ac.fingerprint64(np.concatenate(segs))
+    assert -(1 << 63) <= f < (1 << 63)
+    assert f < 0  # bit 63 genuinely set
+    assert (f >> 56) & 0xFF == 200
