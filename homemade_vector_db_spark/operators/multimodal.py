@@ -608,3 +608,135 @@ def audio_fingerprints(df: DataFrame, id_col: str = "media_id") -> DataFrame:
         else df.select(*cols)
     )
     return src.mapInPandas(extract, schema=FINGERPRINT_SCHEMA)
+
+
+# ------------------------------------------------ video near-dup
+VIDEO_PHASH_SCHEMA = "media_id LONG, frame_idx INT, phash LONG"
+
+
+def video_frame_phashes(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Per-frame perceptual hashes over video rows: (media_id,
+    frame_idx, phash) — MJPEG-AVI container parse
+    (avicodec.extract_frames) → per-frame baseline-JPEG decode
+    (jpegcodec) → 63-bit DCT pHash (imagecodec.phash64), all inside
+    the Arrow batch on executors; the video bytes never reach the
+    driver. This is the fingerprint layer of video dedup: a re-cut /
+    re-looped / re-ordered copy of a video keeps the same frame-hash
+    SET even though the container bytes differ completely.
+
+    MP4/MKV refuse honestly (H.264 needs ffmpeg — swap in at this
+    seam); unknown payloads raise, same poisoning contract as
+    phash_images (a hash of undecodable bytes would silently corrupt
+    the dedup graph). No reference analogue — the reference
+    (local_db.py) has no media path; this extends the pHash tier."""
+    from homemade_vector_db_spark.functions import avicodec as av
+    from homemade_vector_db_spark.functions import imagecodec as ic
+    from homemade_vector_db_spark.functions import jpegcodec as jc
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                fmt = av.sniff_video_format(data)
+                if fmt in ("mp4", "mkv"):
+                    raise NotImplementedError(
+                        f"{fmt} demux/decode requires ffmpeg (swap in at "
+                        "this seam); only MJPEG-AVI parses natively"
+                    )
+                if fmt != "avi":
+                    raise ValueError(
+                        "video pHash needs a parseable container; "
+                        f"got {fmt!r}"
+                    )
+                for fi, fb in enumerate(av.extract_frames(data)):
+                    rows.append((mid, fi, ic.phash64(jc.decode_jpeg(fb))))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "phash"]
+            )
+
+    cols = [F.col(id_col), F.col("content")]
+    src = (
+        df.where(F.col("kind") == "video").select(*cols)
+        if "kind" in df.columns
+        else df.select(*cols)
+    )
+    return src.mapInPandas(extract, schema=VIDEO_PHASH_SCHEMA)
+
+
+def video_neardup(
+    frame_hashes: DataFrame,
+    min_jaccard: float = 0.5,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Video-pair near-duplicates by Jaccard over DISTINCT frame-hash
+    sets: (id_a, id_b, n_match, jaccard) with id_a < id_b and jaccard
+    ≥ min_jaccard. Input is the (media_id, frame_idx, phash) relation
+    from video_frame_phashes.
+
+    Shape: distinct (id, hash) rows → equality bucket join ON THE
+    HASH (never all-pairs: only videos sharing an identical frame
+    hash meet) → per-pair match count → Jaccard against per-video
+    distinct-set sizes. The tolerance to pixel-level noise lives in
+    the pHash itself (low-frequency DCT quantization absorbs
+    re-encode jitter); set-Jaccard then makes the VIDEO-level verdict
+    order-, loop-, and trim-invariant — the three cheap edits
+    re-uploads actually make. Same scale skeleton as the MinHash-LSH
+    text path: shuffle is (hash → ids) postings, quadratic only
+    inside one hash bucket.
+
+    max_bucket_size (off by default, result-identical when None):
+    drops degenerate hot hash buckets (black/test-card frames shared
+    by millions of videos) from candidate generation, the same
+    escape hatch as phash_neardup."""
+    sets = frame_hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    ).distinct()
+    sizes = sets.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
+    buckets = sets
+    if max_bucket_size is not None:
+        bn = buckets.groupBy("h").agg(F.count(F.lit(1)).alias("_bn"))
+        buckets = (
+            buckets.join(bn.where(F.col("_bn") <= max_bucket_size), "h")
+            .drop("_bn")
+        )
+    matches = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            on=[
+                F.col("a.h") == F.col("b.h"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    return (
+        matches.join(
+            sizes.select(
+                F.col("id").alias("id_a"), F.col("n_frames").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("id").alias("id_b"), F.col("n_frames").alias("nb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_match")
+                / (F.col("na") + F.col("nb") - F.col("n_match")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", "n_match", "jaccard")
+    )

@@ -1569,6 +1569,96 @@ def q_audio_fingerprint_neardup(
     return pairs.orderBy("id_a", "id_b")
 
 
+VID_DEDUP_N = 24  # docs turned into synthetic videos (8 clusters of 3)
+VID_FRAMES = 4  # distinct grating frames per cluster
+
+
+def q_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-dedup gate (round 7; completes the image/audio/VIDEO
+    dedup triad): certifies `multimodal.video_frame_phashes` (MJPEG-AVI
+    parse → per-frame baseline-JPEG decode → per-frame DCT pHash) and
+    `multimodal.video_neardup` (distinct frame-hash sets → hash-bucket
+    join → set Jaccard) end to end, in one plan.
+
+    Law: doc_id < VID_DEDUP_N form clusters of 3; cluster cl owns
+    VID_FRAMES distinct sinusoidal-grating frames (pattern
+    pid = cl*VID_FRAMES + f has frequencies fx = 1 + pid % 6,
+    fy = 1 + pid // 6; pixel v = 100 + 80·sin(2π(fx·x + fy·y)/32)),
+    each encoded to JPEG ONCE so every reuse is byte-identical. The
+    three variants are the edits re-uploads actually make —
+    variant 0: frames in order; variant 1: reversed (re-cut);
+    variant 2: frames re-looped to 1.5× length (trim/loop). Distinct
+    frame-hash SETS are therefore identical within a cluster
+    (Jaccard 1, n_match = VID_FRAMES) while the 32 grating hashes are
+    pairwise ≥ 12 Hamming bits apart through the JPEG round-trip
+    (deterministic — the pattern universe is fixed at every SF;
+    pinned in tests/test_multimodal.py), so no cross-cluster frame
+    pair ever shares a hash and no cross-cluster video pair appears.
+    The oracle enumerates the exact pair list arithmetically — a hash
+    match certifies container parse, JPEG decode, per-frame pHash,
+    the distinct-set law, and the bucket-join Jaccard all at once."""
+    import pandas as _pd
+
+    from homemade_vector_db_spark.functions import avicodec as av
+    from homemade_vector_db_spark.functions import jpegcodec as jc
+    from homemade_vector_db_spark.operators import multimodal as mm
+
+    side, nf = 32, VID_FRAMES
+
+    def gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                cl, var = did // 3, did % 3
+                frames = []
+                for f in range(nf):
+                    pid = cl * nf + f
+                    fx, fy = 1 + pid % 6, 1 + pid // 6
+                    y, x = _np.meshgrid(
+                        _np.arange(side), _np.arange(side), indexing="ij"
+                    )
+                    img = (
+                        100.0
+                        + 80.0
+                        * _np.sin(2.0 * _np.pi * (fx * x + fy * y) / side)
+                    ).astype(_np.uint8)
+                    frames.append(
+                        jc.encode_jpeg(
+                            _np.stack([img] * 3, axis=-1), quality=95
+                        )
+                    )
+                if var == 1:
+                    frames = frames[::-1]
+                elif var == 2:
+                    frames = frames + frames[: nf // 2]
+                out.append(
+                    (
+                        did,
+                        "video",
+                        av.encode_mjpeg_avi(frames, side, side),
+                    )
+                )
+            yield _pd.DataFrame(
+                out, columns=["media_id", "kind", "content"]
+            )
+
+    ids = (
+        load_documents(spark, sf_dir)
+        .where(F.col("doc_id") < VID_DEDUP_N)
+        .select("doc_id")
+        .distinct()
+    )
+    media = ids.mapInPandas(
+        gen, schema="media_id long, kind string, content binary"
+    )
+    hashes = mm.video_frame_phashes(media)
+    pairs = mm.video_neardup(hashes, min_jaccard=0.8)
+    return pairs.orderBy("id_a", "id_b")
+
+
 # Distributed linear-model training via sufficient statistics: the
 # normal-equation entries are EXACT BIGINT sums over integer features
 # (no float enters the aggregation at all, so partial-agg order is
@@ -4995,6 +5085,24 @@ p(a, b) AS (VALUES (0, 1), (0, 2), (1, 2))
 SELECT cl * 3 + p.a AS id_a,
        cl * 3 + p.b AS id_b,
        CAST(0 AS INT) AS hamming
+FROM c, p
+ORDER BY id_a, id_b
+"""
+
+# Video dedup: exact-pair-list law like the image/audio gates — each
+# cluster's 3 edit variants (re-cut / re-loop) share one distinct
+# frame-hash set (Jaccard 1, VID_FRAMES matched hashes); gratings from
+# different clusters never share a frame hash.
+_ORACLES["video_phash_neardup"] = f"""
+WITH c AS (
+  SELECT DISTINCT doc_id // 3 AS cl
+  FROM documents WHERE doc_id < {VID_DEDUP_N}
+),
+p(a, b) AS (VALUES (0, 1), (0, 2), (1, 2))
+SELECT cl * 3 + p.a AS id_a,
+       cl * 3 + p.b AS id_b,
+       CAST({VID_FRAMES} AS BIGINT) AS n_match,
+       CAST(1.0 AS DOUBLE) AS jaccard
 FROM c, p
 ORDER BY id_a, id_b
 """
@@ -8904,6 +9012,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 11i: NEW round 7 — composed media-dedup pipeline (pHash
         # pairs -> connected components -> canonical cluster profile)
         "media_dedup_components": q_media_dedup_components,
+        # slot 11i2: NEW round 7 (second half) — VIDEO near-dup by
+        # set-Jaccard over per-frame pHashes (re-cut/re-loop invariant),
+        # completing the image/audio/video dedup triad
+        "video_phash_neardup": q_video_phash_neardup,
         # slot 11j: NEW round 7 — in-plan linear-probe training from
         # exact-integer sufficient statistics (shared Cramer SQL)
         "quality_linear_probe": q_quality_linear_probe,

@@ -358,3 +358,115 @@ def test_audio_features_real_mfcc_through_spark(spark):
     _, x = ac.decode_wav(wav)
     expect = ac.mfcc(x, 16000)
     assert np.allclose(np.array(r.mfcc), expect, atol=1e-4)  # float32 col
+
+
+def _grating_jpegs(cl, nf=4, side=32):
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import jpegcodec as jc
+
+    frames = []
+    for f in range(nf):
+        pid = cl * nf + f
+        fx, fy = 1 + pid % 6, 1 + pid // 6
+        y, x = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+        img = (
+            100.0 + 80.0 * np.sin(2.0 * np.pi * (fx * x + fy * y) / side)
+        ).astype(np.uint8)
+        frames.append(jc.encode_jpeg(np.stack([img] * 3, axis=-1), quality=95))
+    return frames
+
+
+def test_video_grating_phash_margin():
+    # the law q_video_phash_neardup relies on: the 32 grating patterns
+    # (8 clusters x 4 frames) stay pairwise >= 12 Hamming bits apart
+    # through the JPEG round-trip, so an exact-hash bucket join never
+    # pairs frames from different patterns
+    from homemade_vector_db_spark.functions import imagecodec as ic
+    from homemade_vector_db_spark.functions import jpegcodec as jc
+
+    hashes = [
+        ic.phash64(jc.decode_jpeg(fb))
+        for cl in range(8)
+        for fb in _grating_jpegs(cl)
+    ]
+    assert len(set(hashes)) == 32
+    for i in range(32):
+        for j in range(i + 1, 32):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            assert d >= 12, (i, j, d)
+
+
+def test_video_neardup_edit_invariance(spark):
+    # re-cut (reversed) and re-looped (1.5x) variants of one video pair
+    # at Jaccard 1; an unrelated video never pairs
+    from homemade_vector_db_spark.functions import avicodec as av
+
+    a = _grating_jpegs(0)
+    rows = [
+        (0, "video", av.encode_mjpeg_avi(a, 32, 32)),
+        (1, "video", av.encode_mjpeg_avi(a[::-1], 32, 32)),
+        (2, "video", av.encode_mjpeg_avi(a + a[:2], 32, 32)),
+        (3, "video", av.encode_mjpeg_avi(_grating_jpegs(5), 32, 32)),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    hashes = multimodal.video_frame_phashes(df)
+    got = {
+        (r.id_a, r.id_b): (r.n_match, r.jaccard)
+        for r in multimodal.video_neardup(hashes, min_jaccard=0.8).collect()
+    }
+    assert got == {
+        (0, 1): (4, 1.0),
+        (0, 2): (4, 1.0),
+        (1, 2): (4, 1.0),
+    }
+
+
+def test_video_neardup_partial_overlap_threshold(spark):
+    # 2 shared frames of 4+4 distinct => Jaccard 2/6; the threshold
+    # decides, not the match count
+    from homemade_vector_db_spark.functions import avicodec as av
+
+    a, b = _grating_jpegs(0), _grating_jpegs(1)
+    rows = [
+        (0, "video", av.encode_mjpeg_avi(a, 32, 32)),
+        (1, "video", av.encode_mjpeg_avi(a[:2] + b[:2], 32, 32)),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    hashes = multimodal.video_frame_phashes(df)
+    loose = multimodal.video_neardup(hashes, min_jaccard=0.3).collect()
+    assert [(r.id_a, r.id_b, r.n_match) for r in loose] == [(0, 1, 2)]
+    assert abs(loose[0].jaccard - round(2 / 6, 6)) < 1e-9
+    assert multimodal.video_neardup(hashes, min_jaccard=0.5).count() == 0
+
+
+def test_video_frame_phashes_refuse_mp4(spark):
+    mp4 = bytes(4) + b"ftypisom" + bytes(64)
+    rows = [(0, "video", mp4)]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="mp4"):
+        multimodal.video_frame_phashes(df).collect()
+
+
+def test_video_neardup_hot_bucket_cap(spark):
+    # a frame hash shared by many videos is droppable from candidate
+    # generation without touching pairs formed by rarer hashes
+    rows = (
+        [(i, 0, 7) for i in range(10)]
+        + [(100, 0, 42), (100, 1, 43), (101, 0, 42), (101, 1, 43)]
+    )
+    df = spark.createDataFrame(rows, "media_id long, frame_idx int, phash long")
+    capped = multimodal.video_neardup(df, min_jaccard=0.5, max_bucket_size=5)
+    assert [(r.id_a, r.id_b, r.n_match) for r in capped.collect()] == [
+        (100, 101, 2)
+    ]
+    full = multimodal.video_neardup(df, min_jaccard=0.5)
+    assert full.count() == 45 + 1
