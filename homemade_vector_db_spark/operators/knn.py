@@ -490,3 +490,115 @@ def maxsim_search(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    k: int = 3,
+    score_decimals: int = 6,
+    max_anchor_rows: int = 10_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    anchor vector, the k most-cosine-similar corpus rows whose label
+    DIFFERS from the anchor's — the negatives a contrastive loss
+    learns most from (the trivially-dissimilar ones contribute ~zero
+    gradient). Returns (anchor_id, rn, vec_id, neg_label, score) with
+    rn = 1..k per anchor, ordered by (anchor_id, rn).
+
+    Scale shape = knn_batch's: the anchor block (bounded, broadcast
+    state by definition) ships as a numpy matrix inside a mapInPandas
+    kernel; each corpus partition computes its cosine block with BLAS,
+    masks same-label candidates, and emits only its LOCAL top-k per
+    anchor. The shuffle carries anchors × partitions × k candidate
+    rows — never the anchors × N scored relation. Label masking
+    happens INSIDE the kernel, so a 99%-same-label corpus (the skew
+    case: mining negatives within one dominant domain) never inflates
+    the shuffle.
+
+    Determinism: scores round to `score_decimals` BEFORE local
+    selection; local and final selection both order by
+    (score desc, id asc) — the knn tie rule (SURVEY.md §2.3-5).
+    Zero-norm vectors score 0.0, same contract as the cosine metric in
+    knn_exact. Anchors themselves can never appear (their own label is
+    excluded by construction). No reference analogue — extends O4
+    (local_db.py:137-200) toward training-pair generation."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    arows = (
+        anchors.select(anchor_id_col, label_col, vec_col)
+        .limit(max_anchor_rows + 1)
+        .collect()
+    )
+    if len(arows) > max_anchor_rows:
+        raise ValueError(
+            f"anchor block exceeds max_anchor_rows={max_anchor_rows}; "
+            "chunk the anchor relation (results are per-anchor, so "
+            "chunked runs concatenate identically)"
+        )
+    if not arows:
+        raise ValueError("empty anchor block")
+    aids = np.array([r[anchor_id_col] for r in arows], dtype=np.int64)
+    alabels = np.array([r[label_col] for r in arows], dtype=np.int64)
+    amat = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in arows]
+    )
+    anorm = np.sqrt((amat * amat).sum(axis=1))
+
+    out_schema = (
+        f"{anchor_id_col} long, {id_col} long, neg_label long, "
+        "score double"
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            nrm = np.sqrt((A * A).sum(axis=1))  # B
+            denom = nrm[:, None] * anorm[None, :]  # B×Q
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, (A @ amat.T) / denom, 0.0)
+            scores = np.round(cos, score_decimals)
+            # same-label candidates are not negatives: mask to -inf so
+            # they can never enter the local top-k
+            mask = labels[:, None] == alabels[None, :]
+            scores = np.where(mask, -np.inf, scores)
+            for j in range(len(aids)):
+                sj = scores[:, j]
+                ok = np.isfinite(sj)
+                if not ok.any():
+                    continue
+                idx = np.flatnonzero(ok)
+                kk = min(k, len(idx))
+                order = idx[np.lexsort((ids[idx], -sj[idx]))[:kk]]
+                yield pd.DataFrame(
+                    {
+                        anchor_id_col: np.full(kk, aids[j]),
+                        id_col: ids[order],
+                        "neg_label": labels[order],
+                        "score": sj[order],
+                    }
+                )
+
+    cand = df.select(id_col, vec_col, label_col).mapInPandas(
+        local_topk, out_schema
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(anchor_id_col, "rn", id_col, "neg_label", "score")
+        .orderBy(anchor_id_col, "rn")
+    )

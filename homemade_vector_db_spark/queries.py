@@ -1569,6 +1569,24 @@ def q_audio_fingerprint_neardup(
     return pairs.orderBy("id_a", "id_b")
 
 
+HN_ANCHORS = 8  # anchor vectors for hard-negative mining
+HN_K = 3  # negatives mined per anchor
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining gate: for each of the first HN_ANCHORS
+    embedding rows, the HN_K most-cosine-similar rows with a DIFFERENT
+    label (operators/knn.hard_negatives) — the contrastive-training
+    pair generator. The oracle recomputes the same cosine/row_number
+    relation over the full corpus in SQL; both sides round scores to
+    6dp before ranking and break ties by ascending vec_id."""
+    emb = load_embeddings(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"), "label", "embedding"
+    )
+    return knn.hard_negatives(emb, anchors, k=HN_K)
+
+
 VID_DEDUP_N = 24  # docs turned into synthetic videos (8 clusters of 3)
 VID_FRAMES = 4  # distinct grating frames per cluster
 
@@ -5087,6 +5105,40 @@ SELECT cl * 3 + p.a AS id_a,
        CAST(0 AS INT) AS hamming
 FROM c, p
 ORDER BY id_a, id_b
+"""
+
+# Hard negatives: same cosine + row_number relation in SQL; rounding
+# to 6dp precedes ranking on both sides, ties break by vec_id asc.
+_ORACLES["hard_negatives"] = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS alabel, embedding AS av
+  FROM embeddings WHERE vec_id < {HN_ANCHORS}
+),
+scored AS (
+  SELECT a.anchor_id,
+         e.vec_id,
+         CAST(e.label AS BIGINT) AS neg_label,
+         round(
+           CASE WHEN
+             sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')}) > 0
+             AND sqrt({_SQL_DOT.format(a='a.av', b='a.av')}) > 0
+           THEN {_SQL_DOT.format(a='e.embedding', b='a.av')}
+                / (sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                   * sqrt({_SQL_DOT.format(a='a.av', b='a.av')}))
+           ELSE 0.0 END, 6) AS score
+  FROM embeddings e, a
+  WHERE e.label <> a.alabel
+),
+ranked AS (
+  SELECT anchor_id, vec_id, neg_label, score,
+         row_number() OVER (
+           PARTITION BY anchor_id ORDER BY score DESC, vec_id ASC
+         ) AS rn
+  FROM scored
+)
+SELECT anchor_id, rn, vec_id, neg_label, score
+FROM ranked WHERE rn <= {HN_K}
+ORDER BY anchor_id, rn
 """
 
 # Video dedup: exact-pair-list law like the image/audio gates — each
@@ -9016,6 +9068,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set-Jaccard over per-frame pHashes (re-cut/re-loop invariant),
         # completing the image/audio/video dedup triad
         "video_phash_neardup": q_video_phash_neardup,
+        # slot 11i3: NEW round 7 (second half) — contrastive hard-negative
+        # mining (per-anchor top-k different-label cosine, local-top-k
+        # kernel shape shared with knn_batch)
+        "hard_negatives": q_hard_negatives,
         # slot 11j: NEW round 7 — in-plan linear-probe training from
         # exact-integer sufficient statistics (shared Cramer SQL)
         "quality_linear_probe": q_quality_linear_probe,

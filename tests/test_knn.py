@@ -183,3 +183,53 @@ def test_knn_batch_bounds_driver_collect_and_chunked_fallback(spark, embs):
     assert sorted(got) == sorted(want)
     with _pytest.raises(ValueError, match="empty query block"):
         knn_batch_chunked(embs, qs.where("query_id < 0"), k=3)
+
+
+def test_hard_negatives_mask_and_rank(spark):
+    from homemade_vector_db_spark.operators.knn import hard_negatives
+
+    # anchor 0 (label 0) at e0; candidates: same-label near-copy (id 1,
+    # must be masked), different-label near (id 2), different-label far
+    # (id 3), zero vector (id 4, scores 0.0)
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 1),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    anchors = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("anchor_id"), "label", "embedding"
+    )
+    out = hard_negatives(emb, anchors, k=3).collect()
+    # id 3 is orthogonal (cos 0.0) and ties the zero vector (0.0 by the
+    # zero-norm contract); the tie breaks by ascending id
+    assert [(r.vec_id, r.rn) for r in out] == [(2, 1), (3, 2), (4, 3)]
+    assert all(r.neg_label != 0 for r in out)
+    assert out[1].score == 0.0 and out[2].score == 0.0
+
+
+def test_hard_negatives_bounded_anchor_collect(spark):
+    from homemade_vector_db_spark.operators.knn import hard_negatives
+
+    rows = [(i, [float(i), 1.0], i % 2) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    anchors = emb.select(
+        F.col("vec_id").alias("anchor_id"), "label", "embedding"
+    )
+    with pytest.raises(ValueError, match="max_anchor_rows"):
+        hard_negatives(emb, anchors, k=2, max_anchor_rows=5)
+    # chunked anchor runs concatenate to the bounded-path result
+    full = hard_negatives(emb, anchors, k=2).collect()
+    chunks = []
+    for lo in range(0, 20, 5):
+        part = anchors.where(
+            (F.col("anchor_id") >= lo) & (F.col("anchor_id") < lo + 5)
+        )
+        chunks += hard_negatives(emb, part, k=2, max_anchor_rows=5).collect()
+    assert sorted(map(tuple, chunks)) == sorted(map(tuple, full))
