@@ -2685,6 +2685,57 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: per-lang BPE tokens per word
+    (fertility) and chars per BPE token (compression) under the
+    vendored merges table — the metric used to judge whether a
+    tokenizer under-serves a language (high fertility = more tokens
+    per word = shorter effective context and higher training cost for
+    that language). Same scale shape as token_count_bpe: Python BPE
+    only over the DISTINCT-word vocabulary, corpus-side work is one
+    join + one groupBy(lang) whose output is |langs| rows. Ratios are
+    exact-integer sums divided once at the end (partition-order
+    independent), rounded 6dp on both engines."""
+    wp = _bpe_word_pieces(spark, sf_dir).select("word", "n_pieces")
+    per_doc = (
+        _tokens(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("word"))
+        .join(wp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pieces").alias("bpe"),
+            F.count(F.lit(1)).alias("words"),
+        )
+    )
+    j = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", "lang", "n_chars")
+        .join(per_doc, "doc_id", "left")
+    )
+    agg = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce("words", F.lit(0))).cast("long").alias("n_words"),
+        F.sum(F.coalesce("bpe", F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.round(F.col("sum_chars") / F.col("n_bpe_tokens"), 6),
+        ).alias("chars_per_token"),
+    ).orderBy("lang")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: stopword-marker language-ID heuristic."""
     return textstats.lang_id(load_documents(spark, sf_dir))
@@ -3359,6 +3410,60 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingled=_shingle_sets(spark, sf_dir),
     ).select("a_id", "b_id")
     return dedup.connected_components(pairs)
+
+
+CSAMPLE_HEX_OFF = 25  # md5 hex chars [25,32] → cluster-weighted sampling
+CSAMPLE_THRESH = 2**31  # keep iff window32 * cluster_size < 2^31 (≈ 1/2)
+
+
+def q_dedup_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware downsampling: each doc keeps with probability
+    (1/2) / cluster_size, where cluster_size is its near-dup
+    connected-component size — so every CLUSTER contributes ~1/2 doc
+    in expectation regardless of how many near-copies it has, and
+    heavily-duplicated content stops dominating the sample (the
+    standard correction between "dedup everything" and "sample
+    blind"). Law: keep iff md5window32(doc_id) * cluster_size < 2^31,
+    an exact-BIGINT comparison on a hex window (chars [25,32])
+    DISJOINT from the sampling/split/strata windows — membership is
+    independent of every other law, reproducible across engines and
+    repartitionings. Components reuse the ngram-Jaccard pair relation
+    and pointer-doubling CC; singletons are their own cluster. Output
+    is the per-cluster-size profile (|sizes| rows, corpus-size
+    independent)."""
+    docs = load_documents(spark, sf_dir).select("doc_id")
+    pairs = dedup.ngram_jaccard_pairs(
+        load_documents(spark, sf_dir),
+        n=JACCARD_NGRAM,
+        threshold=JACCARD_THRESHOLD,
+        shingled=_shingle_sets(spark, sf_dir),
+    ).select("a_id", "b_id")
+    comp = dedup.connected_components(pairs)
+    labeled = docs.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    w32 = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string")), CSAMPLE_HEX_OFF, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    kept = labeled.join(sizes, "component").withColumn(
+        "keep",
+        (w32 * F.col("cluster_size")) < F.lit(CSAMPLE_THRESH),
+    )
+    return (
+        kept.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .orderBy("cluster_size")
+    )
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4537,6 +4642,67 @@ GROUP BY id
 ORDER BY doc_id
 """
 
+# Dedup-cluster-weighted sampling: the SAME transitive closure as
+# neardup_components plus the disjoint md5 window-[25,32] keep law.
+_ORACLES["dedup_cluster_sample"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens) - {JACCARD_NGRAM - 2}),
+           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
+  FROM toks
+  WHERE len(tokens) >= {JACCARD_NGRAM}
+),
+e AS (SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         count(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT a_id, b_id FROM cand
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM jpairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM jpairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT edges.src, reach.r FROM edges JOIN reach ON edges.dst = reach.id
+),
+comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM labeled GROUP BY component
+),
+kept AS (
+  SELECT l.doc_id, s.cluster_size,
+         (CAST(('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)),
+                               {CSAMPLE_HEX_OFF}, 8)) AS BIGINT)
+          * s.cluster_size) < {CSAMPLE_THRESH} AS keep
+  FROM labeled l JOIN sizes s USING (component)
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM kept
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
 _ORACLES["token_count"] = """
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens
@@ -5577,6 +5743,44 @@ FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 ORDER BY d.doc_id
 """
 
+
+# Tokenizer fertility: the SAME recursive-CTE BPE vocabulary as
+# token_count_bpe, aggregated per language; ratios divide exact BIGINT
+# sums once, then round — partition/engine-order independent.
+_ORACLES["tokenizer_fertility"] = f"""
+WITH RECURSIVE {_bpe_oracle_cte()},
+ex AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS word
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, sum(n_pieces) AS bpe, count(*) AS words
+  FROM ex JOIN wp USING (word) GROUP BY doc_id
+),
+j AS (
+  SELECT d.lang, d.n_chars,
+         coalesce(p.words, 0) AS words, coalesce(p.bpe, 0) AS bpe
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(words) AS BIGINT) AS n_words,
+         CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM j GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_bpe_tokens,
+       CASE WHEN n_words > 0
+            THEN round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6) END
+         AS fertility,
+       CASE WHEN n_bpe_tokens > 0
+            THEN round(CAST(sum_chars AS DOUBLE) / n_bpe_tokens, 6) END
+         AS chars_per_token
+FROM agg
+ORDER BY lang
+"""
 
 _ORACLES["repetition_stats"] = r"""
 WITH toks AS (
@@ -9072,6 +9276,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mining (per-anchor top-k different-label cosine, local-top-k
         # kernel shape shared with knn_batch)
         "hard_negatives": q_hard_negatives,
+        # slot 11i4: NEW round 7 (second half) — per-language tokenizer
+        # fertility/compression under the real BPE merges table
+        "tokenizer_fertility": q_tokenizer_fertility,
+        # slot 11i5: NEW round 7 (second half) — dedup-cluster-weighted
+        # sampling (keep-prob 1/2·cluster_size on a disjoint md5 window:
+        # each near-dup cluster contributes equal expected mass)
+        "dedup_cluster_sample": q_dedup_cluster_sample,
         # slot 11j: NEW round 7 — in-plan linear-probe training from
         # exact-integer sufficient statistics (shared Cramer SQL)
         "quality_linear_probe": q_quality_linear_probe,

@@ -632,3 +632,43 @@ def test_flagship_composes_split_decontam(spark, tmp_path):
     eval_split = "val" if buckets[eval_id] < 95 else "test"
     eval_row = out[("web", eval_split)]
     assert eval_row.n_dropped_leaks == 1 and eval_row.n_docs == 0
+
+
+def test_tokenizer_fertility_consistent_with_bpe_counts(spark):
+    # per-lang sums must reconcile with the per-doc BPE relation, and
+    # fertility >= 1 (a word never encodes to zero pieces)
+    rows = Q.q_tokenizer_fertility(spark, SF_SMOKE).collect()
+    per_doc = Q.q_token_count_bpe(spark, SF_SMOKE)
+    total_bpe = per_doc.agg(F.sum("n_bpe_tokens")).first()[0]
+    assert sum(r.n_bpe_tokens for r in rows) == total_bpe
+    docs = Q.load_documents(spark, SF_SMOKE)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        if r.n_words:
+            assert r.fertility >= 1.0
+            assert abs(r.fertility - round(r.n_bpe_tokens / r.n_words, 6)) < 1e-9
+
+
+def test_dedup_cluster_sample_profile(spark):
+    # full-corpus coverage; kept count never exceeds docs; the keep law
+    # halves singletons (within a loose binomial band) and thins larger
+    # clusters by ~1/(2*size)
+    rows = Q.q_dedup_cluster_sample(spark, SF_SMOKE).collect()
+    docs_n = Q.load_documents(spark, SF_SMOKE).count()
+    assert sum(r.cluster_size * 0 + r.n_docs for r in rows) == docs_n
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+    singles = next(r for r in rows if r.cluster_size == 1)
+    frac = singles.n_kept / singles.n_docs
+    assert 0.35 < frac < 0.65  # p=1/2, n>=hundreds
+
+
+def test_dedup_cluster_sample_window_disjoint():
+    # the cluster-sample window [25,32] must not overlap the sampling,
+    # split, or strata windows — independence of the four laws
+    offs = {Q.SAMPLE_HEX_OFF, Q.SPLIT_HEX_OFF, Q.STRATA_HEX_OFF, Q.CSAMPLE_HEX_OFF}
+    assert len(offs) == 4
+    spans = sorted((o, o + 8) for o in offs)
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0
+    assert spans[-1][1] <= 33  # md5 has 32 hex chars
