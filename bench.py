@@ -77,6 +77,12 @@ HEADLINE = [
     "image_phash_neardup",
     "audio_fingerprint_neardup",
     "embedding_drift",
+    # round 7 second half: video dedup (third modality on the shared
+    # engine), contrastive pair mining, and the cluster-weighted sampler
+    # (the heaviest new shape: CC + window law over the full corpus)
+    "video_phash_neardup",
+    "hard_negatives",
+    "dedup_cluster_sample",
 ]
 
 

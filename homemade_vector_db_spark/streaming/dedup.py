@@ -288,3 +288,120 @@ class IncrementalPhashDedup:
             .outputMode("append")
             .start()
         )
+
+
+class IncrementalVideoDedup:
+    """Streaming video dedup — the set-Jaccard sibling of
+    IncrementalPhashDedup for the third modality. A video is kept iff
+    NO smaller-id video in the whole seen universe (kept or dropped)
+    has Jaccard ≥ `min_jaccard` between their DISTINCT frame-pHash
+    sets. The law never depends on whether the earlier neighbor itself
+    survived, so any micro-batch partition of the input yields exactly
+    the batch result: kept = all − {id_b | (id_a, id_b) ∈
+    video_neardup(all frame hashes)} — the chunk-invariance contract
+    shared by every streaming dedup twin in this module.
+
+    State stores EVERY seen video's distinct (media_id, phash) rows
+    (dropped videos' frames stay as future comparison anchors).
+    Candidate pairs come from equality buckets on the frame hash —
+    never all-pairs — and per-pair Jaccard uses set sizes recomputed
+    from the combined state relation, so a replayed batch (excluded
+    from its own state read, batch=<id> overwrite) is idempotent."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        min_jaccard: float = 0.8,
+    ):
+        self.spark = spark
+        self.root = root
+        self.min_jaccard = min_jaccard
+        self.frames_path = os.path.join(root, "video_frames")
+        self.kept_path = os.path.join(root, "kept_videos")
+
+    def _state(self, exclude_batch: int) -> DataFrame | None:
+        try:
+            return (
+                self.spark.read.parquet(self.frames_path)
+                .where(F.col("batch").cast("string") != str(exclude_batch))
+                .drop("batch")
+            )
+        except Exception:
+            return None  # first batch
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        from homemade_vector_db_spark.operators.multimodal import (
+            video_frame_phashes,
+        )
+
+        if batch_id is None:
+            batch_id = 0
+        batch = batch.persist()
+        sets = (
+            video_frame_phashes(batch)
+            .select("media_id", "phash")
+            .distinct()
+            .persist()
+        )
+        seen = self._state(exclude_batch=batch_id)
+        combined = sets if seen is None else sets.unionByName(seen)
+        sizes = combined.groupBy("media_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        matches = (
+            sets.alias("new")
+            .join(
+                combined.alias("old"),
+                on=[
+                    F.col("new.phash") == F.col("old.phash"),
+                    F.col("old.media_id") < F.col("new.media_id"),
+                ],
+            )
+            .groupBy(
+                F.col("old.media_id").alias("id_a"),
+                F.col("new.media_id").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_match"))
+        )
+        dropped = (
+            matches.join(
+                sizes.select(F.col("media_id").alias("id_a"), F.col("n").alias("na")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("media_id").alias("id_b"), F.col("n").alias("nb")),
+                "id_b",
+            )
+            .where(
+                F.col("n_match")
+                / (F.col("na") + F.col("nb") - F.col("n_match"))
+                >= F.lit(self.min_jaccard)
+            )
+            .select(F.col("id_b").alias("media_id"))
+            .distinct()
+        )
+        kept = batch.join(dropped, "media_id", "left_anti")
+        kept.select("media_id").write.mode("overwrite").parquet(
+            os.path.join(self.kept_path, f"batch={batch_id}")
+        )
+        sets.write.mode("overwrite").parquet(
+            os.path.join(self.frames_path, f"batch={batch_id}")
+        )
+        sets.unpersist()
+        batch.unpersist()
+
+    def kept(self) -> DataFrame:
+        return self.spark.read.parquet(self.kept_path).drop("batch")
+
+    def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
+        """stream must have (media_id, content) MJPEG-AVI rows."""
+        return (
+            stream.writeStream.foreachBatch(self.ingest_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.root, "_vid_checkpoint"),
+            )
+            .outputMode("append")
+            .start()
+        )

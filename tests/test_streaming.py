@@ -1072,3 +1072,75 @@ def test_streaming_phash_dedup_replay_idempotent(spark, tmp_path):
     ph.ingest_batch(spark.createDataFrame(rows[3:], schema), batch_id=1)
     after = sorted(r.media_id for r in ph.kept().collect())
     assert before == after == [0, 3]
+
+
+def _video_media_rows(ids):
+    import numpy as np
+
+    from homemade_vector_db_spark.functions import avicodec as av
+    from homemade_vector_db_spark.functions import jpegcodec as jc
+
+    def grating_jpegs(cl, nf=4, side=32):
+        frames = []
+        for f in range(nf):
+            pid = cl * nf + f
+            fx, fy = 1 + pid % 6, 1 + pid // 6
+            y, x = np.meshgrid(
+                np.arange(side), np.arange(side), indexing="ij"
+            )
+            img = (
+                100.0 + 80.0 * np.sin(2.0 * np.pi * (fx * x + fy * y) / side)
+            ).astype(np.uint8)
+            frames.append(
+                jc.encode_jpeg(np.stack([img] * 3, axis=-1), quality=95)
+            )
+        return frames
+
+    rows = []
+    for i in ids:
+        cl, var = i // 3, i % 3
+        fr = grating_jpegs(cl)
+        if var == 1:
+            fr = fr[::-1]
+        elif var == 2:
+            fr = fr + fr[:2]
+        rows.append((i, av.encode_mjpeg_avi(fr, 32, 32)))
+    return rows
+
+
+def test_streaming_video_dedup_chunks_equal_batch(spark, tmp_path):
+    """IncrementalVideoDedup over 3 uneven chunks == the batch law
+    (kept = all - id_b side of video_neardup pairs)."""
+    from homemade_vector_db_spark.operators import multimodal
+    from homemade_vector_db_spark.streaming.dedup import IncrementalVideoDedup
+
+    all_rows = _video_media_rows(range(9))  # 3 clusters x 3 edit variants
+    schema = "media_id long, content binary"
+    vd = IncrementalVideoDedup(spark, str(tmp_path / "vd"), min_jaccard=0.8)
+    for lo, hi in ((0, 4), (4, 5), (5, 9)):  # chunks split clusters
+        vd.ingest_batch(
+            spark.createDataFrame(all_rows[lo:hi], schema), batch_id=lo
+        )
+    kept_stream = sorted(r.media_id for r in vd.kept().collect())
+
+    full = spark.createDataFrame(all_rows, schema)
+    pairs = multimodal.video_neardup(
+        multimodal.video_frame_phashes(full), min_jaccard=0.8
+    )
+    losers = {r.id_b for r in pairs.collect()}
+    kept_batch = sorted(i for i in range(9) if i not in losers)
+    assert kept_stream == kept_batch == [0, 3, 6]  # cluster heads
+
+
+def test_streaming_video_dedup_replay_idempotent(spark, tmp_path):
+    from homemade_vector_db_spark.streaming.dedup import IncrementalVideoDedup
+
+    rows = _video_media_rows(range(6))
+    schema = "media_id long, content binary"
+    vd = IncrementalVideoDedup(spark, str(tmp_path / "vd2"), min_jaccard=0.8)
+    vd.ingest_batch(spark.createDataFrame(rows[:3], schema), batch_id=0)
+    vd.ingest_batch(spark.createDataFrame(rows[3:], schema), batch_id=1)
+    before = sorted(r.media_id for r in vd.kept().collect())
+    vd.ingest_batch(spark.createDataFrame(rows[3:], schema), batch_id=1)
+    after = sorted(r.media_id for r in vd.kept().collect())
+    assert before == after == [0, 3]
