@@ -3412,6 +3412,44 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection: within each near-dup cluster,
+    keep the LONGEST member (max n_chars, ties to the smaller doc_id)
+    instead of the arbitrary min-id — the standard production policy
+    (a truncated or boilerplate-stripped copy should lose to the most
+    complete one). Emits the per-cluster decision record
+    (component, n_members, keeper_id, keeper_chars) for multi-member
+    clusters. The ranking key is exact-integer, so the choice is
+    engine- and partitioning-independent; the per-cluster argmax is a
+    window over the component partitioning the CC output already
+    has."""
+    from pyspark.sql import Window
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load_documents(spark, sf_dir),
+        n=JACCARD_NGRAM,
+        threshold=JACCARD_THRESHOLD,
+        shingled=_shingle_sets(spark, sf_dir),
+    ).select("a_id", "b_id")
+    comp = dedup.connected_components(pairs)
+    j = comp.join(
+        load_documents(spark, sf_dir).select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    stats = j.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    keeper = ranked.where(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("keeper_id"),
+        F.col("n_chars").cast("long").alias("keeper_chars"),
+    )
+    return stats.join(keeper, "component").orderBy("component")
+
+
 CSAMPLE_HEX_OFF = 25  # md5 hex chars [25,32] → cluster-weighted sampling
 CSAMPLE_THRESH = 2**31  # keep iff window32 * cluster_size < 2^31 (≈ 1/2)
 
@@ -4640,6 +4678,67 @@ SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
 FROM reach
 GROUP BY id
 ORDER BY doc_id
+"""
+
+# Quality-aware keeper: the SAME transitive closure as
+# neardup_components, then per-component argmax on (n_chars, -doc_id).
+_ORACLES["dedup_keeper_quality"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens) - {JACCARD_NGRAM - 2}),
+           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
+  FROM toks
+  WHERE len(tokens) >= {JACCARD_NGRAM}
+),
+e AS (SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         count(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT a_id, b_id FROM cand
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM jpairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM jpairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT edges.src, reach.r FROM edges JOIN reach ON edges.dst = reach.id
+),
+comp AS (
+  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id
+),
+j AS (
+  SELECT c.component, c.doc_id, d.n_chars
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT component, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM j
+),
+stats AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS n_members
+  FROM j GROUP BY component
+)
+SELECT s.component, s.n_members,
+       r.doc_id AS keeper_id,
+       CAST(r.n_chars AS BIGINT) AS keeper_chars
+FROM stats s JOIN ranked r ON s.component = r.component AND r.rn = 1
+ORDER BY s.component
 """
 
 # Dedup-cluster-weighted sampling: the SAME transitive closure as
@@ -9283,6 +9382,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling (keep-prob 1/2·cluster_size on a disjoint md5 window:
         # each near-dup cluster contributes equal expected mass)
         "dedup_cluster_sample": q_dedup_cluster_sample,
+        # slot 11i6: NEW round 7 (second half) — quality-aware keeper
+        # selection per near-dup cluster (longest member wins, exact-
+        # integer ranking key)
+        "dedup_keeper_quality": q_dedup_keeper_quality,
         # slot 11j: NEW round 7 — in-plan linear-probe training from
         # exact-integer sufficient statistics (shared Cramer SQL)
         "quality_linear_probe": q_quality_linear_probe,

@@ -291,3 +291,31 @@ def test_dedup_normalized_collapses_case_and_punct(spark):
     finally:
         q.load_documents = orig
     assert rows == {0: 3, 3: 1}
+
+
+def test_dedup_keeper_quality_policy(spark):
+    # the keeper is the LONGEST cluster member, not the min id: verify
+    # against an independent recomputation from components + doc lengths
+    from homemade_vector_db_spark import queries as Q
+    from tests.conftest import SF_SMOKE
+
+    rows = Q.q_dedup_keeper_quality(spark, SF_SMOKE).collect()
+    comp = {
+        (r.doc_id): r.component
+        for r in Q.q_neardup_components(spark, SF_SMOKE).collect()
+    }
+    chars = {
+        r.doc_id: r.n_chars
+        for r in Q.load_documents(spark, SF_SMOKE)
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    by_comp = {}
+    for did, c in comp.items():
+        by_comp.setdefault(c, []).append(did)
+    assert len(rows) == len(by_comp) > 0
+    for r in rows:
+        members = by_comp[r.component]
+        assert r.n_members == len(members) >= 2
+        best = min(members, key=lambda d: (-chars[d], d))
+        assert (r.keeper_id, r.keeper_chars) == (best, chars[best])
