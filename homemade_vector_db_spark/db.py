@@ -135,6 +135,13 @@ class VectorDatabase:
         self._n += len(rows)
         self._next_id = start + len(rows)
         self._stats = None  # derived state invalidated, rebuilt lazily
+        self._maintain_index_on_append(new)
+
+    def _maintain_index_on_append(self, new: DataFrame) -> None:
+        """Per-tier incremental index maintenance for an appended row
+        block (shared by add and merge): IVF/SQ/BQ encode with frozen
+        trained geometry; the graph tier inserts incrementally and
+        auto-rebalances; other tiers rebuild lazily."""
         if self._ann_index is not None and self.index_type == "ivf":
             # incremental maintenance: assign the batch to existing cells
             # (no refit) — vs the reference rebuilding per add
@@ -180,6 +187,55 @@ class VectorDatabase:
                 )
         else:
             self._ann_index = None
+
+    def merge(self, other: "VectorDatabase") -> None:
+        """Absorb another database into this one — the capability a
+        pipeline needs when two corpora were ingested independently
+        (per-region crawls, per-tenant shards) and must serve as one.
+        The reference has no analogue (one corpus per instance,
+        local_db.py:21-54); this is the columnar-native union:
+
+        - id law: every id from `other` shifts by THIS db's id
+          high-water mark (new_id = other_id + offset) — O(1) per row,
+          no global sort or re-densification, and ids stay unique and
+          stable: results keyed on self's existing ids are unaffected.
+          The high-water mark advances past the shifted block, so later
+          `add` calls never collide.
+        - column names are remapped from other's (id/text/vec) onto
+          self's; dims must match exactly.
+        - derived state: BM25 stats invalidate (rebuilt lazily over the
+          union); the ANN tier takes the shifted block through the SAME
+          add-after-train maintenance as `add` (frozen-geometry encode
+          for IVF/SQ/BQ, incremental graph insert + auto-rebalance for
+          the graph tier), so a trained index never silently drops the
+          merged rows.
+        `other` is not mutated. Self-merge is rejected (the id remap
+        would double-count the high-water mark mid-plan)."""
+        if other is self:
+            raise ValueError("cannot merge a database into itself")
+        if other.dim != self.dim:
+            raise ValueError(
+                f"dim mismatch: self={self.dim}, other={other.dim}"
+            )
+        odf = other._require_df()
+        offset = self._ensure_next_id()
+        meta_col = (
+            F.col("meta")
+            if "meta" in odf.columns
+            else F.create_map().cast("map<string,string>")
+        )
+        new = odf.select(
+            (F.col(other.id_col).cast("long") + offset).alias(self.id_col),
+            F.col(other.text_col).alias(self.text_col),
+            F.col(other.vec_col).alias(self.vec_col),
+            meta_col.alias("meta"),
+        )
+        self._df = new if self._df is None else self._df.unionByName(new)
+        n_other = len(other)
+        self._n += n_other
+        self._next_id = offset + other._ensure_next_id()
+        self._stats = None
+        self._maintain_index_on_append(new)
 
     def delete(self, ids: Sequence[int]) -> int:
         """Delete documents by id — a capability the reference explicitly

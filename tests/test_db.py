@@ -585,3 +585,63 @@ def test_add_repairs_legacy_nsw_index(spark):
     db.add(["late arrival"], [late])  # no raise: add() repaired the index
     assert db._ann_index.n_shards > 0
     assert db.query_vector(late, top_k=1) == [n]
+
+
+def test_merge_equals_concatenated_build(spark):
+    # merging two independently built dbs == one db built from the
+    # concatenation: same ids, same BM25 ranking, same vector scores
+    a = VectorDatabase(spark, dim=4)
+    a.add(DOCS[:3], VECS[:3], METAS[:3])
+    b = VectorDatabase(spark, dim=4)
+    b.add(DOCS[3:], VECS[3:], METAS[3:])
+    a.merge(b)
+
+    ref = VectorDatabase(spark, dim=4)
+    ref.add(DOCS, VECS, METAS)
+
+    assert len(a) == len(ref) == 5
+    got = a.query_text("report financial", top_k=3, return_scores=True)
+    want = ref.query_text("report financial", top_k=3, return_scores=True)
+    assert [(i, round(s, 6)) for i, s in got] == [
+        (i, round(s, 6)) for i, s in want
+    ]
+    gv = a.query_vector([0.5, 0.5, 0.5, 0.5], top_k=2, return_scores=True)
+    wv = ref.query_vector([0.5, 0.5, 0.5, 0.5], top_k=2, return_scores=True)
+    assert [(i, round(s, 6)) for i, s in gv] == [
+        (i, round(s, 6)) for i, s in wv
+    ]
+    # other is not mutated; later adds to the merged db do not collide
+    assert len(b) == 2
+    a.add(["extra doc after merge"], [[0.0, 0.1, 0.0, 0.1]])
+    assert len(a) == 6
+    assert a.query_vector([0.0, 0.1, 0.0, 0.1], top_k=1) == [5]
+
+
+def test_merge_refusals(spark):
+    a = VectorDatabase(spark, dim=4)
+    a.add(DOCS[:2], VECS[:2])
+    with pytest.raises(ValueError, match="itself"):
+        a.merge(a)
+    c = VectorDatabase(spark, dim=3)
+    c.add(["x"], [[1.0, 0.0, 0.0]])
+    with pytest.raises(ValueError, match="dim mismatch"):
+        a.merge(c)
+
+
+def test_merge_maintains_trained_ivf_index(spark):
+    import random
+
+    rng = random.Random(7)
+    mk = lambda n: [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(n)]
+    a = VectorDatabase(spark, dim=4, index_type="ivf", ivf_clusters=2)
+    va = mk(12)
+    a.add([f"doc {i}" for i in range(12)], va)
+    a.query_vector(va[0], top_k=1)  # force index build
+    assert a._ann_index is not None
+    b = VectorDatabase(spark, dim=4)
+    target = [0.99, -0.99, 0.99, -0.99]
+    b.add(["merged needle"], [target])
+    a.merge(b)
+    # the trained index absorbed the shifted block: the needle's id (12)
+    # must surface for its own vector through the IVF path
+    assert a.query_vector(target, top_k=1) == [12]
