@@ -43,7 +43,11 @@ def main() -> None:
     # (expected pair lists), not the actual decode/hash computation —
     # timing that SQL would compare Spark's real codec work against a
     # constant-enumeration no-op, so they are excluded from the proxy.
-    law_only = {"image_phash_neardup", "audio_fingerprint_neardup"}
+    law_only = {
+        "image_phash_neardup",
+        "audio_fingerprint_neardup",
+        "video_phash_neardup",
+    }
     timings: dict[str, float] = {}
     skipped = []
     for name in bench.HEADLINE:
