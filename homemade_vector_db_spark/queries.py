@@ -1819,6 +1819,56 @@ def q_epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum dataloader plan (round 7): the same
+    hash-law sharding as epoch_shard_plan, but within each shard docs
+    are ordered easy→hard (ascending n_chars — the classic
+    sequence-length curriculum that also minimizes padding waste in
+    early steps), with (ordkey, doc_id) breaking length ties so the
+    order stays byte-reproducible under retries. Same scale shape: NO
+    global sort, one hash-partition shuffle by shard + within-shard
+    sort — the dataloader's exact read pattern. The permutation-
+    sensitive checksum pins the curriculum order itself: an engine
+    disagreeing on the order of any two docs changes it."""
+    from pyspark.sql.window import Window
+
+    docs = load_documents(spark, sf_dir)
+    ordkey = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(EPOCH_SEED + ":"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h = docs.select("doc_id", "n_chars", ordkey.alias("ordkey"))
+    s = h.withColumn("shard", F.col("ordkey") % EPOCH_SHARDS).withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy(
+                "n_chars", "ordkey", "doc_id"
+            )
+        ),
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            (
+                F.sum(F.col("pos") * F.col("doc_id")) % EPOCH_CHECKSUM_MOD
+            ).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group embedding distribution drift (round 7): for each label
     (standing in for a data source / crawl snapshot), the L2 distance
@@ -5448,6 +5498,34 @@ s AS (
 SELECT shard,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(pos * doc_id) % {EPOCH_CHECKSUM_MOD} AS BIGINT)
+         AS order_checksum
+FROM s
+GROUP BY shard
+ORDER BY shard
+"""
+
+# Curriculum plan: same md5 ordkey law, within-shard order by
+# (n_chars, ordkey, doc_id); checksum is permutation-sensitive.
+_ORACLES["curriculum_shard_plan"] = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5('{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS ordkey
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, ordkey % {EPOCH_SHARDS} AS shard,
+         row_number() OVER (
+           PARTITION BY ordkey % {EPOCH_SHARDS}
+           ORDER BY n_chars, ordkey, doc_id
+         ) AS pos
+  FROM h
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
        CAST(sum(pos * doc_id) % {EPOCH_CHECKSUM_MOD} AS BIGINT)
          AS order_checksum
 FROM s
@@ -9392,6 +9470,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 11k: NEW round 7 — reproducible epoch shuffle + shard
         # plan (md5 ordkey law, permutation-sensitive order checksum)
         "epoch_shard_plan": q_epoch_shard_plan,
+        # slot 11k2: NEW round 7 (second half) — length-curriculum
+        # variant (easy→hard within each dataloader shard, same hash
+        # sharding, byte-reproducible under retries)
+        "curriculum_shard_plan": q_curriculum_shard_plan,
         # slots 12-14: the remaining sf0.1-sweep findings — discrete
         # order-statistic decile boundaries (interpolated percentile was
         # engine-divergent), and decimal money aggregation for the lag-

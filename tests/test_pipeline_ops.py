@@ -672,3 +672,32 @@ def test_dedup_cluster_sample_window_disjoint():
     for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
         assert a1 <= b0
     assert spans[-1][1] <= 33  # md5 has 32 hex chars
+
+
+def test_curriculum_shard_plan_easy_first(spark):
+    # within each shard the curriculum order is ascending n_chars; the
+    # shard assignment is identical to epoch_shard_plan's (same law)
+    from pyspark.sql import Window
+
+    docs = Q.load_documents(spark, SF_SMOKE)
+    ordkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(Q.EPOCH_SEED + ":"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ), 16, 10,
+    ).cast("bigint")
+    h = docs.select("doc_id", "n_chars", ordkey.alias("ordkey")).withColumn(
+        "shard", F.col("ordkey") % Q.EPOCH_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy("n_chars", "ordkey", "doc_id")
+    seq = h.withColumn("pos", F.row_number().over(w)).collect()
+    by_shard = {}
+    for r in seq:
+        by_shard.setdefault(r.shard, []).append((r.pos, r.n_chars))
+    for rows in by_shard.values():
+        rows.sort()
+        lens = [c for _, c in rows]
+        assert lens == sorted(lens)  # monotone easy -> hard
+    epoch = {r.shard: r.n_docs for r in Q.q_epoch_shard_plan(spark, SF_SMOKE).collect()}
+    curr = {r.shard: r.n_docs for r in Q.q_curriculum_shard_plan(spark, SF_SMOKE).collect()}
+    assert epoch == curr  # same shard membership, different order
