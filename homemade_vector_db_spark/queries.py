@@ -2091,6 +2091,57 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # after the query-definition section)
 
 
+def q_cluster_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof split assignment (round 7): assign whole NEAR-DUP
+    CLUSTERS to splits, not docs — split = md5-window bucket of the
+    cluster head id (the same SPLIT window law as
+    train_val_test_split), so two near-copies can never straddle
+    train/eval by construction. This is the preventive alternative to
+    post-hoc decontamination (`split_decontam` repairs leaks after a
+    doc-level split; this plan makes them impossible). For singleton
+    docs component = doc_id, so their assignment is IDENTICAL to the
+    doc-level law — adopting cluster splits only moves docs that have
+    a near-copy. Emits per-split cluster/doc counts plus a COMPUTED
+    straddle count (clusters seen in >1 split) that must be 0 — the
+    gate re-derives the property rather than asserting it. One CC
+    pass + one groupBy; the split decision is a codegen hash of the
+    component column, no extra shuffle."""
+    docs = load_documents(spark, sf_dir).select("doc_id")
+    pairs = dedup.ngram_jaccard_pairs(
+        load_documents(spark, sf_dir),
+        n=JACCARD_NGRAM,
+        threshold=JACCARD_THRESHOLD,
+        shingled=_shingle_sets(spark, sf_dir),
+    ).select("a_id", "b_id")
+    comp = dedup.connected_components(pairs)
+    labeled = docs.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    b = _md5_bucket(F.col("component"), SPLIT_HEX_OFF)
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    assigned = labeled.withColumn("split", split)
+    per_cluster = assigned.groupBy("component").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.min("split").alias("split"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        per_cluster.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum((F.col("n_splits") > 1).cast("long")).alias(
+                "n_straddling"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
 def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split contamination gate (round 4): a normalized fingerprint
     (same normalization as dedup_normalized) that appears in more than
@@ -4728,6 +4779,75 @@ SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
 FROM reach
 GROUP BY id
 ORDER BY doc_id
+"""
+
+# Cluster-level split plan: the SAME closure, split = md5 SPLIT-window
+# bucket of the component head; straddle count re-derived, must be 0.
+_ORACLES["cluster_split_plan"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens) - {JACCARD_NGRAM - 2}),
+           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
+  FROM toks
+  WHERE len(tokens) >= {JACCARD_NGRAM}
+),
+e AS (SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         count(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT a_id, b_id FROM cand
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM jpairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM jpairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT edges.src, reach.r FROM edges JOIN reach ON edges.dst = reach.id
+),
+comp AS (
+  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id
+),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+assigned AS (
+  SELECT component, doc_id,
+         CASE WHEN {_md5_bucket_sql('component', SPLIT_HEX_OFF)}
+                < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {_md5_bucket_sql('component', SPLIT_HEX_OFF)}
+                < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM labeled
+),
+per_cluster AS (
+  SELECT component,
+         count(DISTINCT split) AS n_splits,
+         min(split) AS split,
+         count(*) AS n_docs
+  FROM assigned GROUP BY component
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddling
+FROM per_cluster
+GROUP BY split
+ORDER BY split
 """
 
 # Quality-aware keeper: the SAME transitive closure as
@@ -9464,6 +9584,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # selection per near-dup cluster (longest member wins, exact-
         # integer ranking key)
         "dedup_keeper_quality": q_dedup_keeper_quality,
+        # slot 11i7: NEW round 7 (second half) — leakage-proof
+        # cluster-level split assignment (whole near-dup clusters to one
+        # split; straddle count re-derived, must be 0)
+        "cluster_split_plan": q_cluster_split_plan,
         # slot 11j: NEW round 7 — in-plan linear-probe training from
         # exact-integer sufficient statistics (shared Cramer SQL)
         "quality_linear_probe": q_quality_linear_probe,

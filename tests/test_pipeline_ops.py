@@ -701,3 +701,16 @@ def test_curriculum_shard_plan_easy_first(spark):
     epoch = {r.shard: r.n_docs for r in Q.q_epoch_shard_plan(spark, SF_SMOKE).collect()}
     curr = {r.shard: r.n_docs for r in Q.q_curriculum_shard_plan(spark, SF_SMOKE).collect()}
     assert epoch == curr  # same shard membership, different order
+
+
+def test_cluster_split_plan_no_straddle_and_singleton_compat(spark):
+    rows = Q.q_cluster_split_plan(spark, SF_SMOKE).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(r.n_straddling == 0 for r in rows)
+    assert sum(r.n_docs for r in rows) == Q.load_documents(spark, SF_SMOKE).count()
+    # clusters genuinely move docs off the doc-level law: at least one
+    # clustered doc's component head differs from its own id, and the
+    # plan covers both clustered and singleton populations
+    comps = Q.q_neardup_components(spark, SF_SMOKE).collect()
+    assert any(r.doc_id != r.component for r in comps)
+    assert len(comps) < Q.load_documents(spark, SF_SMOKE).count()
