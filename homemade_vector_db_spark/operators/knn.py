@@ -502,6 +502,7 @@ def hard_negatives(
     k: int = 3,
     score_decimals: int = 6,
     max_anchor_rows: int = 10_000,
+    same_label: bool = False,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training data: for each
     anchor vector, the k most-cosine-similar corpus rows whose label
@@ -526,7 +527,13 @@ def hard_negatives(
     Zero-norm vectors score 0.0, same contract as the cosine metric in
     knn_exact. Anchors themselves can never appear (their own label is
     excluded by construction). No reference analogue — extends O4
-    (local_db.py:137-200) toward training-pair generation."""
+    (local_db.py:137-200) toward training-pair generation.
+
+    same_label=True flips the mask to mine hard POSITIVES instead:
+    the k most-similar SAME-label rows, excluding the anchor row
+    itself (id == anchor_id) — the other half of a triplet. The
+    output column is still named neg_label (it is the candidate's
+    label either way); alias downstream."""
     import numpy as np
     import pandas as pd
 
@@ -569,9 +576,15 @@ def hard_negatives(
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom > 0, (A @ amat.T) / denom, 0.0)
             scores = np.round(cos, score_decimals)
-            # same-label candidates are not negatives: mask to -inf so
-            # they can never enter the local top-k
-            mask = labels[:, None] == alabels[None, :]
+            # mask non-candidates to -inf so they can never enter the
+            # local top-k: same-label rows for negatives; different-label
+            # rows plus the anchor row itself for positives
+            if same_label:
+                mask = (labels[:, None] != alabels[None, :]) | (
+                    ids[:, None] == aids[None, :]
+                )
+            else:
+                mask = labels[:, None] == alabels[None, :]
             scores = np.where(mask, -np.inf, scores)
             for j in range(len(aids)):
                 sj = scores[:, j]

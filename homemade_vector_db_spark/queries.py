@@ -1587,6 +1587,40 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.hard_negatives(emb, anchors, k=HN_K)
 
 
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full triplet generation for contrastive training: per anchor,
+    the hardest POSITIVE (most-similar same-label row, excluding the
+    anchor itself) and the hardest NEGATIVE (most-similar
+    different-label row), plus the margin pos_cos − neg_cos the loss
+    will see. Both halves run the same local-top-k kernel
+    (knn.hard_negatives, same_label flag) — one corpus scan each,
+    shuffle bounded by anchors × partitions. A negative margin flags
+    the anchors a contrastive model currently gets wrong — the
+    batch-construction signal."""
+    emb = load_embeddings(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"), "label", "embedding"
+    )
+    pos = knn.hard_negatives(emb, anchors, k=1, same_label=True).select(
+        "anchor_id",
+        F.col("vec_id").alias("pos_id"),
+        F.col("score").alias("pos_cos"),
+    )
+    neg = knn.hard_negatives(emb, anchors, k=1).select(
+        "anchor_id",
+        F.col("vec_id").alias("neg_id"),
+        "neg_label",
+        F.col("score").alias("neg_cos"),
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .withColumn(
+            "margin", F.round(F.col("pos_cos") - F.col("neg_cos"), 6)
+        )
+        .orderBy("anchor_id")
+    )
+
+
 VID_DEDUP_N = 24  # docs turned into synthetic videos (8 clusters of 3)
 VID_FRAMES = 4  # distinct grating frames per cluster
 
@@ -5574,6 +5608,48 @@ ranked AS (
 SELECT anchor_id, rn, vec_id, neg_label, score
 FROM ranked WHERE rn <= {HN_K}
 ORDER BY anchor_id, rn
+"""
+
+# Triplets: both ranked branches in SQL; margin subtracts two already-
+# rounded doubles (identical IEEE inputs) and rounds once more.
+_ORACLES["triplet_mining"] = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS alabel, embedding AS av
+  FROM embeddings WHERE vec_id < {HN_ANCHORS}
+),
+scored AS (
+  SELECT a.anchor_id, a.alabel, e.vec_id, e.label,
+         round(
+           CASE WHEN
+             sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')}) > 0
+             AND sqrt({_SQL_DOT.format(a='a.av', b='a.av')}) > 0
+           THEN {_SQL_DOT.format(a='e.embedding', b='a.av')}
+                / (sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                   * sqrt({_SQL_DOT.format(a='a.av', b='a.av')}))
+           ELSE 0.0 END, 6) AS score
+  FROM embeddings e, a
+),
+pos AS (
+  SELECT anchor_id, vec_id AS pos_id, score AS pos_cos,
+         row_number() OVER (
+           PARTITION BY anchor_id ORDER BY score DESC, vec_id ASC
+         ) AS rn
+  FROM scored WHERE label = alabel AND vec_id <> anchor_id
+),
+neg AS (
+  SELECT anchor_id, vec_id AS neg_id, CAST(label AS BIGINT) AS neg_label,
+         score AS neg_cos,
+         row_number() OVER (
+           PARTITION BY anchor_id ORDER BY score DESC, vec_id ASC
+         ) AS rn
+  FROM scored WHERE label <> alabel
+)
+SELECT p.anchor_id, p.pos_id, p.pos_cos,
+       n.neg_id, n.neg_label, n.neg_cos,
+       round(p.pos_cos - n.neg_cos, 6) AS margin
+FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+WHERE p.rn = 1 AND n.rn = 1
+ORDER BY p.anchor_id
 """
 
 # Video dedup: exact-pair-list law like the image/audio gates — each
@@ -9573,6 +9649,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mining (per-anchor top-k different-label cosine, local-top-k
         # kernel shape shared with knn_batch)
         "hard_negatives": q_hard_negatives,
+        # slot 11i3b: NEW round 7 (second half) — full triplet generation
+        # (hardest positive + hardest negative + margin per anchor)
+        "triplet_mining": q_triplet_mining,
         # slot 11i4: NEW round 7 (second half) — per-language tokenizer
         # fertility/compression under the real BPE merges table
         "tokenizer_fertility": q_tokenizer_fertility,

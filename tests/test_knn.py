@@ -233,3 +233,24 @@ def test_hard_negatives_bounded_anchor_collect(spark):
         )
         chunks += hard_negatives(emb, part, k=2, max_anchor_rows=5).collect()
     assert sorted(map(tuple, chunks)) == sorted(map(tuple, full))
+
+
+def test_hard_negatives_same_label_positive_mode(spark):
+    from homemade_vector_db_spark.operators.knn import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor
+        (1, [0.99, 0.01], 0),  # same-label near -> hardest positive
+        (2, [0.5, 0.5], 0),    # same-label farther
+        (3, [0.98, 0.02], 1),  # different label, excluded in positive mode
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    anchors = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("anchor_id"), "label", "embedding"
+    )
+    pos = hard_negatives(emb, anchors, k=2, same_label=True).collect()
+    # anchor itself (id 0, cos 1.0) must be excluded; order 1 then 2
+    assert [(r.vec_id, r.rn) for r in pos] == [(1, 1), (2, 2)]
+    assert all(r.neg_label == 0 for r in pos)
