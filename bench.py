@@ -83,6 +83,8 @@ HEADLINE = [
     "video_phash_neardup",
     "hard_negatives",
     "dedup_cluster_sample",
+    "triplet_mining",
+    "tokenizer_fertility",
 ]
 
 
