@@ -590,3 +590,40 @@ def test_embedding_drift_broadcasts_global_centroid(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_video_neardup_hash_bucket_join_not_all_pairs(spark):
+    """Round-7 contract: video dedup candidate-generates through the
+    frame-hash equality join — never cartesian/nested-loop — and the
+    Jaccard decision is JVM-side arithmetic on aggregated counts, not
+    Python."""
+    from homemade_vector_db_spark.operators.multimodal import video_neardup
+
+    frames = spark.createDataFrame(
+        [(i, j, (i // 3) * 100 + j) for i in range(12) for j in range(4)],
+        "media_id long, frame_idx int, phash long",
+    )
+    plan = physical_plan(video_neardup(frames, min_jaccard=0.8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_hard_negatives_local_topk_shape(spark):
+    """Round-7 contract: the corpus is scanned ONCE through the
+    Arrow-batched local-top-k kernel; the only shuffle after it feeds
+    the per-anchor window (WindowGroupLimit pushes the rank filter
+    down), and there is no join against the anchor relation at all."""
+    from homemade_vector_db_spark.operators.knn import hard_negatives
+
+    emb = load_embeddings(spark, SF_SMOKE)
+    anchors = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"), "label", "embedding"
+    )
+    plan = physical_plan(hard_negatives(emb, anchors, k=2))
+    # formatted mode lists each operator twice (tree + detail section):
+    # exactly ONE MapInPandas kernel => exactly 2 mentions
+    assert plan.count("MapInPandas") == 2, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Join" not in plan, plan  # anchors ship inside the kernel
+    assert "CartesianProduct" not in plan, plan
