@@ -3548,16 +3548,18 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware keeper selection: within each near-dup cluster,
-    keep the LONGEST member (max n_chars, ties to the smaller doc_id)
-    instead of the arbitrary min-id — the standard production policy
-    (a truncated or boilerplate-stripped copy should lose to the most
-    complete one). Emits the per-cluster decision record
-    (component, n_members, keeper_id, keeper_chars) for multi-member
-    clusters. The ranking key is exact-integer, so the choice is
-    engine- and partitioning-independent; the per-cluster argmax is a
-    window over the component partitioning the CC output already
-    has."""
+    """QUALITY-scored keeper selection: within each near-dup cluster,
+    keep the member with the highest type-token ratio (distinct
+    tokens / tokens, the repetition-quality signal from
+    quality_score) — i.e. the LEAST boilerplate-inflated copy — with
+    (longer, then smaller id) breaking ties. This is the quality
+    policy, complementary to `neardup_canonical`'s length policy
+    (keep the most COMPLETE copy): a spam mirror that padded a page
+    with repeated blocks is longer but loses here. TTR is a ratio of
+    exact integers rounded once at 6dp, so the ranking is engine- and
+    partitioning-independent. Emits (component, n_members, keeper_id,
+    keeper_ttr); the argmax is a window over the component
+    partitioning the CC output already has."""
     from pyspark.sql import Window
 
     pairs = dedup.ngram_jaccard_pairs(
@@ -3567,11 +3569,17 @@ def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingled=_shingle_sets(spark, sf_dir),
     ).select("a_id", "b_id")
     comp = dedup.connected_components(pairs)
-    j = comp.join(
+    ttr = _tokens(spark, sf_dir).select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct("toks")) / F.size("toks"), 6
+        ).alias("ttr"),
+    )
+    j = comp.join(ttr, "doc_id").join(
         load_documents(spark, sf_dir).select("doc_id", "n_chars"), "doc_id"
     )
     w = Window.partitionBy("component").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
+        F.desc("ttr"), F.desc("n_chars"), F.asc("doc_id")
     )
     ranked = j.withColumn("rn", F.row_number().over(w))
     stats = j.groupBy("component").agg(
@@ -3580,7 +3588,7 @@ def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper = ranked.where(F.col("rn") == 1).select(
         "component",
         F.col("doc_id").alias("keeper_id"),
-        F.col("n_chars").cast("long").alias("keeper_chars"),
+        F.col("ttr").alias("keeper_ttr"),
     )
     return stats.join(keeper, "component").orderBy("component")
 
@@ -4924,13 +4932,19 @@ comp AS (
   SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id
 ),
 j AS (
-  SELECT c.component, c.doc_id, d.n_chars
+  SELECT c.component, c.doc_id, d.n_chars,
+         round(CAST(len(list_distinct(list_filter(
+                 string_split_regex(d.text, '\\s+'), t -> t <> '')))
+               AS DOUBLE)
+               / len(list_filter(string_split_regex(d.text, '\\s+'),
+                                 t -> t <> '')), 6) AS ttr
   FROM comp c JOIN documents d ON c.doc_id = d.doc_id
 ),
 ranked AS (
-  SELECT component, doc_id, n_chars,
+  SELECT component, doc_id, ttr,
          row_number() OVER (
-           PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+           PARTITION BY component
+           ORDER BY ttr DESC, n_chars DESC, doc_id ASC
          ) AS rn
   FROM j
 ),
@@ -4940,7 +4954,7 @@ stats AS (
 )
 SELECT s.component, s.n_members,
        r.doc_id AS keeper_id,
-       CAST(r.n_chars AS BIGINT) AS keeper_chars
+       r.ttr AS keeper_ttr
 FROM stats s JOIN ranked r ON s.component = r.component AND r.rn = 1
 ORDER BY s.component
 """

@@ -294,8 +294,10 @@ def test_dedup_normalized_collapses_case_and_punct(spark):
 
 
 def test_dedup_keeper_quality_policy(spark):
-    # the keeper is the LONGEST cluster member, not the min id: verify
-    # against an independent recomputation from components + doc lengths
+    # the keeper maximizes type-token ratio (least-repetitive copy),
+    # ties broken by length then id — verified against an independent
+    # recomputation; the policy is distinct from neardup_canonical's
+    # pure-length rule
     from homemade_vector_db_spark import queries as Q
     from tests.conftest import SF_SMOKE
 
@@ -304,12 +306,17 @@ def test_dedup_keeper_quality_policy(spark):
         (r.doc_id): r.component
         for r in Q.q_neardup_components(spark, SF_SMOKE).collect()
     }
-    chars = {
-        r.doc_id: r.n_chars
+    docs = {
+        r.doc_id: (r.text, r.n_chars)
         for r in Q.load_documents(spark, SF_SMOKE)
-        .select("doc_id", "n_chars")
+        .select("doc_id", "text", "n_chars")
         .collect()
     }
+
+    def ttr(did):
+        toks = [t for t in docs[did][0].split() if t]
+        return round(len(set(toks)) / len(toks), 6)
+
     by_comp = {}
     for did, c in comp.items():
         by_comp.setdefault(c, []).append(did)
@@ -317,5 +324,5 @@ def test_dedup_keeper_quality_policy(spark):
     for r in rows:
         members = by_comp[r.component]
         assert r.n_members == len(members) >= 2
-        best = min(members, key=lambda d: (-chars[d], d))
-        assert (r.keeper_id, r.keeper_chars) == (best, chars[best])
+        best = min(members, key=lambda d: (-ttr(d), -docs[d][1], d))
+        assert (r.keeper_id, round(r.keeper_ttr, 6)) == (best, ttr(best))
