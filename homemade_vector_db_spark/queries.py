@@ -1587,6 +1587,46 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.hard_negatives(emb, anchors, k=HN_K)
 
 
+KNN_GRAPH_K = 3  # neighbors per node in the corpus kNN graph
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide kNN-graph construction: EVERY row's top-k nearest
+    neighbors (squared-L2 similarity, self excluded) — the input
+    relation for graph-based SemDeDup variants, label propagation, and
+    connectivity audits. Runs through `knn_batch_chunked` with the
+    corpus itself as the query block: the driver holds one bounded
+    chunk at a time (hash-split, union ≡ unbounded exactly), each
+    chunk's corpus pass emits only local top-(k+1) candidates, and the
+    self row is dropped with a re-rank over the ≤(k+1)-row-per-node
+    candidate relation (tiny). The oracle recomputes the full
+    self-excluded ranking relationally; ties break by ascending
+    neighbor id (the knn tie law)."""
+    from pyspark.sql.window import Window
+
+    emb = load_embeddings(spark, sf_dir)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = knn.knn_batch_chunked(
+        emb, queries, k=KNN_GRAPH_K + 1, max_query_rows=2000
+    ).where(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_GRAPH_K)
+        .select(
+            F.col("query_id").alias("src"),
+            "rn",
+            F.col("vec_id").alias("neighbor_id"),
+            "score",
+        )
+        .orderBy("src", "rn")
+    )
+
+
 def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full triplet generation for contrastive training: per anchor,
     the hardest POSITIVE (most-similar same-label row, excluding the
@@ -5622,6 +5662,28 @@ ranked AS (
 SELECT anchor_id, rn, vec_id, neg_label, score
 FROM ranked WHERE rn <= {HN_K}
 ORDER BY anchor_id, rn
+"""
+
+# kNN graph: full self-excluded ranking in SQL, same rounding-before-
+# ranking and id-asc tie law as the knn family.
+_ORACLES["knn_graph"] = f"""
+WITH s AS (
+  SELECT q.vec_id AS src, e.vec_id AS nb,
+         round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.embedding')}), 6)
+           AS score
+  FROM embeddings q, embeddings e
+  WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT src, nb, score,
+         row_number() OVER (
+           PARTITION BY src ORDER BY score DESC, nb ASC
+         ) AS rn
+  FROM s
+)
+SELECT src, rn, nb AS neighbor_id, score
+FROM ranked WHERE rn <= {KNN_GRAPH_K}
+ORDER BY src, rn
 """
 
 # Triplets: both ranked branches in SQL; margin subtracts two already-
@@ -9666,6 +9728,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 11i3b: NEW round 7 (second half) — full triplet generation
         # (hardest positive + hardest negative + margin per anchor)
         "triplet_mining": q_triplet_mining,
+        # slot 11i3c: NEW round 7 (second half) — corpus-wide kNN graph
+        # through the driver-bounded chunked batch path (self excluded)
+        "knn_graph": q_knn_graph,
         # slot 11i4: NEW round 7 (second half) — per-language tokenizer
         # fertility/compression under the real BPE merges table
         "tokenizer_fertility": q_tokenizer_fertility,

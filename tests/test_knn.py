@@ -254,3 +254,39 @@ def test_hard_negatives_same_label_positive_mode(spark):
     # anchor itself (id 0, cos 1.0) must be excluded; order 1 then 2
     assert [(r.vec_id, r.rn) for r in pos] == [(1, 1), (2, 2)]
     assert all(r.neg_label == 0 for r in pos)
+
+
+def test_knn_graph_chunked_equals_direct(spark):
+    # the hash-chunked graph equals a direct per-node exact ranking,
+    # and never contains a self edge
+    from homemade_vector_db_spark import queries as Q
+    from tests.conftest import SF_SMOKE
+
+    rows = Q.q_knn_graph(spark, SF_SMOKE).collect()
+    assert all(r.src != r.neighbor_id for r in rows)
+    import numpy as np
+
+    emb = sorted(
+        Q.load_embeddings(spark, SF_SMOKE)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in emb])
+    X = np.stack([np.asarray(r.embedding, np.float64) for r in emb])
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append((r.rn, r.neighbor_id, r.score))
+    # spot-check 10 nodes against numpy ground truth
+    for src in list(by_src)[:10]:
+        qi = int(np.flatnonzero(ids == src)[0])
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        score = np.round(1.0 / (1.0 + d), 6)
+        mask = ids != src
+        order = np.lexsort((ids[mask], -score[mask]))[: Q.KNN_GRAPH_K]
+        want = [
+            (i + 1, int(ids[mask][j]), float(score[mask][j]))
+            for i, j in enumerate(order)
+        ]
+        got = sorted(by_src[src])
+        assert got == want, (src, got, want)
