@@ -1815,6 +1815,113 @@ GROUP BY w.w_bias, w.w_chars, w.w_tokens
 """
 
 
+# DoReMi-flavored mixture reweighting from the SAME sufficient-statistics
+# discipline: per-source mean squared residual of the global probe,
+# expanded ALGEBRAICALLY into exact-BIGINT second moments (sum r² =
+# syy + w1²s11 + w2²s22 + n·b² − 2w1·s1y − 2w2·s2y − 2b·sy + 2w1w2·s12
+# + 2w1b·s1 + 2w2b·s2), so no per-row float ever enters an aggregation —
+# partial-agg order is irrelevant at any executor count. The coefficient
+# doubles come through the probe's DECIMAL(18,6) round-trip (bit-identical
+# on both engines) and every downstream expression tree is this one SQL
+# text executed verbatim by Spark AND DuckDB. excess_ratio is the
+# DoReMi-style signal: sources the shared model fits WORSE than the
+# corpus average (> 1) get up-weighted in the next mixture.
+_MIX_SQL = """
+WITH feats AS (
+  SELECT source,
+         CAST(n_chars AS BIGINT) AS x1,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1
+              AS BIGINT) AS x2,
+         CAST(n_chars
+              - 3 * (length(text) - length(replace(text, ' ', '')) + 1)
+              + doc_id % 7 AS BIGINT) AS y
+  FROM {documents}
+),
+g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x1) AS DOUBLE) AS s1,
+         CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM feats
+),
+solve AS (
+  SELECT
+    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2) AS det,
+    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s2y - s1y * s2) AS det1,
+    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM g
+),
+w AS (
+  SELECT CAST(CAST(round(det0 / det, 6) AS DECIMAL(18, 6)) AS DOUBLE) AS b,
+         CAST(CAST(round(det1 / det, 6) AS DECIMAL(18, 6)) AS DOUBLE) AS w1,
+         CAST(CAST(round(det2 / det, 6) AS DECIMAL(18, 6)) AS DOUBLE) AS w2
+  FROM solve
+),
+m AS (
+  SELECT source,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x1) AS DOUBLE) AS s1,
+         CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM feats GROUP BY source
+),
+mse AS (
+  SELECT m.source, m.n,
+         (m.syy + w.w1 * w.w1 * m.s11 + w.w2 * w.w2 * m.s22
+          + m.n * w.b * w.b
+          - 2 * w.w1 * m.s1y - 2 * w.w2 * m.s2y - 2 * w.b * m.sy
+          + 2 * w.w1 * w.w2 * m.s12 + 2 * w.w1 * w.b * m.s1
+          + 2 * w.w2 * w.b * m.s2) / m.n AS v
+  FROM m CROSS JOIN w
+),
+gm AS (
+  SELECT (g.syy + w.w1 * w.w1 * g.s11 + w.w2 * w.w2 * g.s22
+          + g.n * w.b * w.b
+          - 2 * w.w1 * g.s1y - 2 * w.w2 * g.s2y - 2 * w.b * g.sy
+          + 2 * w.w1 * w.w2 * g.s12 + 2 * w.w1 * w.b * g.s1
+          + 2 * w.w2 * w.b * g.s2) / g.n AS v
+  FROM g CROSS JOIN w
+)
+SELECT mse.source,
+       CAST(mse.n AS BIGINT) AS n_docs,
+       round(mse.v, 6) AS mse,
+       round(mse.v / gm.v, 6) AS excess_ratio
+FROM mse CROSS JOIN gm
+ORDER BY mse.source
+"""
+
+
+def q_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored mixture reweighting (round 7): per-source
+    excess loss of the shared linear probe — sources the one global
+    model fits WORSE than the corpus average (excess_ratio > 1) are
+    the ones a mixture optimizer up-weights next round. Everything
+    reduces to exact-BIGINT second moments (see _MIX_SQL) plus fixed
+    IEEE expression trees shared verbatim with the oracle, so the
+    result is identical under any partitioning and on both engines.
+    Scale shape: two map-side-combined aggregation passes (global +
+    per-source) over one scan each; output is |sources| rows."""
+    load_documents(spark, sf_dir).createOrReplaceTempView("v_mix_docs")
+    return spark.sql(_MIX_SQL.format(documents="v_mix_docs"))
+
+
 def q_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a linear quality probe IN-PLAN (round 7): regress a
     rule-based quality target (chars − 3·tokens + doc_id-seeded noise)
@@ -5749,6 +5856,9 @@ ORDER BY id_a, id_b
 # Linear quality probe: the oracle is the SAME SQL text (exact-BIGINT
 # sufficient stats + shared Cramer expression tree).
 _ORACLES["quality_linear_probe"] = _PROBE_SQL.format(documents="documents")
+
+# Mixture reweighting: same shared-SQL-text discipline as the probe.
+_ORACLES["mixture_reweight"] = _MIX_SQL.format(documents="documents")
 
 # Epoch shuffle/shard: DuckDB twin of the md5 ordkey (identical value
 # by construction — same hex window law as _md5_bucket_sql, full 32
@@ -9749,6 +9859,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 11j: NEW round 7 — in-plan linear-probe training from
         # exact-integer sufficient statistics (shared Cramer SQL)
         "quality_linear_probe": q_quality_linear_probe,
+        # slot 11j2: NEW round 7 (second half) — DoReMi-flavored
+        # per-source excess-loss mixture reweighting (exact-moment
+        # expansion of the probe residuals, shared SQL text)
+        "mixture_reweight": q_mixture_reweight,
         # slot 11k: NEW round 7 — reproducible epoch shuffle + shard
         # plan (md5 ordkey law, permutation-sensitive order checksum)
         "epoch_shard_plan": q_epoch_shard_plan,

@@ -714,3 +714,32 @@ def test_cluster_split_plan_no_straddle_and_singleton_compat(spark):
     comps = Q.q_neardup_components(spark, SF_SMOKE).collect()
     assert any(r.doc_id != r.component for r in comps)
     assert len(comps) < Q.load_documents(spark, SF_SMOKE).count()
+
+
+def test_mixture_reweight_moment_expansion_matches_rowwise(spark):
+    # the exact-moment expansion of sum(residual^2) must equal a direct
+    # row-wise residual computation against the probe coefficients
+    rows = Q.q_mixture_reweight(spark, SF_SMOKE).collect()
+    probe = Q.q_quality_linear_probe(spark, SF_SMOKE).first()
+    docs = Q.load_documents(spark, SF_SMOKE).select(
+        "source", "doc_id", "n_chars", "text"
+    ).collect()
+    import collections
+
+    ssr = collections.defaultdict(float)
+    n = collections.Counter()
+    for d in docs:
+        x2 = d.text.count(" ") + 1  # length - length(sans spaces) + 1
+        y = d.n_chars - 3 * x2 + d.doc_id % 7
+        r = y - (probe.w_bias + probe.w_chars * d.n_chars + probe.w_tokens * x2)
+        ssr[d.source] += r * r
+        n[d.source] += 1
+    total_mse = sum(ssr.values()) / sum(n.values())
+    for r in rows:
+        want = ssr[r.source] / n[r.source]
+        assert abs(r.mse - want) < 1e-3, (r.source, r.mse, want)
+        assert abs(r.excess_ratio - want / total_mse) < 1e-3
+        assert r.n_docs == n[r.source]
+    # the signal is non-trivial: ratios straddle 1
+    ratios = [r.excess_ratio for r in rows]
+    assert min(ratios) < 1.0 < max(ratios)
