@@ -85,6 +85,8 @@ HEADLINE = [
     "dedup_cluster_sample",
     "triplet_mining",
     "tokenizer_fertility",
+    "knn_graph",
+    "mixture_reweight",
 ]
 
 
