@@ -743,3 +743,25 @@ def test_mixture_reweight_moment_expansion_matches_rowwise(spark):
     # the signal is non-trivial: ratios straddle 1
     ratios = [r.excess_ratio for r in rows]
     assert min(ratios) < 1.0 < max(ratios)
+
+
+def test_new_laws_partition_independent(spark, monkeypatch):
+    # the exact-moment (mixture_reweight) and checksum (curriculum)
+    # laws claim identical results under ANY partitioning: rerun with
+    # the corpus re-split into 13 skewed partitions and compare rows
+    base_mix = [tuple(r) for r in Q.q_mixture_reweight(spark, SF_SMOKE).collect()]
+    base_cur = [tuple(r) for r in Q.q_curriculum_shard_plan(spark, SF_SMOKE).collect()]
+
+    real_load = Q.load_documents
+
+    def skewed(spark_, sf_dir):
+        return real_load(spark_, sf_dir).repartition(13, "lang")
+
+    monkeypatch.setattr(Q, "load_documents", skewed)
+    try:
+        got_mix = [tuple(r) for r in Q.q_mixture_reweight(spark, SF_SMOKE).collect()]
+        got_cur = [tuple(r) for r in Q.q_curriculum_shard_plan(spark, SF_SMOKE).collect()]
+    finally:
+        monkeypatch.setattr(Q, "load_documents", real_load)
+    assert got_mix == base_mix
+    assert got_cur == base_cur
