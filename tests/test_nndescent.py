@@ -1,0 +1,122 @@
+"""NN-Descent kNN-graph tier (operators/nndescent.py): contract shape,
+determinism, recall vs the exact graph, tier dispatch equivalence, and the
+graph-SemDeDup composition law — mirrors the reference's 'flat is exact,
+approximate tiers are recall-gated' stance (test_local_db.py:155-157)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from homemade_vector_db_spark.operators import knn
+from homemade_vector_db_spark.operators.nndescent import (
+    knn_graph_auto,
+    knn_graph_nndescent,
+)
+from homemade_vector_db_spark.sources.tables import load_embeddings
+from tests.conftest import SF_SMOKE
+
+K = 3
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_embeddings(spark, SF_SMOKE).cache()
+
+
+@pytest.fixture(scope="module")
+def exact_graph(spark, embs):
+    q = embs.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = knn.knn_batch_chunked(embs, q, k=K + 1, max_query_rows=2000).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select(
+            F.col("query_id").alias("src"),
+            "rn",
+            F.col("vec_id").alias("neighbor_id"),
+            "score",
+        )
+        .collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def ann_graph(embs):
+    return knn_graph_nndescent(embs, k=K).collect()
+
+
+def test_graph_contract(embs, ann_graph):
+    n = embs.count()
+    assert len(ann_graph) == n * K
+    per_src = {}
+    for r in ann_graph:
+        assert r.src != r.neighbor_id, "self edge"
+        assert 0.0 < r.score <= 1.0
+        per_src.setdefault(r.src, []).append(r)
+    for src, rows in per_src.items():
+        rows.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rows] == list(range(1, K + 1))
+        # neighbors distinct, scores non-increasing in rank
+        assert len({r.neighbor_id for r in rows}) == K
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_recall_vs_exact(ann_graph, exact_graph):
+    # near-uniform unit vectors are the hardest candidate-generation
+    # regime; the registered gate floor is 0.9 (queries.q_knn_graph_recall)
+    want = {(r.src, r.neighbor_id) for r in exact_graph}
+    got = {(r.src, r.neighbor_id) for r in ann_graph}
+    assert len(got & want) / len(want) >= 0.9
+
+
+def test_deterministic(embs, ann_graph):
+    again = knn_graph_nndescent(embs, k=K).collect()
+    key = lambda r: (r.src, r.rn)
+    assert sorted(again, key=key) == sorted(ann_graph, key=key)
+
+
+def test_auto_small_equals_exact(embs, exact_graph):
+    # below the dispatch threshold the auto tier IS the exact kernel
+    got = knn_graph_auto(embs, k=K).collect()
+    key = lambda r: (r.src, r.rn)
+    assert sorted(got, key=key) == sorted(exact_graph, key=key)
+
+
+def test_auto_dispatches_to_nndescent(embs, ann_graph):
+    # force the approximate tier by dropping the threshold: result must
+    # be the NN-Descent graph, not the exact kernel
+    got = knn_graph_auto(embs, k=K, exact_threshold=10).collect()
+    key = lambda r: (r.src, r.rn)
+    assert sorted(got, key=key) == sorted(ann_graph, key=key)
+
+
+def test_parameter_validation(embs):
+    with pytest.raises(ValueError, match="k <= big_k"):
+        knn_graph_nndescent(embs, k=5, big_k=3)
+    with pytest.raises(ValueError, match="n_bucketings"):
+        knn_graph_nndescent(embs, n_bucketings=1)
+    with pytest.raises(ValueError, match=">= 2 rows"):
+        knn_graph_nndescent(embs.limit(1))
+
+
+def test_graph_semdedup_composition_law(spark):
+    # keep = (vec_id == component); exactly one keeper per component;
+    # every component id is itself a member (min-label law)
+    from homemade_vector_db_spark import queries
+
+    rows = queries.q_graph_semdedup(spark, SF_SMOKE).collect()
+    assert rows, "threshold yields no components at sf0.001"
+    by_comp = {}
+    for r in rows:
+        assert r.keep == (r.vec_id == r.component)
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m.vec_id for m in members)
+        assert sum(m.keep for m in members) == 1
+        assert len(members) >= 2, "singleton component should not appear"
