@@ -87,6 +87,14 @@ HEADLINE = [
     "tokenizer_fertility",
     "knn_graph",
     "mixture_reweight",
+    # round 9: the tier-dispatched graph entry (exact kernel at bench SF —
+    # one chunk, vs knn_graph's two) and the graph-SemDeDup composition.
+    # knn_graph_ann is deliberately NOT here: at 2k rows it is the wrong
+    # tier by design (the auto dispatch exists precisely so users never
+    # run it there); its time-vs-rows curve is recorded in SCALE.md /
+    # SCALE_AUDIT.json where the crossover story lives.
+    "knn_graph_auto",
+    "graph_semdedup",
 ]
 
 
