@@ -95,6 +95,8 @@ HEADLINE = [
     # SCALE_AUDIT.json where the crossover story lives.
     "knn_graph_auto",
     "graph_semdedup",
+    # round 9: distributed-both-sides exact kNN join (cogrouped tiles)
+    "knn_join_topk",
 ]
 
 

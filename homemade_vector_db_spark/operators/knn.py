@@ -360,6 +360,138 @@ def knn_batch_chunked(
     return reduce(DataFrame.unionByName, parts).orderBy(query_id_col, "rn")
 
 
+def knn_join(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qv",
+    k: int = 5,
+    score_decimals: int = 6,
+    corpus_rows_per_block: int = 100_000,
+    query_rows_per_block: int = 100_000,
+) -> DataFrame:
+    """Fully-distributed exact k-NN JOIN: per-query top-k when BOTH sides
+    are DataFrames of arbitrary size — the escape hatch knn_batch_chunked's
+    docstring promises for query blocks too large to ever touch the
+    driver.
+
+    Block-matrix shape (no driver state at all): the corpus is hashed
+    into P = ceil(|corpus| / corpus_rows_per_block) blocks and the query
+    side into QB = ceil(|Q| / query_rows_per_block) blocks; each side is
+    replicated across the OTHER side's block axis with one generator
+    explode, and a cogrouped applyInPandas kernel computes each (cb, qb)
+    tile's exact distances with the same chunked BLAS broadcast as
+    knn_batch, emitting only the tile-local top-k per query. The final
+    per-query top-k is a window over QB-invariant candidates
+    (P × |Q| × k rows). Cost trade vs knn_batch_chunked: ONE corpus pass
+    shuffled P-ways + a Q×P replicated query shuffle, instead of
+    ceil(Q/chunk) repeated corpus scans with the query block held on the
+    driver — the right side of the trade exactly when Q is corpus-sized
+    (kNN graphs, corpus-vs-corpus decontamination, cross-dataset
+    retrieval audits). Block sizes bound executor memory: a tile holds
+    corpus_rows_per_block × dim + query_rows_per_block × dim floats.
+
+    Determinism contract — identical to knn_batch, so the two operators
+    are interchangeable and share oracles: scores are rounded to
+    `score_decimals` BEFORE local selection; local AND global selection
+    order by (score desc, id asc); the blocking (P, QB) provably never
+    changes the result (each query's global top-k is a function of its
+    own candidate rows only; pytest pins blocking invariance).
+
+    (reference: query_vector serves one query at a time,
+    local_db.py:137-200; knn_batch amortizes Q queries into one scan;
+    this operator removes the last bound — Q itself.)
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    n_corpus = df.count()
+    n_q = queries.count()
+    if n_q == 0:
+        raise ValueError("empty query block")
+    if n_corpus == 0:
+        raise ValueError("empty corpus")
+    p = max(1, math.ceil(n_corpus / corpus_rows_per_block))
+    qb = max(1, math.ceil(n_q / query_rows_per_block))
+
+    # corpus: one home block + replication across the query-block axis;
+    # queries: symmetric. sequence() explode is a generator — the
+    # replication never materializes on the driver.
+    c_side = df.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    ).withColumns(
+        {
+            "__cb": F.pmod(F.xxhash64(F.col("__cid")), F.lit(p)),
+            "__qb": F.explode(F.sequence(F.lit(0), F.lit(qb - 1))),
+        }
+    )
+    q_side = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(qvec_col).alias("__qvec")
+    ).withColumns(
+        {
+            "__qb": F.pmod(F.xxhash64(F.col("__qid")), F.lit(qb)),
+            "__cb": F.explode(F.sequence(F.lit(0), F.lit(p - 1))),
+        }
+    )
+
+    def tile_topk(key, cdf: pd.DataFrame, qdf: pd.DataFrame):
+        if len(cdf) == 0 or len(qdf) == 0:
+            return pd.DataFrame(
+                {
+                    query_id_col: np.array([], dtype=np.int64),
+                    id_col: np.array([], dtype=np.int64),
+                    "score": np.array([], dtype=np.float64),
+                }
+            )
+        ids = cdf["__cid"].to_numpy(dtype=np.int64)
+        A = np.stack(cdf["__cvec"].to_numpy()).astype(np.float64)
+        qids = qdf["__qid"].to_numpy(dtype=np.int64)
+        Qm = np.stack(qdf["__qvec"].to_numpy()).astype(np.float64)
+        kk = min(k, len(ids))
+        out_q, out_i, out_s = [], [], []
+        # chunk the query axis so the (B, qc, D) broadcast temp stays
+        # bounded; the (A - q)² elementwise form matches knn_batch /
+        # knn_exact bit-for-bit (a GEMM expansion would differ in last
+        # ulps and could flip a 6dp rounding)
+        for lo in range(0, len(qids), 256):
+            Qc = Qm[lo : lo + 256]
+            d = ((A[:, None, :] - Qc[None, :, :]) ** 2).sum(axis=2)
+            scores = np.round(1.0 / (1.0 + d), score_decimals)
+            for j in range(Qc.shape[0]):
+                sj = scores[:, j]
+                order = np.lexsort((ids, -sj))[:kk]
+                out_q.append(np.full(kk, qids[lo + j]))
+                out_i.append(ids[order])
+                out_s.append(sj[order])
+        return pd.DataFrame(
+            {
+                query_id_col: np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    cand = (
+        c_side.groupBy("__cb", "__qb")
+        .cogroup(q_side.groupBy("__cb", "__qb"))
+        .applyInPandas(
+            tile_topk, f"{query_id_col} long, {id_col} long, score double"
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .orderBy(query_id_col, "rn")
+    )
+
+
 def mmr_rerank(
     df: DataFrame,
     query: Sequence[float],

@@ -685,6 +685,33 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.knn_batch(embs, qs, k=5)
 
 
+KNN_JOIN_Q = 50  # query-side rows for the distributed join entry
+KNN_JOIN_K = 5
+
+
+def q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed exact k-NN JOIN (round 9): per-query top-k with
+    BOTH sides as DataFrames — no driver-held query block, one corpus
+    pass shuffled across hash blocks, cogrouped BLAS tile kernels, final
+    window merge (operators/knn.knn_join). Block sizes are forced small
+    here (corpus 200 rows/block, queries 20/block) so the entry
+    exercises the real multi-tile path (3×3 tiles at sf0.01, 10×3 at
+    sf0.1), not the degenerate 1×1; blocking provably never changes the
+    result (pytest-pinned), so the oracle is the same relational top-k
+    as knn_batch's."""
+    embs = load_embeddings(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") < KNN_JOIN_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return knn.knn_join(
+        embs,
+        qs,
+        k=KNN_JOIN_K,
+        corpus_rows_per_block=200,
+        query_rows_per_block=20,
+    )
+
+
 def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (§2.2 extension): latest click value at or before each
     purchase, per user — union+window form, one shuffle."""
@@ -5403,6 +5430,27 @@ SELECT query_id, vec_id, score, rn FROM ranked WHERE rn <= 5
 ORDER BY query_id, rn
 """
 
+# Distributed kNN join: exact, so the oracle is the full relational
+# ranking — same law as knn_batch, wider query block.
+_ORACLES["knn_join_topk"] = f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {KNN_JOIN_Q}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.qv')}), 6) AS score
+  FROM embeddings e, qs q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score, rn FROM ranked WHERE rn <= {KNN_JOIN_K}
+ORDER BY query_id, rn
+"""
+
 _ORACLES["asof_click_before_purchase"] = """
 WITH purchases AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
@@ -9975,6 +10023,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_auto": q_knn_graph_auto,
         "graph_semdedup": q_graph_semdedup,
         "graph_semdedup_ann_check": q_graph_semdedup_ann_check,
+        # slot 6: NEW round 9 — fully-distributed exact kNN join (both
+        # sides DataFrames, cogrouped block-matrix tiles, no driver
+        # query block); closes the knn_batch_chunked honesty note
+        "knn_join_topk": q_knn_join_topk,
         # ---- carried window (round 7 rotation) ----
         # slots 1-2 (VERDICT r6 Next #1): the two sampling entries whose
         # bucket law changed in round 6 (md5 window) — and stratified's

@@ -290,3 +290,49 @@ def test_knn_graph_chunked_equals_direct(spark):
         ]
         got = sorted(by_src[src])
         assert got == want, (src, got, want)
+
+
+def test_knn_join_equals_knn_batch(spark, embs):
+    # the distributed join and the driver-broadcast batch share one
+    # determinism contract — identical rows including scores
+    from homemade_vector_db_spark.operators.knn import knn_batch, knn_join
+
+    qs = embs.where(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    a = knn_batch(embs, qs, k=4).collect()
+    b = knn_join(embs, qs, k=4).collect()
+    key = lambda r: (r.query_id, r.rn)
+    assert sorted(((r.query_id, r.rn, r.vec_id, r.score) for r in b)) == sorted(
+        ((r.query_id, r.rn, r.vec_id, r.score) for r in a)
+    )
+
+
+def test_knn_join_blocking_invariance(spark, embs):
+    # (P, QB) tiling must never change the result: 1x1 vs forced multi-tile
+    from homemade_vector_db_spark.operators.knn import knn_join
+
+    qs = embs.where(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    one = knn_join(embs, qs, k=3).collect()  # 500 rows -> 1x1 tile
+    tiled = knn_join(
+        embs, qs, k=3, corpus_rows_per_block=120, query_rows_per_block=4
+    ).collect()  # 5 corpus blocks x 3 query blocks
+    norm = lambda rows: sorted((r.query_id, r.rn, r.vec_id, r.score) for r in rows)
+    assert norm(tiled) == norm(one)
+
+
+def test_knn_join_k_greater_than_n_and_empty_inputs(spark, embs):
+    from homemade_vector_db_spark.operators.knn import knn_join
+
+    small = embs.limit(3)
+    qs = embs.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rows = knn_join(small, qs, k=100).collect()
+    assert len(rows) == 2 * 3  # min(k, n) per query, D3: no padding
+    with pytest.raises(ValueError, match="empty query block"):
+        knn_join(embs, qs.where(F.lit(False)))
+    with pytest.raises(ValueError, match="empty corpus"):
+        knn_join(embs.where(F.lit(False)), qs)
