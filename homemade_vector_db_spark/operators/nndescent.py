@@ -136,6 +136,92 @@ def knn_graph_auto(
     )
 
 
+def knn_graph_add(
+    old_graph: DataFrame,
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """EXACT incremental kNN-graph maintenance: merge a batch of new rows
+    into an existing graph without rebuilding — the ingest-path twin of
+    the reference's add-after-train index updates (local_db.py:56-80),
+    lifted to the corpus-graph tier.
+
+    Decomposition (each node's true top-k over old ∪ new is contained in
+    the union of its per-block top-k pools, so the merge is EXACT — a
+    from-scratch rebuild produces identical rows, pytest-pinned and
+    oracle-checked):
+      (a) new → old:  knn_join(old corpus, new queries, k)
+      (b) new → new:  knn_join(new block, new queries, k+1) minus self
+      (c) old → new:  knn_join(new block, ALL old queries, k) — the
+          reverse repair: every old node whose top-k should now contain
+          a new row gets the candidate; knn_join's block-matrix shape
+          makes the corpus-sized query side free of driver state
+      (d) pool = old_graph ∪ (a) ∪ (b) ∪ (c), window top-k per src.
+    The pools target disjoint neighbor sets by construction (old ids vs
+    new ids), so no dedup join is needed.
+
+    Cost per ingest batch: one pass over the old corpus (a) + one pass
+    over old queries against the small new block (c) + |new|² local work
+    (b) — O(N·|new|/blocks) instead of the O(N²) rebuild. If old_graph
+    came from the NN-Descent tier the same merge applies and the result
+    inherits that tier's recall floor (the merge itself loses nothing).
+
+    Determinism: every input pool rounds scores to `score_decimals`
+    before selection and ranks (score desc, id asc) — the knn_graph law.
+    Raises if old and new id sets overlap (graph identity would break).
+    """
+    from homemade_vector_db_spark.operators.knn import knn_join
+
+    overlap = (
+        new_df.select(F.col(id_col))
+        .join(old_df.select(F.col(id_col)), id_col, "left_semi")
+        .limit(1)
+        .count()
+    )
+    if overlap:
+        raise ValueError("new rows reuse ids already present in the graph")
+    newq = new_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    oldq = old_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    a = knn_join(
+        old_df, newq, id_col=id_col, vec_col=vec_col, k=k,
+        score_decimals=score_decimals,
+    )
+    b = knn_join(
+        new_df, newq, id_col=id_col, vec_col=vec_col, k=k + 1,
+        score_decimals=score_decimals,
+    ).where(F.col(id_col) != F.col("query_id"))
+    c = knn_join(
+        new_df, oldq, id_col=id_col, vec_col=vec_col, k=k,
+        score_decimals=score_decimals,
+    )
+    as_edges = lambda df: df.select(
+        F.col("query_id").alias("src"),
+        F.col(id_col).alias("neighbor_id"),
+        "score",
+    )
+    pool = (
+        old_graph.select("src", "neighbor_id", "score")
+        .unionByName(as_edges(a))
+        .unionByName(as_edges(b))
+        .unionByName(as_edges(c))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pool.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("src", "rn", "neighbor_id", "score")
+        .orderBy("src", "rn")
+    )
+
+
 def knn_graph_nndescent(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1778,6 +1778,27 @@ def q_graph_semdedup_ann_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_INC_NEW = 50  # rows treated as the ingest batch in the incremental entry
+
+
+def q_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental graph maintenance (round 9): build the graph on
+    all-but-the-last-KNN_INC_NEW rows with the exact kernel, then merge
+    the held-out rows with operators/nndescent.knn_graph_add (new→old,
+    new→new, old→new reverse repair via the distributed kNN join, one
+    top-k window). The merge is provably exact, so the ORACLE IS THE
+    FULL-REBUILD RELATION — the same SQL as knn_graph over the whole
+    corpus. A hash match here certifies that ingest-path maintenance and
+    from-scratch construction are bit-identical."""
+    emb = load_embeddings(spark, sf_dir)
+    n = emb.count()
+    cut = n - KNN_INC_NEW
+    old = emb.where(F.col("vec_id") < cut)
+    new = emb.where(F.col("vec_id") >= cut)
+    old_graph = nndescent.knn_graph_auto(old, k=KNN_GRAPH_K)
+    return nndescent.knn_graph_add(old_graph, old, new, k=KNN_GRAPH_K)
+
+
 def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full triplet generation for contrastive training: per anchor,
     the hardest POSITIVE (most-similar same-label row, excluding the
@@ -5971,6 +5992,9 @@ ORDER BY src, rn
 # knn_graph_recall. knn_graph_ann itself is rows-only (iterative —
 # not one-statement-SQL-expressible).
 _ORACLES["knn_graph_auto"] = _ORACLES["knn_graph"]
+# Incremental maintenance is EXACT (per-block top-k pools cover the true
+# top-k), so its oracle is the full-rebuild relation verbatim.
+_ORACLES["knn_graph_incremental"] = _ORACLES["knn_graph"]
 
 _ORACLES["knn_graph_recall"] = (
     f"SELECT {KNN_GRAPH_K} AS k, true AS nonempty, true AS recall_ok"
@@ -10027,6 +10051,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sides DataFrames, cogrouped block-matrix tiles, no driver
         # query block); closes the knn_batch_chunked honesty note
         "knn_join_topk": q_knn_join_topk,
+        # slot 7: NEW round 9 — exact incremental graph maintenance
+        # (ingest batch merged via knn_join pools; oracle = full rebuild)
+        "knn_graph_incremental": q_knn_graph_incremental,
         # ---- carried window (round 7 rotation) ----
         # slots 1-2 (VERDICT r6 Next #1): the two sampling entries whose
         # bucket law changed in round 6 (md5 window) — and stratified's

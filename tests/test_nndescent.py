@@ -120,3 +120,25 @@ def test_graph_semdedup_composition_law(spark):
         assert comp == min(m.vec_id for m in members)
         assert sum(m.keep for m in members) == 1
         assert len(members) >= 2, "singleton component should not appear"
+
+
+def test_knn_graph_add_equals_rebuild(spark, embs):
+    # the incremental merge must be bit-identical to a from-scratch build
+    from homemade_vector_db_spark.operators.nndescent import knn_graph_add
+
+    old = embs.where(F.col("vec_id") < 450)
+    new = embs.where(F.col("vec_id") >= 450)
+    old_graph = knn_graph_auto(old, k=K)
+    inc = knn_graph_add(old_graph, old, new, k=K).collect()
+    full = knn_graph_auto(embs, k=K).collect()
+    norm = lambda rows: sorted((r.src, r.rn, r.neighbor_id, r.score) for r in rows)
+    assert norm(inc) == norm(full)
+
+
+def test_knn_graph_add_rejects_id_collision(spark, embs):
+    from homemade_vector_db_spark.operators.nndescent import knn_graph_add
+
+    old = embs.where(F.col("vec_id") < 450)
+    old_graph = knn_graph_auto(old, k=K)
+    with pytest.raises(ValueError, match="reuse ids"):
+        knn_graph_add(old_graph, old, embs.where(F.col("vec_id") < 10), k=K)
