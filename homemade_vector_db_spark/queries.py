@@ -1743,10 +1743,13 @@ def q_graph_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = component representative (min id). The oracle recomputes the
     FULL composition relationally: ranked kNN CTE + threshold +
     recursive reachability closure + min-label components — same
-    pattern as neardup_components. The exact graph is used so every
-    row is hash-checked; the ANN-tier twin of this composition is gated
-    by graph_semdedup_ann_check."""
-    return _graph_semdedup_components(q_knn_graph(spark, sf_dir))
+    pattern as neardup_components. The graph input is the TIERED
+    dispatch (knn_graph_auto): at every driver-checked corpus size that
+    is the exact kernel, so every row is hash-checked against the
+    relational composition; above the dispatch threshold the same entry
+    rides the NN-Descent tier, whose composition fidelity is gated by
+    graph_semdedup_ann_check (node recall/precision ≥0.9)."""
+    return _graph_semdedup_components(q_knn_graph_auto(spark, sf_dir))
 
 
 def q_graph_semdedup_ann_check(spark: SparkSession, sf_dir: str) -> DataFrame:

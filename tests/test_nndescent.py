@@ -142,3 +142,31 @@ def test_knn_graph_add_rejects_id_collision(spark, embs):
     old_graph = knn_graph_auto(old, k=K)
     with pytest.raises(ValueError, match="reuse ids"):
         knn_graph_add(old_graph, old, embs.where(F.col("vec_id") < 10), k=K)
+
+
+def test_incremental_graph_stream_twin_laws(spark, embs, tmp_path):
+    # streaming maintenance == batch rebuild, for ANY batch split; replay
+    # of a micro-batch is idempotent (the package-wide twin laws)
+    from homemade_vector_db_spark.streaming.graph import IncrementalKnnGraph
+
+    norm = lambda rows: sorted((r.src, r.rn, r.neighbor_id, r.score) for r in rows)
+    full = norm(knn_graph_auto(embs, k=K).collect())
+
+    g2 = IncrementalKnnGraph(spark, str(tmp_path / "g2"), k=K)
+    g2.ingest_batch(embs.where(F.col("vec_id") < 400), batch_id=0)
+    g2.ingest_batch(embs.where(F.col("vec_id") >= 400), batch_id=1)
+    assert norm(g2.graph().collect()) == full
+
+    # replay batch 1: state must come out identical
+    g2.ingest_batch(embs.where(F.col("vec_id") >= 400), batch_id=1)
+    assert norm(g2.graph().collect()) == full
+    assert g2.corpus().count() == embs.count()
+
+    # single-batch split reaches the same graph (chunk invariance)
+    g1 = IncrementalKnnGraph(spark, str(tmp_path / "g1"), k=K)
+    g1.ingest_batch(embs, batch_id=0)
+    assert norm(g1.graph().collect()) == full
+
+    # compaction keeps only the latest version and preserves the graph
+    g2.compact()
+    assert norm(g2.graph().collect()) == full
