@@ -1781,6 +1781,45 @@ def q_graph_semdedup_ann_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_DECON_TAU = 0.45  # nearest-benchmark similarity bar (1/(1+L2²) scale)
+SEM_DECON_BENCH_LABEL = 9  # held-out eval-set proxy
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (round 9): flag training rows
+    whose NEAREST neighbor in the benchmark set (label 9, the held-out
+    eval proxy) clears SEM_DECON_TAU — the semantic sibling of the
+    n-gram `benchmark_decontam`/`split_decontam` family, catching
+    paraphrased/reformatted eval leakage that token overlap misses.
+    Runs the distributed kNN join with the CORPUS as the query side
+    (the shape knn_join exists for: no driver-held block, one benchmark
+    pass, Q×P tile shuffle), k=1, then the threshold filter. Output
+    (vec_id, bench_id, score) for flagged rows; ties on the nearest
+    benchmark row break (score desc, bench id asc) — the knn tie law."""
+    emb = load_embeddings(spark, sf_dir)
+    bench = emb.where(F.col("label") == SEM_DECON_BENCH_LABEL)
+    corpus = emb.where(F.col("label") != SEM_DECON_BENCH_LABEL)
+    qs = corpus.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    hit = knn.knn_join(
+        bench,
+        qs,
+        k=1,
+        corpus_rows_per_block=200,
+        query_rows_per_block=500,
+    )
+    return (
+        hit.where(F.col("score") >= SEM_DECON_TAU)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("vec_id").alias("bench_id"),
+            "score",
+        )
+        .orderBy("vec_id")
+    )
+
+
 KNN_INC_NEW = 50  # rows treated as the ingest batch in the incremental entry
 
 
@@ -5999,6 +6038,34 @@ _ORACLES["knn_graph_auto"] = _ORACLES["knn_graph"]
 # top-k), so its oracle is the full-rebuild relation verbatim.
 _ORACLES["knn_graph_incremental"] = _ORACLES["knn_graph"]
 
+# Semantic decontam: nearest benchmark row per corpus row (knn tie law),
+# thresholded — fully relational.
+_ORACLES["semantic_decontam"] = f"""
+WITH bench AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE label = {SEM_DECON_BENCH_LABEL}
+),
+corp AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE label <> {SEM_DECON_BENCH_LABEL}
+),
+scored AS (
+  SELECT c.vec_id, b.vec_id AS bench_id,
+         round(1.0 / (1.0 + {_SQL_SQL2.format(a='c.embedding', b='b.embedding')}), 6) AS score
+  FROM corp c, bench b
+),
+ranked AS (
+  SELECT vec_id, bench_id, score,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY score DESC, bench_id ASC
+         ) AS rn
+  FROM scored
+)
+SELECT vec_id, bench_id, score
+FROM ranked WHERE rn = 1 AND score >= {SEM_DECON_TAU}
+ORDER BY vec_id
+"""
+
 _ORACLES["knn_graph_recall"] = (
     f"SELECT {KNN_GRAPH_K} AS k, true AS nonempty, true AS recall_ok"
 )
@@ -10057,6 +10124,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 7: NEW round 9 — exact incremental graph maintenance
         # (ingest batch merged via knn_join pools; oracle = full rebuild)
         "knn_graph_incremental": q_knn_graph_incremental,
+        # slot 8: NEW round 9 — embedding-level decontamination (nearest
+        # benchmark neighbor over the knn join, corpus as query side)
+        "semantic_decontam": q_semantic_decontam,
         # ---- carried window (round 7 rotation) ----
         # slots 1-2 (VERDICT r6 Next #1): the two sampling entries whose
         # bucket law changed in round 6 (md5 window) — and stratified's
