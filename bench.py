@@ -96,7 +96,9 @@ HEADLINE = [
     "knn_graph_auto",
     "graph_semdedup",
     # round 9: distributed-both-sides exact kNN join (cogrouped tiles)
+    # and the embedding-level decontam sweep built on it
     "knn_join_topk",
+    "semantic_decontam",
 ]
 
 

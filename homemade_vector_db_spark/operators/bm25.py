@@ -141,6 +141,86 @@ def bm25_scores(
     return matched.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
 
 
+def query_text_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    qtext_col: str = "qtext",
+    stats: BM25Stats | None = None,
+    score_decimals: int | None = 6,
+    k1: float = K1,
+    b: float = B,
+    pad_zero: bool = True,
+) -> DataFrame:
+    """Batch lexical search: Q text queries × corpus in ONE pass — the
+    BM25 twin of knn.knn_batch (eval suites and hybrid pipelines run
+    hundreds of queries; per-query jobs pay the fixed cost Q times).
+
+    Plan shape: queries tokenize DISTRIBUTED (explode + groupBy — the
+    query side is a DataFrame, never driver literals, so Q is unbounded);
+    per-term idf attaches with one join against the vocabulary-sized
+    term_stats; ONE postings join on `term` scores every (query, doc)
+    pair sharing a term; a (query_id, doc_id) partial-sum groupBy and a
+    per-query top-k window (WindowGroupLimit) finish. The only scale
+    hazard is term-key skew (stopwords shared by every query); the
+    mitigation is the same salted-join escape documented for MinHash
+    bands — or dropping ubiquitous terms, whose idf ≈ the epsilon floor
+    contributes least.
+
+    `pad_zero=True` reproduces the reference law exactly (top_k rows per
+    query even when fewer docs match, zero-score pad, ties highest
+    doc_id first — local_db.py:130): rank_bm25 itself scores ALL N docs
+    per query, so the queries×docs pad IS reference parity. It
+    materializes Q×N rank candidates, so flip it off at corpus scale
+    where a query matching < top_k docs is the degenerate case.
+    """
+    if stats is None:
+        stats = build_bm25_stats(docs, id_col, text_col)
+    from pyspark.sql.window import Window
+
+    _, avgdl = stats.scalars()
+    qterms = (
+        queries.select(
+            F.col(query_id_col), F.explode(tokenize(qtext_col)).alias("term")
+        )
+        .groupBy(query_id_col, "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+        .join(stats.term_stats.select("term", "idf"), "term")
+    )
+    contrib = (
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scores = (
+        stats.postings.join(qterms, "term")
+        .groupBy(query_id_col, "doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    if pad_zero:
+        all_pairs = queries.select(query_id_col).crossJoin(
+            docs.select(F.col(id_col).alias("doc_id"))
+        )
+        scores = all_pairs.join(scores, [query_id_col, "doc_id"], "left")
+    score = F.coalesce(F.col("score"), F.lit(0.0))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.desc("doc_id")
+    )
+    return (
+        scores.select(query_id_col, "doc_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .orderBy(query_id_col, "rn")
+    )
+
+
 def query_text(
     spark: SparkSession,
     docs: DataFrame,

@@ -1781,6 +1781,29 @@ def q_graph_semdedup_ann_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_BATCH_QUERIES = {
+    0: TEXT_QUERY,
+    1: "table scan filter fast",
+    2: "customer order part value",
+}
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch lexical search (round 9): 3 text queries × corpus in ONE
+    postings pass (operators/bm25.query_text_batch) — the BM25 twin of
+    knn_batch. Query tokenization is distributed (the query side is a
+    DataFrame); per-query top-k keeps the reference's zero-pad and
+    highest-doc_id-first tie law. The oracle recomputes the full
+    multi-query BM25 pipeline relationally (shared idf/eps-floor CTEs,
+    per-query VALUES)."""
+    docs = load_documents(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, text) for qid, text in BM25_BATCH_QUERIES.items()],
+        "query_id long, qtext string",
+    )
+    return bm25.query_text_batch(spark, docs, qdf, top_k=TOP_K)
+
+
 SEM_DECON_TAU = 0.45  # nearest-benchmark similarity bar (1/(1+L2²) scale)
 SEM_DECON_BENCH_LABEL = 9  # held-out eval-set proxy
 
@@ -6038,6 +6061,67 @@ _ORACLES["knn_graph_auto"] = _ORACLES["knn_graph"]
 # top-k), so its oracle is the full-rebuild relation verbatim.
 _ORACLES["knn_graph_incremental"] = _ORACLES["knn_graph"]
 
+def _bm25_batch_cte(table: str, queries: "dict[int, str]") -> str:
+    """Multi-query variant of _bm25_cte: shared idf/eps-floor CTEs, a
+    (query_id, term, qtf) VALUES relation, scores keyed by
+    (query_id, doc_id)."""
+    from collections import Counter
+
+    qvals = ", ".join(
+        f"({qid}, '{t}', {c})"
+        for qid, qtext in queries.items()
+        for t, c in Counter(qtext.split()).items()
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM {table}
+),
+doclen AS (SELECT doc_id, len(tokens) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, unnest(tokens) AS term FROM toks
+),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY 1),
+cstats AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM doclen),
+rawidf AS (
+  SELECT term, ln((N - df + 0.5) / (df + 0.5)) AS raw FROM dfc, cstats
+),
+avgidf AS (SELECT avg(raw) AS av FROM rawidf),
+idf AS (
+  SELECT term, CASE WHEN raw < 0 THEN 0.25 * av ELSE raw END AS idf
+  FROM rawidf, avgidf
+),
+qterms(query_id, term, qtf) AS (VALUES {qvals}),
+scores AS (
+  SELECT q.query_id, t.doc_id,
+         SUM(q.qtf * i.idf * t.tf * 2.5 / (t.tf + 1.5 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))) AS s
+  FROM tfc t
+  JOIN qterms q USING (term)
+  JOIN idf i USING (term)
+  JOIN doclen d USING (doc_id),
+  cstats c
+  GROUP BY 1, 2
+)"""
+
+
+_ORACLES["bm25_batch"] = f"""
+WITH {_bm25_batch_cte('documents', BM25_BATCH_QUERIES)}
+SELECT query_id, doc_id, score, rn FROM (
+  SELECT q.query_id, d.doc_id,
+         round(coalesce(s.s, 0.0), 6) AS score,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(coalesce(s.s, 0.0), 6) DESC, d.doc_id DESC
+         ) AS rn
+  FROM (SELECT DISTINCT query_id FROM qterms) q
+  CROSS JOIN documents d
+  LEFT JOIN scores s ON s.query_id = q.query_id AND s.doc_id = d.doc_id
+)
+WHERE rn <= {TOP_K}
+ORDER BY query_id, rn
+"""
+
 # Semantic decontam: nearest benchmark row per corpus row (knn tie law),
 # thresholded — fully relational.
 _ORACLES["semantic_decontam"] = f"""
@@ -10127,6 +10211,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 8: NEW round 9 — embedding-level decontamination (nearest
         # benchmark neighbor over the knn join, corpus as query side)
         "semantic_decontam": q_semantic_decontam,
+        # slot 9: NEW round 9 — batch BM25 (Q text queries, one postings
+        # pass; the lexical twin of knn_batch)
+        "bm25_batch": q_bm25_batch,
         # ---- carried window (round 7 rotation) ----
         # slots 1-2 (VERDICT r6 Next #1): the two sampling entries whose
         # bucket law changed in round 6 (md5 window) — and stratified's

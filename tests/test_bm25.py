@@ -101,3 +101,37 @@ def test_tokenizer_parity_with_str_split(spark):
 
     got = df.select(tokenize("text").alias("t")).first().t
     assert got == "  leading and   multiple\tspaces\nnewlines ".split()
+
+
+def test_query_text_batch_matches_single_query(spark, docs):
+    # the batch operator restricted to one query must reproduce
+    # query_text exactly (same scores, same zero-pad, same tie law)
+    single = bm25.query_text(spark, docs, "quarterly meeting notes", top_k=4).collect()
+    qdf = spark.createDataFrame([(7, "quarterly meeting notes")], "query_id long, qtext string")
+    batch = bm25.query_text_batch(spark, docs, qdf, top_k=4).collect()
+    assert [(r.doc_id, r.score) for r in batch] == [
+        (r.doc_id, r.score) for r in single
+    ]
+    assert all(r.query_id == 7 for r in batch)
+    assert [r.rn for r in batch] == [1, 2, 3, 4]
+
+
+def test_query_text_batch_multi_query_independence(spark, docs):
+    # each query's rows are unaffected by the other queries in the batch
+    qdf = spark.createDataFrame(
+        [(0, "quarterly meeting notes"), (1, "security vulnerability")],
+        "query_id long, qtext string",
+    )
+    both = bm25.query_text_batch(spark, docs, qdf, top_k=3).collect()
+    for qid, qtext in ((0, "quarterly meeting notes"), (1, "security vulnerability")):
+        alone = bm25.query_text(spark, docs, qtext, top_k=3).collect()
+        got = [(r.doc_id, r.score) for r in both if r.query_id == qid]
+        assert got == [(r.doc_id, r.score) for r in alone]
+
+
+def test_query_text_batch_no_pad_only_matches(spark, docs):
+    # pad_zero=False returns only docs sharing >=1 term, never zero rows
+    qdf = spark.createDataFrame([(0, "invoice")], "query_id long, qtext string")
+    rows = bm25.query_text_batch(spark, docs, qdf, top_k=10, pad_zero=False).collect()
+    assert 0 < len(rows) < docs.count()
+    assert all(r.score > 0 for r in rows)

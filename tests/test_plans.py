@@ -627,3 +627,17 @@ def test_hard_negatives_local_topk_shape(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "Join" not in plan, plan  # anchors ship inside the kernel
     assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_join_plan_cogroup_tiles_and_windowgrouplimit(spark):
+    """Round-9 contract: the distributed kNN join must be the cogrouped
+    block-matrix form — generator-explode replication (never a
+    materialized cross product), one FlatMapCoGroupsInPandas kernel, and
+    WindowGroupLimit pushing the partial top-k below the final merge."""
+    df = Q.q_knn_join_topk(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "Generate" in plan, plan  # explode replication is a generator
+    assert "WindowGroupLimit" in plan, plan
