@@ -222,6 +222,76 @@ def knn_graph_add(
     )
 
 
+def label_propagation(
+    graph: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+    iters: int = 3,
+) -> DataFrame:
+    """Semi-supervised label propagation over a kNN graph (Zhu &
+    Ghahramani 2002, hard-clamp variant) — the classic use of the corpus
+    graph for training-data curation: spread a small set of human/LLM
+    quality judgments (the seeds) to every similar document.
+
+    Per round, every NON-seed node takes the label with the largest
+    total edge weight among its labeled neighbors (undirected edges =
+    graph ∪ reverse, max score per pair); seeds are clamped and never
+    change; nodes with no labeled neighbor stay unlabeled and may be
+    reached in a later round. Ties break on the smallest label.
+
+    Determinism at any executor count: edge weights are the graph's
+    6dp-rounded scores lifted to EXACT BIGINT microscores
+    (round(score·1e6)), so vote sums are integer — partial-agg order
+    cannot flip an argmax (the repo-wide exact-sufficient-statistics
+    pattern, _PROBE_SQL). One round is fully relational (the
+    hash-checked entry label_prop_round); the multi-round loop is the
+    same relation iterated with localCheckpoint lineage truncation.
+
+    Returns (id, label, seeded): seeds plus every node labeled within
+    `iters` rounds. Graph schema: (src, neighbor_id, score) — the
+    knn_graph family's output.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    micro = (F.round(F.col("score") * 1_000_000, 0)).cast("bigint")
+    fwd = graph.select(
+        F.col("src").alias("a"), F.col("neighbor_id").alias("b"), micro.alias("w")
+    )
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    seed_rel = seeds.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.lit(True).alias("seeded"),
+    ).localCheckpoint(eager=True)
+    labels = seed_rel
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), "label"), "b"
+            )
+            .groupBy("a", "label")
+            .agg(F.sum("w").alias("vw"))
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("vw"), F.asc("label"))
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("a").alias("id"), "label")
+            .join(seed_rel.select("id"), "id", "left_anti")
+            .withColumn("seeded", F.lit(False))
+        )
+        labels = seed_rel.unionByName(best).localCheckpoint(eager=True)
+    return labels.orderBy("id")
+
+
 def knn_graph_nndescent(
     df: DataFrame,
     id_col: str = "vec_id",

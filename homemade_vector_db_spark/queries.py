@@ -1781,6 +1781,30 @@ def q_graph_semdedup_ann_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LP_SEEDS = 40  # labeled seed rows for the propagation entry
+
+
+def q_label_prop_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of label propagation over the corpus kNN graph (round
+    9): seeds = the first LP_SEEDS rows with their true labels, clamped;
+    every other node adjacent to a labeled node takes the argmax-weight
+    label (exact BIGINT microscore votes, ties smallest label). One
+    round is fully relational, so this entry hash-checks the operator
+    (operators/nndescent.label_propagation, iters=1) against the
+    complete SQL recomputation — graph construction included. The
+    multi-round form is the same relation iterated (law tests in
+    test_nndescent)."""
+    emb = load_embeddings(spark, sf_dir)
+    graph = nndescent.knn_graph_auto(emb, k=KNN_GRAPH_K)
+    seeds = emb.where(F.col("vec_id") < LP_SEEDS).select("vec_id", "label")
+    out = nndescent.label_propagation(
+        graph, seeds, id_col="vec_id", label_col="label", iters=1
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), "label", "seeded"
+    ).orderBy("vec_id")
+
+
 BM25_BATCH_QUERIES = {
     0: TEXT_QUERY,
     1: "table scan filter fast",
@@ -6061,6 +6085,54 @@ _ORACLES["knn_graph_auto"] = _ORACLES["knn_graph"]
 # top-k), so its oracle is the full-rebuild relation verbatim.
 _ORACLES["knn_graph_incremental"] = _ORACLES["knn_graph"]
 
+_ORACLES["label_prop_round"] = f"""
+WITH s AS (
+  SELECT q.vec_id AS src, e.vec_id AS nb,
+         round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.embedding')}), 6)
+           AS score
+  FROM embeddings q, embeddings e
+  WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT src, nb, score,
+         row_number() OVER (
+           PARTITION BY src ORDER BY score DESC, nb ASC
+         ) AS rn
+  FROM s
+),
+g AS (
+  SELECT src, nb, CAST(round(score * 1000000, 0) AS BIGINT) AS w
+  FROM ranked WHERE rn <= {KNN_GRAPH_K}
+),
+und AS (
+  SELECT a, b, max(w) AS w FROM (
+    SELECT src AS a, nb AS b, w FROM g
+    UNION ALL
+    SELECT nb AS a, src AS b, w FROM g
+  ) GROUP BY 1, 2
+),
+seeds AS (
+  SELECT vec_id AS id, label FROM embeddings WHERE vec_id < {LP_SEEDS}
+),
+votes AS (
+  SELECT u.a, sd.label, sum(u.w) AS vw
+  FROM und u JOIN seeds sd ON u.b = sd.id
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT a AS id, label FROM (
+    SELECT a, label,
+           row_number() OVER (PARTITION BY a ORDER BY vw DESC, label ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1 AND a NOT IN (SELECT id FROM seeds)
+)
+SELECT id AS vec_id, label, true AS seeded FROM seeds
+UNION ALL
+SELECT id AS vec_id, label, false AS seeded FROM best
+ORDER BY vec_id
+"""
+
+
 def _bm25_batch_cte(table: str, queries: "dict[int, str]") -> str:
     """Multi-query variant of _bm25_cte: shared idf/eps-floor CTEs, a
     (query_id, term, qtf) VALUES relation, scores keyed by
@@ -10214,6 +10286,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 9: NEW round 9 — batch BM25 (Q text queries, one postings
         # pass; the lexical twin of knn_batch)
         "bm25_batch": q_bm25_batch,
+        # slot 10: NEW round 9 — label propagation over the corpus graph
+        # (one relational round hash-checked end to end, graph included)
+        "label_prop_round": q_label_prop_round,
         # ---- carried window (round 7 rotation) ----
         # slots 1-2 (VERDICT r6 Next #1): the two sampling entries whose
         # bucket law changed in round 6 (md5 window) — and stratified's

@@ -170,3 +170,25 @@ def test_incremental_graph_stream_twin_laws(spark, embs, tmp_path):
     # compaction keeps only the latest version and preserves the graph
     g2.compact()
     assert norm(g2.graph().collect()) == full
+
+
+def test_label_propagation_laws(spark, embs):
+    # seeds clamp; coverage grows monotonically with rounds; determinism
+    from homemade_vector_db_spark.operators.nndescent import label_propagation
+
+    graph = knn_graph_auto(embs, k=K)
+    seeds = embs.where(F.col("vec_id") < 40).select("vec_id", "label")
+    seed_map = {r.vec_id: r.label for r in seeds.collect()}
+
+    r1 = label_propagation(graph, seeds, id_col="vec_id", iters=1).collect()
+    r3 = label_propagation(graph, seeds, id_col="vec_id", iters=3).collect()
+    for rows in (r1, r3):
+        got = {r.id: (r.label, r.seeded) for r in rows}
+        for sid, slabel in seed_map.items():
+            assert got[sid] == (slabel, True), "seed label must be clamped"
+    assert len(r3) >= len(r1), "coverage must not shrink with rounds"
+    again = label_propagation(graph, seeds, id_col="vec_id", iters=3).collect()
+    norm = lambda rows: sorted((r.id, r.label, r.seeded) for r in rows)
+    assert norm(again) == norm(r3)
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(graph, seeds, id_col="vec_id", iters=0)
