@@ -141,6 +141,40 @@ def bm25_scores(
     return matched.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
 
 
+def bm25_scores_batch(
+    stats: BM25Stats,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(query_id, doc_id, score) for every (query, doc) pair sharing ≥1
+    term — the raw-score core shared by query_text_batch and the batched
+    hybrid fusion. Query tokenization is distributed (explode + groupBy);
+    one idf attach, one postings join on term, one partial-sum groupBy."""
+    _, avgdl = stats.scalars()
+    qterms = (
+        queries.select(
+            F.col(query_id_col), F.explode(tokenize(qtext_col)).alias("term")
+        )
+        .groupBy(query_id_col, "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+        .join(stats.term_stats.select("term", "idf"), "term")
+    )
+    contrib = (
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        stats.postings.join(qterms, "term")
+        .groupBy(query_id_col, "doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+
+
 def query_text_batch(
     spark: SparkSession,
     docs: DataFrame,
@@ -182,25 +216,9 @@ def query_text_batch(
         stats = build_bm25_stats(docs, id_col, text_col)
     from pyspark.sql.window import Window
 
-    _, avgdl = stats.scalars()
-    qterms = (
-        queries.select(
-            F.col(query_id_col), F.explode(tokenize(qtext_col)).alias("term")
-        )
-        .groupBy(query_id_col, "term")
-        .agg(F.count(F.lit(1)).alias("qtf"))
-        .join(stats.term_stats.select("term", "idf"), "term")
-    )
-    contrib = (
-        F.col("qtf")
-        * F.col("idf")
-        * (F.col("tf") * (k1 + 1))
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
-    )
-    scores = (
-        stats.postings.join(qterms, "term")
-        .groupBy(query_id_col, "doc_id")
-        .agg(F.sum(contrib).alias("score"))
+    scores = bm25_scores_batch(
+        stats, queries, query_id_col=query_id_col, qtext_col=qtext_col,
+        k1=k1, b=b,
     )
     if pad_zero:
         all_pairs = queries.select(query_id_col).crossJoin(

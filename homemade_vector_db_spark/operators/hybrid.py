@@ -138,3 +138,93 @@ def hybrid_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(top_k)
     )
+
+
+def hybrid_search_batch(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    vector_weight: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qtext_col: str = "qtext",
+    qvec_col: str = "qv",
+    stats: BM25Stats | None = None,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Batched hybrid fusion: Q (text, vector) query pairs in one plan —
+    the batch twin of hybrid_search, same reference law per query
+    (local_db.py:323-401): dense vector scores over ALL docs, sparse
+    BM25, PER-QUERY max-normalization, w·vec + (1-w)·text, zero-score
+    drop, top-k with the stable lowest-doc_id-first tie.
+
+    Plan shape: the text side is ONE postings pass for all queries
+    (bm25.bm25_scores_batch); the vector side is a broadcast join of the
+    Q-row query block against the corpus scan (the reference law is
+    DENSE per query — every doc participates in each query's max — so
+    the Q×N score relation is the semantics, not an implementation
+    wart; for huge Q at scale the widened-k index path is the
+    documented alternative, exactly as the reference flips at n>1000).
+    Per-query maxes are a groupBy broadcast back on query_id; the final
+    per-query top-k is a WindowGroupLimit window.
+    """
+    if stats is None:
+        stats = build_bm25_stats(corpus, id_col, text_col)
+    from pyspark.sql.window import Window
+
+    from homemade_vector_db_spark.operators.bm25 import bm25_scores_batch
+
+    text_scores = bm25_scores_batch(
+        stats, queries, query_id_col=query_id_col, qtext_col=qtext_col
+    ).withColumnRenamed("score", "text_score")
+    qblock = queries.select(F.col(query_id_col), F.col(qvec_col).alias("__qv"))
+    vec_scores = (
+        corpus.select(F.col(id_col).alias("doc_id"), vec_col)
+        .crossJoin(F.broadcast(qblock))
+        .select(
+            query_id_col,
+            "doc_id",
+            l2_to_similarity(squared_l2(vec_col, "__qv")).alias("vec_score"),
+        )
+    )
+    fused = (
+        vec_scores.join(text_scores, [query_id_col, "doc_id"], "left")
+        .select(
+            query_id_col,
+            "doc_id",
+            "vec_score",
+            F.coalesce("text_score", F.lit(0.0)).alias("text_score"),
+        )
+        .localCheckpoint(eager=False)  # same two-pass barrier as hybrid_search
+    )
+    maxes = fused.groupBy(query_id_col).agg(
+        F.max("vec_score").alias("vmax"), F.max("text_score").alias("tmax")
+    )
+    normed = fused.join(F.broadcast(maxes), query_id_col).select(
+        query_id_col,
+        "doc_id",
+        F.when(F.col("vmax") > 0, F.col("vec_score") / F.col("vmax"))
+        .otherwise(F.col("vec_score"))
+        .alias("vn"),
+        F.when(F.col("tmax") > 0, F.col("text_score") / F.col("tmax"))
+        .otherwise(F.col("text_score"))
+        .alias("tn"),
+    )
+    combined = (
+        F.lit(float(vector_weight)) * F.col("vn")
+        + F.lit(1.0 - float(vector_weight)) * F.col("tn")
+    )
+    scored = normed.withColumn("score", combined).where(F.col("score") > 0)
+    score = F.col("score")
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select(query_id_col, "doc_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .orderBy(query_id_col, "rn")
+    )

@@ -1781,6 +1781,41 @@ def q_graph_semdedup_ann_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYBRID_BATCH_QUERIES = {
+    # query_id -> (query text, query-vector row id); vectors come from
+    # the embeddings table (FIXTURES F3: identical bytes on both engines)
+    0: (HYBRID_TEXT_QUERY, 0),
+    1: ("table scan filter fast", 1),
+    2: ("customer order part value", 2),
+}
+
+
+def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched O6 fusion (round 9): 3 (text, vector) query pairs through
+    hybrid.hybrid_search_batch — one postings pass for all text sides,
+    one broadcast of the query block for the dense vector sides,
+    PER-QUERY max-normalization and zero-drop exactly as the single
+    reference law (local_db.py:323-401)."""
+    corpus = _corpus(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    qmeta = spark.createDataFrame(
+        [(qid, text, vid) for qid, (text, vid) in HYBRID_BATCH_QUERIES.items()],
+        "query_id long, qtext string, vid long",
+    )
+    qdf = qmeta.join(
+        emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("qv")),
+        "vid",
+    ).select("query_id", "qtext", "qv")
+    return hybrid.hybrid_search_batch(
+        spark,
+        corpus,
+        qdf,
+        top_k=TOP_K,
+        vector_weight=HYBRID_W,
+        stats=_bm25_stats_corpus(spark, sf_dir),
+    )
+
+
 LP_SEEDS = 40  # labeled seed rows for the propagation entry
 
 
@@ -6085,6 +6120,59 @@ _ORACLES["knn_graph_auto"] = _ORACLES["knn_graph"]
 # top-k), so its oracle is the full-rebuild relation verbatim.
 _ORACLES["knn_graph_incremental"] = _ORACLES["knn_graph"]
 
+def _hybrid_batch_sql() -> str:
+    bm25_block = _bm25_batch_cte(
+        "corpus", {qid: text for qid, (text, _) in HYBRID_BATCH_QUERIES.items()}
+    ).strip()
+    qv_vals = ", ".join(
+        f"({qid}, {vid})" for qid, (_, vid) in HYBRID_BATCH_QUERIES.items()
+    )
+    return f"""
+WITH corpus AS (
+  SELECT d.doc_id, d.text, d.lang, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+{bm25_block},
+qv AS (
+  SELECT v.query_id, e.embedding AS qvec
+  FROM (VALUES {qv_vals}) v(query_id, vid)
+  JOIN embeddings e ON e.vec_id = v.vid
+),
+vec AS (
+  SELECT q.query_id, c.doc_id,
+         1.0 / (1.0 + {_SQL_SQL2.format(a='c.embedding', b='q.qvec')}) AS vs
+  FROM corpus c, qv q
+),
+fused AS (
+  SELECT v.query_id, v.doc_id, v.vs, coalesce(s.s, 0.0) AS ts
+  FROM vec v
+  LEFT JOIN scores s ON s.query_id = v.query_id AND s.doc_id = v.doc_id
+),
+maxes AS (
+  SELECT query_id, max(vs) AS vmax, max(ts) AS tmax FROM fused GROUP BY 1
+),
+normed AS (
+  SELECT f.query_id, f.doc_id,
+         CASE WHEN m.vmax > 0 THEN f.vs / m.vmax ELSE f.vs END AS vn,
+         CASE WHEN m.tmax > 0 THEN f.ts / m.tmax ELSE f.ts END AS tn
+  FROM fused f JOIN maxes m ON f.query_id = m.query_id
+)
+SELECT query_id, doc_id, score, rn FROM (
+  SELECT query_id, doc_id,
+         round({HYBRID_W} * vn + {1 - HYBRID_W} * tn, 6) AS score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round({HYBRID_W} * vn + {1 - HYBRID_W} * tn, 6) DESC,
+                    doc_id ASC
+         ) AS rn
+  FROM normed
+  WHERE ({HYBRID_W} * vn + {1 - HYBRID_W} * tn) > 0
+)
+WHERE rn <= {TOP_K}
+ORDER BY query_id, rn
+"""
+
+
 _ORACLES["label_prop_round"] = f"""
 WITH s AS (
   SELECT q.vec_id AS src, e.vec_id AS nb,
@@ -6176,6 +6264,8 @@ scores AS (
   GROUP BY 1, 2
 )"""
 
+
+_ORACLES["hybrid_batch"] = _hybrid_batch_sql()
 
 _ORACLES["bm25_batch"] = f"""
 WITH {_bm25_batch_cte('documents', BM25_BATCH_QUERIES)}
@@ -10289,6 +10379,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 10: NEW round 9 — label propagation over the corpus graph
         # (one relational round hash-checked end to end, graph included)
         "label_prop_round": q_label_prop_round,
+        # slot 11: NEW round 9 — batched hybrid fusion (3 text+vector
+        # query pairs, per-query max-normalize, one postings pass)
+        "hybrid_batch": q_hybrid_batch,
         # ---- carried window (round 7 rotation) ----
         # slots 1-2 (VERDICT r6 Next #1): the two sampling entries whose
         # bucket law changed in round 6 (md5 window) — and stratified's

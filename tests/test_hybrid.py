@@ -85,3 +85,27 @@ def test_weights_change_ordering(spark, corpus):
         spark, corpus, "delta", [0.0, 0.0], top_k=1, vector_weight=1.0).collect()]
     assert txt == [1]  # only doc with 'delta'
     assert vec == [0]  # nearest to origin
+
+
+def test_hybrid_batch_matches_single_query(spark, corpus):
+    # the batch operator restricted to one query pair must reproduce
+    # hybrid_search exactly (per-query normalization == global for Q=1)
+    from pyspark.sql import functions as F
+
+    from homemade_vector_db_spark.operators import hybrid
+
+    qv = [float(x) for x in corpus.where(F.col("doc_id") == 0).first().embedding]
+    single = hybrid.hybrid_search(
+        spark, corpus, "quarterly meeting", qv, top_k=4, vector_weight=0.6
+    ).collect()
+    qdf = spark.createDataFrame(
+        [(3, "quarterly meeting", qv)],
+        "query_id long, qtext string, qv array<double>",
+    )
+    batch = hybrid.hybrid_search_batch(
+        spark, corpus, qdf, top_k=4, vector_weight=0.6
+    ).collect()
+    assert [(r.doc_id, r.score) for r in batch] == [
+        (r.doc_id, r.score) for r in single
+    ]
+    assert all(r.query_id == 3 for r in batch)
