@@ -1781,6 +1781,51 @@ def q_graph_semdedup_ann_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connectivity audit of the corpus kNN graph (round 9) — the
+    one-row health profile a graph consumer checks before trusting
+    downstream SemDeDup/propagation: node count, reciprocity (fraction
+    of directed edges whose reverse edge also exists — low reciprocity
+    flags hub-dominated geometry), max in-degree (hub detection: a
+    universal attractor breaks per-node top-k usefulness), and the
+    count of nodes never referenced as a neighbor (isolated-in-reverse
+    nodes). All exact-integer aggregates over the tiered graph
+    relation."""
+    g = _track_persist(
+        nndescent.knn_graph_auto(
+            load_embeddings(spark, sf_dir), k=KNN_GRAPH_K
+        ).select("src", "neighbor_id")
+    )
+    rev = g.select(
+        F.col("neighbor_id").alias("src"), F.col("src").alias("neighbor_id")
+    )
+    recip = g.join(rev, ["src", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    indeg = g.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("d"))
+    indeg_stats = indeg.agg(F.max("d").alias("max_in_degree"))
+    nodes = g.select("src").distinct()
+    never_cited = nodes.join(
+        indeg.select(F.col("neighbor_id").alias("src")), "src", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_never_cited"))
+    totals = g.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("src").alias("n_nodes"),
+    )
+    return (
+        totals.crossJoin(recip)
+        .crossJoin(indeg_stats)
+        .crossJoin(never_cited)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("r").alias("n_reciprocal"),
+            "max_in_degree",
+            "n_never_cited",
+        )
+    )
+
+
 HYBRID_BATCH_QUERIES = {
     # query_id -> (query text, query-vector row id); vectors come from
     # the embeddings table (FIXTURES F3: identical bytes on both engines)
@@ -6173,6 +6218,35 @@ ORDER BY query_id, rn
 """
 
 
+_ORACLES["knn_graph_stats"] = f"""
+WITH s AS (
+  SELECT q.vec_id AS src, e.vec_id AS nb,
+         round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.embedding')}), 6)
+           AS score
+  FROM embeddings q, embeddings e
+  WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT src, nb,
+         row_number() OVER (
+           PARTITION BY src ORDER BY score DESC, nb ASC
+         ) AS rn
+  FROM s
+),
+g AS (SELECT src, nb FROM ranked WHERE rn <= {KNN_GRAPH_K}),
+recip AS (
+  SELECT count(*) AS r FROM g a JOIN g b ON a.src = b.nb AND a.nb = b.src
+),
+indeg AS (SELECT nb, count(*) AS d FROM g GROUP BY nb),
+nodes AS (SELECT DISTINCT src FROM g)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM g) AS n_edges,
+       (SELECT r FROM recip) AS n_reciprocal,
+       (SELECT max(d) FROM indeg) AS max_in_degree,
+       (SELECT count(*) FROM nodes n
+        WHERE n.src NOT IN (SELECT nb FROM indeg)) AS n_never_cited
+"""
+
 _ORACLES["label_prop_round"] = f"""
 WITH s AS (
   SELECT q.vec_id AS src, e.vec_id AS nb,
@@ -10382,6 +10456,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 11: NEW round 9 — batched hybrid fusion (3 text+vector
         # query pairs, per-query max-normalize, one postings pass)
         "hybrid_batch": q_hybrid_batch,
+        # slot 12: NEW round 9 — graph connectivity audit (reciprocity,
+        # hub in-degree, never-cited nodes)
+        "knn_graph_stats": q_knn_graph_stats,
         # ---- carried window (round 7 rotation) ----
         # slots 1-2 (VERDICT r6 Next #1): the two sampling entries whose
         # bucket law changed in round 6 (md5 window) — and stratified's
