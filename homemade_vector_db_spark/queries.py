@@ -1660,10 +1660,11 @@ def q_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     NN-Descent (Dong et al., WWW 2011 — operators/nndescent.py) instead
     of the exact tier's per-chunk full-corpus scans. Deterministic
     (xxhash64 bucket init, exact-distance/id-asc ranking, fixed round
-    count) but iterative, so not SQL-expressible in one statement —
-    rows-only driver check; the hash-checked gate is knn_graph_recall
-    (recall vs the exact graph ≥ 0.9). Same output contract as
-    q_knn_graph: (src, rn, neighbor_id, score 1/(1+L2²) @6dp)."""
+    count) but iterative, so not SQL-expressible in one statement — per
+    the round-3 fold policy it is NOT registered bare: knn_graph_recall
+    executes this plan in-plan and pins recall ≥ 0.9 vs the exact
+    graph. Same output contract as q_knn_graph:
+    (src, rn, neighbor_id, score 1/(1+L2²) @6dp)."""
     emb = load_embeddings(spark, sf_dir)
     return nndescent.knn_graph_nndescent(emb, k=KNN_GRAPH_K)
 
@@ -6158,8 +6159,9 @@ ORDER BY src, rn
 # The auto-dispatch entry takes the exact path at every driver-checked
 # corpus size (≤10k rows), so it shares the exact graph's oracle
 # verbatim; above the threshold it is approximate and the gate is
-# knn_graph_recall. knn_graph_ann itself is rows-only (iterative —
-# not one-statement-SQL-expressible).
+# knn_graph_recall. The NN-Descent plan itself (iterative — not
+# one-statement-SQL-expressible) registers THROUGH that gate per the
+# round-3 fold policy, not as a bare rows-only entry.
 _ORACLES["knn_graph_auto"] = _ORACLES["knn_graph"]
 # Incremental maintenance is EXACT (per-block top-k pools cover the true
 # top-k), so its oracle is the full-rebuild relation verbatim.
@@ -10394,6 +10396,12 @@ _ORACLES["maxsim_grouped"] = _maxsim_oracle()
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
+    Round 9 state: 189 entries, 189 oracle-paired — zero rows-only
+    (iterative NN-Descent has no one-statement SQL twin, so per the
+    round-3 fold policy it registers THROUGH its gate: knn_graph_recall
+    runs the NN-Descent graph in-plan against the exact graph). The
+    round-9 entries lead the window and were verified hash-green at
+    BOTH sf0.01 and sf0.1 before registration.
     Rounds 1-3 produced green rows for 141 of the then-149 entries
     (CORRECTNESS_r0{1,2,3}.json). Round 4 grew the registry to 154 and
     its window leads with the final 8 entries that never had a driver
@@ -10431,8 +10439,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ever further than one round from a recorded green check).
         # slots 1-5: NEW round 9 — the NN-Descent ANN graph tier
         # (VERDICT r7 Next #1) and the graph-SemDeDup composition
-        # (VERDICT r7 Next #2) with their gates
-        "knn_graph_ann": q_knn_graph_ann,
+        # (VERDICT r7 Next #2) with their gates. Per the round-3 policy
+        # (zero bare rows-only entries, pytest-pinned) the NN-Descent
+        # graph itself is FOLDED INTO its hash-checked gate:
+        # knn_graph_recall executes q_knn_graph_ann in-plan and pins
+        # recall >= 0.9 vs the exact graph.
         "knn_graph_recall": q_knn_graph_recall,
         "knn_graph_auto": q_knn_graph_auto,
         "graph_semdedup": q_graph_semdedup,
