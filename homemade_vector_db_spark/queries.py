@@ -4505,16 +4505,22 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     read once and filtered by a pure column predicate. Output: achieved
     per-source kept counts vs integer target quota."""
     d = load_documents(spark, sf_dir)
+    # weights quantized to BIGINT micro-units: sum and floor-division are
+    # then exact integer ops, so the quota is identical regardless of the
+    # partial-aggregation order (a raw double sum(pow(n,α)) is reorder-
+    # unstable and flipped a floor() boundary between runs at sf0.1).
+    # α=0.5 → pow is IEEE sqrt (correctly rounded), so the quantized
+    # weight is bit-identical across engines too.
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.agg(F.sum(F.pow("n", MIXTURE_ALPHA)).alias("wsum"))
+    wq = F.round(F.pow("n", MIXTURE_ALPHA) * 1e6).cast("long")
+    counts = counts.withColumn("wq", wq)
+    tot = counts.agg(F.sum("wq").alias("wsum"))
     quota = (
         counts.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n",
-            F.floor(
-                F.lit(MIXTURE_BUDGET) * F.pow("n", MIXTURE_ALPHA) / F.col("wsum")
-            ).cast("long").alias("target"),
+            F.expr(f"({MIXTURE_BUDGET}L * wq) div wsum").alias("target"),
         )
     )
     # keep the target-many docs per source with the smallest doc-id hash:
@@ -5144,12 +5150,14 @@ ORDER BY lang, rn
 
 _ORACLES["temperature_mixture"] = f"""
 WITH counts AS (
-  SELECT source, count(*) AS n FROM documents GROUP BY source
+  SELECT source, count(*) AS n,
+         CAST(round(pow(n, {MIXTURE_ALPHA}) * 1e6) AS BIGINT) AS wq
+  FROM documents GROUP BY source
 ),
-tot AS (SELECT sum(pow(n, {MIXTURE_ALPHA})) AS wsum FROM counts),
+tot AS (SELECT sum(wq) AS wsum FROM counts),
 quota AS (
   SELECT source, n,
-         CAST(floor({MIXTURE_BUDGET} * pow(n, {MIXTURE_ALPHA}) / wsum) AS BIGINT) AS target
+         CAST(({MIXTURE_BUDGET} * wq) // wsum AS BIGINT) AS target
   FROM counts, tot
 ),
 ranked AS (
