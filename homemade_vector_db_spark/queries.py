@@ -1827,6 +1827,58 @@ def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ROUNDS = 3  # fixed power-iteration rounds (deterministic, SQL-twinnable)
+PR_BASE = 1_000_000  # score unit: micro-PageRank (exact BIGINT arithmetic)
+PR_TOP = 20
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the corpus kNN graph (round 9) — the
+    exemplar-selection signal data-curation pipelines rank sources by:
+    a doc many other docs cite as a nearest neighbor is a dense-region
+    representative; a never-cited doc is an outlier. Fixed 3-round
+    power iteration with damping 0.85, all EXACT BIGINT micro-units
+    (contribution = pr div k, update = (15·base + 85·incoming) div 100)
+    so the result is partition-order-independent and hash-checkable —
+    the same integer-law trick as label_prop_round's microscore votes.
+    Every node has out-degree exactly k (kNN graph), so there is no
+    dangling-mass term. Each round is one join + one groupBy on the
+    edge relation: O(rounds · |E|) = O(rounds · k · N) shuffle rows at
+    100 TB, the scalable PageRank plan (Pregel's law, expressed
+    relationally). Graph via the tier dispatch (exact ≤10k rows — the
+    oracle-checked path; NN-Descent above, gated by knn_graph_recall).
+    Output: top-20 nodes by final micro-PageRank."""
+    emb = load_embeddings(spark, sf_dir)
+    g = _track_persist(
+        nndescent.knn_graph_auto(emb, k=KNN_GRAPH_K).select(
+            "src", "neighbor_id"
+        )
+    )
+    nodes = emb.select("vec_id")
+    pr = nodes.select("vec_id", F.lit(PR_BASE).cast("long").alias("pr"))
+    for _ in range(PR_ROUNDS):
+        inc = (
+            g.join(pr.select(F.col("vec_id").alias("src"), "pr"), "src")
+            .select(
+                F.col("neighbor_id").alias("vec_id"),
+                F.expr(f"pr div {KNN_GRAPH_K}").alias("c"),
+            )
+            .groupBy("vec_id")
+            .agg(F.sum("c").alias("inc"))
+        )
+        pr = nodes.join(inc, "vec_id", "left").select(
+            "vec_id",
+            F.expr(
+                f"(15 * {PR_BASE}L + 85 * coalesce(inc, 0L)) div 100"
+            ).alias("pr"),
+        )
+    return (
+        pr.select("vec_id", F.col("pr").alias("pr_micro"))
+        .orderBy(F.desc("pr_micro"), F.asc("vec_id"))
+        .limit(PR_TOP)
+    )
+
+
 HYBRID_BATCH_QUERIES = {
     # query_id -> (query text, query-vector row id); vectors come from
     # the embeddings table (FIXTURES F3: identical bytes on both engines)
@@ -4435,6 +4487,66 @@ def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-granularity retrieval (the RAG pattern the reference's
+    doc-level `query_text` cannot express): chunk every document into
+    16-word / stride-12 windows (the q_token_chunks law), score each
+    CHUNK as its own BM25 document (chunk-level df/avgdl — long docs no
+    longer bury a relevant passage in their length norm), then pool
+    max-chunk-score per document and return the top-10 docs with their
+    best passage. Plan: one tokenize+window pass builds the chunk
+    relation (persisted — the stats build and the scoring join both
+    read it), then the standard broadcast-query BM25 plan over chunk
+    postings; the pooling is one groupBy(doc) max + top-k. At 100 TB
+    the chunk relation is the corpus ×(1/stride overlap) — the same
+    one-shuffle inverted-index build as doc-level BM25, just on a finer
+    key; nothing here is quadratic. The fixture's composite chunk id
+    (doc_id·1e6 + chunk_idx) is the hash-law stand-in for the
+    production struct key."""
+    d = load_documents(spark, sf_dir)
+    toks = tokenize("text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.slice(toks, s, CHUNK_TOKENS).alias("ctoks"),
+        ),
+    )
+    chunk_docs = (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .where(F.size("c.ctoks") > 0)
+        .select(
+            (F.col("doc_id") * 1_000_000 + F.col("chunk_idx")).alias("cid"),
+            "doc_id",
+            "chunk_idx",
+            F.array_join("c.ctoks", " ").alias("text"),
+        )
+        .transform(_track_persist)
+    )
+    stats = bm25.build_bm25_stats(chunk_docs, id_col="cid")
+    scored = bm25.bm25_scores(spark, stats, TEXT_QUERY).withColumnRenamed(
+        "doc_id", "cid"
+    )
+    per_chunk = chunk_docs.select("cid", "doc_id", "chunk_idx").join(
+        scored, "cid"
+    ).select("doc_id", "chunk_idx", F.round("score", 6).alias("score"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("chunk_idx")
+    )
+    return (
+        per_chunk.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("chunk_idx").alias("best_chunk"), "score")
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality scoring (the CCNet-filter analogue with a
     unigram LM): per-doc mean negative log-probability of its tokens
@@ -6175,6 +6287,54 @@ _ORACLES["knn_graph_auto"] = _ORACLES["knn_graph"]
 # top-k), so its oracle is the full-rebuild relation verbatim.
 _ORACLES["knn_graph_incremental"] = _ORACLES["knn_graph"]
 
+
+def _pagerank_sql() -> str:
+    """3-round exact-integer PageRank as chained CTEs (one c/r pair per
+    round) over the same kNN-graph relation as the knn_graph oracle."""
+    parts = [
+        f"""
+s AS (
+  SELECT q.vec_id AS src, e.vec_id AS nb,
+         round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.embedding')}), 6)
+           AS score
+  FROM embeddings q, embeddings e
+  WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT src, nb,
+         row_number() OVER (PARTITION BY src ORDER BY score DESC, nb ASC) AS rn
+  FROM s
+),
+g AS (SELECT src, nb AS neighbor_id FROM ranked WHERE rn <= {KNN_GRAPH_K}),
+nodes AS (SELECT vec_id FROM embeddings),
+r0 AS (SELECT vec_id, CAST({PR_BASE} AS BIGINT) AS pr FROM nodes)"""
+    ]
+    for i in range(1, PR_ROUNDS + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT g.neighbor_id AS vec_id, sum(r.pr // {KNN_GRAPH_K}) AS inc
+  FROM g JOIN r{i - 1} r ON r.vec_id = g.src GROUP BY 1
+),
+r{i} AS (
+  SELECT n.vec_id,
+         CAST((15 * {PR_BASE} + 85 * coalesce(c.inc, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c{i} c USING (vec_id)
+)"""
+        )
+    return (
+        "WITH"
+        + "".join(parts)
+        + f"""
+SELECT vec_id, pr AS pr_micro FROM r{PR_ROUNDS}
+ORDER BY pr_micro DESC, vec_id ASC
+LIMIT {PR_TOP}
+"""
+    )
+
+
+_ORACLES["graph_pagerank"] = _pagerank_sql()
+
 def _hybrid_batch_sql() -> str:
     bm25_block = _bm25_batch_cte(
         "corpus", {qid: text for qid, (text, _) in HYBRID_BATCH_QUERIES.items()}
@@ -7088,6 +7248,44 @@ SELECT doc_id, chunk_idx,
 FROM cw JOIN wp USING (word)
 GROUP BY doc_id, chunk_idx
 ORDER BY doc_id, chunk_idx
+"""
+
+_ORACLES["chunk_bm25_topk"] = rf"""
+WITH toks0 AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, s,
+         list_slice(tokens, s, least(s + {CHUNK_TOKENS - 1}, len(tokens))) AS ctoks
+  FROM (
+    SELECT doc_id, tokens,
+           unnest(range(1, greatest(len(tokens), 1) + 1, {CHUNK_STRIDE})) AS s
+    FROM toks0
+  )
+),
+chunkmap AS (
+  SELECT doc_id, CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+         doc_id * 1000000 + (s - 1) // {CHUNK_STRIDE} AS cid,
+         array_to_string(ctoks, ' ') AS text
+  FROM ex WHERE len(ctoks) > 0
+),
+chunkdocs AS (SELECT cid AS doc_id, text FROM chunkmap),
+{_bm25_cte('chunkdocs', TEXT_QUERY).strip()},
+perchunk AS (
+  SELECT m.doc_id, m.chunk_idx, round(s.s, 6) AS score
+  FROM chunkmap m JOIN scores s ON s.doc_id = m.cid
+),
+best AS (
+  SELECT doc_id, chunk_idx AS best_chunk, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, chunk_idx ASC
+         ) AS rn
+  FROM perchunk
+)
+SELECT doc_id, best_chunk, score FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id DESC
+LIMIT {TOP_K}
 """
 
 # Oracles for the self-checking ANN/sketch gates: the Spark side computes
@@ -10478,6 +10676,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 12: NEW round 9 — graph connectivity audit (reciprocity,
         # hub in-degree, never-cited nodes)
         "knn_graph_stats": q_knn_graph_stats,
+        "graph_pagerank": q_graph_pagerank,
         # ---- carried window (round 7 rotation) ----
         # slots 1-2 (VERDICT r6 Next #1): the two sampling entries whose
         # bucket law changed in round 6 (md5 window) — and stratified's
@@ -10583,6 +10782,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_grouped": q_maxsim_grouped,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "token_chunks": q_token_chunks,
+        "chunk_bm25_topk": q_chunk_bm25_topk,
         "key_skew_stats": q_key_skew_stats,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "nation_trade_volume": q_nation_trade_volume,

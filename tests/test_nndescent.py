@@ -192,3 +192,35 @@ def test_label_propagation_laws(spark, embs):
     assert norm(again) == norm(r3)
     with pytest.raises(ValueError, match="iters"):
         label_propagation(graph, seeds, id_col="vec_id", iters=0)
+
+
+def test_graph_pagerank_matches_python_reference(spark, embs):
+    # the registered entry's integer law, re-run in pure Python over the
+    # same (collected) edge relation — pins the whole 3-round iteration,
+    # not just shape
+    from collections import defaultdict
+
+    from homemade_vector_db_spark import queries as Q
+
+    edges = [
+        (r.src, r.neighbor_id)
+        for r in knn_graph_auto(embs, k=Q.KNN_GRAPH_K)
+        .select("src", "neighbor_id")
+        .collect()
+    ]
+    nodes = {r.vec_id for r in embs.select("vec_id").collect()}
+    pr = {v: Q.PR_BASE for v in nodes}
+    for _ in range(Q.PR_ROUNDS):
+        inc = defaultdict(int)
+        for s, nb in edges:
+            inc[nb] += pr[s] // Q.KNN_GRAPH_K
+        pr = {v: (15 * Q.PR_BASE + 85 * inc[v]) // 100 for v in nodes}
+    want = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[: Q.PR_TOP]
+
+    got = [
+        (r.vec_id, r.pr_micro)
+        for r in Q.q_graph_pagerank(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+    # floor of the law: a never-cited node ends at exactly 15% base
+    assert min(pr.values()) >= (15 * Q.PR_BASE) // 100

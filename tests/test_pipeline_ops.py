@@ -765,3 +765,27 @@ def test_new_laws_partition_independent(spark, monkeypatch):
         monkeypatch.setattr(Q, "load_documents", real_load)
     assert got_mix == base_mix
     assert got_cur == base_cur
+
+
+def test_chunk_bm25_topk_contract(spark):
+    # passage retrieval: best_chunk must be a real window of the doc and
+    # must itself contain >=1 query term (the max-pool picked it for a
+    # reason); scores strictly ordered per the registered tie law
+    rows = Q.q_chunk_bm25_topk(spark, SF_SMOKE).collect()
+    assert len(rows) == Q.TOP_K
+    scores = [(r.score, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    qterms = set(Q.TEXT_QUERY.split())
+    docs = {
+        r.doc_id: r.text
+        for r in Q.load_documents(spark, SF_SMOKE)
+        .where(F.col("doc_id").isin([r.doc_id for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        toks = docs[r.doc_id].split()
+        start = r.best_chunk * Q.CHUNK_STRIDE
+        window = toks[start : start + Q.CHUNK_TOKENS]
+        assert window, "best_chunk beyond the doc's windows"
+        assert r.score > 0
+        assert qterms & set(window), "best chunk holds no query term"
