@@ -8077,6 +8077,44 @@ _ORACLES["cluster_balanced_sample"] = (
 
 RRF_K = 60          # the standard RRF damping constant (Cormack et al. 2009)
 RRF_CANDIDATES = 50
+RERANK_CANDIDATES = 50
+
+
+def q_bm25_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank (the standard serving cascade the
+    reference's single-stage entry points can't compose): BM25 recalls
+    a 50-candidate pool (cheap lexical recall — reference zero-pad +
+    highest-id tie law), then the EXACT dense kernel (the O4 score law
+    1/(1+L2²)) reranks only that pool for semantic precision. Scale
+    shape: corpus-side work is one broadcast-query postings scan (the
+    bm25_topk plan); the rerank joins a 50-row broadcast side against
+    embeddings with pushdown on vec_id, so full-dim arithmetic touches
+    50 rows regardless of corpus size. Rounded-score orderings at both
+    stage boundaries keep the candidate cut engine-identical."""
+    docs = load_documents(spark, sf_dir)
+    scored = bm25.bm25_scores(spark, _bm25_stats(spark, sf_dir), TEXT_QUERY)
+    cand = (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("score", F.lit(0.0)), 6).alias("bm25_score"),
+        )
+        .orderBy(F.desc("bm25_score"), F.desc("doc_id"))
+        .limit(RERANK_CANDIDATES)
+    )
+    from homemade_vector_db_spark.functions.vector import squared_l2_lit
+
+    qv = _qvec_list(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    dense = cand.join(emb, cand.doc_id == emb.vec_id).select(
+        cand.doc_id.alias("doc_id"),
+        "bm25_score",
+        F.round(1.0 / (1.0 + squared_l2_lit("embedding", qv)), 6).alias(
+            "score"
+        ),
+    )
+    return dense.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_K)
 
 
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8171,6 +8209,23 @@ FROM text_rank t FULL OUTER JOIN vec_rank v ON t.doc_id = v.doc_id
 ORDER BY rrf_score DESC, doc_id ASC
 LIMIT {TOP_K}
 """
+
+_ORACLES["bm25_rerank_topk"] = f"""
+WITH {_bm25_cte('documents', TEXT_QUERY)},
+cand AS (
+  SELECT d.doc_id, round(coalesce(s.s, 0.0), 6) AS bm25_score
+  FROM documents d LEFT JOIN scores s USING (doc_id)
+  ORDER BY bm25_score DESC, d.doc_id DESC
+  LIMIT {RERANK_CANDIDATES}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT c.doc_id, c.bm25_score,
+       round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.qv')}), 6) AS score
+FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
+ORDER BY score DESC, c.doc_id ASC
+LIMIT {TOP_K}
+"""
+
 
 DECONTAM_BENCH_SOURCE = "src0"
 DECONTAM_NGRAM = 5
@@ -10812,6 +10867,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_check": q_kmeans_check,
         "part_profit_by_nation": q_part_profit_by_nation,
         "rrf_fusion": q_rrf_fusion,
+        "bm25_rerank_topk": q_bm25_rerank_topk,
         "benchmark_decontam": q_benchmark_decontam,
         "mmr_check": q_mmr_check,
         "semdedup_check": q_semdedup_check,

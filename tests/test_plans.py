@@ -641,3 +641,15 @@ def test_knn_join_plan_cogroup_tiles_and_windowgrouplimit(spark):
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "Generate" in plan, plan  # explode replication is a generator
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bm25_rerank_broadcast_pool_and_topk(spark):
+    """Retrieve-then-rerank contract: the 50-candidate pool must reach
+    the dense stage as the broadcast side of a hash join (full-dim
+    arithmetic touches 50 rows regardless of corpus size), and the
+    final cut is a TakeOrderedAndProject, never a global sort."""
+    df = Q.q_bm25_rerank_topk(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
