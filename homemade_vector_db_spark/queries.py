@@ -8127,6 +8127,84 @@ _ORACLES["cluster_balanced_sample"] = (
 RRF_K = 60          # the standard RRF damping constant (Cormack et al. 2009)
 RRF_CANDIDATES = 50
 RERANK_CANDIDATES = 50
+PRF_FB_DOCS = 10   # pseudo-relevance feedback depth
+PRF_EXP_TERMS = 5  # expansion terms added to the query
+
+
+def q_prf_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM3-lite —
+    the classic recall-repair for vocabulary mismatch): BM25 retrieves
+    10 feedback docs, the 5 highest-weight non-query terms from those
+    docs join the query (qtf=1), and the EXPANDED query rescored over
+    the same index gives the final top-10. Expansion weight is
+    idf(t)·Σ_fb tf(t,d) with the sum an EXACT BIGINT (one float
+    multiply after — deterministic at any executor count, the
+    temperature_mixture lesson applied to term selection); ties at the
+    cut break alphabetically. Everything stays in-plan: the feedback
+    set and expansion terms are tiny broadcast relations, never driver
+    collects; corpus-side cost is two broadcast-query postings scans of
+    the shared derived stats. Reference tie law (score desc, doc_id
+    desc) and zero-pad at both retrieval stages."""
+    stats = _bm25_stats(spark, sf_dir)
+    docs = load_documents(spark, sf_dir).select("doc_id")
+    _, avgdl = stats.scalars()
+    from collections import Counter
+
+    qcounts = Counter(TEXT_QUERY.split())
+    # stage 1: feedback retrieval (the bm25_topk plan)
+    s1 = bm25.bm25_scores(spark, stats, TEXT_QUERY)
+    fb = (
+        docs.join(s1, "doc_id", "left")
+        .select(
+            "doc_id", F.round(F.coalesce("score", F.lit(0.0)), 6).alias("s")
+        )
+        .orderBy(F.desc("s"), F.desc("doc_id"))
+        .limit(PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    # expansion terms: idf * exact-integer feedback tf mass
+    expw = (
+        stats.postings.join(F.broadcast(fb), "doc_id")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("stf"))
+        .where(~F.col("term").isin(list(qcounts)))
+        .join(stats.term_stats, "term")
+        .select(
+            "term", F.round(F.col("idf") * F.col("stf"), 6).alias("w")
+        )
+    )
+    exp_terms = (
+        expw.orderBy(F.desc("w"), F.asc("term"))
+        .limit(PRF_EXP_TERMS)
+        .select("term", F.lit(1).alias("qtf"))
+    )
+    orig_terms = spark.createDataFrame(
+        [(t, int(c)) for t, c in qcounts.items()], "term string, qtf int"
+    )
+    allq = orig_terms.unionByName(exp_terms).join(
+        stats.term_stats, "term"
+    ).select("term", "qtf", "idf")
+    # stage 2: rescore with the expanded query over the same postings
+    matched = stats.postings.join(F.broadcast(allq), "term")
+    contrib = (
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * (bm25.K1 + 1))
+        / (
+            F.col("tf")
+            + bm25.K1 * (1 - bm25.B + bm25.B * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    s2 = matched.groupBy("doc_id").agg(F.sum(contrib).alias("s"))
+    return (
+        docs.join(s2, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("s", F.lit(0.0)), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(TOP_K)
+    )
 
 
 def q_bm25_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8274,6 +8352,44 @@ FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
 ORDER BY score DESC, c.doc_id ASC
 LIMIT {TOP_K}
 """
+
+_ORACLES["prf_expansion_topk"] = f"""
+WITH {_bm25_cte('documents', TEXT_QUERY)},
+fb AS (
+  SELECT d.doc_id
+  FROM documents d LEFT JOIN scores s USING (doc_id)
+  ORDER BY round(coalesce(s.s, 0.0), 6) DESC, d.doc_id DESC
+  LIMIT {PRF_FB_DOCS}
+),
+expw AS (
+  SELECT t.term, round(any_value(i.idf) * sum(t.tf), 6) AS w
+  FROM tfc t JOIN fb USING (doc_id) JOIN idf i USING (term)
+  WHERE t.term NOT IN ({", ".join("'" + t + "'" for t in dict.fromkeys(TEXT_QUERY.split()))})
+  GROUP BY t.term
+),
+exp_terms AS (
+  SELECT term, 1 AS qtf FROM expw ORDER BY w DESC, term ASC
+  LIMIT {PRF_EXP_TERMS}
+),
+allq AS (
+  SELECT term, qtf FROM qterms UNION ALL SELECT term, qtf FROM exp_terms
+),
+scores2 AS (
+  SELECT t.doc_id,
+         SUM(q.qtf * i.idf * t.tf * 2.5 / (t.tf + 1.5 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))) AS s
+  FROM tfc t
+  JOIN allq q USING (term)
+  JOIN idf i USING (term)
+  JOIN doclen d USING (doc_id),
+  cstats c
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, round(coalesce(s2.s, 0.0), 6) AS score
+FROM documents d LEFT JOIN scores2 s2 ON s2.doc_id = d.doc_id
+ORDER BY score DESC, d.doc_id DESC
+LIMIT {TOP_K}
+"""
+
 
 
 DECONTAM_BENCH_SOURCE = "src0"
@@ -10918,6 +11034,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_profit_by_nation": q_part_profit_by_nation,
         "rrf_fusion": q_rrf_fusion,
         "bm25_rerank_topk": q_bm25_rerank_topk,
+        "prf_expansion_topk": q_prf_expansion_topk,
         "benchmark_decontam": q_benchmark_decontam,
         "mmr_check": q_mmr_check,
         "semdedup_check": q_semdedup_check,
