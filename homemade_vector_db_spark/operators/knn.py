@@ -593,6 +593,56 @@ def knn_join_ivf(
     )
 
 
+def knn_join_auto(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qv",
+    k: int = 5,
+    exact_threshold: int = 10_000,
+    score_decimals: int = 6,
+    nlist: int = 100,
+    nprobe: int | None = None,
+    **join_kwargs,
+) -> DataFrame:
+    """Tiered kNN-join dispatch — the entry a user should call (same
+    count-probe pattern as nndescent.knn_graph_auto): below
+    `exact_threshold` corpus rows the exact block-matrix join wins
+    (one corpus pass; the IVF tier pays quantizer training + an extra
+    probe expansion for cells that would mostly all be probed anyway)
+    and stays hash-checkable against the relational oracle; above it
+    each query scans only its nprobe nearest cells (knn_join_ivf,
+    recall-gated by q_knn_join_ivf_recall). The count probe is one
+    O(1)-output job against the corpus scan."""
+    n = df.count()
+    if n <= exact_threshold:
+        return knn_join(
+            df,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            qvec_col=qvec_col,
+            k=k,
+            score_decimals=score_decimals,
+            **join_kwargs,
+        )
+    return knn_join_ivf(
+        df,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        qvec_col=qvec_col,
+        k=k,
+        nlist=nlist,
+        nprobe=nprobe,
+        score_decimals=score_decimals,
+    )
+
+
 def mmr_rerank(
     df: DataFrame,
     query: Sequence[float],
