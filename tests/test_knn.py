@@ -377,3 +377,52 @@ def test_knn_join_ivf_partial_probe_subset_and_bounds(spark, embs):
         )
         for r in rs:
             assert exact_scores[(r.query_id, r.vec_id)] == r.score
+
+
+def test_knn_join_ivfpq_full_probe_full_overfetch_equals_exact(spark, embs):
+    # exactness envelope: nprobe = nlist probes every cell and a pool
+    # >= the whole corpus means the ADC shortlist drops nothing, so the
+    # exact rerank (same arithmetic + tie law as the exact tile kernel)
+    # must reproduce knn_join bit-for-bit — pins that compression loses
+    # rows ONLY via the shortlist cut / unprobed cells, never via
+    # scoring drift
+    from homemade_vector_db_spark.operators.knn import knn_join, knn_join_ivfpq
+
+    qs = embs.where(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    a = knn_join(embs, qs, k=4).collect()
+    b = knn_join_ivfpq(
+        embs, qs, k=4, nlist=8, nprobe=8, m=8, codebook_size=16, overfetch=200
+    ).collect()
+    norm = lambda rows: sorted((r.query_id, r.rn, r.vec_id, r.score) for r in rows)
+    assert norm(b) == norm(a)
+
+
+def test_knn_join_ivfpq_shortlist_bounds_and_exact_scores(spark, embs):
+    # tight shortlist: <= k rows per query, rn dense from 1, and every
+    # returned pair's score is the EXACT kernel's score (the rerank is
+    # full-precision; only candidate selection is approximate)
+    from homemade_vector_db_spark.operators.knn import knn_batch, knn_join_ivfpq
+
+    qs = embs.where(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rows = knn_join_ivfpq(
+        embs, qs, k=4, nlist=8, nprobe=3, m=8, codebook_size=16, overfetch=2
+    ).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    exact_scores = {
+        (r.query_id, r.vec_id): r.score
+        for r in knn_batch(embs, qs, k=1000).collect()
+    }
+    assert per_q, "ivfpq join returned no rows"
+    for qid, rs in per_q.items():
+        assert len(rs) <= 4
+        assert [r.rn for r in sorted(rs, key=lambda r: r.rn)] == list(
+            range(1, len(rs) + 1)
+        )
+        for r in rs:
+            assert exact_scores[(r.query_id, r.vec_id)] == r.score
