@@ -766,20 +766,28 @@ def knn_join_auto(
     qvec_col: str = "qv",
     k: int = 5,
     exact_threshold: int = 10_000,
+    pq_threshold: int = 1_000_000,
     score_decimals: int = 6,
     nlist: int = 100,
     nprobe: int | None = None,
+    m: int = 8,
+    codebook_size: int = 64,
+    overfetch: int = 8,
     **join_kwargs,
 ) -> DataFrame:
     """Tiered kNN-join dispatch — the entry a user should call (same
-    count-probe pattern as nndescent.knn_graph_auto): below
-    `exact_threshold` corpus rows the exact block-matrix join wins
-    (one corpus pass; the IVF tier pays quantizer training + an extra
-    probe expansion for cells that would mostly all be probed anyway)
-    and stays hash-checkable against the relational oracle; above it
-    each query scans only its nprobe nearest cells (knn_join_ivf,
-    recall-gated by q_knn_join_ivf_recall). The count probe is one
-    O(1)-output job against the corpus scan."""
+    count-probe pattern as nndescent.knn_graph_auto), three tiers by
+    corpus size: below `exact_threshold` rows the exact block-matrix
+    join wins (one corpus pass; the IVF tier pays quantizer training +
+    an extra probe expansion for cells that would mostly all be probed
+    anyway) and stays hash-checkable against the relational oracle;
+    between the thresholds each query scans only its nprobe nearest
+    cells at full precision (knn_join_ivf, gated by
+    q_knn_join_ivf_recall); above `pq_threshold` the full vectors are
+    too wide to shuffle into the cells at all, so corpus rows travel as
+    m-byte PQ codes with an exact rerank of the ADC shortlist
+    (knn_join_ivfpq, gated by q_knn_join_ivfpq_recall). The count probe
+    is one O(1)-output job against the corpus scan."""
     n = df.count()
     if n <= exact_threshold:
         return knn_join(
@@ -793,7 +801,20 @@ def knn_join_auto(
             score_decimals=score_decimals,
             **join_kwargs,
         )
-    return knn_join_ivf(
+    if n <= pq_threshold:
+        return knn_join_ivf(
+            df,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            qvec_col=qvec_col,
+            k=k,
+            nlist=nlist,
+            nprobe=nprobe,
+            score_decimals=score_decimals,
+        )
+    return knn_join_ivfpq(
         df,
         queries,
         id_col=id_col,
@@ -803,6 +824,9 @@ def knn_join_auto(
         k=k,
         nlist=nlist,
         nprobe=nprobe,
+        m=m,
+        codebook_size=codebook_size,
+        overfetch=overfetch,
         score_decimals=score_decimals,
     )
 

@@ -426,3 +426,31 @@ def test_knn_join_ivfpq_shortlist_bounds_and_exact_scores(spark, embs):
         )
         for r in rs:
             assert exact_scores[(r.query_id, r.vec_id)] == r.score
+
+
+def test_knn_join_auto_three_tier_dispatch(spark, embs):
+    # thresholds force each tier in turn on the same inputs; with every
+    # cell probed and the shortlist uncut, all three tiers must agree
+    # bit-for-bit (shared tile kernel + tie law), so the dispatch can
+    # never change a result, only its cost
+    from homemade_vector_db_spark.operators.knn import knn_join, knn_join_auto
+
+    qs = embs.where(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    norm = lambda rows: sorted((r.query_id, r.rn, r.vec_id, r.score) for r in rows)
+    want = norm(knn_join(embs, qs, k=3).collect())
+    # corpus (500 rows) <= exact_threshold -> exact tier
+    exact_tier = knn_join_auto(embs, qs, k=3, exact_threshold=10_000)
+    # exact_threshold < corpus <= pq_threshold -> IVF tier
+    ivf_tier = knn_join_auto(
+        embs, qs, k=3, exact_threshold=1, pq_threshold=10_000, nlist=8, nprobe=8
+    )
+    # corpus > pq_threshold -> IVF-PQ tier
+    pq_tier = knn_join_auto(
+        embs, qs, k=3, exact_threshold=1, pq_threshold=1,
+        nlist=8, nprobe=8, m=8, codebook_size=16, overfetch=200,
+    )
+    assert norm(exact_tier.collect()) == want
+    assert norm(ivf_tier.collect()) == want
+    assert norm(pq_tier.collect()) == want
