@@ -189,6 +189,99 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Directed near-dup pairs by shingle CONTAINMENT: C(A→B) =
+    |A∩B| / |A| ≥ threshold, a_id ≠ b_id.
+
+    Jaccard misses the asymmetric duplicates that matter in corpus
+    hygiene — a document quoted wholesale inside a longer one, a subset
+    page re-crawled inside an expanded revision — because the union in
+    the denominator dilutes the overlap (A ⊂ B with |B| = 4·|A| has
+    jaccard 0.25 but containment 1.0). Containment is the asymmetric
+    law the dedup literature uses for exactly this (Broder's resemblance
+    vs containment split; the BFF-style n-gram overlap filters used on
+    LLM corpora).
+
+    Candidate generation stays prefix-filtered on the CONTAINED side
+    only: under the same global rarity-first canonical order as
+    ngram_jaccard_pairs, |A∩B| ≥ ceil(t·|A|) forces A's first
+    |A| − ceil(t·|A|) + 1 shingles to intersect B's FULL set
+    (pigeonhole on A's order alone — B's membership is order-free), so
+    A explodes only prefixes while B contributes its whole posting
+    list. That join is necessarily wider than jaccard's prefix×prefix
+    (the price of asymmetry); the length filter nb ≥ ceil(t·na) and the
+    `max_shingle_freq` stop-shingle cap bound it, and verification
+    recomputes exact containment over the full sets so candidates are
+    EXACT, never a recall trade.
+
+    Shares the materialized shingle relation with the rest of the dedup
+    family (`shingled=`), so the marginal corpus-scale cost over a
+    jaccard run is one extra posting-list explode."""
+    sh = _shingled(df, id_col, text_col, n) if shingled is None else shingled
+    hashed = sh.select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
+    ).transform(_track_persist)
+    ex = hashed.select("doc_id", F.explode("hs").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    if max_shingle_freq is not None:
+        freq = freq.where(F.col("freq") <= max_shingle_freq)
+        ex = ex.join(freq.select("shingle"), "shingle")
+    ranked = ex.join(freq, "shingle").select(
+        "doc_id", F.struct(F.col("freq"), F.col("shingle")).alias("fs")
+    )
+    sets = (
+        ranked.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("fs")).alias("fss"))
+        .select(
+            "doc_id",
+            F.transform("fss", lambda x: x.shingle).alias("sset"),
+            F.size("fss").alias("nsh"),
+        )
+        .transform(_track_persist)  # prefix side + posting side + 2 verify joins
+    )
+    prefix_len = F.col("nsh") - F.ceil(F.lit(float(threshold)) * F.col("nsh")) + 1
+    pref = sets.select(
+        "doc_id", "nsh",
+        F.explode(F.slice("sset", F.lit(1), prefix_len)).alias("shingle"),
+    )
+    full = sets.select(
+        "doc_id", "nsh", F.explode("sset").alias("shingle")
+    )
+    a, b = pref.alias("a"), full.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.nsh") >= F.ceil(F.col("a.nsh") * float(threshold))),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    verified = cands.join(
+        sets.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("sa"), F.col("nsh").alias("na")),
+        "a_id",
+    ).join(
+        sets.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("sb")),
+        "b_id",
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    cont = inter.cast("double") / F.col("na")
+    return (
+        verified.where(cont >= threshold)
+        .select("a_id", "b_id", F.round(cont, 6).alias("containment"))
+        .orderBy("a_id", "b_id")
+    )
+
+
 def minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Fixed (a, b) coefficients for h_i(x) = (a·x + b) mod p, seeded."""
     import random

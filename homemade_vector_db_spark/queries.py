@@ -3410,6 +3410,26 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dup (round 9, second half): |A∩B|/|A| ≥
+    0.9 over 3-gram shingles — the asymmetric law that catches quoted /
+    subset / re-crawled-inside-a-revision duplicates Jaccard dilutes
+    away (A ⊂ B at 4× length: jaccard 0.25, containment 1.0). Prefix
+    filter applies on the contained side only, posting lists on the
+    container side (dedup.containment_pairs docstring has the pigeonhole
+    argument); exact verification over the shared materialized shingle
+    relation."""
+    return dedup.containment_pairs(
+        load_documents(spark, sf_dir),
+        n=JACCARD_NGRAM,
+        threshold=CONTAINMENT_THRESHOLD,
+        shingled=_shingle_sets(spark, sf_dir),
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: per-doc token count (str.split parity tokenizer)."""
     return textstats.token_counts(load_documents(spark, sf_dir))
@@ -5284,6 +5304,33 @@ SELECT a_id, b_id,
        round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+_ORACLES["containment_neardup"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens) - {JACCARD_NGRAM - 2}),
+           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
+  FROM toks
+  WHERE len(tokens) >= {JACCARD_NGRAM}
+),
+e AS (SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         count(*) AS inter,
+         any_value(a.n_sh) AS na
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(inter AS DOUBLE) / na, 6) AS containment
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / na >= {CONTAINMENT_THRESHOLD}
 ORDER BY a_id, b_id
 """
 
@@ -11436,6 +11483,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+        "containment_neardup": q_containment_neardup,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,

@@ -326,3 +326,50 @@ def test_dedup_keeper_quality_policy(spark):
         assert r.n_members == len(members) >= 2
         best = min(members, key=lambda d: (-ttr(d), -docs[d][1], d))
         assert (r.keeper_id, round(r.keeper_ttr, 6)) == (best, ttr(best))
+
+
+def _brute_containment(texts, n, t):
+    """Pure-Python oracle: directed containment over n-gram shingle sets."""
+    sets = {}
+    for did, txt in texts:
+        toks = txt.split()
+        if len(toks) >= n:
+            sets[did] = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+    out = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b:
+                c = len(sa & sb) / len(sa)
+                if c >= t:
+                    out[(a, b)] = round(c, 6)
+    return out
+
+
+def test_containment_matches_brute_force(spark, docs):
+    # prefix filter + length filter are candidate PRUNING only — the
+    # verified result must equal the all-pairs computation exactly
+    got = {
+        (r.a_id, r.b_id): r.containment
+        for r in dedup.containment_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    texts = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    assert got == _brute_containment(texts, 3, 0.8)
+
+
+def test_containment_is_directed_where_jaccard_dilutes(spark):
+    # A subset of B at ~4x length: containment A->B fires, B->A and
+    # jaccard both stay silent — the reason the asymmetric law exists
+    spark_ = spark
+    base = "alpha beta gamma delta epsilon zeta"
+    long = base + " " + " ".join(f"w{i} x{i} y{i}" for i in range(8))
+    d = spark_.createDataFrame([(1, base), (2, long)], "doc_id long, text string")
+    pairs = {
+        (r.a_id, r.b_id): r.containment
+        for r in dedup.containment_pairs(d, n=3, threshold=0.9).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # every shingle of A appears in B
+    assert (2, 1) not in pairs  # the container is not contained
+    jac = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.9).collect()
+    assert jac == []  # symmetric jaccard misses the subset duplicate
