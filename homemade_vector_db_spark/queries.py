@@ -4945,6 +4945,83 @@ def q_vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier mining (round 9, second half):
+    vectors whose L2 distance to their OWN label's centroid exceeds the
+    label's median by more than 3× the label's median absolute
+    deviation — the robust-statistics mislabel/oddity detector (MAD
+    resists the very outliers it hunts, unlike stddev; the norm-based
+    variant is vacuous on unit-normalized embeddings like these, where
+    every norm is exactly 1.0 — distance-to-centroid is the quantity
+    with signal).
+
+    Engine-stable by integer construction (the ppl_deciles stance taken
+    further): centroids are 6dp-rounded averages, distances quantize to
+    BIGINT micro-units, both medians are DISCRETE lower order
+    statistics (smallest value whose doubled cumulative count reaches
+    n — no interpolation), and the outlier predicate ad > 3·mad is pure
+    BIGINT arithmetic — partial-agg order, partitioning, and engine can
+    never flip a row. Scale shape: centroid = algebraic explode +
+    groupBy(label, dim) avg (partial-aggregates map-side; never holds a
+    group in one task); distances = one join back + per-vec fold; the
+    cumulative windows run over the DISTINCT (label, micro-value)
+    relation — bounded by the value grid, not by rows — and the 10
+    per-label thresholds broadcast back onto the row relation."""
+    from pyspark.sql import Window
+
+    embs = load_embeddings(spark, sf_dir)
+    ex = embs.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "x"
+        ),
+    )
+    cent = ex.groupBy("label", "i0").agg(F.round(F.avg("x"), 6).alias("c"))
+    dist = (
+        ex.join(cent, ["label", "i0"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("x") - F.col("c")) ** 2)) * 1e6
+            )
+            .cast("bigint")
+            .alias("u")
+        )
+    )
+    tot = dist.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+    def per_label_lower_median(vals: DataFrame, col: str, out: str) -> DataFrame:
+        w = (
+            Window.partitionBy("label")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            vals.groupBy("label", col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("cm", F.sum("c").over(w))
+        )
+        return (
+            cum.join(tot, "label")
+            .where(F.col("cm") * 2 >= F.col("n"))
+            .groupBy("label")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = per_label_lower_median(dist, "u", "m")
+    ad = dist.join(med, "label").select(
+        "vec_id", "label", "u", F.abs(F.col("u") - F.col("m")).alias("ad")
+    )
+    mad = per_label_lower_median(ad, "ad", "d")
+    return (
+        ad.join(mad, "label")
+        .where(F.col("ad") > 3 * F.col("d"))
+        .select("vec_id", "label", "u", "ad")
+        .orderBy("vec_id")
+    )
+
+
 EVENT_WEIGHTS = [
     ("click", 0.1),
     ("error", 5.0),
@@ -7087,6 +7164,51 @@ SELECT label, count(*) AS n,
 FROM n
 GROUP BY label
 ORDER BY label
+"""
+
+_ORACLES["embedding_outliers"] = """
+WITH cent AS (
+  SELECT label, i, round(avg(CAST(x AS DOUBLE)), 6) AS c
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY label, i
+),
+vx AS (
+  SELECT vec_id, label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+dist AS (
+  SELECT vec_id, v.label,
+         CAST(round(sqrt(sum((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)))
+              * 1000000) AS BIGINT) AS u
+  FROM vx v JOIN cent USING (label, i)
+  GROUP BY vec_id, v.label
+),
+tot AS (SELECT label, count(*) AS n FROM dist GROUP BY label),
+med AS (
+  SELECT label, min(u) AS m
+  FROM (SELECT label, u, sum(c) OVER (PARTITION BY label ORDER BY u) AS cm
+        FROM (SELECT label, u, count(*) AS c FROM dist GROUP BY label, u))
+       JOIN tot USING (label)
+  WHERE cm * 2 >= n
+  GROUP BY label
+),
+ad AS (SELECT vec_id, dist.label, u, abs(u - m) AS ad
+       FROM dist JOIN med USING (label)),
+mad AS (
+  SELECT label, min(ad) AS d
+  FROM (SELECT label, ad, sum(c) OVER (PARTITION BY label ORDER BY ad) AS cm
+        FROM (SELECT label, ad, count(*) AS c FROM ad GROUP BY label, ad))
+       JOIN tot USING (label)
+  WHERE cm * 2 >= n
+  GROUP BY label
+)
+SELECT vec_id, ad.label, u, ad
+FROM ad JOIN mad USING (label)
+WHERE ad > 3 * d
+ORDER BY vec_id
 """
 
 _ORACLES["clicks_except_all_views"] = """
@@ -11448,6 +11570,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clicks_except_all_views": q_clicks_except_all_views,
         "pricing_unpivot": q_pricing_unpivot,
         "vector_norm_stats": q_vector_norm_stats,
+        "embedding_outliers": q_embedding_outliers,
         "neardup_components": q_neardup_components,
         "user_value_resampled": q_user_value_resampled,
         "tfidf_top_terms": q_tfidf_top_terms,

@@ -789,3 +789,53 @@ def test_chunk_bm25_topk_contract(spark):
         assert window, "best_chunk beyond the doc's windows"
         assert r.score > 0
         assert qterms & set(window), "best chunk holds no query term"
+
+
+def test_embedding_outliers_integer_mad_law(spark):
+    # pure-Python twin of the whole per-label discrete-MAD pipeline on
+    # the smoke fixture: centroid (6dp), micro-distance, lower medians
+    # by the 2*cm >= n law, ad > 3*mad — must agree row-for-row
+    import numpy as np
+
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+
+    got = {
+        (r.vec_id, r.label, r.u, r.ad)
+        for r in Q.q_embedding_outliers(spark, SF_SMOKE).collect()
+    }
+    rows = load_embeddings(spark, SF_SMOKE).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+        )
+
+    def lower_median(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        cm = 0
+        seen = {}
+        for v in vals:
+            seen[v] = seen.get(v, 0) + 1
+        for v in sorted(seen):
+            cm += seen[v]
+            if cm * 2 >= n:
+                return v
+
+    want = set()
+    for label, vecs in by_label.items():
+        cent = np.round(
+            np.stack([v for _, v in vecs]).mean(axis=0), 6
+        )
+        d = {
+            vid: int(round(float(np.sqrt(((v - cent) ** 2).sum())) * 1e6))
+            for vid, v in vecs
+        }
+        m = lower_median(d.values())
+        ad = {vid: abs(u - m) for vid, u in d.items()}
+        mad = lower_median(ad.values())
+        for vid, a in ad.items():
+            if a > 3 * mad:
+                want.add((vid, label, d[vid], a))
+    assert got == want
+    assert want, "fixture produced no outliers; law untested"
