@@ -104,6 +104,15 @@ HEADLINE = [
     "chunk_bm25_topk",
     "bm25_rerank_topk",
     "graph_pagerank",
+    # round 9 continuation: asymmetric containment dedup (prefix-vs-
+    # posting-list join — wider than jaccard's prefix×prefix by design),
+    # the distributed-BPE-training round-1 law, and the per-label
+    # integer-MAD embedding outlier gate. knn_join_ivfpq is NOT here for
+    # the same reason knn_graph_ann isn't: at 2k rows the auto dispatch
+    # never picks it; its curve lives in SCALE_AUDIT.json.
+    "containment_neardup",
+    "bpe_pair_counts",
+    "embedding_outliers",
 ]
 
 
