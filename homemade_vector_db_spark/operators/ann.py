@@ -144,6 +144,52 @@ def ivf_search(
     )
 
 
+def ivf_search_filtered(
+    index: IVFIndex,
+    query: Sequence[float],
+    predicate,
+    k: int = 10,
+    nprobe: int | None = None,
+    metric: str = "sqeuclidean",
+    widen: int = 4,
+) -> DataFrame:
+    """Filtered ANN — a metadata predicate applied INSIDE the probed-cell
+    scan (the faiss IDSelector / vector-DB filter-during-search shape),
+    not brute force over the filtered corpus and not post-filtering the
+    unfiltered top-k.
+
+    Why it needs its own entry point: the reference's pre_filter on the
+    flat path (O4a, local_db.py:169-185) scans everything so filtering
+    is free; under IVF the true neighbors SATISFYING the predicate may
+    live outside the default probe set (the "filtered-ANN recall cliff"
+    every production vector store documents), so the standard mitigation
+    is applied here — the probe set widens by `widen`× when a predicate
+    is present, paying E[widen·nprobe/nlist] of a corpus scan for recall
+    that q_ann_filtered_recall gates. `build_ivf` keeps every input
+    column in `assignments`, so the predicate is an ordinary codegen'd
+    Column over the cell scan: partition-prunable when assignments are
+    written partitionBy('cluster') (save_ivf), pushed to parquet row
+    groups either way. No new kernel: the filtered cells feed the same
+    exact knn_exact law, so returned scores are bit-identical to the
+    flat path's for any returned id."""
+    if nprobe is None:
+        nprobe = max(1, index.nlist // 10)
+    nprobe = min(max(1, nprobe * widen), index.nlist)
+    import numpy as np
+
+    cents = np.asarray(index.centroids, dtype="float64")
+    q = np.asarray(list(query), dtype="float64")
+    d2 = ((cents - q) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2, kind="stable")[:nprobe]]
+    cells = index.assignments.where(F.col("cluster").isin(probe)).where(
+        predicate
+    )
+    return knn_exact(
+        cells, list(query), id_col=index.id_col, vec_col=index.vec_col,
+        k=k, metric=metric,
+    )
+
+
 def ivf_assign(index: IVFIndex, new_df: DataFrame) -> DataFrame:
     """Assign NEW vectors to the existing coarse cells — no refit.
 

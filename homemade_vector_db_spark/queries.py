@@ -3681,6 +3681,34 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(approx, exact, TOP_K)
 
 
+ANN_FILTER_LABEL = 3
+
+
+def q_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-ANN gate (round 9, second half): recall@k of
+    `ann.ivf_search_filtered` — a metadata predicate applied INSIDE the
+    probed-cell scan (the faiss IDSelector / filter-during-search shape;
+    the ANN-tier sibling of the O4a pre-filter, which on the flat path
+    is free because everything is scanned anyway) — against the exact
+    flat search over the filtered corpus. Probes widen 3× (12/16 cells)
+    when a predicate is present: the standard mitigation for the
+    filtered-ANN recall cliff, where the true neighbors satisfying the
+    predicate live outside the default probe set (2× measured exactly on
+    the 0.5 gate floor at sf0.01 — a knife edge the ann_ivf_recall
+    docstring warns against; 3× measures 0.8 / 1.0). Same _recall_gate
+    law as the other ANN tiers."""
+    embs = load_embeddings(spark, sf_dir)
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    pred = F.col("label") == ANN_FILTER_LABEL
+    approx = ann.ivf_search_filtered(
+        _ivf_index(spark, sf_dir), q, pred, k=TOP_K, nprobe=4, widen=3
+    ).select("vec_id")
+    exact = knn.knn_exact(
+        embs.where(pred), q, k=TOP_K, dim=EMB_DIM
+    ).select("vec_id")
+    return _recall_gate(approx, exact, TOP_K)
+
+
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHORTLIST recall of PQ ADC search: the exact top-k must be ≥50%
     contained in the ADC top-10k shortlist. This is the metric that
@@ -7590,6 +7618,9 @@ LIMIT {TOP_K}
 # faking determinism where there is none.
 _ORACLES["ann_lsh_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
 _ORACLES["ann_ivf_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
+_ORACLES["ann_filtered_recall"] = (
+    "SELECT 10 AS k, true AS full_k, true AS recall_ok"
+)
 _ORACLES["knn_join_ivf_recall"] = (
     "SELECT 5 AS k, true AS nonempty, true AS recall_ok"
 )
@@ -11585,6 +11616,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_supplier_orders": q_multi_supplier_orders,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_filtered_recall": q_ann_filtered_recall,
         "pq_recall": q_pq_recall,
         "sq_recall": q_sq_recall,
         "ivfpq_recall": q_ivfpq_recall,

@@ -497,3 +497,33 @@ def test_nsw_batch_search_bounded_and_chunked_fallback(spark, embs):
         idx, qdf, k=4, ef_search=50, max_query_rows=4
     ).collect()
     assert sorted(got) == sorted(want)
+
+
+def test_ivf_filtered_full_probe_equals_exact_filtered(spark, embs):
+    # widen to the full cell set: filtered ANN must reproduce the exact
+    # flat search over the filtered corpus bit-for-bit (same knn_exact
+    # law downstream), pinning that the predicate only prunes the scan
+    from homemade_vector_db_spark.operators.ann import build_ivf, ivf_search_filtered
+    from homemade_vector_db_spark.operators.knn import knn_exact
+
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    pred = F.col("label") == 2
+    idx = build_ivf(embs, nlist=8, cache=False)
+    a = ivf_search_filtered(idx, q, pred, k=5, nprobe=8, widen=1).collect()
+    e = knn_exact(embs.where(pred), q, k=5).collect()
+    assert [(r.vec_id, r.score) for r in a] == [(r.vec_id, r.score) for r in e]
+
+
+def test_ivf_filtered_respects_predicate_under_narrow_probe(spark, embs):
+    # every returned row satisfies the predicate even when probing is
+    # partial, and the result is a subset of the filtered corpus ids
+    from homemade_vector_db_spark.operators.ann import build_ivf, ivf_search_filtered
+
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    idx = build_ivf(embs, nlist=8, cache=False)
+    rows = ivf_search_filtered(
+        idx, q, F.col("label") == 2, k=5, nprobe=2, widen=1
+    ).collect()
+    assert rows, "narrow probe returned nothing"
+    allowed = {r.vec_id for r in embs.where(F.col("label") == 2).collect()}
+    assert {r.vec_id for r in rows} <= allowed
