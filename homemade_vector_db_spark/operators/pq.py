@@ -373,6 +373,50 @@ def ivfpq_search(
     )
 
 
+def save_ivfpq(index: IVFPQIndex, path: str) -> None:
+    """Persist the full IVF-PQ state (O8 parity for the reference's
+    faiss.idx IVFPQ case, /root/reference/local_db.py:218-221): codes
+    written partitionBy('cluster') so a query-time nprobe cell scan is
+    partition PRUNING, not a filter (the save_ivf stance); residual
+    codebooks + coarse centroids + geometry as JSON. Raw vectors are
+    never duplicated — rerank joins back to the caller's corpus by id."""
+    import json
+    import os
+
+    index.codes_with_cluster.write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "ivfpq.json"), "w") as f:
+        json.dump(
+            {
+                "codebooks": index.pq.codebooks,
+                "m": index.pq.m,
+                "dim": index.pq.dim,
+                "centroids": index.centroids,
+                "id_col": index.id_col,
+                "vec_col": index.vec_col,
+            },
+            f,
+        )
+
+
+def load_ivfpq(spark, path: str) -> IVFPQIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "ivfpq.json")) as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    pq = PQIndex(
+        codes.select(meta["id_col"], "codes"),
+        meta["codebooks"], meta["m"], meta["dim"],
+        meta["id_col"], meta["vec_col"],
+    )
+    return IVFPQIndex(
+        pq, codes, meta["centroids"], meta["id_col"], meta["vec_col"]
+    )
+
+
 def ivfpq_rerank_search(
     index: IVFPQIndex,
     df: DataFrame,

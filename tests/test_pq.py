@@ -120,3 +120,26 @@ def test_ivfpq_residual_recall_and_rerank(spark):
         ).collect()
     ]
     assert rr == want
+
+
+def test_ivfpq_save_load_roundtrip(spark, embs, qvec, tmp_path):
+    # partitionBy('cluster') layout + JSON geometry: searches over the
+    # loaded index reproduce the in-memory index exactly
+    from homemade_vector_db_spark.operators import ann, pq
+
+    ivf = ann.build_ivf(embs, nlist=8, cache=False)
+    idx = pq.build_ivfpq(ivf, m=8, codebook_size=16, dim=64, cache=False)
+    want = [
+        (r.vec_id, r.score)
+        for r in pq.ivfpq_search(idx, qvec, k=5, nprobe=3).collect()
+    ]
+    path = str(tmp_path / "ivfpq_idx")
+    pq.save_ivfpq(idx, path)
+    loaded = pq.load_ivfpq(spark, path)
+    assert loaded.pq.m == idx.pq.m and loaded.pq.dim == idx.pq.dim
+    assert loaded.centroids == idx.centroids
+    got = [
+        (r.vec_id, r.score)
+        for r in pq.ivfpq_search(loaded, qvec, k=5, nprobe=3).collect()
+    ]
+    assert got == want
