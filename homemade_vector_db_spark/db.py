@@ -14,7 +14,9 @@ parquet + a JSON manifest instead of pickle sniffing (local_db.py:210-265).
 
 index_type: 'flat' → exact brute-force (default; the only hash-checkable
 path, mirroring test_local_db.py:155-157's "flat is exact" stance);
-'lsh' (HNSW role) and 'ivf' (IVF-PQ role) → ann.py, recall-tested;
+'lsh' (HNSW role) and 'ivf' (coarse-cell role) → ann.py, recall-tested;
+'ivfpq' → the REAL residual-encoded IVF-PQ tier (pq.build_ivfpq — ADC
+shortlist over probed cells, exact rerank; faiss IndexIVFPQ parity);
 'nsw' (graph tier behind the 'hnsw' alias) → nsw.py; 'sq8' / 'bq' /
 'ivfbq' (compressed shortlist → exact rerank; ivfbq adds coarse-cell
 scan pruning) → sq.py / bq.py.
@@ -32,15 +34,16 @@ from pyspark.sql import types as T
 
 from homemade_vector_db_spark.operators import bm25, hybrid, knn
 
-_INDEX_TYPES = ("flat", "lsh", "ivf", "nsw", "sq8", "bq", "ivfbq")
+_INDEX_TYPES = ("flat", "lsh", "ivf", "ivfpq", "nsw", "sq8", "bq", "ivfbq")
 # Reference spellings (local_db.py:24: 'hnsw' | 'flat' | 'ivfpq') map onto
 # the Spark-native tier that fills the same role, so reference call sites
-# port 1:1: HNSW's graph-ANN role → random-projection LSH; IVFPQ's
-# cell-probed role → KMeans-IVF (PQ compression available separately via
-# operators.pq on top of any tier).
-# "hnsw" maps to the sharded NSW GRAPH tier (operators/nsw.py) so the
-# reference's M / ef_construction / ef_search kwargs are live, not inert
-_INDEX_ALIASES = {"hnsw": "nsw", "ivfpq": "ivf"}
+# port 1:1. "hnsw" maps to the sharded NSW GRAPH tier (operators/nsw.py)
+# so the reference's M / ef_construction / ef_search kwargs are live, not
+# inert. "ivfpq" is the REAL residual-encoded IVF-PQ tier (operators/pq.py
+# build_ivfpq — the faiss IndexIVFPQ layout the reference wraps,
+# local_db.py:49-52): ADC shortlist over probed cells, exact rerank;
+# pq_code_size maps to m.
+_INDEX_ALIASES = {"hnsw": "nsw"}
 
 
 class VectorDatabase:
@@ -149,6 +152,10 @@ class VectorDatabase:
             from homemade_vector_db_spark.operators import ann
 
             self._ann_index = ann.ivf_add(self._ann_index, new)
+        elif self._ann_index is not None and self.index_type == "ivfpq":
+            from homemade_vector_db_spark.operators import pq as pqmod
+
+            self._ann_index = pqmod.ivfpq_add(self._ann_index, new)
         elif self._ann_index is not None and self.index_type == "sq8":
             # add-after-train: encode with the FROZEN trained geometry
             from homemade_vector_db_spark.operators import sq as sqmod
@@ -439,6 +446,22 @@ class VectorDatabase:
                     nlist=min(self.ivf_clusters, max(1, self._n // 2)),
                 )
                 self._ann_index = bqmod.build_ivfbq(coarse, dim=self.dim)
+            elif self.index_type == "ivfpq":
+                from homemade_vector_db_spark.operators import pq as pqmod
+
+                coarse = ann.build_ivf(
+                    self._df, id_col=self.id_col, vec_col=self.vec_col,
+                    nlist=min(self.ivf_clusters, max(1, self._n // 2)),
+                )
+                # m = pq_code_size (the faiss IndexIVFPQ 'm'); fall back
+                # to a divisor of dim when the reference default doesn't
+                # divide it (faiss would throw — we degrade gracefully)
+                m = self.pq_code_size
+                while self.dim % m != 0:
+                    m -= 1
+                self._ann_index = pqmod.build_ivfpq(
+                    coarse, m=m, codebook_size=256, dim=self.dim
+                )
             else:  # ivf
                 self._ann_index = ann.build_ivf(
                     self._df, id_col=self.id_col, vec_col=self.vec_col,
@@ -459,6 +482,19 @@ class VectorDatabase:
             return bqmod.ivfbq_search(
                 self._ann_index, self._df, vector, k=top_k, nprobe=nprobe,
                 pool=max(top_k * 10, 100),
+            )
+        if self.index_type == "ivfpq":
+            from homemade_vector_db_spark.operators import pq as pqmod
+
+            # ef_search → nprobe, same mapping as ivf/ivfbq; ADC
+            # shortlist widened to the reference hybrid's pool law
+            # (max(top_k·10, 100), local_db.py:362) before exact rerank
+            nlist = len(self._ann_index.centroids)
+            nprobe = max(1, min(nlist, self.ef_search // 10))
+            overfetch = max(10, -(-100 // top_k))
+            return pqmod.ivfpq_rerank_search(
+                self._ann_index, self._df, vector, k=top_k,
+                nprobe=nprobe, overfetch=overfetch,
             )
         if self.index_type in ("sq8", "bq"):
             # compressed shortlist -> exact rerank; pool mirrors the
@@ -643,8 +679,12 @@ class VectorDatabase:
                 from homemade_vector_db_spark.operators import bq as bqmod
 
                 bqmod.save_ivfbq(self._ann_index, ann_path)
+            elif self.index_type == "ivfpq":
+                from homemade_vector_db_spark.operators import pq as pqmod
+
+                pqmod.save_ivfpq(self._ann_index, ann_path)
             has_ann = self.index_type in (
-                "lsh", "ivf", "nsw", "sq8", "bq", "ivfbq"
+                "lsh", "ivf", "ivfpq", "nsw", "sq8", "bq", "ivfbq"
             )
         manifest = {
             "dim": self.dim,
@@ -707,6 +747,10 @@ class VectorDatabase:
                 from homemade_vector_db_spark.operators import bq as bqmod
 
                 db._ann_index = bqmod.load_ivfbq(spark, ann_path)
+            elif m["index_type"] == "ivfpq":
+                from homemade_vector_db_spark.operators import pq as pqmod
+
+                db._ann_index = pqmod.load_ivfpq(spark, ann_path)
         return db
 
     @classmethod

@@ -373,6 +373,47 @@ def ivfpq_search(
     )
 
 
+def ivfpq_add(index: IVFPQIndex, new_df: DataFrame, cache: bool = True) -> IVFPQIndex:
+    """Add-after-train (faiss IndexIVFPQ.add parity, the ivf_add stance):
+    new rows are assigned to the EXISTING coarse cells and their
+    residuals encoded with the EXISTING codebooks — no refit, one
+    distributed encode pass over just the batch; rebuild on drift is the
+    caller's threshold policy. Codes are append-only, so under
+    save_ivfpq's partitionBy('cluster') layout an append lands in the
+    right partitions."""
+    from homemade_vector_db_spark.operators.ann import IVFIndex, ivf_assign
+
+    id_col, vec_col = index.id_col, index.vec_col
+    assigned = ivf_assign(
+        IVFIndex(None, index.centroids, id_col, vec_col), new_df
+    )
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in index.centroids]
+    )
+    resid = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(cents_lit, F.col("cluster") + 1),
+        lambda a, b: a - b,
+    )
+    m = index.pq.m
+    sub = index.pq.dim // m
+    subcols = [
+        F.slice(resid, i * sub + 1, sub).alias(f"__s{i}") for i in range(m)
+    ]
+    base = assigned.select(F.col(id_col), F.col("cluster"), *subcols)
+    new_codes = _encode(
+        base, index.pq.codebooks, sub, id_col, new_df.sparkSession
+    ).join(base.select(id_col, "cluster"), id_col)
+    codes = index.codes_with_cluster.unionByName(new_codes)
+    if cache:
+        codes = codes.cache()
+    pq = PQIndex(
+        codes.select(id_col, "codes"), index.pq.codebooks, m, index.pq.dim,
+        id_col, vec_col,
+    )
+    return IVFPQIndex(pq, codes, index.centroids, id_col, vec_col)
+
+
 def save_ivfpq(index: IVFPQIndex, path: str) -> None:
     """Persist the full IVF-PQ state (O8 parity for the reference's
     faiss.idx IVFPQ case, /root/reference/local_db.py:218-221): codes

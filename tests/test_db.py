@@ -244,8 +244,10 @@ def test_incremental_add_extends_ivf_without_refit(spark):
     assert got == [20]
 
 
-@pytest.mark.parametrize("ref_name,ours", [("hnsw", "nsw"), ("ivfpq", "ivf")])
+@pytest.mark.parametrize("ref_name,ours", [("hnsw", "nsw"), ("ivfpq", "ivfpq")])
 def test_reference_index_type_aliases(spark, ref_name, ours):
+    # round 9: 'ivfpq' is no longer an alias for plain IVF — it is the
+    # real residual-encoded IVF-PQ tier (operators/pq.build_ivfpq)
     d = VectorDatabase(spark, dim=4, index_type=ref_name)
     assert d.index_type == ours
 
@@ -458,7 +460,8 @@ def test_import_reference_round_trips_data_and_flat_search(spark, tmp_path):
 
 def test_import_reference_detects_index_type(spark, tmp_path):
     """hnsw.idx routes to the graph tier; faiss.idx with the IVFPQ fourcc
-    routes to ivf; an unrecognized faiss payload defaults to flat — the
+    routes to the REAL ivfpq tier (round 9 — no longer aliased to plain
+    ivf); an unrecognized faiss payload defaults to flat — the
     reference's own fallback (local_db.py:246-248)."""
     import numpy as np
 
@@ -466,7 +469,7 @@ def test_import_reference_detects_index_type(spark, tmp_path):
     vectors = np.ones((1, 4), dtype="float32")
     cases = [
         (("hnsw.idx", b"\x00"), "nsw"),  # 'hnsw' alias → NSW graph tier
-        (("faiss.idx", b"IwPQ" + b"\x00" * 16), "ivf"),  # IVFPQ fourcc
+        (("faiss.idx", b"IwPQ" + b"\x00" * 16), "ivfpq"),  # IVFPQ fourcc
         (("faiss.idx", b"IxF2" + b"\x00" * 16), "flat"),  # IndexFlatL2
         (("faiss.idx", b"????" + b"\x00" * 16), "flat"),  # unknown → flat
     ]
@@ -645,3 +648,32 @@ def test_merge_maintains_trained_ivf_index(spark):
     # the trained index absorbed the shifted block: the needle's id (12)
     # must surface for its own vector through the IVF path
     assert a.query_vector(target, top_k=1) == [12]
+
+
+def test_ivfpq_tier_end_to_end(spark, tmp_path):
+    # real residual IVF-PQ behind the reference spelling: query works,
+    # add is add-after-train (same centroids AND codebooks objects),
+    # save/load reproduces the query
+    import random
+
+    rng = random.Random(7)
+    mk = lambda: [rng.random() for _ in range(8)]
+    db = VectorDatabase(
+        spark, dim=8, index_type="ivfpq", ivf_clusters=4,
+        pq_code_size=4, ef_search=40,
+    )
+    db.add([f"d{i}" for i in range(20)], [mk() for _ in range(20)])
+    q = mk()
+    got = db.query_vector(q, top_k=3)
+    assert len(got) == 3
+    idx_before = db._ann_index
+    db.add(["late"], [mk()])
+    assert db._ann_index.centroids is idx_before.centroids
+    assert db._ann_index.pq.codebooks is idx_before.pq.codebooks
+    assert db._ann_index.codes_with_cluster.count() == 21
+    path = str(tmp_path / "ivfpq_db")
+    db.save(path)
+    loaded = VectorDatabase.load(spark, path)
+    assert loaded.index_type == "ivfpq"
+    assert loaded._ann_index is not None
+    assert loaded.query_vector(q, top_k=3) == db.query_vector(q, top_k=3)

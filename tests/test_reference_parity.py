@@ -15,7 +15,7 @@ Each test cites the reference method it twins. Deliberate adaptations:
   missing/corrupt state must fail loudly, defaulting/erroring analogous
   to the reference's sniffing behavior;
 - index types use the reference spellings through the alias table
-  ('hnsw'→lsh, 'ivfpq'→ivf; db.py:_INDEX_ALIASES), so call sites port
+  ('hnsw'→nsw alias; 'ivfpq' is the REAL residual IVF-PQ tier), so call sites port
   verbatim.
 """
 
