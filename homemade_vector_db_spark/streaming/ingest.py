@@ -373,6 +373,138 @@ class IncrementalVectorIndex:
         )
 
 
+class IncrementalPQIndex:
+    """Streaming IVF-PQ ingest — the compressed sibling of
+    IncrementalVectorIndex for the round-9 real 'ivfpq' tier.
+
+    Bootstrap trains the coarse quantizer AND the residual codebooks
+    ONCE on a seed corpus (both sample-bounded, O(1) in corpus size);
+    from then on every micro-batch is assigned to the FIXED cells and
+    its residuals encoded with the FIXED codebooks (`pq.ivfpq_add`'s
+    encode path — faiss add-after-train semantics), landing as m-byte
+    codes in a `batch=<id>/cluster=<c>` parquet layout. Query-time
+    nprobe probes are partition pruning on `cluster` across all batch
+    dirs; replayed batches overwrite their own batch dir (at-least-once
+    foreachBatch → idempotent state), the IncrementalCorpus law.
+    Codebook/centroid refresh is a drift-policy rebuild, never a
+    per-batch cost."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        centroids: list[list[float]],
+        codebooks: list[list[list[float]]],
+        dim: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.root = root
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.dim = dim
+        self.id_col, self.vec_col = id_col, vec_col
+        self.codes_path = os.path.join(root, "codes")
+
+    @classmethod
+    def bootstrap(
+        cls,
+        seed_df: DataFrame,
+        root: str,
+        nlist: int = 100,
+        m: int = 8,
+        codebook_size: int = 256,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IncrementalPQIndex":
+        from homemade_vector_db_spark.operators import ann, pq
+
+        ivf = ann.build_ivf(
+            seed_df, id_col=id_col, vec_col=vec_col, nlist=nlist, cache=False
+        )
+        idx = pq.build_ivfpq(
+            ivf, m=m, codebook_size=codebook_size, cache=False
+        )
+        out = cls(
+            seed_df.sparkSession, root, idx.centroids, idx.pq.codebooks,
+            idx.pq.dim, id_col, vec_col,
+        )
+        idx.codes_with_cluster.write.mode("overwrite").partitionBy(
+            "cluster"
+        ).parquet(os.path.join(out.codes_path, "batch=seed"))
+        return out
+
+    def _index(self, codes: DataFrame):
+        from homemade_vector_db_spark.operators.pq import IVFPQIndex, PQIndex
+
+        pq = PQIndex(
+            codes.select(self.id_col, "codes"),
+            self.codebooks, len(self.codebooks), self.dim,
+            self.id_col, self.vec_col,
+        )
+        return IVFPQIndex(
+            pq, codes, self.centroids, self.id_col, self.vec_col
+        )
+
+    def encode_batch(self, batch: DataFrame) -> DataFrame:
+        """(id, codes, cluster) for one batch under the FIXED geometry —
+        exactly pq.ivfpq_add's encode path, exposed for the twin law."""
+        from homemade_vector_db_spark.operators import pq
+
+        empty = self._index(
+            self.spark.createDataFrame(
+                [], f"{self.id_col} long, codes array<smallint>, cluster int"
+            )
+        )
+        return pq.ivfpq_add(empty, batch, cache=False).codes_with_cluster
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        sub = "batch=adhoc" if batch_id is None else f"batch={batch_id}"
+        mode = "append" if batch_id is None else "overwrite"
+        self.encode_batch(batch).write.mode(mode).partitionBy(
+            "cluster"
+        ).parquet(os.path.join(self.codes_path, sub))
+
+    def compact(self, target_file_mb: int = 256) -> None:
+        from homemade_vector_db_spark.sources.maintenance import (
+            compact_batched_state,
+        )
+
+        compact_batched_state(
+            self.spark, self.codes_path,
+            partition_by="cluster", target_file_mb=target_file_mb,
+        )
+
+    def index(self):
+        return self._index(
+            self.spark.read.parquet(self.codes_path).drop("batch")
+        )
+
+    def search(
+        self, df: DataFrame, query, k: int = 10, nprobe: int = 4,
+        overfetch: int = 4,
+    ) -> DataFrame:
+        """ADC shortlist over probed cells + exact rerank against the
+        caller's vector table (codes never store raw vectors)."""
+        from homemade_vector_db_spark.operators import pq
+
+        return pq.ivfpq_rerank_search(
+            self.index(), df, query, k=k, nprobe=nprobe, overfetch=overfetch
+        )
+
+    def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
+        return (
+            stream.writeStream.foreachBatch(self.ingest_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.root, "_pq_checkpoint"),
+            )
+            .outputMode("append")
+            .start()
+        )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -1144,3 +1144,46 @@ def test_streaming_video_dedup_replay_idempotent(spark, tmp_path):
     vd.ingest_batch(spark.createDataFrame(rows[3:], schema), batch_id=1)
     after = sorted(r.media_id for r in vd.kept().collect())
     assert before == after == [0, 3]
+
+
+def test_incremental_pq_index_twin_laws(spark, tmp_path):
+    """IncrementalPQIndex: per-batch codes under the FIXED geometry equal
+    pq.ivfpq_add's codes for the same rows (twin law); replayed batches
+    overwrite their own dir (idempotency); search reranks exactly."""
+    from homemade_vector_db_spark.operators import pq
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+    from homemade_vector_db_spark.streaming.ingest import IncrementalPQIndex
+    from tests.conftest import SF_SMOKE
+
+    embs = load_embeddings(spark, SF_SMOKE).cache()
+    seed = embs.where("vec_id < 100")
+    late = embs.where("vec_id >= 100 AND vec_id < 140")
+    ipq = IncrementalPQIndex.bootstrap(
+        seed, str(tmp_path / "pqidx"), nlist=8, m=8, codebook_size=16
+    )
+    ipq.ingest_batch(late, 0)
+
+    # twin law: the full streamed state (seed dir + batch dir, through
+    # the partitioned parquet roundtrip) equals the batch-mode operator
+    # merge ivfpq_add(seed_index, late) row for row
+    seed_codes = spark.read.parquet(str(tmp_path / "pqidx/codes/batch=seed"))
+    merged = pq.ivfpq_add(ipq._index(seed_codes), late, cache=False)
+    want = {
+        (r.vec_id, tuple(r.codes), r.cluster)
+        for r in merged.codes_with_cluster.collect()
+    }
+    got = {
+        (r.vec_id, tuple(r.codes), r.cluster)
+        for r in ipq.index().codes_with_cluster.collect()
+    }
+    assert got == want and len(got) == 140
+
+    # replay idempotency: re-delivering batch 0 leaves one copy
+    ipq.ingest_batch(late, 0)
+    assert ipq.index().codes_with_cluster.count() == 140
+
+    # search: exact rerank against the caller's vector table — an exact
+    # self-match must surface with score 1.0 under a full probe
+    target = embs.where("vec_id = 120").first()
+    rows = ipq.search(embs, list(target.embedding), k=3, nprobe=8).collect()
+    assert rows[0].vec_id == 120 and rows[0].score == 1.0
