@@ -502,6 +502,47 @@ def knn_join(
     )
 
 
+def _split_hot_cells(c_side, q_cells, max_cell_rows):
+    """Exactness-preserving hot-cell sub-sharding for the cell-cogrouped
+    joins: a skewed cell above `max_cell_rows` concentrates its whole
+    tile in one cogroup task (the skew note both IVF joins carry).
+    Corpus rows in an oversized cell hash into ceil(rows/cap) sub-shards
+    and every query probing that cell replicates across them — each
+    (query, corpus-row) pair still meets exactly once, so results are
+    BIT-IDENTICAL to the unsplit plan (pytest pins the invariance) while
+    the per-task tile width is bounded by the cap. The per-cell count is
+    one nlist-sized agg (bounded driver state, same class as the
+    centroid matrix)."""
+    import math
+
+    counts = {
+        r["__cell"]: r["n"]
+        for r in c_side.groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    splits = {
+        c: math.ceil(n / max_cell_rows)
+        for c, n in counts.items()
+        if n > max_cell_rows
+    }
+    if not splits:
+        return c_side, q_cells, ["__cell"]
+    pairs = []
+    for c, s in sorted(splits.items()):
+        pairs += [F.lit(int(c)), F.lit(int(s))]
+    subs = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col("__cell")), F.lit(1)
+    )
+    c2 = c_side.withColumn(
+        "__sub", F.pmod(F.xxhash64(F.col("__cid")), subs).cast("int")
+    )
+    q2 = q_cells.withColumn(
+        "__sub", F.explode(F.sequence(F.lit(0), subs - F.lit(1)))
+    )
+    return c2, q2, ["__cell", "__sub"]
+
+
 def knn_join_ivf(
     df: DataFrame,
     queries: DataFrame,
@@ -513,6 +554,7 @@ def knn_join_ivf(
     nlist: int = 100,
     nprobe: int | None = None,
     score_decimals: int = 6,
+    max_cell_rows: int = 100_000,
 ) -> DataFrame:
     """IVF-accelerated k-NN JOIN — the ANN tier of `knn_join` for when
     even one full corpus pass per tile row is too much: both sides are
@@ -528,11 +570,11 @@ def knn_join_ivf(
     so the two tiers' results are directly comparable). Per-query cost
     is the probed cells' row count — E[nprobe/nlist · |corpus|] — vs
     knn_join's full |corpus|; total shuffle is one corpus pass hashed
-    by cell plus Q×nprobe replicated query rows. Skew note: a hot cell
-    concentrates work in one cogroup task; production splits cells
-    above a row cap (the hot-bucket-cap pattern used by the media
-    neardup engines) — kmeans balance makes this rare on embedding
-    workloads.
+    by cell plus Q×nprobe replicated query rows. Skew: cells above
+    `max_cell_rows` are sub-sharded (`_split_hot_cells` — the
+    hot-bucket-cap pattern made real): corpus rows hash into
+    ceil(rows/cap) sub-shards, probing queries replicate across them,
+    results provably unchanged, per-task tile width bounded.
 
     Recall contract: approximate by construction (a true neighbor in an
     unprobed cell is missed); queries may return < k rows when probed
@@ -575,12 +617,14 @@ def knn_join_ivf(
         F.col("cluster").cast("int").alias("__cell"),
     )
 
+    c_side, q_cells, keys = _split_hot_cells(c_side, q_cells, max_cell_rows)
+
     def cell_topk(key, cdf: pd.DataFrame, qdf: pd.DataFrame):
         return _tile_topk_frame(cdf, qdf, k, score_decimals, query_id_col, id_col)
 
     cand = (
-        c_side.groupBy("__cell")
-        .cogroup(q_cells.groupBy("__cell"))
+        c_side.groupBy(*keys)
+        .cogroup(q_cells.groupBy(*keys))
         .applyInPandas(
             cell_topk, f"{query_id_col} long, {id_col} long, score double"
         )
@@ -607,6 +651,7 @@ def knn_join_ivfpq(
     codebook_size: int = 64,
     overfetch: int = 4,
     score_decimals: int = 6,
+    max_cell_rows: int = 1_000_000,
 ) -> DataFrame:
     """IVF-PQ tier of the distributed k-NN JOIN — the shape that actually
     fits a 100-TB corpus: the corpus rows shuffled into the cell cogroup
@@ -717,9 +762,16 @@ def knn_join_ivfpq(
             }
         )
 
+    # hot-cell sub-sharding (the knn_join_ivf skew law; cap is higher
+    # here because a tile row is m bytes, not dim×4). The ADC shortlist
+    # becomes per-SUB-shard, so splitting can only WIDEN the rerank pool
+    # (a superset of candidates — recall never drops), and the exact
+    # rerank keeps returned scores bit-identical either way.
+    c_codes, q_cells, keys = _split_hot_cells(c_codes, q_cells, max_cell_rows)
+
     shortlist = (
-        c_codes.groupBy("__cell")
-        .cogroup(q_cells.groupBy("__cell"))
+        c_codes.groupBy(*keys)
+        .cogroup(q_cells.groupBy(*keys))
         .applyInPandas(cell_shortlist, "__qid long, __cid long")
     )
     # rerank pool: shortlist-sized joins back to full precision

@@ -454,3 +454,42 @@ def test_knn_join_auto_three_tier_dispatch(spark, embs):
     assert norm(exact_tier.collect()) == want
     assert norm(ivf_tier.collect()) == want
     assert norm(pq_tier.collect()) == want
+
+
+def test_knn_join_ivf_hot_cell_split_invariance(spark, embs):
+    # sub-sharding oversized cells is pure task-width control: forcing a
+    # tiny cap (every cell splits) must reproduce the unsplit plan
+    # bit-for-bit — each (query, corpus-row) pair still meets exactly once
+    from homemade_vector_db_spark.operators.knn import knn_join_ivf
+
+    qs = embs.where(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    norm = lambda rows: sorted((r.query_id, r.rn, r.vec_id, r.score) for r in rows)
+    base = norm(knn_join_ivf(embs, qs, k=4, nlist=8, nprobe=3).collect())
+    split = norm(
+        knn_join_ivf(
+            embs, qs, k=4, nlist=8, nprobe=3, max_cell_rows=20
+        ).collect()
+    )
+    assert split == base
+
+
+def test_knn_join_ivfpq_split_keeps_exactness_envelope(spark, embs):
+    # under forced sub-sharding the per-shard ADC shortlist is a superset
+    # of the per-cell one, so the full-probe/full-overfetch exactness
+    # envelope must still hold
+    from homemade_vector_db_spark.operators.knn import knn_join, knn_join_ivfpq
+
+    qs = embs.where(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    norm = lambda rows: sorted((r.query_id, r.rn, r.vec_id, r.score) for r in rows)
+    want = norm(knn_join(embs, qs, k=3).collect())
+    got = norm(
+        knn_join_ivfpq(
+            embs, qs, k=3, nlist=8, nprobe=8, m=8, codebook_size=16,
+            overfetch=200, max_cell_rows=25,
+        ).collect()
+    )
+    assert got == want
