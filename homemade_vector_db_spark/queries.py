@@ -3430,6 +3430,50 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level redundancy matrix (round 9, second half): directed
+    shingle containment between SOURCES — |shingles(a) ∩ shingles(b)| /
+    |shingles(a)| over each source's DISTINCT 3-gram vocabulary. The
+    mixture-design diagnostic that tells you two feeds are re-crawls of
+    each other BEFORE you weight them independently (doc-level dedup
+    sees the trees; this sees the forest). Scale shape: the corpus-scale
+    work is the shared materialized shingle relation; everything after
+    runs on the DISTINCT (source, shingle) relation, and the self-join
+    fan-out per shingle is bounded by #sources (20), never by docs —
+    output is ≤ sources² rows at any corpus size."""
+    d = load_documents(spark, sf_dir).select("doc_id", "source")
+    ss = (
+        _shingle_sets(spark, sf_dir)
+        .join(d, "doc_id")
+        .select("source", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("na"))
+    a, b = ss.alias("a"), ss.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("source", "source_a"), "source_a")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.round(F.col("inter") / F.col("na"), 6).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: per-doc token count (str.split parity tokenizer)."""
     return textstats.token_counts(load_documents(spark, sf_dir))
@@ -5410,6 +5454,35 @@ SELECT a_id, b_id,
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+_ORACLES["source_overlap"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens) - {JACCARD_NGRAM - 2}),
+           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
+  FROM toks
+  WHERE len(tokens) >= {JACCARD_NGRAM}
+),
+ss AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) s
+  JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT source, count(*) AS na FROM ss GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
+       round(CAST(inter AS DOUBLE) / na, 6) AS containment
+FROM pairs JOIN sizes ON source_a = source
+ORDER BY source_a, source_b
 """
 
 _ORACLES["containment_neardup"] = f"""
@@ -11639,6 +11712,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "containment_neardup": q_containment_neardup,
+        "source_overlap": q_source_overlap,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,

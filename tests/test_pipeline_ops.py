@@ -839,3 +839,23 @@ def test_embedding_outliers_integer_mad_law(spark):
                 want.add((vid, label, d[vid], a))
     assert got == want
     assert want, "fixture produced no outliers; law untested"
+
+
+def test_source_overlap_directed_containment_law(spark, monkeypatch):
+    # a's shingles ⊂ b's: containment(a→b) = 1.0, (b→a) = |a|/|b|;
+    # disjoint source c never appears
+    d = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4", "a"),          # 2 distinct 3-gram shingles
+            (2, "w1 w2 w3 w4 w5 w6", "b"),    # 4, superset of a's
+            (3, "x1 x2 x3 x4", "c"),          # disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    monkeypatch.setattr(Qm, "_shingle_sets", lambda s, sf: Qm.dedup._shingled(d, "doc_id", "text", 3))
+    rows = {(r.source_a, r.source_b): (r.inter, r.containment)
+            for r in Qm.q_source_overlap(spark, "ignored").collect()}
+    assert rows == {("a", "b"): (2, 1.0), ("b", "a"): (2, 0.5)}
