@@ -3430,6 +3430,44 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_TERM, FUZZY_MAXD = "filtr", 1
+
+
+def q_fuzzy_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant lexical search (round 9, second half): documents
+    containing any term within Levenshtein distance 1 of the (misspelled)
+    query term — the OCR-noise / user-typo recall layer every text
+    search deploys next to exact BM25. The expensive edit-distance
+    arithmetic runs ONLY over the distinct-term vocabulary (31 rows
+    here; sublinear in corpus bytes — the same bounded-vocabulary stance
+    as BPE training), matched terms broadcast back onto the postings
+    relation, and the corpus-scale work is the one postings build every
+    lexical entry shares. At web-scale vocabularies (1e8 terms) the
+    linear vocab scan becomes SymSpell deletion-neighborhood blocking
+    (hash 1-deletion variants, join, verify) — same verify law, blocked
+    candidates; documented, not needed at any testable SF. Both engines
+    evaluate the IDENTICAL levenshtein builtin, so the row is
+    hash-exact."""
+    toks = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("term"), F.lit(FUZZY_TERM))
+    matches = (
+        toks.select("term")
+        .distinct()
+        .where(dist <= FUZZY_MAXD)
+        .select("term", dist.alias("dist"))
+    )
+    return (
+        toks.join(F.broadcast(matches), "term")
+        .groupBy("term", "dist")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("dist", "term")
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-level redundancy matrix (round 9, second half): directed
     shingle containment between SOURCES — |shingles(a) ∩ shingles(b)| /
@@ -5454,6 +5492,23 @@ SELECT a_id, b_id,
 FROM pairs
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+_ORACLES["fuzzy_term_search"] = f"""
+WITH postings AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS term
+  FROM documents
+),
+m AS (
+  SELECT term, levenshtein(term, '{FUZZY_TERM}') AS dist
+  FROM (SELECT DISTINCT term FROM postings)
+  WHERE levenshtein(term, '{FUZZY_TERM}') <= {FUZZY_MAXD}
+)
+SELECT term, dist, count(*) AS n_docs
+FROM postings JOIN m USING (term)
+GROUP BY 1, 2
+ORDER BY dist, term
 """
 
 _ORACLES["source_overlap"] = f"""
@@ -11713,6 +11768,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "containment_neardup": q_containment_neardup,
         "source_overlap": q_source_overlap,
+        "fuzzy_term_search": q_fuzzy_term_search,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,

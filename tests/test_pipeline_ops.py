@@ -859,3 +859,23 @@ def test_source_overlap_directed_containment_law(spark, monkeypatch):
     rows = {(r.source_a, r.source_b): (r.inter, r.containment)
             for r in Qm.q_source_overlap(spark, "ignored").collect()}
     assert rows == {("a", "b"): (2, 1.0), ("b", "a"): (2, 0.5)}
+
+
+def test_fuzzy_term_search_edit_distance_law(spark, monkeypatch):
+    # query "cat": exact term at dist 0, 1-edit neighbors in, 2+ out;
+    # n_docs counts distinct docs per matched term
+    d = spark.createDataFrame(
+        [
+            (1, "cat cart dog", "a"),
+            (2, "cat bat", "a"),
+            (3, "cargo", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    monkeypatch.setattr(Qm, "FUZZY_TERM", "cat")
+    rows = {(r.term, r.dist): r.n_docs
+            for r in Qm.q_fuzzy_term_search(spark, "ignored").collect()}
+    assert rows == {("cat", 0): 2, ("cart", 1): 1, ("bat", 1): 1}
