@@ -56,6 +56,31 @@ class IncrementalCorpus:
         self.termdf_path = os.path.join(root, "term_df")
         self.corpus_path = os.path.join(root, "corpus_scalars")
         self.bpe_vocab_path = os.path.join(root, "bpe_vocab")
+        self._as_of: int | None = None
+
+    def as_of(self, batch_id: int) -> "IncrementalCorpus":
+        """Snapshot view: every accessor (docs, postings, term_stats,
+        corpus_stats, bm25_stats) reads state as of (≤) `batch_id` — the
+        training-reproducibility hook: pin the exact corpus an experiment
+        saw and recompute identical BM25 scores later, while ingest keeps
+        appending. Zero data copies — the additive batch=<id> partition
+        dirs ARE the snapshot history, so the filter is partition pruning
+        on the batch key, not a scan. Refuses after compact(): folding
+        batches into batch=compacted destroys the per-batch history the
+        snapshot law needs (keep the raw dirs where time travel matters —
+        retention vs reproducibility is a storage policy decision)."""
+        import re
+
+        for d in os.listdir(self.docs_path):
+            if d.startswith("batch=") and not re.match(r"batch=\d+$", d):
+                raise ValueError(
+                    f"as_of() needs the per-batch history; found folded dir "
+                    f"{d!r} (compact() ran). Snapshot reads require "
+                    "uncompacted batch dirs."
+                )
+        snap = IncrementalCorpus(self.spark, self.root)
+        snap._as_of = int(batch_id)
+        return snap
 
     def _write(self, df: DataFrame, root: str, batch_id: int) -> None:
         # idempotent per batch: replays of the same micro-batch overwrite
@@ -65,7 +90,10 @@ class IncrementalCorpus:
         )
 
     def _read(self, root: str) -> DataFrame:
-        return self.spark.read.parquet(root).drop("batch")
+        df = self.spark.read.parquet(root)
+        if self._as_of is not None:
+            df = df.where(F.col("batch") <= F.lit(self._as_of))
+        return df.drop("batch")
 
     def _next_adhoc_id(self) -> int:
         """Key for direct (non-streaming) calls without a batch_id: one past

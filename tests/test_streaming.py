@@ -1187,3 +1187,28 @@ def test_incremental_pq_index_twin_laws(spark, tmp_path):
     target = embs.where("vec_id = 120").first()
     rows = ipq.search(embs, list(target.embedding), k=3, nprobe=8).collect()
     assert rows[0].vec_id == 120 and rows[0].score == 1.0
+
+
+def test_incremental_corpus_as_of_snapshot(spark, tmp_path):
+    """as_of(b) reproduces the exact state a fresh corpus with only
+    batches <= b would hold — the training-reproducibility law — and
+    refuses after compact() destroys the per-batch history."""
+    import pytest as _pytest
+
+    corpus = IncrementalCorpus(spark, str(tmp_path / "corpus"))
+    corpus.ingest_batch(_df(spark, BATCH1), 0)
+    only_b1 = IncrementalCorpus(spark, str(tmp_path / "only_b1"))
+    only_b1.ingest_batch(_df(spark, BATCH1), 0)
+    corpus.ingest_batch(_df(spark, BATCH2), 1)
+
+    snap = corpus.as_of(0)
+    assert snap.corpus_stats().first().N == len(BATCH1)
+    want = sorted(map(tuple, only_b1.term_stats().collect()))
+    got = sorted(map(tuple, snap.term_stats().collect()))
+    assert got == want  # identical df AND eps-floored idf at the snapshot
+    # the live view still sees everything
+    assert corpus.corpus_stats().first().N == len(BATCH1) + len(BATCH2)
+
+    corpus.compact()
+    with _pytest.raises(ValueError, match="compact"):
+        corpus.as_of(0)
