@@ -456,7 +456,11 @@ class VectorDatabase:
                 # m = pq_code_size (the faiss IndexIVFPQ 'm'); fall back
                 # to a divisor of dim when the reference default doesn't
                 # divide it (faiss would throw — we degrade gracefully)
-                m = self.pq_code_size
+                if self.pq_code_size < 1:
+                    raise ValueError(
+                        f"pq_code_size must be >= 1, got {self.pq_code_size}"
+                    )
+                m = min(self.pq_code_size, self.dim)
                 while self.dim % m != 0:
                     m -= 1
                 self._ann_index = pqmod.build_ivfpq(

@@ -45,6 +45,19 @@ from homemade_vector_db_spark.functions.text import tokenize
 CHECKPOINT_EVERY = 8
 
 
+def char_split(col: str) -> "F.Column":
+    """Split a string column into CODE POINTS, JVM-side.
+
+    A zero-width-lookaround `F.split` operates on UTF-16 units and
+    breaks surrogate pairs in half (a lone high surrogate is not the
+    character the reference trainer's `tuple(word)` sees — Python
+    strings and DuckDB substring() are both code-point-based).
+    `regexp_extract_all` with Java's `.` matches one full code point,
+    so all three engines agree on any input, including non-BMP
+    (emoji/astral-plane) text."""
+    return F.expr(f"regexp_extract_all({col}, '(?s).', 0)")
+
+
 def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) — the ONLY corpus-scale pass of BPE training."""
     return (
@@ -142,10 +155,10 @@ def train_bpe_distributed(
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     vocab = word_freq_table(docs, text_col).select(
-        F.split("word", "(?!^)(?=.)").alias("syms"), "freq"
+        char_split("word").alias("syms"), "freq"
     )
-    # split-to-chars via lookaround keeps this JVM-side; verify law at
-    # the boundary: concat(syms) == word for every row (pytest-pinned).
+    # JVM-side code-point split; boundary law concat(syms) == word and
+    # the non-BMP (surrogate-pair) case are both pytest-pinned.
     vocab = vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for r in range(n_merges):

@@ -95,6 +95,46 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def _canonical_sets(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
+    """(doc_id, sset, nsh) with shingles under the rarity-first canonical
+    order — the shared substrate of the PPJoin family. Both the symmetric
+    jaccard prefix law and the asymmetric containment pigeonhole depend
+    on the SAME global order, so there is exactly one definition.
+
+    Hash shingle strings to int64 ONCE, and persist the per-doc hash
+    arrays: every downstream branch (frequency table, rarity ranking,
+    prefix index, verification) re-reads ~16 bytes/shingle instead of
+    re-running tokenize→slice-zip→distinct→hash — shingling is the
+    dominant cost of these operators, and an unpersisted plan re-executes
+    it once per branch. Spills to disk at scale; 8-byte hashes (not
+    shingle text) also keep the exchanges small. xxhash64 collisions
+    (~2^-64/pair) are noise relative to the threshold decision. Capped
+    shingles (`max_shingle_freq`) leave the sets entirely, so similarity
+    stays consistent over the pruned universe."""
+    hashed = sh.select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
+    ).transform(_track_persist)
+    ex = hashed.select("doc_id", F.explode("hs").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    if max_shingle_freq is not None:
+        freq = freq.where(F.col("freq") <= max_shingle_freq)
+        ex = ex.join(freq.select("shingle"), "shingle")
+    ranked = ex.join(freq, "shingle").select(
+        "doc_id", F.struct(F.col("freq"), F.col("shingle")).alias("fs")
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("fs")).alias("fss"))
+        .select(
+            "doc_id",
+            F.transform("fss", lambda x: x.shingle).alias("sset"),
+            F.size("fss").alias("nsh"),
+        )
+        # read by the prefix side(s), posting side, and verification joins
+        .transform(_track_persist)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -119,23 +159,6 @@ def ngram_jaccard_pairs(
     operators over one corpus should materialize them once and share.
     """
     sh = _shingled(df, id_col, text_col, n) if shingled is None else shingled
-    # Hash shingle strings to int64 ONCE, and persist the per-doc hash
-    # arrays: every downstream branch (frequency table, rarity ranking,
-    # prefix index, verification) re-reads ~16 bytes/shingle instead of
-    # re-running tokenize→slice-zip→distinct→hash — shingling is the
-    # dominant cost of this operator, and an unpersisted plan re-executes
-    # it once per branch. Spills to disk at scale; 8-byte hashes (not
-    # shingle text) also keep the exchanges small. xxhash64 collisions
-    # (~2^-64/pair) are noise relative to the threshold decision.
-    hashed = sh.select(
-        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
-    ).transform(_track_persist)
-    ex = hashed.select("doc_id", F.explode("hs").alias("shingle"))
-    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    if max_shingle_freq is not None:
-        freq = freq.where(F.col("freq") <= max_shingle_freq)
-        ex = ex.join(freq.select("shingle"), "shingle")
-
     # Prefix filtering (PPJoin family): under a rarity-first canonical
     # order, two sets with jaccard ≥ t MUST share a shingle among each
     # one's first |d| - ceil(t·|d|) + 1 elements — so only prefixes are
@@ -143,19 +166,7 @@ def ngram_jaccard_pairs(
     # which keeps stop-shingles out of prefixes: candidate volume drops
     # by orders of magnitude while staying EXACT (verification below
     # recomputes true jaccard over the full sets).
-    ranked = ex.join(freq, "shingle").select(
-        "doc_id", F.struct(F.col("freq"), F.col("shingle")).alias("fs")
-    )
-    sets = (
-        ranked.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("fs")).alias("fss"))
-        .select(
-            "doc_id",
-            F.transform("fss", lambda x: x.shingle).alias("sset"),
-            F.size("fss").alias("nsh"),
-        )
-        .transform(_track_persist)  # read by the two prefix sides + two verification joins
-    )
+    sets = _canonical_sets(sh, max_shingle_freq)
     prefix_len = F.col("nsh") - F.ceil(F.lit(float(threshold)) * F.col("nsh")) + 1
     pref = sets.select(
         "doc_id", "nsh", F.explode(F.slice("sset", F.lit(1), prefix_len)).alias("shingle")
@@ -226,27 +237,7 @@ def containment_pairs(
     family (`shingled=`), so the marginal corpus-scale cost over a
     jaccard run is one extra posting-list explode."""
     sh = _shingled(df, id_col, text_col, n) if shingled is None else shingled
-    hashed = sh.select(
-        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
-    ).transform(_track_persist)
-    ex = hashed.select("doc_id", F.explode("hs").alias("shingle"))
-    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    if max_shingle_freq is not None:
-        freq = freq.where(F.col("freq") <= max_shingle_freq)
-        ex = ex.join(freq.select("shingle"), "shingle")
-    ranked = ex.join(freq, "shingle").select(
-        "doc_id", F.struct(F.col("freq"), F.col("shingle")).alias("fs")
-    )
-    sets = (
-        ranked.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("fs")).alias("fss"))
-        .select(
-            "doc_id",
-            F.transform("fss", lambda x: x.shingle).alias("sset"),
-            F.size("fss").alias("nsh"),
-        )
-        .transform(_track_persist)  # prefix side + posting side + 2 verify joins
-    )
+    sets = _canonical_sets(sh, max_shingle_freq)
     prefix_len = F.col("nsh") - F.ceil(F.lit(float(threshold)) * F.col("nsh")) + 1
     pref = sets.select(
         "doc_id", "nsh",

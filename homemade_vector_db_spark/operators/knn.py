@@ -502,6 +502,36 @@ def knn_join(
     )
 
 
+def _probe_cells(queries, cents, npro, query_id_col, qvec_col):
+    """Expand each query row to its `npro` nearest coarse cells — the
+    shared probe of knn_join_ivf and knn_join_ivfpq (one Arrow-batched
+    mapInPandas over the tiny centroid matrix; the two tiers' probe
+    behavior is identical by contract)."""
+    import numpy as np
+    import pandas as pd
+
+    def probe(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Qm = np.stack(pdf[qvec_col].to_numpy()).astype(np.float64)
+            d2 = ((Qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, kind="stable", axis=1)[:, :npro]
+            yield pd.DataFrame(
+                {
+                    "__qid": np.repeat(
+                        pdf[query_id_col].to_numpy(dtype=np.int64), npro
+                    ),
+                    "__qvec": np.repeat(pdf[qvec_col].to_numpy(), npro),
+                    "__cell": order.ravel().astype(np.int32),
+                }
+            )
+
+    return queries.mapInPandas(
+        probe, schema="__qid long, __qvec array<float>, __cell int"
+    )
+
+
 def _split_hot_cells(c_side, q_cells, max_cell_rows):
     """Exactness-preserving hot-cell sub-sharding for the cell-cogrouped
     joins: a skewed cell above `max_cell_rows` concentrates its whole
@@ -512,9 +542,14 @@ def _split_hot_cells(c_side, q_cells, max_cell_rows):
     BIT-IDENTICAL to the unsplit plan (pytest pins the invariance) while
     the per-task tile width is bounded by the cap. The per-cell count is
     one nlist-sized agg (bounded driver state, same class as the
-    centroid matrix)."""
+    centroid matrix); the corpus-side relation is persisted FIRST so the
+    count probe materializes the assign/encode pipeline once and the
+    downstream cogroup reads the cache instead of recomputing it."""
     import math
 
+    from homemade_vector_db_spark.session import track_persist
+
+    c_side = track_persist(c_side)
     counts = {
         r["__cell"]: r["n"]
         for r in c_side.groupBy("__cell")
@@ -590,27 +625,7 @@ def knn_join_ivf(
     idx = build_ivf(df, id_col=id_col, vec_col=vec_col, nlist=nlist, cache=False)
     npro = max(1, idx.nlist // 10) if nprobe is None else max(1, min(nprobe, idx.nlist))
     cents = np.asarray(idx.centroids, dtype=np.float64)
-
-    def probe(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            Qm = np.stack(pdf[qvec_col].to_numpy()).astype(np.float64)
-            d2 = ((Qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d2, kind="stable", axis=1)[:, :npro]
-            yield pd.DataFrame(
-                {
-                    "__qid": np.repeat(
-                        pdf[query_id_col].to_numpy(dtype=np.int64), npro
-                    ),
-                    "__qvec": np.repeat(pdf[qvec_col].to_numpy(), npro),
-                    "__cell": order.ravel().astype(np.int32),
-                }
-            )
-
-    q_cells = queries.mapInPandas(
-        probe, schema="__qid long, __qvec array<float>, __cell int"
-    )
+    q_cells = _probe_cells(queries, cents, npro, query_id_col, qvec_col)
     c_side = idx.assignments.select(
         F.col(id_col).alias("__cid"),
         F.col(vec_col).alias("__cvec"),
@@ -703,27 +718,7 @@ def knn_join_ivfpq(
     cbooks = np.asarray(ivfpq.pq.codebooks, dtype=np.float64)
     sub = cbooks.shape[2]
     pool = k * max(1, overfetch)
-
-    def probe(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            Qm = np.stack(pdf[qvec_col].to_numpy()).astype(np.float64)
-            d2 = ((Qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d2, kind="stable", axis=1)[:, :npro]
-            yield pd.DataFrame(
-                {
-                    "__qid": np.repeat(
-                        pdf[query_id_col].to_numpy(dtype=np.int64), npro
-                    ),
-                    "__qvec": np.repeat(pdf[qvec_col].to_numpy(), npro),
-                    "__cell": order.ravel().astype(np.int32),
-                }
-            )
-
-    q_cells = queries.mapInPandas(
-        probe, schema="__qid long, __qvec array<float>, __cell int"
-    )
+    q_cells = _probe_cells(queries, cents, npro, query_id_col, qvec_col)
     c_codes = ivfpq.codes_with_cluster.select(
         F.col(id_col).alias("__cid"),
         F.col("codes").alias("__codes"),

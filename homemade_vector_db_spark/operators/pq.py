@@ -273,6 +273,50 @@ def load_pq(spark, path: str) -> PQIndex:
     )
 
 
+def _residual_expr(centroids, vec_col: str):
+    """x − centroid(cluster) as a pure codegen projection (the centroid
+    table constant-folds into a literal array indexed by the cluster
+    column) — the single definition of the residual law shared by
+    training (build_ivfpq) and add-after-train encoding."""
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    return F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(cents_lit, F.col("cluster") + 1),
+        lambda a, b: a - b,
+    )
+
+
+def encode_with_geometry(
+    new_df: DataFrame,
+    centroids,
+    codebooks,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes, cluster) for rows under a FIXED geometry — the faiss
+    add-after-train encode path: assign to the EXISTING coarse cells,
+    encode residuals with the EXISTING codebooks. The single encode
+    definition behind ivfpq_add and the streaming IncrementalPQIndex."""
+    from homemade_vector_db_spark.operators.ann import IVFIndex, ivf_assign
+
+    assigned = ivf_assign(
+        IVFIndex(None, centroids, id_col, vec_col), new_df
+    )
+    m = len(codebooks)
+    sub = dim // m
+    resid = _residual_expr(centroids, vec_col)
+    subcols = [
+        F.slice(resid, i * sub + 1, sub).alias(f"__s{i}") for i in range(m)
+    ]
+    base = assigned.select(F.col(id_col), F.col("cluster"), *subcols)
+    return _encode(base, codebooks, sub, id_col, new_df.sparkSession).join(
+        base.select(id_col, "cluster"), id_col
+    )
+
+
 @dataclass
 class IVFPQIndex:
     """Residual-encoded IVF-PQ — the canonical FAISS IndexIVFPQ layout
@@ -306,17 +350,7 @@ def build_ivfpq(
     pass, sample-bounded driver-side training."""
     assignments = ivf_index.assignments  # (id, vec, cluster)
     id_col, vec_col = ivf_index.id_col, ivf_index.vec_col
-    cents_lit = F.array(
-        *[
-            F.array(*[F.lit(float(v)) for v in c])
-            for c in ivf_index.centroids
-        ]
-    )
-    resid = F.zip_with(
-        F.col(vec_col).cast("array<double>"),
-        F.element_at(cents_lit, F.col("cluster") + 1),
-        lambda a, b: a - b,
-    )
+    resid = _residual_expr(ivf_index.centroids, vec_col)
     base = assignments.select(
         F.col(id_col), F.col("cluster"), resid.alias("__resid")
     )
@@ -381,35 +415,17 @@ def ivfpq_add(index: IVFPQIndex, new_df: DataFrame, cache: bool = True) -> IVFPQ
     caller's threshold policy. Codes are append-only, so under
     save_ivfpq's partitionBy('cluster') layout an append lands in the
     right partitions."""
-    from homemade_vector_db_spark.operators.ann import IVFIndex, ivf_assign
-
     id_col, vec_col = index.id_col, index.vec_col
-    assigned = ivf_assign(
-        IVFIndex(None, index.centroids, id_col, vec_col), new_df
+    new_codes = encode_with_geometry(
+        new_df, index.centroids, index.pq.codebooks, index.pq.dim,
+        id_col, vec_col,
     )
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in index.centroids]
-    )
-    resid = F.zip_with(
-        F.col(vec_col).cast("array<double>"),
-        F.element_at(cents_lit, F.col("cluster") + 1),
-        lambda a, b: a - b,
-    )
-    m = index.pq.m
-    sub = index.pq.dim // m
-    subcols = [
-        F.slice(resid, i * sub + 1, sub).alias(f"__s{i}") for i in range(m)
-    ]
-    base = assigned.select(F.col(id_col), F.col("cluster"), *subcols)
-    new_codes = _encode(
-        base, index.pq.codebooks, sub, id_col, new_df.sparkSession
-    ).join(base.select(id_col, "cluster"), id_col)
     codes = index.codes_with_cluster.unionByName(new_codes)
     if cache:
         codes = codes.cache()
     pq = PQIndex(
-        codes.select(id_col, "codes"), index.pq.codebooks, m, index.pq.dim,
-        id_col, vec_col,
+        codes.select(id_col, "codes"), index.pq.codebooks, index.pq.m,
+        index.pq.dim, id_col, vec_col,
     )
     return IVFPQIndex(pq, codes, index.centroids, id_col, vec_col)
 

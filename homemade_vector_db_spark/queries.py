@@ -3448,11 +3448,9 @@ def q_fuzzy_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates; documented, not needed at any testable SF. Both engines
     evaluate the IDENTICAL levenshtein builtin, so the row is
     hash-exact."""
-    toks = (
-        load_documents(spark, sf_dir)
-        .select("doc_id", F.explode(tokenize("text")).alias("term"))
-        .distinct()
-    )
+    # one row per (doc_id, term) — the session-cached BM25 postings ARE
+    # the shared corpus tokenization; no fresh tokenize pass
+    toks = _bm25_stats(spark, sf_dir).postings.select("doc_id", "term")
     dist = F.levenshtein(F.col("term"), F.lit(FUZZY_TERM))
     matches = (
         toks.select("term")
@@ -7924,12 +7922,13 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_train_check."""
     from homemade_vector_db_spark.operators.bpetrain import (
         _pair_counts,
+        char_split,
         word_freq_table,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = word_freq_table(docs).select(
-        F.split("word", "(?!^)(?=.)").alias("syms"), "freq"
+        char_split("word").alias("syms"), "freq"
     )
     return (
         _pair_counts(vocab)

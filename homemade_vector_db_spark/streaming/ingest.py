@@ -68,19 +68,33 @@ class IncrementalCorpus:
         on the batch key, not a scan. Refuses after compact(): folding
         batches into batch=compacted destroys the per-batch history the
         snapshot law needs (keep the raw dirs where time travel matters —
-        retention vs reproducibility is a storage policy decision)."""
+        retention vs reproducibility is a storage policy decision). The
+        guard re-runs on EVERY snapshot read, not just here: a compact()
+        racing a live snapshot handle must fail loudly, never return
+        silently-empty data."""
+        self._check_history(self.docs_path)
+        snap = IncrementalCorpus(self.spark, self.root)
+        snap._as_of = int(batch_id)
+        return snap
+
+    @staticmethod
+    def _check_history(root: str) -> None:
         import re
 
-        for d in os.listdir(self.docs_path):
+        try:
+            dirs = os.listdir(root)
+        except FileNotFoundError:
+            raise ValueError(
+                f"no ingested batches under {root!r}; as_of() needs at "
+                "least one batch=<id> dir"
+            ) from None
+        for d in dirs:
             if d.startswith("batch=") and not re.match(r"batch=\d+$", d):
                 raise ValueError(
                     f"as_of() needs the per-batch history; found folded dir "
                     f"{d!r} (compact() ran). Snapshot reads require "
                     "uncompacted batch dirs."
                 )
-        snap = IncrementalCorpus(self.spark, self.root)
-        snap._as_of = int(batch_id)
-        return snap
 
     def _write(self, df: DataFrame, root: str, batch_id: int) -> None:
         # idempotent per batch: replays of the same micro-batch overwrite
@@ -90,10 +104,14 @@ class IncrementalCorpus:
         )
 
     def _read(self, root: str) -> DataFrame:
-        df = self.spark.read.parquet(root)
         if self._as_of is not None:
-            df = df.where(F.col("batch") <= F.lit(self._as_of))
-        return df.drop("batch")
+            self._check_history(root)
+            return (
+                self.spark.read.parquet(root)
+                .where(F.col("batch") <= F.lit(self._as_of))
+                .drop("batch")
+            )
+        return self.spark.read.parquet(root).drop("batch")
 
     def _next_adhoc_id(self) -> int:
         """Key for direct (non-streaming) calls without a batch_id: one past
@@ -477,15 +495,14 @@ class IncrementalPQIndex:
 
     def encode_batch(self, batch: DataFrame) -> DataFrame:
         """(id, codes, cluster) for one batch under the FIXED geometry —
-        exactly pq.ivfpq_add's encode path, exposed for the twin law."""
+        exactly pq.ivfpq_add's encode path (shared
+        pq.encode_with_geometry definition), exposed for the twin law."""
         from homemade_vector_db_spark.operators import pq
 
-        empty = self._index(
-            self.spark.createDataFrame(
-                [], f"{self.id_col} long, codes array<smallint>, cluster int"
-            )
+        return pq.encode_with_geometry(
+            batch, self.centroids, self.codebooks, self.dim,
+            self.id_col, self.vec_col,
         )
-        return pq.ivfpq_add(empty, batch, cache=False).codes_with_cluster
 
     def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
         sub = "batch=adhoc" if batch_id is None else f"batch={batch_id}"

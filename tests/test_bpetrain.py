@@ -36,16 +36,40 @@ def test_reference_twin_agrees_on_same_freqs(spark, docs):
 
 
 def test_char_split_boundary_law(spark, docs):
-    # the lookaround split must decompose every word into its exact
+    # the code-point split must decompose every word into its exact
     # characters: concat(syms) == word, size(syms) == length(word)
+    from homemade_vector_db_spark.operators.bpetrain import char_split
+
     vocab = word_freq_table(docs).select(
-        "word", F.split("word", "(?!^)(?=.)").alias("syms")
+        "word", char_split("word").alias("syms")
     )
     bad = vocab.where(
         (F.concat_ws("", "syms") != F.col("word"))
         | (F.size("syms") != F.length("word"))
     ).count()
     assert bad == 0
+
+
+def test_char_split_code_points_not_utf16_units(spark):
+    # non-BMP input (surrogate pair in UTF-16): the split must yield
+    # whole code points exactly like the reference trainer's tuple(word)
+    # — a lookaround F.split breaks the pair into two lone surrogates
+    from homemade_vector_db_spark.operators.bpetrain import (
+        char_split,
+        train_bpe_distributed,
+        train_bpe_reference,
+    )
+
+    w = "a\U0001F600b"
+    d = spark.createDataFrame([(w,)], "word string")
+    syms = d.select(char_split("word").alias("s")).first().s
+    assert syms == list(w)  # ['a', emoji, 'b'] — 3 code points
+    docs = spark.createDataFrame(
+        [(1, f"{w} {w} xy xy xy")], "doc_id long, text string"
+    )
+    got = train_bpe_distributed(docs, 3)
+    want = train_bpe_reference({w: 2, "xy": 3}, 3)
+    assert got == want and ("a", "\U0001F600") in got
 
 
 def test_n_merges_validation(spark, docs):

@@ -1212,3 +1212,11 @@ def test_incremental_corpus_as_of_snapshot(spark, tmp_path):
     corpus.compact()
     with _pytest.raises(ValueError, match="compact"):
         corpus.as_of(0)
+    # a handle taken BEFORE compact must also fail loudly at read time,
+    # never return silently-empty state
+    with _pytest.raises(ValueError, match="compact"):
+        snap.corpus_stats().first()
+    # and an empty corpus gives a clear error, not FileNotFoundError
+    empty = IncrementalCorpus(spark, str(tmp_path / "nothing"))
+    with _pytest.raises(ValueError, match="no ingested batches"):
+        empty.as_of(0)
