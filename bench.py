@@ -113,6 +113,8 @@ HEADLINE = [
     "containment_neardup",
     "bpe_pair_counts",
     "embedding_outliers",
+    "source_overlap",
+    "fuzzy_term_search",
 ]
 
 
