@@ -653,3 +653,29 @@ def test_bm25_rerank_broadcast_pool_and_topk(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_fuzzy_term_search_broadcasts_matched_terms(spark):
+    """The fuzzy-match relation (vocabulary-sized) must reach the postings
+    join as the broadcast side; no cartesian anywhere."""
+    plan = physical_plan(Q.q_fuzzy_term_search(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_join_cogroup_no_cartesian(spark):
+    """The distributed kNN join's replication is a generator explode +
+    cogroup, never a cartesian product; the final per-query cut is a
+    window group limit (partial top-k below the exchange)."""
+    embs = load_embeddings(spark, SF_SMOKE)
+    qs = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from homemade_vector_db_spark.operators.knn import knn_join
+
+    plan = physical_plan(
+        knn_join(embs, qs, k=3, corpus_rows_per_block=100, query_rows_per_block=3)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
