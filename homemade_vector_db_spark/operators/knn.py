@@ -590,6 +590,7 @@ def knn_join_ivf(
     nprobe: int | None = None,
     score_decimals: int = 6,
     max_cell_rows: int = 100_000,
+    ivf_index=None,
 ) -> DataFrame:
     """IVF-accelerated k-NN JOIN — the ANN tier of `knn_join` for when
     even one full corpus pass per tile row is too much: both sides are
@@ -622,7 +623,11 @@ def knn_join_ivf(
 
     from homemade_vector_db_spark.operators.ann import build_ivf
 
-    idx = build_ivf(df, id_col=id_col, vec_col=vec_col, nlist=nlist, cache=False)
+    idx = (
+        build_ivf(df, id_col=id_col, vec_col=vec_col, nlist=nlist, cache=False)
+        if ivf_index is None
+        else ivf_index
+    )
     npro = max(1, idx.nlist // 10) if nprobe is None else max(1, min(nprobe, idx.nlist))
     cents = np.asarray(idx.centroids, dtype=np.float64)
     q_cells = _probe_cells(queries, cents, npro, query_id_col, qvec_col)
@@ -802,6 +807,69 @@ def knn_join_ivfpq(
         .where(F.col("rn") <= k)
         .orderBy(query_id_col, "rn")
     )
+
+
+def tune_nprobe(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qv",
+    k: int = 5,
+    nlist: int = 100,
+    target_recall: float = 0.9,
+    score_decimals: int = 6,
+) -> tuple[int, float]:
+    """Recall-targeted nprobe auto-tuning (the faiss AutoTune /
+    vector-DB ef-search-tuner shape): walk a doubling ladder
+    nprobe ∈ {1, 2, 4, …, nlist} and return the SMALLEST probe width
+    whose aggregate top-k recall over a bounded sample query block
+    clears `target_recall`, plus the achieved recall. Recall is weakly
+    monotone in nprobe (more probed cells ⇒ candidate superset ⇒ a true
+    top-k member can only be displaced by another true top-k member —
+    pytest pins the ladder law), so first-hit IS the minimum.
+
+    Cost shape: one exact reference join (knn_join), ONE quantizer fit
+    shared by every rung (cached assignments), and at most
+    ceil(log2 nlist)+1 IVF joins, each a bounded distributed job; driver
+    state is one (hits, total) pair per rung. The tuned value is what a
+    serving deployment pins next to its index (the ef_search→nprobe
+    mapping the db facade exposes)."""
+    if not 0.0 <= target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in [0, 1], got {target_recall}")
+    exact = knn_join(
+        df, queries, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, qvec_col=qvec_col, k=k,
+        score_decimals=score_decimals,
+    ).select(query_id_col, id_col)
+    from homemade_vector_db_spark.session import track_persist
+
+    exact = track_persist(exact)
+    total = exact.count()
+    if total == 0:
+        raise ValueError("exact reference join returned no rows")
+    from homemade_vector_db_spark.operators.ann import build_ivf
+
+    idx = build_ivf(df, id_col=id_col, vec_col=vec_col, nlist=nlist)
+    ladder, npro = [], 1
+    while npro < idx.nlist:
+        ladder.append(npro)
+        npro *= 2
+    ladder.append(idx.nlist)
+    achieved = 0.0
+    for npro in ladder:
+        approx = knn_join_ivf(
+            df, queries, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, qvec_col=qvec_col, k=k,
+            nlist=nlist, nprobe=npro, score_decimals=score_decimals,
+            ivf_index=idx,
+        ).select(query_id_col, id_col)
+        hits = approx.join(exact, [query_id_col, id_col]).count()
+        achieved = hits / total
+        if achieved >= target_recall:
+            return npro, achieved
+    return ladder[-1], achieved
 
 
 def knn_join_auto(

@@ -832,6 +832,37 @@ def q_knn_join_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_TUNE_TARGET = 0.75
+
+
+def q_ivf_tune_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract gate for recall-targeted nprobe auto-tuning (round 9,
+    second half; the faiss AutoTune shape): knn.tune_nprobe walks the
+    doubling ladder over the SAME 50-query block the join gates use and
+    must return a probe width whose achieved recall clears the 0.75
+    target; minimality and ladder monotonicity are pytest-pinned (the
+    chosen value itself is data-dependent across SFs, so the row emits
+    law booleans — the recall-gate stance)."""
+    embs = load_embeddings(spark, sf_dir)
+    qs = embs.where(F.col("vec_id") < KNN_JOIN_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    chosen, achieved = knn.tune_nprobe(
+        embs, qs, k=KNN_JOIN_K, nlist=KNN_JOIN_IVF_NLIST,
+        target_recall=IVF_TUNE_TARGET,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                KNN_JOIN_K,
+                bool(1 <= chosen <= KNN_JOIN_IVF_NLIST),
+                bool(achieved >= IVF_TUNE_TARGET),
+            )
+        ],
+        "k int, chosen_in_range boolean, target_met boolean",
+    )
+
+
 def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (§2.2 extension): latest click value at or before each
     purchase, per user — union+window form, one shuffle."""
@@ -3959,6 +3990,54 @@ def q_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return missing.crossJoin(extra).select(
         F.col("m").alias("n_missing"), F.col("x").alias("n_extra")
     )
+
+
+MRL_DIMS = [8, 16, 32, 64]
+
+
+def q_mrl_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-vs-recall curve (round 9, second half): for
+    each truncation width d ∈ {8,16,32,64}, how many of the full-dim
+    top-10 survive when retrieval uses only the FIRST d dims — the
+    evaluation that sizes dimension-adaptive retrieval (how much scan
+    arithmetic can a first stage shed before the truncated_rerank_topk
+    pool must widen). Unlike the ANN gates this is FULLY deterministic
+    (unrounded-distance orderings with id tie-breaks, integer hit
+    counts), so the whole curve hash-checks against a relational
+    oracle. Plan per dim: one codegen d-term distance scan →
+    TakeOrderedAndProject(10) → broadcast-join against the 10-row
+    full-dim top-k; the 64-dim arithmetic runs once, not per dim."""
+    from homemade_vector_db_spark.functions.vector import squared_l2_lit
+
+    q = _qvec_list(spark, sf_dir)
+    embs = load_embeddings(spark, sf_dir)
+    full = (
+        embs.select("vec_id", squared_l2_lit("embedding", q).alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    out = None
+    for d in MRL_DIMS:
+        td_top = (
+            embs.select(
+                "vec_id", squared_l2_lit("embedding", q[:d]).alias("td")
+            )
+            .orderBy(F.asc("td"), F.asc("vec_id"))
+            .limit(TOP_K)
+            .select("vec_id")
+        )
+        hits = (
+            td_top.join(F.broadcast(full), "vec_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(d).alias("dim"),
+                F.lit(TOP_K).alias("k"),
+                F.col("hits").cast("long").alias("hits"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.orderBy("dim")
 
 
 TRUNC_DIM = 16
@@ -7762,6 +7841,9 @@ _ORACLES["knn_join_ivf_recall"] = (
 _ORACLES["knn_join_ivfpq_recall"] = (
     "SELECT 5 AS k, true AS nonempty, true AS recall_ok"
 )
+_ORACLES["ivf_tune_check"] = (
+    "SELECT 5 AS k, true AS chosen_in_range, true AS target_met"
+)
 _ORACLES["pq_recall"] = (
     "SELECT 10 AS k, true AS full_shortlist, true AS recall_ok"
 )
@@ -7804,6 +7886,31 @@ FROM shortlist s, q
 ORDER BY score DESC, s.vec_id ASC
 LIMIT {TOP_K}
 """
+
+def _mrl_dim_sql(d: int) -> str:
+    dist = (
+        f"list_sum(list_transform(range(1, {d + 1}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))^2))"
+    )
+    return f"""
+SELECT {d} AS dim, {TOP_K} AS k, CAST(count(*) AS BIGINT) AS hits
+FROM (SELECT e.vec_id FROM embeddings e, q
+      ORDER BY {dist} ASC, e.vec_id ASC LIMIT {TOP_K}) t
+JOIN full_top USING (vec_id)
+"""
+
+
+_ORACLES["mrl_recall_curve"] = (
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),\n"
+    "full_top AS (\n"
+    "  SELECT e.vec_id FROM embeddings e, q\n"
+    "  ORDER BY list_sum(list_transform(range(1, 65), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))^2)) "
+    f"ASC, e.vec_id ASC LIMIT {TOP_K}\n"
+    ")\n"
+    + " UNION ALL ".join(_mrl_dim_sql(d) for d in MRL_DIMS)
+    + "\nORDER BY dim"
+)
 
 _ORACLES["key_skew_stats"] = """
 WITH per_key AS (
@@ -11507,6 +11614,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_topk": q_knn_join_topk,
         "knn_join_ivf_recall": q_knn_join_ivf_recall,
         "knn_join_ivfpq_recall": q_knn_join_ivfpq_recall,
+        "ivf_tune_check": q_ivf_tune_check,
         "knn_join_auto": q_knn_join_auto,
         # slot 7: NEW round 9 — exact incremental graph maintenance
         # (ingest batch merged via knn_join pools; oracle = full rebuild)
@@ -11656,6 +11764,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_decontam_docs": q_split_decontam_docs,
         # remaining slots: r03-green filler (zero regression risk)
         "truncated_rerank_topk": q_truncated_rerank_topk,
+        "mrl_recall_curve": q_mrl_recall_curve,
         "cosine_neardup": q_cosine_neardup,
         "vocab_stats": q_vocab_stats,
         "dsir_weights": q_dsir_weights,

@@ -493,3 +493,47 @@ def test_knn_join_ivfpq_split_keeps_exactness_envelope(spark, embs):
         ).collect()
     )
     assert got == want
+
+
+def test_tune_nprobe_ladder_laws(spark, embs):
+    # recall is weakly monotone in nprobe (candidate-superset argument),
+    # the tuner returns the MINIMAL ladder rung meeting the target, a
+    # zero target picks the first rung, and an unreachable target (cap
+    # 1.0 validated separately) falls back to full probe
+    from homemade_vector_db_spark.operators.ann import build_ivf
+    from homemade_vector_db_spark.operators.knn import (
+        knn_join, knn_join_ivf, tune_nprobe,
+    )
+
+    qs = embs.where(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r.query_id, r.vec_id) for r in knn_join(embs, qs, k=4).collect()
+    }
+    idx = build_ivf(embs, nlist=8, cache=False)
+    recalls = []
+    for npro in (1, 2, 4, 8):
+        a = {
+            (r.query_id, r.vec_id)
+            for r in knn_join_ivf(
+                embs, qs, k=4, nlist=8, nprobe=npro, ivf_index=idx
+            ).collect()
+        }
+        recalls.append(len(a & exact) / len(exact))
+    assert recalls == sorted(recalls)  # monotone ladder
+    assert recalls[-1] == 1.0  # full probe == exact
+
+    chosen, achieved = tune_nprobe(embs, qs, k=4, nlist=8, target_recall=0.9)
+    assert achieved >= 0.9
+    # minimality: every smaller rung must miss the target
+    rung_of = {1: 0, 2: 1, 4: 2, 8: 3}
+    for npro, r in zip((1, 2, 4, 8), recalls):
+        if npro < chosen:
+            assert r < 0.9
+    assert recalls[rung_of[chosen]] == achieved
+
+    c0, _ = tune_nprobe(embs, qs, k=4, nlist=8, target_recall=0.0)
+    assert c0 == 1
+    with pytest.raises(ValueError):
+        tune_nprobe(embs, qs, k=4, nlist=8, target_recall=1.5)

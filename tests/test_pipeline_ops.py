@@ -879,3 +879,13 @@ def test_fuzzy_term_search_edit_distance_law(spark, monkeypatch):
     rows = {(r.term, r.dist): r.n_docs
             for r in Qm.q_fuzzy_term_search(spark, "ignored").collect()}
     assert rows == {("cat", 0): 2, ("cart", 1): 1, ("bat", 1): 1}
+
+
+def test_mrl_curve_identity_law(spark):
+    # the full-width rung is the exact search by construction: hits == k;
+    # every rung is bounded by k
+    rows = {r.dim: (r.hits, r.k) for r in Q.q_mrl_recall_curve(spark, SF_SMOKE).collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    full_hits, k = rows[64]
+    assert full_hits == k
+    assert all(h <= k for h, k in rows.values())
