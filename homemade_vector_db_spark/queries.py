@@ -1018,6 +1018,40 @@ def q_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "error_id").orderBy("event_id", "error_id")
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (round 9, second half): users grouped by
+    the week of their FIRST event (the cohort), then for each
+    weeks-since-cohort age, how many distinct cohort members were still
+    active — the standard product-analytics retention triangle, a §2.2
+    window/aggregation shape the registry lacked. Two shuffles: one
+    min-per-user (map-side partial), one (cohort, age) distinct-count;
+    the age key is exact integer day-arithmetic on week starts
+    (datediff/7), identical in both engines (date_trunc('week') is
+    Monday-based in Spark and DuckDB)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_ts")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week_ts")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            F.to_date("cohort_ts").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("week_ts"), F.to_date("cohort_ts")) / 7
+            )
+            .cast("int")
+            .alias("age_weeks"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap): lag + cumulative flag-sum per
     user — the batch twin of streaming/sessions.py. One shuffle on user_id;
@@ -7912,6 +7946,22 @@ _ORACLES["mrl_recall_curve"] = (
     + "\nORDER BY dim"
 )
 
+_ORACLES["cohort_retention"] = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week_ts FROM events
+)
+SELECT CAST(cohort_ts AS DATE) AS cohort_week,
+       CAST(datediff('day', CAST(cohort_ts AS DATE), CAST(week_ts AS DATE)) / 7 AS INTEGER) AS age_weeks,
+       count(DISTINCT user_id) AS n_active
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, age_weeks
+"""
+
 _ORACLES["key_skew_stats"] = """
 WITH per_key AS (
   SELECT user_id, count(*) AS n FROM events GROUP BY user_id
@@ -11905,6 +11955,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "clicks_after_errors": q_clicks_after_errors,
         "sessionize": q_sessionize,
+        "cohort_retention": q_cohort_retention,
         "media_bytes": q_media_bytes,
         "top_orders_q3": q_top_orders_q3,
         "cube_pricing": q_cube_pricing,
