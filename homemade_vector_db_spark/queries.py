@@ -1018,6 +1018,97 @@ def q_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "error_id").orderBy("event_id", "error_id")
 
 
+def q_event_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection (round 9, second half): days whose
+    event volume deviates from the median daily count by more than
+    3×MAD — the robust volume-monitoring gate every ingest pipeline
+    runs (a stuck producer or a replay storm shows up here before it
+    poisons training mixtures). ALL-INTEGER law end to end: daily
+    counts are BIGINTs, both medians are the discrete 2·cum ≥ n order
+    statistic over the distinct-count relation, the predicate is
+    integer arithmetic — no float anywhere, so the row set is
+    engine-exact by construction (a strictly stronger stance than even
+    the micro-unit laws). Scale: one day-key rollup (map-side partial),
+    then windows over the DISTINCT-count relation (≤ days rows)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = d.count()
+
+    def lower_median(vals: DataFrame, col: str) -> int:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = (
+            vals.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("cm", F.sum("c").over(w))
+        )
+        return (
+            cum.where(F.col("cm") * 2 >= tot)
+            .orderBy(col)
+            .limit(1)
+            .collect()[0][col]
+        )
+
+    med = lower_median(d, "n")
+    ad = d.select("day", "n", F.abs(F.col("n") - F.lit(med)).alias("dev"))
+    mad = lower_median(ad, "dev")
+    return ad.where(F.col("dev") > 3 * mad).orderBy("day")
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining, level 1 (round 9, second half): part
+    pairs co-ordered in ≥3 orders with their LIFT
+    (P(ab)/(P(a)·P(b)) = n_ab·N / (n_a·n_b)) — the association-rule
+    workload family (Apriori's first pass / market-basket analysis) the
+    registry lacked. Scale shape: the pair self-join is keyed on the
+    order (bounded fan-out per order = items²; the classic
+    transaction-width cap applies at scale), per-part order counts
+    partial-aggregate map-side, and the support floor prunes before the
+    lift join. Lift is one rounded division of exact BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    per_part = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("np"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(per_part.withColumnRenamed("l_partkey", "part_a"), "part_a")
+        .withColumnRenamed("np", "na")
+        .join(per_part.withColumnRenamed("l_partkey", "part_b"), "part_b")
+        .withColumnRenamed("np", "nb")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.col("n_ab") * F.lit(n_orders)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (round 9, second half): users grouped by
     the week of their FIRST event (the cohort), then for each
@@ -7946,6 +8037,48 @@ _ORACLES["mrl_recall_curve"] = (
     + "\nORDER BY dim"
 )
 
+_ORACLES["event_anomaly_days"] = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1
+),
+tot AS (SELECT count(*) AS nn FROM d),
+med AS (
+  SELECT min(n) AS m
+  FROM (SELECT n, sum(c) OVER (ORDER BY n) AS cm
+        FROM (SELECT n, count(*) AS c FROM d GROUP BY n)), tot
+  WHERE cm * 2 >= nn
+),
+ad AS (SELECT day, n, abs(n - m) AS dev FROM d, med),
+mad AS (
+  SELECT min(dev) AS dd
+  FROM (SELECT dev, sum(c) OVER (ORDER BY dev) AS cm
+        FROM (SELECT dev, count(*) AS c FROM ad GROUP BY dev)), tot
+  WHERE cm * 2 >= nn
+)
+SELECT day, n, dev FROM ad, mad WHERE dev > 3 * dd ORDER BY day
+"""
+
+_ORACLES["basket_lift"] = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+per_part AS (SELECT l_partkey, count(*) AS np FROM li GROUP BY 1),
+n_orders AS (SELECT count(*) AS no FROM orders),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(CAST(n_ab AS DOUBLE) * no / (pa.np * pb.np), 6) AS lift
+FROM pairs
+JOIN per_part pa ON pa.l_partkey = part_a
+JOIN per_part pb ON pb.l_partkey = part_b
+CROSS JOIN n_orders
+ORDER BY part_a, part_b
+"""
+
 _ORACLES["cohort_retention"] = """
 WITH first AS (
   SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
@@ -11956,6 +12089,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clicks_after_errors": q_clicks_after_errors,
         "sessionize": q_sessionize,
         "cohort_retention": q_cohort_retention,
+        "event_anomaly_days": q_event_anomaly_days,
+        "basket_lift": q_basket_lift,
         "media_bytes": q_media_bytes,
         "top_orders_q3": q_top_orders_q3,
         "cube_pricing": q_cube_pricing,
