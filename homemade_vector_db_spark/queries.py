@@ -1018,6 +1018,41 @@ def q_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "error_id").orderBy("event_id", "error_id")
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (round 9, second half): P(next event type | type), the
+    sequence-mining staple behind funnel design and next-action
+    modeling (funnel_paths_sql pins ONE fixed path; this is the full
+    conditional matrix). One shuffle on the user key for the lead()
+    window — per-user sequences order by (ts, event_id), a total order,
+    so the pair relation is engine-exact — then a type-pair rollup
+    (25 rows at any corpus size) and one rounded division of exact
+    BIGINTs per row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return (
+        counts.join(tot, "event_type")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("t"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 def q_event_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operational anomaly detection (round 9, second half): days whose
     event volume deviates from the median daily count by more than
@@ -8037,6 +8072,25 @@ _ORACLES["mrl_recall_curve"] = (
     + "\nORDER BY dim"
 )
 
+_ORACLES["event_transitions"] = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT event_type, sum(n) AS t FROM counts GROUP BY 1)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(n AS BIGINT) AS n, round(CAST(n AS DOUBLE) / t, 6) AS p
+FROM counts JOIN tot USING (event_type)
+ORDER BY from_type, to_type
+"""
+
 _ORACLES["event_anomaly_days"] = """
 WITH d AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
@@ -12090,6 +12144,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "cohort_retention": q_cohort_retention,
         "event_anomaly_days": q_event_anomaly_days,
+        "event_transitions": q_event_transitions,
         "basket_lift": q_basket_lift,
         "media_bytes": q_media_bytes,
         "top_orders_q3": q_top_orders_q3,
