@@ -1018,6 +1018,42 @@ def q_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "error_id").orderBy("event_id", "error_id")
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (round 9, second half): quintile scores
+    for Recency (days since last order, inverted so 5 = most recent),
+    Frequency (order count), Monetary (lifetime spend in exact cents),
+    rolled up to segment populations — the classic CRM / marketing-mix
+    workload family. Determinism: every NTILE runs over a TOTAL order
+    (metric, then custkey), and NTILE's even-split law is SQL-standard,
+    so both engines assign identical quintiles; monetary sums are exact
+    BIGINT cents (the decimal-determinism stance). Scale: one
+    per-customer rollup (map-side partials), three window passes over
+    the customer relation, a ≤125-row segment rollup."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    # recency ordered ASCENDING by last_order => oldest first => ntile 1
+    # is the MOST lapsed, 5 the most recent (the conventional scoring)
+    r = F.ntile(5).over(Window.orderBy("last_order", "o_custkey"))
+    f = F.ntile(5).over(Window.orderBy("freq", "o_custkey"))
+    m = F.ntile(5).over(Window.orderBy("cents", "o_custkey"))
+    scored = per_cust.select(
+        "o_custkey", r.alias("r_q"), f.alias("f_q"), m.alias("m_q")
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (round 9, second half): P(next event type | type), the
@@ -8072,6 +8108,27 @@ _ORACLES["mrl_recall_curve"] = (
     + "\nORDER BY dim"
 )
 
+_ORACLES["rfm_segments"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_q,
+         ntile(5) OVER (ORDER BY freq, o_custkey) AS f_q,
+         ntile(5) OVER (ORDER BY cents, o_custkey) AS m_q
+  FROM per_cust
+)
+SELECT r_q, f_q, m_q, count(*) AS n_customers
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r_q, f_q, m_q
+"""
+
 _ORACLES["event_transitions"] = """
 WITH seq AS (
   SELECT event_type,
@@ -12145,6 +12202,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "event_anomaly_days": q_event_anomaly_days,
         "event_transitions": q_event_transitions,
+        "rfm_segments": q_rfm_segments,
         "basket_lift": q_basket_lift,
         "media_bytes": q_media_bytes,
         "top_orders_q3": q_top_orders_q3,
