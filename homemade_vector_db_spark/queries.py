@@ -1018,6 +1018,58 @@ def q_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "error_id").orderBy("event_id", "error_id")
 
 
+def q_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration metrics over customer lifetime spend (round 9,
+    second half): the Gini coefficient (G = 2·Σ(rank·x)/(n·Σx) −
+    (n+1)/n over ascending-sorted spend) and the Herfindahl–Hirschman
+    index (HHI = Σ share² — the antitrust market-concentration
+    measure), one row. The workload family behind whale-risk /
+    revenue-concentration dashboards. Determinism: spend is exact
+    BIGINT cents, the Gini rank runs over a TOTAL order (cents,
+    custkey), Σ(rank·x) and Σx are exact integer aggregates, and each
+    metric is computed as a single rounded division of exact integers
+    (HHI's numerator Σx² is exact BIGINT too), so partial-agg order can
+    never move a digit. One per-customer rollup + one window pass."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    ranked = per_cust.withColumn(
+        "rk", F.row_number().over(Window.orderBy("cents", "o_custkey"))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("rk") * F.col("cents")).alias("srx"),
+        # cents² exceeds BIGINT (ANSI overflow) — exact DECIMAL(38,0)
+        # accumulation, the decimal-determinism stance; DuckDB's HUGEINT
+        # plays the same role in the oracle
+        F.sum(
+            F.col("cents").cast("decimal(19,0)") * F.col("cents")
+        ).alias("sxx"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            2.0 * F.col("srx") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+        # sx cast to double BEFORE the square: sx² can exceed BIGINT at
+        # large SFs (ANSI overflow), and sx < 2^53 makes the double path
+        # value-identical to the exact-integer one
+        F.round(
+            F.col("sxx")
+            / (F.col("sx").cast("double") * F.col("sx").cast("double")),
+            6,
+        ).alias("hhi"),
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (round 9, second half): quintile scores
     for Recency (days since last order, inverted so 5 = most recent),
@@ -8108,6 +8160,30 @@ _ORACLES["mrl_recall_curve"] = (
     + "\nORDER BY dim"
 )
 
+_ORACLES["spend_concentration"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS rk
+  FROM per_cust
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sx,
+         CAST(sum(rk * cents) AS BIGINT) AS srx,
+         sum(cents * cents) AS sxx
+  FROM ranked
+)
+SELECT n AS n_customers,
+       round(2.0 * srx / (n * sx) - (n + 1.0) / n, 6) AS gini,
+       round(CAST(sxx AS DOUBLE) / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS hhi
+FROM agg
+"""
+
 _ORACLES["rfm_segments"] = """
 WITH per_cust AS (
   SELECT o_custkey,
@@ -12203,6 +12279,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomaly_days": q_event_anomaly_days,
         "event_transitions": q_event_transitions,
         "rfm_segments": q_rfm_segments,
+        "spend_concentration": q_spend_concentration,
         "basket_lift": q_basket_lift,
         "media_bytes": q_media_bytes,
         "top_orders_q3": q_top_orders_q3,
