@@ -1018,6 +1018,77 @@ def q_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "error_id").orderBy("event_id", "error_id")
 
 
+NEYMAN_BUDGET = 500
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling plan (round 9, second half):
+    allocate a 500-doc annotation/eval budget across sources
+    ∝ N_s·σ_s(n_chars) — the survey-statistics law that minimizes the
+    estimator variance for a fixed budget (vs stratified_sample's
+    proportional allocation: high-variance strata earn MORE than their
+    population share). The budgeting workload every labeling pipeline
+    runs.
+
+    Engine-exact by the temperature_mixture integer-quota trick taken
+    through the whole apportionment: per-stratum variance comes from the
+    exact-BIGINT identity (n·Σx² − (Σx)²)/(n·(n−1)) (one correctly-
+    rounded division + sqrt, bit-identical cross-engine), weights then
+    QUANTIZE to BIGINT micro-units, and floor-quota (B·w div Σw),
+    remainder (B·w mod Σw), and largest-remainder top-up (rank by
+    remainder desc, source asc) are pure integer relational ops — so
+    Σ quota == B exactly and no partial-agg order can move a seat. One
+    per-source rollup + windows over the 20-row strata relation."""
+    from pyspark.sql import Window
+
+    d = load_documents(spark, sf_dir)
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    var = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (F.col("n") * (F.col("n") - 1))
+    )
+    w_u = F.round(F.col("n") * F.sqrt(var) * 1e6).cast("long")
+    weighted = stats.select("source", "n", w_u.alias("w_u"))
+    tot = weighted.agg(F.sum("w_u").alias("tw"))
+    # integer floor division via `div` — never a double in the quota path
+    q = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            "w_u",
+            F.expr(f"({NEYMAN_BUDGET} * w_u) div tw").alias("floor_q"),
+            F.expr(f"({NEYMAN_BUDGET} * w_u) % tw").alias("rem"),
+        )
+    )
+    leftover = F.lit(NEYMAN_BUDGET) - F.sum("floor_q").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source")))
+    return (
+        q.withColumn("rk", rk)
+        .withColumn("lo", leftover)
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "w_u",
+            (
+                F.col("floor_q")
+                + F.when(F.col("rk") <= F.col("lo"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concentration metrics over customer lifetime spend (round 9,
     second half): the Gini coefficient (G = 2·Σ(rank·x)/(n·Σx) −
@@ -8160,6 +8231,38 @@ _ORACLES["mrl_recall_curve"] = (
     + "\nORDER BY dim"
 )
 
+_ORACLES["neyman_allocation"] = f"""
+WITH stats AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS sx,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n,
+         CAST(round(n * sqrt((n * sxx - sx * sx)
+              / (CAST(n AS DOUBLE) * (n - 1))) * 1000000) AS BIGINT) AS w_u
+  FROM stats
+),
+tot AS (SELECT CAST(sum(w_u) AS BIGINT) AS tw FROM weighted),
+q AS (
+  SELECT source, n, w_u,
+         ({NEYMAN_BUDGET} * w_u) // tw AS floor_q,
+         ({NEYMAN_BUDGET} * w_u) % tw AS rem
+  FROM weighted, tot
+),
+lo AS (SELECT {NEYMAN_BUDGET} - sum(floor_q) AS leftover FROM q),
+ranked AS (
+  SELECT q.*, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM q
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, w_u,
+       CAST(floor_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked, lo
+ORDER BY source
+"""
+
 _ORACLES["spend_concentration"] = """
 WITH per_cust AS (
   SELECT o_custkey,
@@ -12280,6 +12383,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "rfm_segments": q_rfm_segments,
         "spend_concentration": q_spend_concentration,
+        "neyman_allocation": q_neyman_allocation,
         "basket_lift": q_basket_lift,
         "media_bytes": q_media_bytes,
         "top_orders_q3": q_top_orders_q3,

@@ -889,3 +889,12 @@ def test_mrl_curve_identity_law(spark):
     full_hits, k = rows[64]
     assert full_hits == k
     assert all(h <= k for h, k in rows.values())
+
+
+def test_neyman_allocation_budget_law(spark):
+    # exact apportionment: quotas sum to the budget EXACTLY, every
+    # stratum appears once, and quotas are non-negative
+    rows = Q.q_neyman_allocation(spark, SF_SMOKE).collect()
+    assert sum(r.quota for r in rows) == Q.NEYMAN_BUDGET
+    assert len({r.source for r in rows}) == len(rows)
+    assert all(r.quota >= 0 for r in rows)
