@@ -1018,6 +1018,57 @@ def q_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "error_id").orderBy("event_id", "error_id")
 
 
+def q_ab_test_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout (round 9, second half): Welch's
+    t-statistic and degrees of freedom comparing purchase values between
+    two deterministic user arms (even/odd user_id — the hash-assignment
+    stand-in for a real experiment's bucketing) — the experimentation
+    workload family (A/B readouts) the registry lacked. All inputs to
+    the float formula are EXACT: values quantize to BIGINT micro-units,
+    per-arm n/Σx/Σx² are integer aggregates (Σx² in DECIMAL(38,0)), and
+    the t/df formulas then run on identical exact integers in both
+    engines — one correctly-rounded float expression each, rounded 6dp.
+    One scan + a 2-row rollup; no partial-agg order sensitivity."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    arms = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v_u"),
+    )
+    stats = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_u").alias("sx"),
+        F.sum(F.col("v_u").cast("decimal(19,0)") * F.col("v_u")).alias(
+            "sxx"
+        ),
+    )
+    a = stats.where(F.col("arm") == 0).alias("a")
+    b = stats.where(F.col("arm") == 1).alias("b")
+    # mean and sample variance in micro-units from the exact moments;
+    # the moment products convert to double BEFORE multiplying (sx² and
+    # n·sxx overflow 64-bit integers) — both engines then multiply the
+    # SAME correctly-rounded doubles in the same order, so the formula
+    # stays bit-identical cross-engine
+    mean = lambda s: F.col(f"{s}.sx") / F.col(f"{s}.n")
+    var = lambda s: (
+        F.col(f"{s}.n").cast("double") * F.col(f"{s}.sxx").cast("double")
+        - F.col(f"{s}.sx").cast("double") * F.col(f"{s}.sx").cast("double")
+    ) / (F.col(f"{s}.n").cast("double") * (F.col(f"{s}.n") - 1))
+    se2a = var("a") / F.col("a.n")
+    se2b = var("b") / F.col("b.n")
+    t = (mean("a") - mean("b")) / F.sqrt(se2a + se2b)
+    dfree = (se2a + se2b) ** 2 / (
+        se2a ** 2 / (F.col("a.n") - 1) + se2b ** 2 / (F.col("b.n") - 1)
+    )
+    return a.crossJoin(b).select(
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfree, 6).alias("welch_df"),
+    )
+
+
 NEYMAN_BUDGET = 500
 
 
@@ -8231,6 +8282,42 @@ _ORACLES["mrl_recall_curve"] = (
     + "\nORDER BY dim"
 )
 
+_ORACLES["ab_test_stat"] = """
+WITH arms AS (
+  SELECT user_id % 2 AS arm,
+         CAST(round(value * 1e6) AS BIGINT) AS v_u
+  FROM events WHERE event_type = 'purchase'
+),
+stats AS (
+  SELECT arm, count(*) AS n,
+         CAST(sum(v_u) AS BIGINT) AS sx,
+         sum(v_u * v_u) AS sxx
+  FROM arms GROUP BY arm
+),
+ab AS (
+  SELECT a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
+         b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
+  FROM (SELECT * FROM stats WHERE arm = 0) a,
+       (SELECT * FROM stats WHERE arm = 1) b
+),
+f AS (
+  SELECT na, nb,
+         CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb AS dmean,
+         ((CAST(na AS DOUBLE) * CAST(sxxa AS DOUBLE)
+           - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))
+          / (CAST(na AS DOUBLE) * (na - 1))) / na AS se2a,
+         ((CAST(nb AS DOUBLE) * CAST(sxxb AS DOUBLE)
+           - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE))
+          / (CAST(nb AS DOUBLE) * (nb - 1))) / nb AS se2b
+  FROM ab
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(dmean / sqrt(se2a + se2b), 6) AS t_stat,
+       round((se2a + se2b) ^ 2
+             / (se2a ^ 2 / (na - 1) + se2b ^ 2 / (nb - 1)), 6) AS welch_df
+FROM f
+"""
+
 _ORACLES["neyman_allocation"] = f"""
 WITH stats AS (
   SELECT source, count(*) AS n,
@@ -12384,6 +12471,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "spend_concentration": q_spend_concentration,
         "neyman_allocation": q_neyman_allocation,
+        "ab_test_stat": q_ab_test_stat,
         "basket_lift": q_basket_lift,
         "media_bytes": q_media_bytes,
         "top_orders_q3": q_top_orders_q3,
