@@ -1018,6 +1018,60 @@ def q_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "error_id").orderBy("event_id", "error_id")
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pair latency profile (round 9, second half): per user, the
+    time from FIRST click to the first purchase strictly after it, read
+    out as converting-user count + discrete median and p90 latency —
+    the time-to-convert metric product funnels track beside conversion
+    rate. Exact end to end: timestamps compare in integer MICROSECONDS
+    (unix_micros / epoch_us — never the fractional-seconds epoch), and
+    both order statistics are discrete lower ones (10·cum ≥ 5n and
+    10·cum ≥ 9n) over the distinct-latency relation, so no
+    interpolation and no float anywhere. Two min-per-user rollups + one
+    bounded window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("ts").alias("t1"))
+    )
+    # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not); the
+    # value equals DuckDB's epoch_us(t1) - epoch_us(t0) exactly
+    lat = p.select(
+        F.expr("timestampdiff(MICROSECOND, t0, t1)").alias("us")
+    )
+    n = lat.count()
+    w = Window.orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        lat.groupBy("us")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cm", F.sum("c").over(w))
+    )
+
+    def order_stat(mult: int, of: int) -> int:
+        return (
+            cum.where(F.col("cm") * 10 >= n * of)
+            .orderBy("us")
+            .limit(1)
+            .collect()[0]["us"]
+        )
+
+    med, p90 = order_stat(10, 5), order_stat(10, 9)
+    return spark.createDataFrame(
+        [(n, int(med), int(p90))],
+        "n_converted long, median_us long, p90_us long",
+    )
+
+
 def q_ab_test_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample experiment readout (round 9, second half): Welch's
     t-statistic and degrees of freedom comparing purchase values between
@@ -8282,6 +8336,29 @@ _ORACLES["mrl_recall_curve"] = (
     + "\nORDER BY dim"
 )
 
+_ORACLES["conversion_latency"] = """
+WITH c AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, c.t0, min(e.ts) AS t1
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t0
+  GROUP BY e.user_id, c.t0
+),
+lat AS (SELECT epoch_us(t1) - epoch_us(t0) AS us FROM p),
+tot AS (SELECT count(*) AS n FROM lat),
+cum AS (
+  SELECT us, sum(c) OVER (ORDER BY us) AS cm
+  FROM (SELECT us, count(*) AS c FROM lat GROUP BY us)
+)
+SELECT n AS n_converted,
+       (SELECT min(us) FROM cum, tot WHERE cm * 10 >= n * 5) AS median_us,
+       (SELECT min(us) FROM cum, tot WHERE cm * 10 >= n * 9) AS p90_us
+FROM tot
+"""
+
 _ORACLES["ab_test_stat"] = """
 WITH arms AS (
   SELECT user_id % 2 AS arm,
@@ -12472,6 +12549,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spend_concentration": q_spend_concentration,
         "neyman_allocation": q_neyman_allocation,
         "ab_test_stat": q_ab_test_stat,
+        "conversion_latency": q_conversion_latency,
         "basket_lift": q_basket_lift,
         "media_bytes": q_media_bytes,
         "top_orders_q3": q_top_orders_q3,
