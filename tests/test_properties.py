@@ -471,3 +471,79 @@ def test_nsw_incremental_insert_bit_identical_when_appending(n, split, seed):
 
     assert levels_inc == levels_full
     assert adj == adj_full
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=1, max_size=6).map(
+            "".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(min_value=0, max_value=6),
+)
+@SETTINGS
+def test_bpe_train_distributed_matches_reference_model(spark, corpus, n_merges):
+    """Distributed BPE training == the pure-Python reference trainer on
+    arbitrary tiny corpora (ties, saturation, single-char words,
+    repeated words — the cases a fixed fixture can't sweep)."""
+    from homemade_vector_db_spark.operators.bpetrain import (
+        train_bpe_distributed,
+        train_bpe_reference,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join([w])) for i, w in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    freqs = {}
+    for w in corpus:
+        freqs[w] = freqs.get(w, 0) + 1
+    assert train_bpe_distributed(docs, n_merges) == train_bpe_reference(
+        freqs, n_merges
+    )
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=3, max_size=10).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.5, 0.8, 1.0]),
+)
+@SETTINGS
+def test_containment_pairs_match_model_on_random_corpora(
+    spark, texts, threshold
+):
+    """containment_pairs == the all-pairs set model on random corpora —
+    sweeps duplicate texts, full containment, and threshold edges."""
+    from homemade_vector_db_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.a_id, r.b_id): r.containment
+        for r in dedup.containment_pairs(
+            docs, n=3, threshold=threshold
+        ).collect()
+    }
+    sets = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if len(toks) >= 3:
+            sets[i] = {
+                " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+            }
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b:
+                c = len(sa & sb) / len(sa)
+                if c >= threshold:
+                    want[(a, b)] = round(c, 6)
+    assert got == want
