@@ -12193,12 +12193,14 @@ _ORACLES["maxsim_grouped"] = _maxsim_oracle()
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
-    Round 9 state: 189 entries, 189 oracle-paired — zero rows-only
+    Round-9 close state: 215 entries, 215 oracle-paired — zero rows-only
     (iterative NN-Descent has no one-statement SQL twin, so per the
     round-3 fold policy it registers THROUGH its gate: knn_graph_recall
     runs the NN-Descent graph in-plan against the exact graph). The
-    round-9 entries lead the window and were verified hash-green at
-    BOTH sf0.01 and sf0.1 before registration.
+    round-9 second-half entries lead the window, then the first-half
+    ones; all were verified hash-green at BOTH sf0.01 and sf0.1 before
+    registration, and the standing CORRECTNESS_sf0.1.json covers the
+    full registry.
     Rounds 1-3 produced green rows for 141 of the then-149 entries
     (CORRECTNESS_r0{1,2,3}.json). Round 4 grew the registry to 154 and
     its window leads with the final 8 entries that never had a driver
@@ -12234,7 +12236,27 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # standing full-registry artifact CORRECTNESS_sf0.1.json, which
         # is regenerated whenever the registry changes (so no entry is
         # ever further than one round from a recorded green check).
-        # slots 1-5: NEW round 9 — the NN-Descent ANN graph tier
+        # slots 1-15: NEW round-9 second half (this continuation) — all
+        # verified hash-green at BOTH sf0.01 and sf0.1 before
+        # registration; leading the window per the rotation policy.
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_train_check": q_bpe_train_check,
+        "containment_neardup": q_containment_neardup,
+        "source_overlap": q_source_overlap,
+        "fuzzy_term_search": q_fuzzy_term_search,
+        "embedding_outliers": q_embedding_outliers,
+        "ann_filtered_recall": q_ann_filtered_recall,
+        "mrl_recall_curve": q_mrl_recall_curve,
+        "cohort_retention": q_cohort_retention,
+        "event_anomaly_days": q_event_anomaly_days,
+        "basket_lift": q_basket_lift,
+        "event_transitions": q_event_transitions,
+        "rfm_segments": q_rfm_segments,
+        "spend_concentration": q_spend_concentration,
+        "neyman_allocation": q_neyman_allocation,
+        "ab_test_stat": q_ab_test_stat,
+        "conversion_latency": q_conversion_latency,
+        # round-9 first half below — the NN-Descent ANN graph tier
         # (VERDICT r7 Next #1) and the graph-SemDeDup composition
         # (VERDICT r7 Next #2) with their gates. Per the round-3 policy
         # (zero bare rows-only entries, pytest-pinned) the NN-Descent
@@ -12392,8 +12414,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic split assignment, graph-tier batch search gate,
         # normalization-insensitive dedup)
         "bpe_stats": q_bpe_stats,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "bpe_train_check": q_bpe_train_check,
         "train_val_test_split": q_train_val_test_split,
         "dedup_normalized": q_dedup_normalized,
         "split_leakage_check": q_split_leakage_check,
@@ -12401,7 +12421,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_decontam_docs": q_split_decontam_docs,
         # remaining slots: r03-green filler (zero regression risk)
         "truncated_rerank_topk": q_truncated_rerank_topk,
-        "mrl_recall_curve": q_mrl_recall_curve,
         "cosine_neardup": q_cosine_neardup,
         "vocab_stats": q_vocab_stats,
         "dsir_weights": q_dsir_weights,
@@ -12483,7 +12502,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clicks_except_all_views": q_clicks_except_all_views,
         "pricing_unpivot": q_pricing_unpivot,
         "vector_norm_stats": q_vector_norm_stats,
-        "embedding_outliers": q_embedding_outliers,
         "neardup_components": q_neardup_components,
         "user_value_resampled": q_user_value_resampled,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -12498,7 +12516,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_supplier_orders": q_multi_supplier_orders,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
-        "ann_filtered_recall": q_ann_filtered_recall,
         "pq_recall": q_pq_recall,
         "sq_recall": q_sq_recall,
         "ivfpq_recall": q_ivfpq_recall,
@@ -12520,9 +12537,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
-        "containment_neardup": q_containment_neardup,
-        "source_overlap": q_source_overlap,
-        "fuzzy_term_search": q_fuzzy_term_search,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -12542,15 +12556,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "clicks_after_errors": q_clicks_after_errors,
         "sessionize": q_sessionize,
-        "cohort_retention": q_cohort_retention,
-        "event_anomaly_days": q_event_anomaly_days,
-        "event_transitions": q_event_transitions,
-        "rfm_segments": q_rfm_segments,
-        "spend_concentration": q_spend_concentration,
-        "neyman_allocation": q_neyman_allocation,
-        "ab_test_stat": q_ab_test_stat,
-        "conversion_latency": q_conversion_latency,
-        "basket_lift": q_basket_lift,
         "media_bytes": q_media_bytes,
         "top_orders_q3": q_top_orders_q3,
         "cube_pricing": q_cube_pricing,
