@@ -590,7 +590,7 @@ def knn_join_ivf(
     nprobe: int | None = None,
     score_decimals: int = 6,
     max_cell_rows: int = 100_000,
-    ivf_index=None,
+    ivf_index: "object | None" = None,
 ) -> DataFrame:
     """IVF-accelerated k-NN JOIN — the ANN tier of `knn_join` for when
     even one full corpus pass per tile row is too much: both sides are
@@ -615,7 +615,13 @@ def knn_join_ivf(
     Recall contract: approximate by construction (a true neighbor in an
     unprobed cell is missed); queries may return < k rows when probed
     cells hold < k corpus rows. Gated against the exact join by
-    q_knn_join_ivf_recall, the knn_graph_recall pattern."""
+    q_knn_join_ivf_recall, the knn_graph_recall pattern.
+
+    `ivf_index` (ann.IVFIndex, optional): a prebuilt coarse quantizer —
+    tune_nprobe passes one so every ladder rung shares a single fit.
+    When provided, the `nlist` argument is IGNORED (the index's own cell
+    count governs) and the index MUST have been built over the same
+    df/id_col/vec_col; mismatched columns fail downstream, not here."""
     import numpy as np
     import pandas as pd
 
@@ -851,7 +857,10 @@ def tune_nprobe(
         raise ValueError("exact reference join returned no rows")
     from homemade_vector_db_spark.operators.ann import build_ivf
 
-    idx = build_ivf(df, id_col=id_col, vec_col=vec_col, nlist=nlist)
+    idx = build_ivf(df, id_col=id_col, vec_col=vec_col, nlist=nlist, cache=False)
+    # one materialization shared by every rung, released with the
+    # session's other transients (never a leaked bare .cache())
+    idx.assignments = track_persist(idx.assignments)
     ladder, npro = [], 1
     while npro < idx.nlist:
         ladder.append(npro)

@@ -1018,6 +1018,36 @@ def q_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "error_id").orderBy("event_id", "error_id")
 
 
+def _discrete_lower_stat(
+    vals: DataFrame, col: str, n: int, num: int, den: int
+) -> int:
+    """Smallest value whose cumulative count satisfies cm·den ≥ n·num —
+    the discrete lower order statistic (median: num/den = 1/2; p90:
+    9/10), the engine-exact no-interpolation law ppl_deciles introduced,
+    shared by the latency and anomaly entries. Runs over the
+    DISTINCT-value relation (bounded by the value grid, not rows).
+    Raises on empty input (the sibling operators' ValueError convention,
+    never a bare IndexError)."""
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(
+            f"discrete order statistic over an empty relation ({col})"
+        )
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        vals.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cm", F.sum("c").over(w))
+    )
+    return (
+        cum.where(F.col("cm") * den >= n * num)
+        .orderBy(col)
+        .limit(1)
+        .collect()[0][col]
+    )
+
+
 def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-pair latency profile (round 9, second half): per user, the
     time from FIRST click to the first purchase strictly after it, read
@@ -1029,8 +1059,6 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     10·cum ≥ 9n) over the distinct-latency relation, so no
     interpolation and no float anywhere. Two min-per-user rollups + one
     bounded window."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     c = (
         ev.where(F.col("event_type") == "click")
@@ -1045,27 +1073,15 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t1"))
     )
     # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not); the
-    # value equals DuckDB's epoch_us(t1) - epoch_us(t0) exactly
-    lat = p.select(
-        F.expr("timestampdiff(MICROSECOND, t0, t1)").alias("us")
+    # value equals DuckDB's epoch_us(t1) - epoch_us(t0) exactly.
+    # persisted: the count and both order statistics read it — without
+    # this the click⋈purchase rollup recomputes three times
+    lat = _track_persist(
+        p.select(F.expr("timestampdiff(MICROSECOND, t0, t1)").alias("us"))
     )
     n = lat.count()
-    w = Window.orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        lat.groupBy("us")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("cm", F.sum("c").over(w))
-    )
-
-    def order_stat(mult: int, of: int) -> int:
-        return (
-            cum.where(F.col("cm") * 10 >= n * of)
-            .orderBy("us")
-            .limit(1)
-            .collect()[0]["us"]
-        )
-
-    med, p90 = order_stat(10, 5), order_stat(10, 9)
+    med = _discrete_lower_stat(lat, "us", n, 1, 2)
+    p90 = _discrete_lower_stat(lat, "us", n, 9, 10)
     return spark.createDataFrame(
         [(n, int(med), int(p90))],
         "n_converted long, median_us long, p90_us long",
@@ -1220,18 +1236,26 @@ def q_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("sx"),
-        F.sum(F.col("rk") * F.col("cents")).alias("srx"),
-        # cents² exceeds BIGINT (ANSI overflow) — exact DECIMAL(38,0)
-        # accumulation, the decimal-determinism stance; DuckDB's HUGEINT
-        # plays the same role in the oracle
+        # rank·cents and cents² exceed BIGINT at sf ≳ 1.3 (ANSI
+        # overflow) — exact DECIMAL(38,0) accumulation, the
+        # decimal-determinism stance; DuckDB's HUGEINT plays the same
+        # role in the oracle
+        F.sum(F.col("rk").cast("decimal(19,0)") * F.col("cents")).alias(
+            "srx"
+        ),
         F.sum(
             F.col("cents").cast("decimal(19,0)") * F.col("cents")
         ).alias("sxx"),
     )
     return agg.select(
         F.col("n").cast("long").alias("n_customers"),
+        # n·sx likewise overflows BIGINT at scale: convert BEFORE the
+        # product (both factors < 2^53, so the double path is
+        # value-identical to exact integers)
         F.round(
-            2.0 * F.col("srx") / (F.col("n") * F.col("sx"))
+            2.0
+            * F.col("srx").cast("double")
+            / (F.col("n").cast("double") * F.col("sx").cast("double"))
             - (F.col("n") + 1.0) / F.col("n"),
             6,
         ).alias("gini"),
@@ -1329,31 +1353,18 @@ def q_event_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact by construction (a strictly stronger stance than even
     the micro-unit laws). Scale: one day-key rollup (map-side partial),
     then windows over the DISTINCT-count relation (≤ days rows)."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # persisted: the count, both medians, and the returned filter all
+    # read the daily rollup — unpersisted it recomputes four times
+    d = _track_persist(
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
     tot = d.count()
-
-    def lower_median(vals: DataFrame, col: str) -> int:
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-        cum = (
-            vals.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("cm", F.sum("c").over(w))
-        )
-        return (
-            cum.where(F.col("cm") * 2 >= tot)
-            .orderBy(col)
-            .limit(1)
-            .collect()[0][col]
-        )
-
-    med = lower_median(d, "n")
+    med = _discrete_lower_stat(d, "n", tot, 1, 2)
     ad = d.select("day", "n", F.abs(F.col("n") - F.lit(med)).alias("dev"))
-    mad = lower_median(ad, "dev")
+    mad = _discrete_lower_stat(ad, "dev", tot, 1, 2)
     return ad.where(F.col("dev") > 3 * mad).orderBy("day")
 
 
@@ -8441,12 +8452,14 @@ ranked AS (
 agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(cents) AS BIGINT) AS sx,
-         CAST(sum(rk * cents) AS BIGINT) AS srx,
+         sum(rk * cents) AS srx,
          sum(cents * cents) AS sxx
   FROM ranked
 )
 SELECT n AS n_customers,
-       round(2.0 * srx / (n * sx) - (n + 1.0) / n, 6) AS gini,
+       round(2.0 * CAST(srx AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (n + 1.0) / n, 6) AS gini,
        round(CAST(sxx AS DOUBLE) / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS hhi
 FROM agg
 """
@@ -12236,7 +12249,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # standing full-registry artifact CORRECTNESS_sf0.1.json, which
         # is regenerated whenever the registry changes (so no entry is
         # ever further than one round from a recorded green check).
-        # slots 1-15: NEW round-9 second half (this continuation) — all
+        # slots 1-17: NEW round-9 second half (this continuation) — all
         # verified hash-green at BOTH sf0.01 and sf0.1 before
         # registration; leading the window per the rotation policy.
         "bpe_pair_counts": q_bpe_pair_counts,
