@@ -3885,6 +3885,61 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_COS_THRESHOLD = 0.95
+
+
+def q_tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity join (round 9, second half):
+    document pairs with cosine ≥ 0.95 over L2-normalized tf·idf vectors
+    — the Bayardo et al. (WWW 2007) all-pairs-similarity-search shape,
+    the LEXICAL twin of cosine_neardup (word-overlap near-dup weighted
+    by informativeness, vs the shingle family's set semantics). The key
+    structural fact: cosine only draws contributions from SHARED terms,
+    so one postings self-join on term computes the EXACT full score —
+    no candidate/verify split needed; at 100 TB the standard df-cap
+    prunes stop-term join keys exactly like max_shingle_freq. idf is
+    the sklearn-smooth law ln((N+1)/(df+1))+1 (never negative, never
+    div0); per-doc norms and the pair dot-product are the one
+    rounded-6dp float path (the bm25 precedent)."""
+    toks = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", F.explode(tokenize("text")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = tf.select("doc_id").distinct().count()
+    idf = tf.groupBy("term").agg(
+        (F.log((n_docs + 1.0) / (F.count(F.lit(1)) + 1.0)) + 1.0).alias(
+            "idf"
+        )
+    )
+    w = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn")
+    )
+    u = _track_persist(
+        w.join(nrm, "doc_id").select(
+            "doc_id", "term", (F.col("w") / F.col("nn")).alias("w")
+        )
+    )
+    a, b = u.alias("a"), u.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .agg(F.round(F.sum(F.col("a.w") * F.col("b.w")), 6).alias("cos"))
+        .where(F.col("cos") >= TFIDF_COS_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.9
 
 
@@ -6059,6 +6114,32 @@ SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
        round(CAST(inter AS DOUBLE) / na, 6) AS containment
 FROM pairs JOIN sizes ON source_a = source
 ORDER BY source_a, source_b
+"""
+
+_ORACLES["tfidf_cosine_neardup"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+idf AS (
+  SELECT term, ln((nd + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM tf, n GROUP BY term, nd
+),
+w AS (SELECT doc_id, tf.term, tf * idf AS w FROM tf JOIN idf USING (term)),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY doc_id),
+u AS (SELECT doc_id, term, w / nn AS w FROM w JOIN nrm USING (doc_id)),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         round(sum(a.w * b.w), 6) AS cos
+  FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, cos FROM pairs
+WHERE cos >= {TFIDF_COS_THRESHOLD}
+ORDER BY a_id, b_id
 """
 
 _ORACLES["containment_neardup"] = f"""
@@ -12269,6 +12350,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": q_neyman_allocation,
         "ab_test_stat": q_ab_test_stat,
         "conversion_latency": q_conversion_latency,
+        "tfidf_cosine_neardup": q_tfidf_cosine_neardup,
         # round-9 first half below — the NN-Descent ANN graph tier
         # (VERDICT r7 Next #1) and the graph-SemDeDup composition
         # (VERDICT r7 Next #2) with their gates. Per the round-3 policy
