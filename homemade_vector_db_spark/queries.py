@@ -2431,6 +2431,64 @@ PR_BASE = 1_000_000  # score unit: micro-PageRank (exact BIGINT arithmetic)
 PR_TOP = 20
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the corpus kNN graph (round 9, second half):
+    undirected-edge count, triangle count, wedge count, and the global
+    clustering coefficient 3·T/W — the graph-analytics staple that
+    tells you whether the similarity graph is clumpy (high CC: tight
+    near-dup pockets graph-SemDeDup will collapse) or hub-like (low CC
+    with high max in-degree: a universal attractor, see
+    knn_graph_stats). Exact relational form: canonicalize edges to
+    u<v distinct pairs, count (e1: u-v, e2: v-w, e3: u-w) joins — each
+    triangle counted exactly once by u<v<w ordering; wedges =
+    Σ d(d−1)/2 over undirected degrees (integer div — d(d−1) is even).
+    All counts exact BIGINTs, one rounded division; edges come from the
+    shared session graph (tier-dispatched, exact at driver SFs so the
+    oracle recomputes it relationally). Cost: the e1⋈e2 join fans out
+    by per-node degree — bounded by k both ways on a kNN graph, so
+    O(N·k²) rows, never quadratic in N."""
+    g = _knn_graph(spark, sf_dir).select("src", "neighbor_id")
+    und = _track_persist(
+        g.select(
+            F.least("src", "neighbor_id").alias("u"),
+            F.greatest("src", "neighbor_id").alias("v"),
+        ).distinct()
+    )
+    n_edges = und.count()
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("w")
+    ).collect()[0]["w"]
+    # final division through Spark's round (HALF_UP) — Python's round is
+    # banker's and could diverge from the oracle on an exact half-ulp
+    return spark.createDataFrame(
+        [(n_edges, tri, int(wedges))],
+        "n_edges long, n_triangles long, n_wedges long",
+    ).select(
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "clustering_coef"
+        ),
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the corpus kNN graph (round 9) — the
     exemplar-selection signal data-curation pipelines rank sources by:
@@ -7342,6 +7400,44 @@ LIMIT {PR_TOP}
 
 
 _ORACLES["graph_pagerank"] = _pagerank_sql()
+
+_ORACLES["graph_triangles"] = f"""
+WITH s AS (
+  SELECT q.vec_id AS src, e.vec_id AS nb,
+         round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.embedding')}), 6)
+           AS score
+  FROM embeddings q, embeddings e
+  WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT src, nb,
+         row_number() OVER (PARTITION BY src ORDER BY score DESC, nb ASC) AS rn
+  FROM s
+),
+g AS (SELECT src, nb AS neighbor_id FROM ranked WHERE rn <= {KNN_GRAPH_K}),
+und AS (
+  SELECT DISTINCT least(src, neighbor_id) AS u,
+                  greatest(src, neighbor_id) AS v
+  FROM g
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+deg AS (
+  SELECT x, count(*) AS d
+  FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+  GROUP BY x
+),
+w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS wd FROM deg)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       CAST(t AS BIGINT) AS n_triangles,
+       wd AS n_wedges,
+       round(3.0 * t / wd, 6) AS clustering_coef
+FROM tri, w
+"""
 
 def _hybrid_batch_sql() -> str:
     bm25_block = _bm25_batch_cte(
@@ -12351,6 +12447,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_stat": q_ab_test_stat,
         "conversion_latency": q_conversion_latency,
         "tfidf_cosine_neardup": q_tfidf_cosine_neardup,
+        "graph_triangles": q_graph_triangles,
         # round-9 first half below — the NN-Descent ANN graph tier
         # (VERDICT r7 Next #1) and the graph-SemDeDup composition
         # (VERDICT r7 Next #2) with their gates. Per the round-3 policy
