@@ -12426,7 +12426,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # standing full-registry artifact CORRECTNESS_sf0.1.json, which
         # is regenerated whenever the registry changes (so no entry is
         # ever further than one round from a recorded green check).
-        # slots 1-17: NEW round-9 second half (this continuation) — all
+        # slots 1-19: NEW round-9 second half (this continuation) — all
         # verified hash-green at BOTH sf0.01 and sf0.1 before
         # registration; leading the window per the rotation policy.
         "bpe_pair_counts": q_bpe_pair_counts,
