@@ -3943,6 +3943,48 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-quality evaluation against PLANTED ground truth (round
+    9, second half): the driver plants ~5% near-dups whose text is
+    another doc's text + ' dup' — a derivable label set, so the n-gram
+    Jaccard detector's precision and recall are measurable exactly,
+    end to end, with no human judgment: truth = (a,b) pairs with
+    text_b = text_a || ' dup'; detected = the registered
+    ngram_jaccard_pairs law (threshold 0.6); P = |∩|/|detected|,
+    R = |∩|/|truth|. The evaluation harness every dedup deployment
+    needs (thresholds are chosen on exactly this curve); integer counts
+    + two rounded divisions, fully relational both engines."""
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    a, b = d.alias("a"), d.alias("b")
+    truth = a.join(
+        b, F.col("b.text") == F.concat(F.col("a.text"), F.lit(" dup"))
+    ).select(
+        F.least("a.doc_id", "b.doc_id").alias("a_id"),
+        F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+    )
+    det = dedup.ngram_jaccard_pairs(
+        load_documents(spark, sf_dir),
+        n=JACCARD_NGRAM,
+        threshold=JACCARD_THRESHOLD,
+        shingled=_shingle_sets(spark, sf_dir),
+    ).select("a_id", "b_id")
+    n_truth = truth.count()
+    n_det = det.count()
+    hits = det.join(truth, ["a_id", "b_id"]).count()
+    return spark.createDataFrame(
+        [(n_truth, n_det, hits)],
+        "n_truth long, n_detected long, n_hits long",
+    ).select(
+        "n_truth",
+        "n_detected",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_detected"), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+    )
+
+
 TFIDF_COS_THRESHOLD = 0.95
 
 
@@ -6172,6 +6214,44 @@ SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
        round(CAST(inter AS DOUBLE) / na, 6) AS containment
 FROM pairs JOIN sizes ON source_a = source
 ORDER BY source_a, source_b
+"""
+
+_ORACLES["neardup_eval"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens) - {JACCARD_NGRAM - 2}),
+           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
+  FROM toks
+  WHERE len(tokens) >= {JACCARD_NGRAM}
+),
+e AS (SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh),
+det AS (
+  SELECT a_id, b_id FROM (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           count(*) AS inter, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+),
+truth AS (
+  SELECT least(a.doc_id, b.doc_id) AS a_id, greatest(a.doc_id, b.doc_id) AS b_id
+  FROM documents a JOIN documents b ON b.text = a.text || ' dup'
+),
+c AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM det) AS n_detected,
+         (SELECT count(*) FROM det JOIN truth USING (a_id, b_id)) AS n_hits
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_detected AS BIGINT) AS n_detected,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_detected, 6) AS precision,
+       round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
+FROM c
 """
 
 _ORACLES["tfidf_cosine_neardup"] = f"""
@@ -12383,7 +12463,7 @@ _ORACLES["maxsim_grouped"] = _maxsim_oracle()
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
-    Round-9 close state: 215 entries, 215 oracle-paired — zero rows-only
+    Round-9 close state: 218 entries, 218 oracle-paired — zero rows-only
     (iterative NN-Descent has no one-statement SQL twin, so per the
     round-3 fold policy it registers THROUGH its gate: knn_graph_recall
     runs the NN-Descent graph in-plan against the exact graph). The
@@ -12426,7 +12506,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # standing full-registry artifact CORRECTNESS_sf0.1.json, which
         # is regenerated whenever the registry changes (so no entry is
         # ever further than one round from a recorded green check).
-        # slots 1-19: NEW round-9 second half (this continuation) — all
+        # slots 1-20: NEW round-9 second half (this continuation) — all
         # verified hash-green at BOTH sf0.01 and sf0.1 before
         # registration; leading the window per the rotation policy.
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -12448,6 +12528,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": q_conversion_latency,
         "tfidf_cosine_neardup": q_tfidf_cosine_neardup,
         "graph_triangles": q_graph_triangles,
+        "neardup_eval": q_neardup_eval,
         # round-9 first half below — the NN-Descent ANN graph tier
         # (VERDICT r7 Next #1) and the graph-SemDeDup composition
         # (VERDICT r7 Next #2) with their gates. Per the round-3 policy
