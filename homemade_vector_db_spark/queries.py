@@ -3943,6 +3943,74 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST (round 9, second half): fit ordinary least
+    squares to weekly order revenue on every week but the last, predict
+    the held-out week, report prediction vs actual and the absolute
+    percentage error — the model-evaluation loop that turns a forecast
+    formula into a trustworthy one (q_forecast_revenue is the TPC-H Q6
+    aggregation; this is actual out-of-sample measurement). Exactness:
+    weekly revenue is BIGINT cents, week index is a dense rank over the
+    distinct-week relation, OLS slope = (n·Σty − Σt·Σy)/(n·Σt² − (Σt)²)
+    with every moment an exact integer aggregate converted to double
+    ONCE in the same order in both engines — one float formula each
+    side, 6dp. One scan + a weeks-sized relation end to end."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    weekly = (
+        o.groupBy(F.date_trunc("week", "o_orderdate").alias("wk"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("y")
+        )
+        .withColumn(
+            "t", F.row_number().over(Window.orderBy("wk")) - F.lit(1)
+        )
+    )
+    t_max = weekly.agg(F.max("t").alias("m")).collect()[0]["m"]
+    train = weekly.where(F.col("t") < t_max)
+    test = weekly.where(F.col("t") == t_max)
+    m = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t").cast("decimal(19,0)") * F.col("y")).alias("sty"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double")
+    )
+    fitted = m.select(
+        "n",
+        slope.alias("b"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("st")) / F.col("n")
+        ).alias("a"),
+    )
+    return (
+        test.crossJoin(F.broadcast(fitted))
+        .select(
+            F.col("n").cast("long").alias("n_train_weeks"),
+            F.col("y").cast("long").alias("actual_cents"),
+            F.round(F.col("a") + F.col("b") * F.col("t"), 6).alias(
+                "predicted_cents"
+            ),
+            F.round(
+                F.abs(F.col("a") + F.col("b") * F.col("t") - F.col("y"))
+                / F.col("y"),
+                6,
+            ).alias("abs_pct_err"),
+        )
+    )
+
+
 def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detector-quality evaluation against PLANTED ground truth (round
     9, second half): the driver plants ~5% near-dups whose text is
@@ -6214,6 +6282,40 @@ SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
        round(CAST(inter AS DOUBLE) / na, 6) AS containment
 FROM pairs JOIN sizes ON source_a = source
 ORDER BY source_a, source_b
+"""
+
+_ORACLES["forecast_backtest"] = """
+WITH weekly AS (
+  SELECT date_trunc('week', o_orderdate) AS wk,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (SELECT wk, y, row_number() OVER (ORDER BY wk) - 1 AS t FROM weekly),
+mx AS (SELECT max(t) AS m FROM idx),
+train AS (SELECT t, y FROM idx, mx WHERE t < m),
+test AS (SELECT t, y FROM idx, mx WHERE t = m),
+mom AS (
+  SELECT count(*) AS n,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(t * t) AS BIGINT) AS stt,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(t * y) AS sty
+  FROM train
+),
+fit0 AS (
+  SELECT n, st, sy,
+         (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+          - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
+  FROM mom
+),
+fit AS (SELECT n, b, (CAST(sy AS DOUBLE) - b * st) / n AS a FROM fit0)
+SELECT CAST(n AS BIGINT) AS n_train_weeks,
+       CAST(y AS BIGINT) AS actual_cents,
+       round(a + b * t, 6) AS predicted_cents,
+       round(abs(a + b * t - y) / y, 6) AS abs_pct_err
+FROM test, fit
 """
 
 _ORACLES["neardup_eval"] = f"""
@@ -12463,7 +12565,7 @@ _ORACLES["maxsim_grouped"] = _maxsim_oracle()
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
-    Round-9 close state: 218 entries, 218 oracle-paired — zero rows-only
+    Round-9 close state: 219 entries, 219 oracle-paired — zero rows-only
     (iterative NN-Descent has no one-statement SQL twin, so per the
     round-3 fold policy it registers THROUGH its gate: knn_graph_recall
     runs the NN-Descent graph in-plan against the exact graph). The
@@ -12506,7 +12608,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # standing full-registry artifact CORRECTNESS_sf0.1.json, which
         # is regenerated whenever the registry changes (so no entry is
         # ever further than one round from a recorded green check).
-        # slots 1-20: NEW round-9 second half (this continuation) — all
+        # slots 1-21: NEW round-9 second half (this continuation) — all
         # verified hash-green at BOTH sf0.01 and sf0.1 before
         # registration; leading the window per the rotation policy.
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -12529,6 +12631,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_neardup": q_tfidf_cosine_neardup,
         "graph_triangles": q_graph_triangles,
         "neardup_eval": q_neardup_eval,
+        "forecast_backtest": q_forecast_backtest,
         # round-9 first half below — the NN-Descent ANN graph tier
         # (VERDICT r7 Next #1) and the graph-SemDeDup composition
         # (VERDICT r7 Next #2) with their gates. Per the round-3 policy
