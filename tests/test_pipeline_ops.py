@@ -898,3 +898,38 @@ def test_neyman_allocation_budget_law(spark):
     assert sum(r.quota for r in rows) == Q.NEYMAN_BUDGET
     assert len({r.source for r in rows}) == len(rows)
     assert all(r.quota >= 0 for r in rows)
+
+
+def test_event_transitions_rows_are_conditional_distributions(spark):
+    # per from_type the probabilities sum to 1 (each row's p is a
+    # rounded share of that type's outgoing transitions)
+    rows = Q.q_event_transitions(spark, SF_SMOKE).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r.p)
+    assert by_from
+    for vals in by_from.values():
+        assert abs(sum(vals) - 1.0) < 1e-4  # 6dp rounding per row
+
+
+def test_rfm_quintiles_are_balanced(spark):
+    # NTILE(5) over a total order: per dimension the five quintile
+    # populations differ by at most 1
+    rows = Q.q_rfm_segments(spark, SF_SMOKE).collect()
+    for dim in ("r_q", "f_q", "m_q"):
+        per_q = {}
+        for r in rows:
+            per_q[getattr(r, dim)] = per_q.get(getattr(r, dim), 0) + r.n_customers
+        assert set(per_q) == {1, 2, 3, 4, 5}
+        assert max(per_q.values()) - min(per_q.values()) <= 1
+
+
+def test_cohort_retention_age_zero_is_cohort_size(spark):
+    # every cohort is fully active at age 0 (its own first week), and
+    # no later age exceeds the cohort size
+    rows = Q.q_cohort_retention(spark, SF_SMOKE).collect()
+    size = {r.cohort_week: r.n_active for r in rows if r.age_weeks == 0}
+    assert size  # at least one cohort
+    for r in rows:
+        assert r.cohort_week in size
+        assert r.n_active <= size[r.cohort_week]
