@@ -2475,17 +2475,20 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("(d * (d - 1)) div 2")).alias("w")
     ).collect()[0]["w"]
     # final division through Spark's round (HALF_UP) — Python's round is
-    # banker's and could diverge from the oracle on an exact half-ulp
+    # banker's and could diverge from the oracle on an exact half-ulp.
+    # Degenerate guards: empty graph sums to NULL wedges; zero wedges
+    # would make Spark NULL vs DuckDB inf diverge — both emit NULL.
     return spark.createDataFrame(
-        [(n_edges, tri, int(wedges))],
+        [(n_edges, tri, int(wedges or 0))],
         "n_edges long, n_triangles long, n_wedges long",
     ).select(
         "n_edges",
         "n_triangles",
         "n_wedges",
-        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
-            "clustering_coef"
-        ),
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+        ).alias("clustering_coef"),
     )
 
 
@@ -3958,7 +3961,9 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    weekly = (
+    # persisted: the max-week probe, the train moments, and the test row
+    # all read the weekly relation — one orders scan, not three
+    weekly = _track_persist(
         o.groupBy(F.date_trunc("week", "o_orderdate").alias("wk"))
         .agg(
             F.sum(
@@ -4024,21 +4029,36 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     + two rounded divisions, fully relational both engines."""
     d = load_documents(spark, sf_dir).select("doc_id", "text")
     a, b = d.alias("a"), d.alias("b")
-    truth = a.join(
-        b, F.col("b.text") == F.concat(F.col("a.text"), F.lit(" dup"))
-    ).select(
-        F.least("a.doc_id", "b.doc_id").alias("a_id"),
-        F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+    # both relations feed two counting actions each — persist, or the
+    # PPJoin detector pipeline and the truth self-join run twice
+    truth = _track_persist(
+        a.join(
+            b, F.col("b.text") == F.concat(F.col("a.text"), F.lit(" dup"))
+        ).select(
+            F.least("a.doc_id", "b.doc_id").alias("a_id"),
+            F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+        )
     )
-    det = dedup.ngram_jaccard_pairs(
-        load_documents(spark, sf_dir),
-        n=JACCARD_NGRAM,
-        threshold=JACCARD_THRESHOLD,
-        shingled=_shingle_sets(spark, sf_dir),
-    ).select("a_id", "b_id")
+    det = _track_persist(
+        dedup.ngram_jaccard_pairs(
+            d,
+            n=JACCARD_NGRAM,
+            threshold=JACCARD_THRESHOLD,
+            shingled=_shingle_sets(spark, sf_dir),
+        ).select("a_id", "b_id")
+    )
     n_truth = truth.count()
     n_det = det.count()
     hits = det.join(truth, ["a_id", "b_id"]).count()
+    # zero-denominator guards: Spark NULL vs DuckDB inf/NaN divergence
+    # on degenerate corpora — both sides emit NULL instead
+    prec = F.when(
+        F.col("n_detected") > 0,
+        F.round(F.col("n_hits") / F.col("n_detected"), 6),
+    )
+    rec = F.when(
+        F.col("n_truth") > 0, F.round(F.col("n_hits") / F.col("n_truth"), 6)
+    )
     return spark.createDataFrame(
         [(n_truth, n_det, hits)],
         "n_truth long, n_detected long, n_hits long",
@@ -4046,10 +4066,8 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth",
         "n_detected",
         "n_hits",
-        F.round(F.col("n_hits") / F.col("n_detected"), 6).alias(
-            "precision"
-        ),
-        F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+        prec.alias("precision"),
+        rec.alias("recall"),
     )
 
 
@@ -4064,16 +4082,21 @@ def q_tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by informativeness, vs the shingle family's set semantics). The key
     structural fact: cosine only draws contributions from SHARED terms,
     so one postings self-join on term computes the EXACT full score —
-    no candidate/verify split needed; at 100 TB the standard df-cap
-    prunes stop-term join keys exactly like max_shingle_freq. idf is
-    the sklearn-smooth law ln((N+1)/(df+1))+1 (never negative, never
-    div0); per-doc norms and the pair dot-product are the one
-    rounded-6dp float path (the bm25 precedent)."""
-    toks = (
-        load_documents(spark, sf_dir)
-        .select("doc_id", F.explode(tokenize("text")).alias("term"))
+    no candidate/verify split needed. At 100 TB the stop-term join keys
+    are the cost center; the standard APSS treatments are Bayardo's
+    threshold prefix filter, or a df-cap applied as DELIBERATE
+    vocabulary pruning to both the score law and its oracle (unlike
+    jaccard's pruned-universe consistency, capping tf-idf terms changes
+    norms, so it must be a declared preprocessing step, never a silent
+    approximation — this corpus's 31-word vocabulary needs neither).
+    idf is the sklearn-smooth law ln((N+1)/(df+1))+1 (never negative,
+    never div0); per-doc norms and the pair dot-product are the one
+    rounded-6dp float path (the bm25 precedent). The (doc, term, tf)
+    relation is the session-cached BM25 postings — no fresh tokenize
+    pass."""
+    tf = _bm25_stats(spark, sf_dir).postings.select(
+        "doc_id", "term", "tf"
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = tf.select("doc_id").distinct().count()
     idf = tf.groupBy("term").agg(
         (F.log((n_docs + 1.0) / (F.count(F.lit(1)) + 1.0)) + 1.0).alias(
@@ -6211,8 +6234,11 @@ GROUP BY md5(trim(regexp_replace(
 ORDER BY keep_id
 """
 
-_ORACLES["ngram_jaccard_neardup"] = f"""
-WITH toks AS (
+# The ONE definition of the oracle-side shingle relation — shared by the
+# jaccard, containment, source-overlap, and detector-eval oracles (the
+# SQL twin of dedup._shingled; duplicating it invites the four copies
+# silently diverging from the registered law).
+_SHINGLE_CTE = f"""toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
   FROM documents
 ),
@@ -6222,7 +6248,10 @@ sh AS (
            i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
   FROM toks
   WHERE len(tokens) >= {JACCARD_NGRAM}
-),
+)"""
+
+_ORACLES["ngram_jaccard_neardup"] = f"""
+WITH {_SHINGLE_CTE},
 e AS (SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh),
 pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -6256,17 +6285,7 @@ ORDER BY dist, term
 """
 
 _ORACLES["source_overlap"] = f"""
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
-  FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(tokens) - {JACCARD_NGRAM - 2}),
-           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
-  FROM toks
-  WHERE len(tokens) >= {JACCARD_NGRAM}
-),
+WITH {_SHINGLE_CTE},
 ss AS (
   SELECT DISTINCT d.source, s.shingle
   FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) s
@@ -6319,17 +6338,7 @@ FROM test, fit
 """
 
 _ORACLES["neardup_eval"] = f"""
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
-  FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(tokens) - {JACCARD_NGRAM - 2}),
-           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
-  FROM toks
-  WHERE len(tokens) >= {JACCARD_NGRAM}
-),
+WITH {_SHINGLE_CTE},
 e AS (SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh),
 det AS (
   SELECT a_id, b_id FROM (
@@ -6351,8 +6360,11 @@ c AS (
 SELECT CAST(n_truth AS BIGINT) AS n_truth,
        CAST(n_detected AS BIGINT) AS n_detected,
        CAST(n_hits AS BIGINT) AS n_hits,
-       round(CAST(n_hits AS DOUBLE) / n_detected, 6) AS precision,
-       round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
+       CASE WHEN n_detected > 0
+            THEN round(CAST(n_hits AS DOUBLE) / n_detected, 6) END
+         AS precision,
+       CASE WHEN n_truth > 0
+            THEN round(CAST(n_hits AS DOUBLE) / n_truth, 6) END AS recall
 FROM c
 """
 
@@ -6383,17 +6395,7 @@ ORDER BY a_id, b_id
 """
 
 _ORACLES["containment_neardup"] = f"""
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
-  FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(tokens) - {JACCARD_NGRAM - 2}),
-           i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2])) AS shingles
-  FROM toks
-  WHERE len(tokens) >= {JACCARD_NGRAM}
-),
+WITH {_SHINGLE_CTE},
 e AS (SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM sh),
 pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -7616,8 +7618,9 @@ deg AS (
 w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS wd FROM deg)
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
        CAST(t AS BIGINT) AS n_triangles,
-       wd AS n_wedges,
-       round(3.0 * t / wd, 6) AS clustering_coef
+       coalesce(wd, 0) AS n_wedges,
+       CASE WHEN coalesce(wd, 0) > 0
+            THEN round(3.0 * t / wd, 6) END AS clustering_coef
 FROM tri, w
 """
 
