@@ -12565,6 +12565,210 @@ _ORACLES["maxsim_topk"] = _maxsim_oracle()
 _ORACLES["maxsim_grouped"] = _maxsim_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Round 9, fourth mini-batch: pipeline-operations analytics — ingest-batch
+# dedup monitoring, corpus diversity, batching efficiency, behavioral
+# similarity, budgeted mixture allocation, attribution, CUPED, and the
+# k-core / HITS graph tier. Same contract as every batch: exact integer
+# laws wherever a float could drift, one rounded float formula per column,
+# full relational DuckDB twins.
+# ---------------------------------------------------------------------------
+
+DEDUP_BATCHES = 10  # ingest batches the dup-rate monitor splits the corpus into
+
+
+def q_dedup_rate_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch dedup-rate monitor: split the corpus into
+    DEDUP_BATCHES arrival batches (batch = doc_id·B div (max_id+1) — a
+    pure projection against one broadcast scalar, NOT a global-order
+    ntile, so no single-partition window at 100 TB) and report, per
+    batch, how many docs are normalization-insensitive duplicates of a
+    doc in an EARLIER batch — the curve every continuously-ingesting
+    corpus watches to see marginal novelty decay (dup rate rising ⇒ the
+    source is exhausted). Law: nfp = md5 of the C4-normalized text
+    (q_dedup_normalized's exact normalization); first_batch per nfp =
+    min(batch); a doc is a cross-batch dup iff its batch > first_batch.
+    One md5 groupBy + one nfp-keyed join back; text never shuffles."""
+    d = load_documents(spark, sf_dir)
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    tagged = d.crossJoin(F.broadcast(mx)).select(
+        F.md5(norm).alias("nfp"),
+        F.expr(f"doc_id * {DEDUP_BATCHES} div (mx + 1)").alias("batch"),
+    )
+    first = tagged.groupBy("nfp").agg(F.min("batch").alias("first_batch"))
+    return (
+        tagged.join(first, "nfp")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("batch") > F.col("first_batch")).cast("long")
+            ).alias("n_cross_dups"),
+        )
+        .select(
+            "batch",
+            "n_docs",
+            "n_cross_dups",
+            F.round(F.col("n_cross_dups") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("batch")
+    )
+
+
+_ORACLES["dedup_rate_by_batch"] = f"""
+WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+tagged AS (
+  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nfp,
+         doc_id * {DEDUP_BATCHES} // (mx + 1) AS batch
+  FROM documents, mx
+),
+first AS (SELECT nfp, min(batch) AS first_batch FROM tagged GROUP BY nfp)
+SELECT batch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN batch > first_batch THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_dups,
+       round(CAST(sum(CASE WHEN batch > first_batch THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS dup_rate
+FROM tagged JOIN first USING (nfp)
+GROUP BY batch
+ORDER BY batch
+"""
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity: distinct trigram shingles across the
+    source over total per-doc shingle slots — the corpus-level
+    type-token ratio that separates template-generated/boilerplate
+    sources (low diversity: many docs, few distinct shingles) from
+    organic ones, the aggregate signal behind boilerplate_ngrams'
+    per-shingle view. Reuses the session-materialized shingle relation
+    (the Jaccard family's derived state, so this adds ZERO new
+    tokenization work); one explode + one (source, shingle) distinct
+    groupBy — both shuffles carry 8-byte-hashable keys at scale."""
+    d = load_documents(spark, sf_dir).select("doc_id", "source")
+    ex = (
+        _shingle_sets(spark, sf_dir)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(d, "doc_id")
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingle_slots"),
+            F.countDistinct("shingle").alias("n_distinct_shingles"),
+        )
+        .select(
+            "source",
+            "n_shingle_slots",
+            "n_distinct_shingles",
+            F.round(
+                F.col("n_distinct_shingles") / F.col("n_shingle_slots"), 6
+            ).alias("diversity"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLES["ngram_diversity"] = f"""
+WITH {_SHINGLE_CTE},
+e AS (
+  SELECT d.source, s.sh_one AS shingle
+  FROM (SELECT doc_id, unnest(shingles) AS sh_one FROM sh) s
+  JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_shingle_slots,
+       CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct_shingles,
+       round(CAST(count(DISTINCT shingle) AS DOUBLE) / count(*), 6)
+         AS diversity
+FROM e
+GROUP BY source
+ORDER BY source
+"""
+
+
+PAD_MAX_POW = 18  # bucket lengths 1..2^18 cover any doc the corpus holds
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching efficiency: assign every doc to the
+    smallest power-of-two token bucket ≥ its token count (the standard
+    dataloader bucketing strategy) and report per-bucket doc count,
+    real tokens, padding tokens, and packing efficiency — the readout
+    that tells a training pipeline how much compute padding burns and
+    whether to switch to sequence packing (q_pack_sequences is the
+    fix; this is the diagnosis). Token law = the str.split parity
+    tokenizer shared with token_count. The bucket lookup is a
+    broadcast join against an 18-row powers relation followed by a
+    min — integer-exact, no log2 float anywhere."""
+    toks = (
+        load_documents(spark, sf_dir)
+        .select(F.size(tokenize("text")).alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+    )
+    pows = spark.range(PAD_MAX_POW + 1).select(
+        F.expr("shiftleft(1L, cast(id AS int))").cast("long").alias("p")
+    )
+    bucketed = (
+        toks.join(F.broadcast(pows), F.col("n_tok") <= F.col("p"))
+        .groupBy("n_tok")
+        .agg(F.min("p").alias("bucket_len"), F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        bucketed.groupBy("bucket_len")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.sum(F.col("n_tok") * F.col("c")).alias("real_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "real_tokens",
+            (F.col("bucket_len") * F.col("n_docs") - F.col("real_tokens"))
+            .alias("padding_tokens"),
+            F.round(
+                F.col("real_tokens")
+                / (F.col("bucket_len") * F.col("n_docs")),
+                6,
+            ).alias("efficiency"),
+        )
+        .orderBy("bucket_len")
+    )
+
+
+_ORACLES["padding_waste"] = f"""
+WITH toks AS (
+  SELECT len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS n_tok
+  FROM documents
+),
+pows AS (SELECT CAST(power(2, i) AS BIGINT) AS p FROM range({PAD_MAX_POW + 1}) t(i)),
+bucketed AS (
+  SELECT n_tok, min(p) AS bucket_len, count(*) AS c
+  FROM toks JOIN pows ON n_tok <= p
+  WHERE n_tok > 0
+  GROUP BY n_tok
+)
+SELECT bucket_len,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok * c) AS BIGINT) AS real_tokens,
+       CAST(bucket_len * sum(c) - sum(n_tok * c) AS BIGINT) AS padding_tokens,
+       round(CAST(sum(n_tok * c) AS DOUBLE) / (bucket_len * sum(c)), 6)
+         AS efficiency
+FROM bucketed
+GROUP BY bucket_len
+ORDER BY bucket_len
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -12611,9 +12815,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # standing full-registry artifact CORRECTNESS_sf0.1.json, which
         # is regenerated whenever the registry changes (so no entry is
         # ever further than one round from a recorded green check).
-        # slots 1-21: NEW round-9 second half (this continuation) — all
-        # verified hash-green at BOTH sf0.01 and sf0.1 before
+        # slots 1-N: NEW round-9 fourth mini-batch — pipeline-operations
+        # analytics; verified hash-green at BOTH sf0.01 and sf0.1 before
         # registration; leading the window per the rotation policy.
+        "dedup_rate_by_batch": q_dedup_rate_by_batch,
+        "ngram_diversity": q_ngram_diversity,
+        "padding_waste": q_padding_waste,
+        # slots: round-9 second half — all verified hash-green at BOTH
+        # sf0.01 and sf0.1 before registration.
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train_check": q_bpe_train_check,
         "containment_neardup": q_containment_neardup,
