@@ -12769,6 +12769,330 @@ ORDER BY bucket_len
 """
 
 
+SIM_ANCHOR_USERS = 100  # bounded anchor set for the pairwise profile join
+
+
+def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral nearest neighbor: for each of the SIM_ANCHOR_USERS
+    most active users (count desc, user_id asc — the bounded-anchor law
+    shared with hard_negatives), the most cosine-similar OTHER anchor
+    over their event-type count vectors — collaborative-filtering-style
+    audience matching expressed purely relationally. The 'vectors' are
+    sparse (user, event_type, count) rows, so the dot product is a join
+    on event_type + a pair groupBy: dimensions = |event_types| (tiny,
+    bounded by the domain), pairs = anchors², both independent of the
+    event-row count — the profile rollup is the only corpus-sized
+    shuffle. Integer moments in, one rounded cosine out, ranked AFTER
+    rounding (score desc, match asc — the knn tie law)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = (
+        counts.groupBy("user_id")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("user_id"))
+        .limit(SIM_ANCHOR_USERS)
+    )
+    # anchor profiles: bounded relation (anchors × event types)
+    prof = _track_persist(
+        counts.join(F.broadcast(totals.select("user_id")), "user_id")
+    )
+    norms = prof.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nrm2")
+    )
+    a, b = prof.alias("a"), prof.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_id"),
+            F.col("b.user_id").alias("match_id"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("user_id"), F.col("nrm2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("user_id").alias("match_id"), F.col("nrm2").alias("nb2")
+    )
+    scored = (
+        dots.join(na, "user_id")
+        .join(nb, "match_id")
+        .select(
+            "user_id",
+            "match_id",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "match_id", "score")
+        .orderBy("user_id")
+    )
+
+
+_ORACLES["user_similarity"] = f"""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+anchors AS (
+  SELECT user_id FROM (
+    SELECT user_id, sum(c) AS tot FROM counts GROUP BY 1
+  ) ORDER BY tot DESC, user_id ASC LIMIT {SIM_ANCHOR_USERS}
+),
+prof AS (SELECT c.* FROM counts c JOIN anchors USING (user_id)),
+norms AS (SELECT user_id, sum(c * c) AS nrm2 FROM prof GROUP BY 1),
+dots AS (
+  SELECT a.user_id, b.user_id AS match_id, sum(a.c * b.c) AS dot
+  FROM prof a JOIN prof b
+    ON a.event_type = b.event_type AND a.user_id <> b.user_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.user_id, d.match_id,
+         round(d.dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)), 6) AS score
+  FROM dots d
+  JOIN norms na ON na.user_id = d.user_id
+  JOIN norms nb ON nb.user_id = d.match_id
+),
+ranked AS (
+  SELECT user_id, match_id, score,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY score DESC, match_id ASC
+         ) AS rn
+  FROM scored
+)
+SELECT user_id, match_id, score FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_budget_mixture_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token allocation: split a training-token budget
+    (half the corpus's total tokens) across sources targeting EQUAL
+    shares, except a source can never contribute more than it has —
+    capped sources give everything, the freed budget re-levels across
+    the rest. The allocator every fixed-budget pretraining mix runs
+    after temperature_mixture picks target weights. Exact integer law
+    end to end: sort sources by capacity asc (source asc ties); source
+    i (of S, prefix sum cum) is CAPPED iff c_i·(S−i+1) + cum_{i−1} ≤ B
+    (the max such prefix m); uncapped sources each get
+    (B − cum_m) div (S − m), and the first (B − cum_m) mod (S − m) of
+    them in the same sort order get +1 — so Σ allocated == B exactly,
+    no float anywhere, partition-order-independent. Windows run over
+    the S-row source relation (bounded by the domain), never the
+    corpus; the only corpus-sized work is the token-count rollup."""
+    from pyspark.sql import Window
+
+    caps = (
+        load_documents(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size(tokenize("text"))).alias("cap"))
+    )
+    tot = caps.agg(
+        (F.sum("cap") / 2).cast("long").alias("budget"),
+        F.count(F.lit(1)).alias("s"),
+    )
+    w = Window.orderBy("cap", "source")
+    idx = caps.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "cap",
+        "budget",
+        "s",
+        F.row_number().over(w).alias("i"),
+        F.sum("cap").over(w).alias("cum"),
+    )
+    flagged = idx.withColumn(
+        "capped_cand",
+        F.col("cap") * (F.col("s") - F.col("i") + 1)
+        + (F.col("cum") - F.col("cap"))
+        <= F.col("budget"),
+    )
+    m = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("capped_cand"), F.col("i"))), F.lit(0)
+        ).alias("m")
+    )
+    cum_m = flagged.crossJoin(F.broadcast(m)).agg(
+        F.coalesce(
+            F.max(F.when(F.col("i") == F.col("m"), F.col("cum"))), F.lit(0)
+        ).alias("cum_m"),
+        F.max("m").alias("m"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(cum_m))
+        .select(
+            "source",
+            F.col("cap").alias("capacity_tokens"),
+            (F.col("i") <= F.col("m")).alias("capped"),
+            F.when(F.col("i") <= F.col("m"), F.col("cap"))
+            .otherwise(
+                F.expr("(budget - cum_m) div (s - m)")
+                + (
+                    F.col("i") - F.col("m")
+                    <= F.expr("(budget - cum_m) % (s - m)")
+                ).cast("long")
+            )
+            .alias("allocated_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLES["budget_mixture_fill"] = """
+WITH caps AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS cap
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(cap) // 2 AS budget, count(*) AS s FROM caps),
+idx AS (
+  SELECT source, cap, budget, s,
+         row_number() OVER (ORDER BY cap, source) AS i,
+         sum(cap) OVER (ORDER BY cap, source
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM caps, tot
+),
+flagged AS (
+  SELECT *, cap * (s - i + 1) + (cum - cap) <= budget AS capped_cand
+  FROM idx
+),
+mm AS (
+  SELECT coalesce(max(CASE WHEN capped_cand THEN i END), 0) AS m
+  FROM flagged
+),
+cm AS (
+  SELECT coalesce(max(CASE WHEN i = m THEN cum END), 0) AS cum_m, max(m) AS m
+  FROM flagged, mm
+)
+SELECT source,
+       cap AS capacity_tokens,
+       i <= m AS capped,
+       CAST(CASE WHEN i <= m THEN cap
+            ELSE (budget - cum_m) // (s - m)
+                 + CASE WHEN i - m <= (budget - cum_m) % (s - m)
+                        THEN 1 ELSE 0 END
+       END AS BIGINT) AS allocated_tokens
+FROM flagged, cm
+ORDER BY source
+"""
+
+
+ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day attribution lookback
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase is credited to
+    the user's most recent click or view strictly before it (order by
+    (ts, event_id) — the deterministic event order), but only if that
+    touch is within a 7-day lookback; otherwise the purchase is
+    'direct'. The marketing-analytics readout that funnels purchase
+    revenue back to acquisition channels. Exactness: recency compares
+    in integer microseconds (timestampdiff law shared with
+    conversion_latency), revenue sums in BIGINT micro-units. One
+    per-user window pass (partitioned by user_id — parallel at any
+    scale, never a global window) + a 3-row rollup."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(is_touch, F.col("event_type")).alias("touch_type"),
+        F.when(is_touch, F.col("ts")).alias("touch_ts"),
+    )
+    attributed = (
+        tagged.withColumn(
+            "last_type", F.last("touch_type", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_ts", F.last("touch_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("last_type").isNotNull()
+                & (
+                    F.expr("timestampdiff(MICROSECOND, last_ts, ts)")
+                    <= ATTR_WINDOW_US
+                ),
+                F.col("last_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            F.round(F.col("value") * 1e6).cast("long").alias("v_u"),
+        )
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v_u").alias("revenue_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ORACLES["attribution_last_touch"] = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END
+           AS touch_type,
+         CASE WHEN event_type IN ('click', 'view') THEN ts END AS touch_ts
+  FROM events
+),
+attributed AS (
+  SELECT event_type, value,
+         last_value(touch_type IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_type,
+         last_value(touch_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_ts,
+         ts
+  FROM tagged
+)
+SELECT CASE WHEN last_type IS NOT NULL
+            AND epoch_us(ts) - epoch_us(last_ts) <= {ATTR_WINDOW_US}
+            THEN last_type ELSE 'direct' END AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS revenue_micro
+FROM attributed
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -12821,6 +13145,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_batch": q_dedup_rate_by_batch,
         "ngram_diversity": q_ngram_diversity,
         "padding_waste": q_padding_waste,
+        "user_similarity": q_user_similarity,
+        "budget_mixture_fill": q_budget_mixture_fill,
+        "attribution_last_touch": q_attribution_last_touch,
         # slots: round-9 second half — all verified hash-green at BOTH
         # sf0.01 and sf0.1 before registration.
         "bpe_pair_counts": q_bpe_pair_counts,
