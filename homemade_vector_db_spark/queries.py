@@ -13093,6 +13093,251 @@ ORDER BY 1
 """
 
 
+# shared oracle prefix: the exact kNN-graph edge relation (s/ranked/g) —
+# the same derivation the knn_graph / pagerank / triangle oracles inline
+_GRAPH_G_PREFIX = f"""s AS (
+  SELECT q.vec_id AS src, e.vec_id AS nb,
+         round(1.0 / (1.0 + {{sql2}}), 6) AS score
+  FROM embeddings q, embeddings e
+  WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT src, nb,
+         row_number() OVER (PARTITION BY src ORDER BY score DESC, nb ASC) AS rn
+  FROM s
+),
+g AS (SELECT src, nb AS neighbor_id FROM ranked WHERE rn <= {KNN_GRAPH_K})"""
+
+
+KCORE_K = 2  # core threshold over the MUTUAL kNN graph
+KCORE_MAX_ROUNDS = 16  # honesty cap; converged flag reports fixpoint
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the MUTUAL kNN graph: keep an edge only if both
+    endpoints list each other in their top-k (the mutual-kNN filter
+    that strips hub-induced spurious edges — raw kNN graphs have
+    min-degree ≥ k by construction, so their k-core is degenerate;
+    the mutual graph's is not), then iteratively peel nodes with
+    degree < KCORE_K to a fixpoint. The surviving core is the
+    dense-region backbone — the candidate set exemplar-selection and
+    semantic-dedup pipelines treat as 'canonical content', with the
+    peeled fringe as outliers. Peeling is inherently round-sequential
+    and the round count is data-dependent, so the law caps it at
+    KCORE_MAX_ROUNDS and reports convergence honestly (the
+    connected-components capped-rounds discipline): each round is one
+    degree groupBy + one semi-join on the SHRINKING edge relation —
+    O(rounds·|E|) shuffle rows, every round parallel. Output: k, the
+    capped round count, core size in nodes and edges, converged flag —
+    all integers."""
+    g = _knn_graph(spark, sf_dir).select("src", "neighbor_id")
+    a, b = g.alias("a"), g.alias("b")
+    und = _track_persist(
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.src")),
+        )
+        .where(F.col("a.src") < F.col("a.neighbor_id"))
+        .select(F.col("a.src").alias("u"), F.col("a.neighbor_id").alias("v"))
+    )
+    edges = und
+    prev_n = edges.select(
+        F.explode(F.array("u", "v")).alias("x")
+    ).distinct().count()
+    rounds = 0
+    converged = False
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = (
+            edges.select(F.explode(F.array("u", "v")).alias("x"))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= KCORE_K).select("x")
+        n_keep = keep.count()
+        if n_keep == prev_n:
+            converged = True
+            break
+        rounds += 1
+        prev_n = n_keep
+        edges = (
+            edges.join(keep.withColumnRenamed("x", "u"), "u")
+            .join(keep.withColumnRenamed("x", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    n_edges = edges.count()
+    return spark.createDataFrame(
+        [(KCORE_K, rounds, prev_n, n_edges, converged)],
+        "k int, rounds long, n_core_nodes long, n_core_edges long,"
+        " converged boolean",
+    )
+
+
+def _kcore_sql() -> str:
+    """Capped peel as unrolled CTE rounds: n{i} = nodes of n{i-1} with
+    degree ≥ k among edges internal to n{i-1}. Rounds = first i with
+    |n{i}| = |n{i-1}| (peeling only removes, so equal count ⇒ fixpoint)."""
+    # every CTE in the peel chain is MATERIALIZED: DuckDB inlines plain
+    # CTEs at each reference, and n{i} references n{i-1} twice — without
+    # materialization the expansion is 2^rounds
+    parts = [
+        f"""WITH {_GRAPH_G_PREFIX.format(sql2=_SQL_SQL2.format(a='e.embedding', b='q.embedding')).replace("g AS (", "g AS MATERIALIZED (")},
+und AS MATERIALIZED (
+  SELECT a.src AS u, a.neighbor_id AS v
+  FROM g a JOIN g b ON a.src = b.neighbor_id AND a.neighbor_id = b.src
+  WHERE a.src < a.neighbor_id
+),
+n0 AS MATERIALIZED (
+  SELECT DISTINCT x FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und))"""
+    ]
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
+        parts.append(
+            f""",
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM und
+  WHERE u IN (SELECT x FROM n{i - 1}) AND v IN (SELECT x FROM n{i - 1})
+),
+n{i} AS MATERIALIZED (
+  SELECT x FROM (
+    SELECT x, count(*) AS d
+    FROM (SELECT u AS x FROM e{i} UNION ALL SELECT v FROM e{i})
+    GROUP BY x
+  ) WHERE d >= {KCORE_K}
+)"""
+        )
+    counts = ", ".join(
+        f"(SELECT count(*) FROM n{i}) AS c{i}"
+        for i in range(KCORE_MAX_ROUNDS + 1)
+    )
+    # rounds = first i with c_i == c_{i-1}; converged iff such i exists
+    first_fix = "CASE " + " ".join(
+        f"WHEN c{i} = c{i - 1} THEN {i - 1}"
+        for i in range(1, KCORE_MAX_ROUNDS + 1)
+    ) + f" ELSE {KCORE_MAX_ROUNDS} END"
+    conv = " OR ".join(
+        f"c{i} = c{i - 1}" for i in range(1, KCORE_MAX_ROUNDS + 1)
+    )
+    last = KCORE_MAX_ROUNDS
+    return (
+        "".join(parts)
+        + f""",
+cts AS (SELECT {counts}),
+fin AS (
+  SELECT count(*) AS n_core_edges FROM und
+  WHERE u IN (SELECT x FROM n{last}) AND v IN (SELECT x FROM n{last})
+)
+SELECT CAST({KCORE_K} AS INT) AS k,
+       CAST({first_fix} AS BIGINT) AS rounds,
+       CAST(c{last} AS BIGINT) AS n_core_nodes,
+       CAST(n_core_edges AS BIGINT) AS n_core_edges,
+       ({conv}) AS converged
+FROM cts, fin
+"""
+    )
+
+
+_ORACLES["graph_kcore"] = _kcore_sql()
+
+
+HITS_ROUNDS = 2  # fixed power-iteration rounds (integer-exact, no division)
+HITS_TOP = 20
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the directed kNN graph (Kleinberg's
+    law, unnormalized): authority(v) = Σ hub over in-edges, hub(u) =
+    Σ authority over out-edges, HITS_ROUNDS alternations from hub=1 —
+    integer-EXACT end to end because the un-normalized recurrence needs
+    no division at all (values stay tiny: bounded by (k·max_indeg)^r),
+    so the result is partition-order-independent without the micro-unit
+    trick PageRank needs. Authorities rank dense-region exemplars by
+    being *chosen* (in-link mass); hubs rank rows whose neighbor lists
+    point at strong exemplars. Each round is one join + one groupBy on
+    the edge relation — O(rounds·k·N) shuffle rows. Top-HITS_TOP by
+    (authority desc, vec_id asc)."""
+    emb = load_embeddings(spark, sf_dir)
+    g = _knn_graph(spark, sf_dir).select("src", "neighbor_id")
+    nodes = emb.select("vec_id")
+    hub = nodes.select("vec_id", F.lit(1).cast("long").alias("h"))
+    auth = None
+    for _ in range(HITS_ROUNDS):
+        a_in = (
+            g.join(hub.select(F.col("vec_id").alias("src"), "h"), "src")
+            .groupBy(F.col("neighbor_id").alias("vec_id"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = nodes.join(a_in, "vec_id", "left").select(
+            "vec_id", F.coalesce("a", F.lit(0)).cast("long").alias("a")
+        )
+        h_out = (
+            g.join(
+                auth.select(F.col("vec_id").alias("neighbor_id"), "a"),
+                "neighbor_id",
+            )
+            .groupBy(F.col("src").alias("vec_id"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = nodes.join(h_out, "vec_id", "left").select(
+            "vec_id", F.coalesce("h", F.lit(0)).cast("long").alias("h")
+        )
+    return (
+        auth.join(hub, "vec_id")
+        .select(
+            "vec_id",
+            F.col("a").alias("authority"),
+            F.col("h").alias("hub"),
+        )
+        .orderBy(F.desc("authority"), F.asc("vec_id"))
+        .limit(HITS_TOP)
+    )
+
+
+def _hits_sql() -> str:
+    # MATERIALIZED for the same reason as the k-core oracle: the final
+    # select reads a{r} and h{r}, h{r} reads a{r}, and every round reads
+    # g — plain-CTE inlining would re-derive the quadratic graph
+    # relation once per reference
+    parts = [
+        f"""WITH {_GRAPH_G_PREFIX.format(sql2=_SQL_SQL2.format(a='e.embedding', b='q.embedding')).replace("g AS (", "g AS MATERIALIZED (")},
+nodes AS MATERIALIZED (SELECT vec_id FROM embeddings),
+h0 AS (SELECT vec_id, CAST(1 AS BIGINT) AS h FROM nodes)"""
+    ]
+    for i in range(1, HITS_ROUNDS + 1):
+        parts.append(
+            f""",
+ai{i} AS MATERIALIZED (
+  SELECT g.neighbor_id AS vec_id, sum(h.h) AS a
+  FROM g JOIN h{i - 1} h ON h.vec_id = g.src GROUP BY 1
+),
+a{i} AS MATERIALIZED (
+  SELECT n.vec_id, CAST(coalesce(ai.a, 0) AS BIGINT) AS a
+  FROM nodes n LEFT JOIN ai{i} ai USING (vec_id)
+),
+hi{i} AS MATERIALIZED (
+  SELECT g.src AS vec_id, sum(a.a) AS h
+  FROM g JOIN a{i} a ON a.vec_id = g.neighbor_id GROUP BY 1
+),
+h{i} AS MATERIALIZED (
+  SELECT n.vec_id, CAST(coalesce(hi.h, 0) AS BIGINT) AS h
+  FROM nodes n LEFT JOIN hi{i} hi USING (vec_id)
+)"""
+        )
+    r = HITS_ROUNDS
+    return (
+        "".join(parts)
+        + f"""
+SELECT a{r}.vec_id, a{r}.a AS authority, h{r}.h AS hub
+FROM a{r} JOIN h{r} USING (vec_id)
+ORDER BY authority DESC, vec_id ASC
+LIMIT {HITS_TOP}
+"""
+    )
+
+
+_ORACLES["graph_hits"] = _hits_sql()
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -13148,6 +13393,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_similarity": q_user_similarity,
         "budget_mixture_fill": q_budget_mixture_fill,
         "attribution_last_touch": q_attribution_last_touch,
+        "graph_kcore": q_graph_kcore,
+        "graph_hits": q_graph_hits,
         # slots: round-9 second half — all verified hash-green at BOTH
         # sf0.01 and sf0.1 before registration.
         "bpe_pair_counts": q_bpe_pair_counts,
