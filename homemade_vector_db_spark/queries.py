@@ -13338,6 +13338,369 @@ LIMIT {HITS_TOP}
 _ORACLES["graph_hits"] = _hits_sql()
 
 
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013): adjust each arm's purchase-value mean by θ·(covariate mean −
+    pooled covariate mean), θ = cov(x,y)/var(x), with the user's click
+    count as the pre-period covariate stand-in — the standard trick
+    that removes the covariate-explained share of metric variance and
+    is the first upgrade every experimentation platform ships after
+    q_ab_test_stat's plain Welch readout. Unit = user (all users with
+    any event; y = total purchase value in exact micro-units, 0 for
+    non-purchasers; x = click count); arms = user_id parity, the same
+    deterministic bucketing law as ab_test_stat. Every moment (n, Σx,
+    Σy, Σxy, Σx², Σy²) is an exact integer aggregate (the wide squares
+    in DECIMAL/HUGEINT), converted to double ONCE and combined in the
+    same order both engines — so the floats are bit-identical before
+    the single 6dp round. Two scans + a users-sized rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 1e6).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("y"),
+        F.sum(
+            (F.col("event_type") == "click").cast("long")
+        ).alias("x"),
+    ).select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"),
+    )
+    arm_mom = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum("x").alias("sxa"),
+        F.sum("y").alias("sya"),
+    )
+    a = arm_mom.where(F.col("arm") == 0).alias("a")
+    b = arm_mom.where(F.col("arm") == 1).alias("b")
+    d = F.col  # noqa: E731 — keep the formulas readable
+    nd = d("n").cast("double")
+    cov = nd * d("sxy").cast("double") - d("sx").cast("double") * d(
+        "sy"
+    ).cast("double")
+    varx = nd * d("sxx").cast("double") - d("sx").cast("double") * d(
+        "sx"
+    ).cast("double")
+    vary = nd * d("syy").cast("double") - d("sy").cast("double") * d(
+        "sy"
+    ).cast("double")
+    theta = cov / varx
+    xbar = d("sx").cast("double") / nd
+    mean = lambda s, c: d(f"{s}.{c}").cast("double") / d(f"{s}.na")
+    adj = lambda s: mean(s, "sya") - theta * (mean(s, "sxa") - xbar)
+    return (
+        mom.crossJoin(a)
+        .crossJoin(b)
+        .select(
+            d("n").cast("long").alias("n_users"),
+            F.round(theta, 6).alias("theta"),
+            F.round(mean("a", "sya") - mean("b", "sya"), 6).alias(
+                "raw_diff_micro"
+            ),
+            F.round(adj("a") - adj("b"), 6).alias("cuped_diff_micro"),
+            F.round(cov * cov / (varx * vary), 6).alias("rho2"),
+        )
+    )
+
+
+_ORACLES["cuped_adjust"] = """
+WITH per_user AS (
+  SELECT user_id % 2 AS arm,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+mom AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(x * y) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         sum(y * y) AS syy
+  FROM per_user
+),
+am AS (
+  SELECT arm, count(*) AS na, CAST(sum(x) AS BIGINT) AS sxa,
+         CAST(sum(y) AS BIGINT) AS sya
+  FROM per_user GROUP BY arm
+),
+f AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+  FROM mom
+)
+SELECT CAST(f.n AS BIGINT) AS n_users,
+       round(cov / varx, 6) AS theta,
+       round(CAST(a.sya AS DOUBLE) / a.na
+             - CAST(b.sya AS DOUBLE) / b.na, 6) AS raw_diff_micro,
+       round((CAST(a.sya AS DOUBLE) / a.na
+              - (cov / varx) * (CAST(a.sxa AS DOUBLE) / a.na - xbar))
+             - (CAST(b.sya AS DOUBLE) / b.na
+                - (cov / varx) * (CAST(b.sxa AS DOUBLE) / b.na - xbar)),
+             6) AS cuped_diff_micro,
+       round(cov * cov / (varx * vary), 6) AS rho2
+FROM f, (SELECT * FROM am WHERE arm = 0) a, (SELECT * FROM am WHERE arm = 1) b
+"""
+
+
+CHI2_SCALE = 1_000_000_000_000  # fixed-point 1e12: deterministic chi² sum
+
+
+def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document language and
+    source (+ Cramér's V effect size) — the drift/complementarity audit
+    a multi-source corpus runs to see whether sources have distinct
+    language mixes. Exactness law: per-cell contributions are FIXED-
+    POINT integers — (N·n_ij − r_i·c_j)²·1e12 div (N·r_i·c_j) in
+    128-bit arithmetic — summed as integers, so the sum is partition-
+    order-independent (a float Σ over cells would drift in its last
+    digits with reduction order); chi² = sum/1e12 at the end, the one
+    float. Zero-observed cells enter via the langs×sources cross join
+    (their expected mass counts). Contingency shuffle is the only
+    corpus-sized step; everything after runs on |langs|·|sources|
+    rows."""
+    d = load_documents(spark, sf_dir)
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("nn"))
+    full = (
+        rows.crossJoin(cols)
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "r",
+            "c",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    contrib = F.expr(
+        f"CAST((CAST(nn AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)"
+        f" * (CAST(nn AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)"
+        f" * {CHI2_SCALE} div (CAST(nn AS DECIMAL(38,0)) * r * c) AS DECIMAL(38,0))"
+    )
+    agg = full.agg(
+        F.sum(contrib).alias("s"),
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+        F.max("nn").alias("nn"),
+    )
+    chi2 = F.col("s").cast("double") / CHI2_SCALE
+    mindim = F.least(F.col("nl"), F.col("ns")) - 1
+    return agg.select(
+        F.col("nl").cast("long").alias("n_langs"),
+        F.col("ns").cast("long").alias("n_sources"),
+        ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.col("nn").cast("double") * mindim)), 6
+        ).alias("cramers_v"),
+    )
+
+
+_ORACLES["chi2_lang_source"] = f"""
+WITH cells AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+),
+r AS (SELECT lang, sum(o) AS r FROM cells GROUP BY 1),
+c AS (SELECT source, sum(o) AS c FROM cells GROUP BY 1),
+tot AS (SELECT sum(o) AS nn FROM cells),
+fullc AS (
+  SELECT r.lang, c.source, r.r, c.c, coalesce(cells.o, 0) AS o, tot.nn
+  FROM r CROSS JOIN c
+  LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT sum((CAST(nn AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+             * (CAST(nn AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+             * {CHI2_SCALE} // (CAST(nn AS HUGEINT) * r * c)) AS s,
+         count(DISTINCT lang) AS nl,
+         count(DISTINCT source) AS ns,
+         max(nn) AS nn
+  FROM fullc
+)
+SELECT CAST(nl AS BIGINT) AS n_langs,
+       CAST(ns AS BIGINT) AS n_sources,
+       CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+       round(CAST(s AS DOUBLE) / {CHI2_SCALE}, 6) AS chi2,
+       round(sqrt(CAST(s AS DOUBLE) / {CHI2_SCALE}
+                  / (CAST(nn AS DOUBLE) * (least(nl, ns) - 1))), 6)
+         AS cramers_v
+FROM agg
+"""
+
+
+def q_mannwhitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U readout for the purchase-value experiment — the
+    nonparametric sibling of ab_test_stat (rank-based, so heavy-tail
+    metrics can't swamp it; the robustness upgrade real platforms pair
+    with the t-test). Integer-exact rank law: joint ranking over the
+    DISTINCT micro-value grid with midrank ties DOUBLED to stay
+    integral (2·midrank = 2·cum_before + t + 1), so R₂ = Σ 2·rank and
+    U₂ = 2·U = R₂ − n_a(n_a+1) are exact BIGINTs, partition-order-
+    independent. The normal approximation with the standard tie
+    correction (Σ(t³−t) — also an exact integer) is the single float
+    formula, rounded 6dp. The rank window runs over the distinct-value
+    relation (bounded by the value grid, not rows) — the ppl_deciles
+    window discipline."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    vals = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    dist = vals.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum((F.col("arm") == 0).cast("long")).alias("ta"),
+    )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = dist.select(
+        "v",
+        "t",
+        "ta",
+        F.coalesce(F.sum("t").over(wv), F.lit(0)).alias("cb"),
+    )
+    agg = ranked.agg(
+        F.sum("ta").alias("na"),
+        F.sum(F.col("t") - F.col("ta")).alias("nb"),
+        F.sum(
+            F.col("ta") * (2 * F.col("cb") + F.col("t") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("t").cast("decimal(19,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("ties"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    n = na + nb
+    u2a = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    mu2 = na * nb  # E[2U] = n_a·n_b
+    var2 = (
+        4.0
+        * (na * nb / 12.0)
+        * (
+            (n + 1)
+            - F.col("ties").cast("double") / (n * (n - 1))
+        )
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        u2a.cast("long").alias("u2_a"),
+        F.round(
+            (u2a.cast("double") - mu2) / F.sqrt(var2), 6
+        ).alias("z"),
+    )
+
+
+_ORACLES["mannwhitney_ab"] = """
+WITH vals AS (
+  SELECT user_id % 2 AS arm, CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+dist AS (
+  SELECT v, count(*) AS t,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta
+  FROM vals GROUP BY v
+),
+ranked AS (
+  SELECT v, t, ta,
+         coalesce(sum(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM dist
+),
+agg AS (
+  SELECT CAST(sum(ta) AS BIGINT) AS na,
+         CAST(sum(t - ta) AS BIGINT) AS nb,
+         CAST(sum(ta * (2 * cb + t + 1)) AS BIGINT) AS r2a,
+         sum(t * t * t - t) AS ties
+  FROM ranked
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+       round((CAST(r2a - na * (na + 1) AS DOUBLE)
+              - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             / sqrt(4.0 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                    * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1)
+                       - CAST(ties AS DOUBLE)
+                         / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                            * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1)))),
+             6) AS z
+FROM agg
+"""
+
+
+KANON_K = 5  # the k in k-anonymity
+KANON_CHAR_BUCKET = 100  # quasi-identifier: n_chars bucketed to 100s
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    n_chars bucketed to KANON_CHAR_BUCKET): group sizes below KANON_K
+    mean a document's metadata alone nearly identifies it — the
+    re-identification risk readout privacy review runs beside pii_scan
+    (which looks INSIDE the text; this measures the metadata
+    release). Pure integer relational: one groupBy on the QI tuple +
+    a summary rollup. Reports the anonymity floor (min group size),
+    group counts, and how many docs sit in sub-k groups."""
+    d = load_documents(spark, sf_dir)
+    groups = d.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {KANON_CHAR_BUCKET}").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("gsize"))
+    return groups.agg(
+        F.min("gsize").alias("k_floor"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("gsize") < KANON_K).cast("long")).alias(
+            "n_groups_below_k"
+        ),
+        F.sum(
+            F.when(F.col("gsize") < KANON_K, F.col("gsize")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_docs_at_risk"),
+    )
+
+
+_ORACLES["k_anonymity"] = f"""
+WITH groups AS (
+  SELECT lang, source, n_chars // {KANON_CHAR_BUCKET} AS len_bucket,
+         count(*) AS gsize
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT CAST(min(gsize) AS BIGINT) AS k_floor,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN gsize < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_k,
+       CAST(sum(CASE WHEN gsize < {KANON_K} THEN gsize ELSE 0 END) AS BIGINT)
+         AS n_docs_at_risk
+FROM groups
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -13395,6 +13758,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": q_attribution_last_touch,
         "graph_kcore": q_graph_kcore,
         "graph_hits": q_graph_hits,
+        "cuped_adjust": q_cuped_adjust,
+        "chi2_lang_source": q_chi2_lang_source,
+        "mannwhitney_ab": q_mannwhitney_ab,
+        "k_anonymity": q_k_anonymity,
         # slots: round-9 second half — all verified hash-green at BOTH
         # sf0.01 and sf0.1 before registration.
         "bpe_pair_counts": q_bpe_pair_counts,
