@@ -933,3 +933,183 @@ def test_cohort_retention_age_zero_is_cohort_size(spark):
     for r in rows:
         assert r.cohort_week in size
         assert r.n_active <= size[r.cohort_week]
+
+
+# ---- round-9 fourth mini-batch laws ----
+
+
+def test_dedup_rate_by_batch_first_batch_has_no_cross_dups(spark):
+    rows = Q.q_dedup_rate_by_batch(spark, SF_SMOKE).collect()
+    assert rows, "no batches"
+    by_batch = {r.batch: r for r in rows}
+    assert 0 in by_batch and by_batch[0].n_cross_dups == 0
+    for r in rows:
+        assert 0 <= r.batch < Q.DEDUP_BATCHES
+        assert 0 <= r.n_cross_dups <= r.n_docs
+
+
+def test_ngram_diversity_bounds(spark):
+    for r in Q.q_ngram_diversity(spark, SF_SMOKE).collect():
+        assert 1 <= r.n_distinct_shingles <= r.n_shingle_slots
+        assert 0.0 < r.diversity <= 1.0
+
+
+def test_padding_waste_bucket_law(spark):
+    rows = Q.q_padding_waste(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.bucket_len & (r.bucket_len - 1) == 0  # power of two
+        assert r.padding_tokens == r.bucket_len * r.n_docs - r.real_tokens
+        assert 0.0 < r.efficiency <= 1.0
+        # every doc in the bucket is > half the bucket (else it would
+        # have landed in the smaller power)
+        assert r.real_tokens > r.bucket_len // 2 * r.n_docs
+
+
+def test_user_similarity_anchor_contract(spark):
+    rows = Q.q_user_similarity(spark, SF_SMOKE).collect()
+    assert len(rows) == min(Q.SIM_ANCHOR_USERS, len(rows))
+    for r in rows:
+        assert r.match_id != r.user_id
+        assert 0.0 <= r.score <= 1.0  # count vectors: cosine is non-negative
+
+
+def test_budget_mixture_fill_exact_budget(spark):
+    rows = Q.q_budget_mixture_fill(spark, SF_SMOKE).collect()
+    total_cap = sum(r.capacity_tokens for r in rows)
+    budget = total_cap // 2
+    assert sum(r.allocated_tokens for r in rows) == budget
+    for r in rows:
+        assert 0 <= r.allocated_tokens <= r.capacity_tokens
+        if r.capped:
+            assert r.allocated_tokens == r.capacity_tokens
+
+
+def test_budget_mixture_fill_water_level(spark, monkeypatch):
+    # capacities 2/10/100, budget 56: source a capped at 2, b capped
+    # at 10, c gets the rest (44)
+    d = spark.createDataFrame(
+        [(1, " ".join(["w"] * 2), "a"),
+         (2, " ".join(["w"] * 10), "b"),
+         (3, " ".join(["w"] * 100), "c")],
+        "doc_id long, text string, source string",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    rows = {r.source: (r.allocated_tokens, bool(r.capped))
+            for r in Qm.q_budget_mixture_fill(spark, "ignored").collect()}
+    assert rows == {"a": (2, True), "b": (10, True), "c": (44, False)}
+
+
+def test_attribution_last_touch_window_and_totals(spark, monkeypatch):
+    # u1: click then purchase 1h later -> click; u2: view 8 days before
+    # purchase -> direct; u3: purchase with no touch -> direct
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        (1, t0, 1, "click", 0.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 1, "purchase", 10.0, "{}"),
+        (3, t0 - dt.timedelta(days=8), 2, "view", 0.0, "{}"),
+        (4, t0, 2, "purchase", 20.0, "{}"),
+        (5, t0, 3, "purchase", 30.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
+    got = {r.channel: (r.n_purchases, r.revenue_micro)
+           for r in Qm.q_attribution_last_touch(spark, "ignored").collect()}
+    assert got == {"click": (1, 10_000_000), "direct": (2, 50_000_000)}
+
+
+def test_graph_kcore_peels_tails_keeps_triangle(spark, monkeypatch):
+    # path a-b-c (peels in 2 rounds) + triangle d-e-f (the 2-core)
+    edges = [(0, 1), (1, 2), (3, 4), (4, 5), (3, 5)]
+    both = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    g = spark.createDataFrame(both, "src long, neighbor_id long")
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "_knn_graph", lambda s, sf: g)
+    r = Qm.q_graph_kcore(spark, "ignored").collect()[0]
+    assert (r.n_core_nodes, r.n_core_edges, r.converged) == (3, 3, True)
+    assert r.rounds == 2
+
+
+def test_graph_hits_two_round_hand_computation(spark, monkeypatch):
+    # edges 1->0, 2->0, 0->1: after 2 unnormalized rounds
+    # a=(4,1,0), h=(1,4,4)
+    g = spark.createDataFrame(
+        [(1, 0), (2, 0), (0, 1)], "src long, neighbor_id long"
+    )
+    emb = spark.createDataFrame([(0,), (1,), (2,)], "vec_id long")
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "_knn_graph", lambda s, sf: g)
+    monkeypatch.setattr(Qm, "load_embeddings", lambda s, sf: emb)
+    got = [(r.vec_id, r.authority, r.hub)
+           for r in Qm.q_graph_hits(spark, "ignored").collect()]
+    assert got == [(0, 4, 1), (1, 1, 4), (2, 0, 4)]
+
+
+def test_cuped_bounds(spark):
+    r = Q.q_cuped_adjust(spark, SF_SMOKE).collect()[0]
+    assert r.n_users > 0
+    assert 0.0 <= r.rho2 <= 1.0
+
+
+def test_chi2_zero_under_exact_independence(spark, monkeypatch):
+    # perfectly proportional 2x2 table -> chi2 == 0, cramers_v == 0
+    rows = []
+    i = 0
+    for lang in ("en", "fr"):
+        for src in ("a", "b"):
+            for _ in range(5):
+                rows.append((i, "t", lang, src, 1))
+                i += 1
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    r = Qm.q_chi2_lang_source(spark, "ignored").collect()[0]
+    assert (r.chi2, r.cramers_v, r.dof) == (0.0, 0.0, 1)
+
+
+def test_mannwhitney_complete_separation(spark, monkeypatch):
+    # arm0 strictly above arm1 -> U_a = n_a*n_b exactly, z > 0
+    import datetime as dt
+
+    rows = []
+    for i, v in enumerate([10.0, 11.0, 12.0]):  # users 0,2,4 -> arm 0
+        rows.append((i, dt.datetime(2024, 1, 1), 2 * i, "purchase", v, "{}"))
+    for i, v in enumerate([1.0, 2.0]):  # users 1,3 -> arm 1
+        rows.append(
+            (10 + i, dt.datetime(2024, 1, 1), 2 * i + 1, "purchase", v, "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
+    r = Qm.q_mannwhitney_ab(spark, "ignored").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.u2_a == 2 * 3 * 2
+    assert r.z > 0
+
+
+def test_k_anonymity_consistency(spark):
+    r = Q.q_k_anonymity(spark, SF_SMOKE).collect()[0]
+    assert r.k_floor >= 1
+    assert 0 <= r.n_groups_below_k <= r.n_groups
+    assert r.n_docs_at_risk >= r.n_groups_below_k * 1
