@@ -1113,3 +1113,48 @@ def test_k_anonymity_consistency(spark):
     assert r.k_floor >= 1
     assert 0 <= r.n_groups_below_k <= r.n_groups
     assert r.n_docs_at_risk >= r.n_groups_below_k * 1
+
+
+def test_km_survival_monotone_and_bounded(spark):
+    rows = Q.q_km_survival(spark, SF_SMOKE).collect()
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= prev  # non-increasing step curve
+        assert 1 <= r.n_events <= r.n_at_risk
+        prev = r.survival
+
+
+def test_km_survival_hand_computed(spark, monkeypatch):
+    # 4 users click at t0; u1 converts day 1, u2 day 2, u3/u4 censored
+    # at horizon day 3 (no purchase). S(1)=3/4, S(2)=(3/4)(2/3)=1/2
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, u, "click", 0.0, "{}") for u in (1, 2, 3, 4)]
+    rows += [
+        (10, t0 + dt.timedelta(days=1), 1, "purchase", 1.0, "{}"),
+        (11, t0 + dt.timedelta(days=2), 2, "purchase", 1.0, "{}"),
+        (12, t0 + dt.timedelta(days=3), 3, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
+    got = [(r.day, r.n_at_risk, r.n_events, r.survival)
+           for r in Qm.q_km_survival(spark, "ignored").collect()]
+    assert got == [(1, 4, 1, 0.75), (2, 3, 1, 0.5)]
+
+
+def test_benford_check_is_a_distribution(spark):
+    rows = Q.q_benford_check(spark, SF_SMOKE).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_freq for r in rows) - 1.0) < 1e-4
+    import math
+    for r in rows:
+        assert abs(r.benford_freq - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
+        assert abs(r.deviation - round(r.obs_freq - r.benford_freq, 6)) < 2e-6
