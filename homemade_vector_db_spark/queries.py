@@ -13903,6 +13903,208 @@ ORDER BY digit
 """
 
 
+SNIPPET_W = 8  # snippet window width in tokens
+SNIPPET_TOP = 20
+
+
+def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippet extraction (the presentation step after
+    bm25_topk ranks): per doc, the SNIPPET_W-token window covering the
+    most DISTINCT query terms, ties to the earliest window — the
+    highlighting primitive every search UI needs. Entirely scan-side
+    (the shingle/phrase-search discipline): the per-doc window score
+    array is one higher-order-function expression, cost O(len·W) per
+    doc with no shuffle except the final top-N; integer hit counts, no
+    floats anywhere. Top SNIPPET_TOP docs by (hits desc, doc_id asc)
+    with the winning window rendered as text."""
+    qterms = sorted(set(TEXT_QUERY.split()))
+    qarr = "array(" + ", ".join(f"'{t}'" for t in qterms) + ")"
+    d = load_documents(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.expr("filter(split(text, '\\\\s+'), t -> t <> '')").alias("tk")
+    ).where(F.size("tk") >= SNIPPET_W)
+    scored = toks.select(
+        "doc_id",
+        "tk",
+        F.expr(
+            f"transform(sequence(1, size(tk) - {SNIPPET_W} + 1),"
+            f" i -> size(array_intersect(slice(tk, i, {SNIPPET_W}), {qarr})))"
+        ).alias("scores"),
+    )
+    best = scored.select(
+        "doc_id",
+        "tk",
+        F.array_max("scores").alias("n_hits"),
+        F.expr("array_position(scores, array_max(scores))").alias("start"),
+    ).where(F.col("n_hits") > 0)
+    return (
+        best.select(
+            "doc_id",
+            F.col("start").cast("long").alias("start"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr(
+                f"array_join(slice(tk, cast(start AS int), {SNIPPET_W}), ' ')"
+            ).alias("snippet"),
+        )
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(SNIPPET_TOP)
+    )
+
+
+def _snippet_oracle() -> str:
+    qterms = sorted(set(TEXT_QUERY.split()))
+    qlist = "[" + ", ".join(f"'{t}'" for t in qterms) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+s AS (
+  SELECT doc_id, tk,
+         list_transform(generate_series(1, len(tk) - {SNIPPET_W} + 1),
+           i -> len(list_intersect(tk[i:i+{SNIPPET_W - 1}], {qlist}))) AS scores
+  FROM t WHERE len(tk) >= {SNIPPET_W}
+),
+b AS (
+  SELECT doc_id, tk,
+         list_max(scores) AS n_hits,
+         list_position(scores, list_max(scores)) AS start
+  FROM s
+)
+SELECT doc_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       array_to_string(tk[start:start+{SNIPPET_W - 1}], ' ') AS snippet
+FROM b WHERE n_hits > 0
+ORDER BY n_hits DESC, doc_id ASC
+LIMIT {SNIPPET_TOP}
+"""
+
+
+_ORACLES["snippet_extract"] = _snippet_oracle()
+
+
+ENTROPY_SCALE = 1_000_000_000_000  # fixed-point ln table: deterministic Σ
+
+
+def q_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiler: NDV and Shannon entropy for the categorical
+    columns a curation pipeline stratifies on (documents.lang,
+    documents.source, events.event_type). Entropy's Σ −p·ln p is a
+    float sum over value counts — reduction-order-dependent if summed
+    naively — so the law fixes it: per-value terms are FIXED-POINT
+    integers c·round(ln(c)·10¹²) summed exactly (128-bit), and
+    H = ln(N) − S/(N·10¹²) is evaluated as one float formula at the
+    end (the chi2_lang_source determinism trick applied to entropy).
+    Per column: one value-counts groupBy (the only corpus-sized
+    shuffle) + a value-grid-sized rollup."""
+    parts = []
+    for tbl, col in (
+        ("documents", "lang"),
+        ("documents", "source"),
+        ("events", "event_type"),
+    ):
+        df = load_table(spark, sf_dir, tbl)
+        cnt = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        agg = cnt.agg(
+            F.count(F.lit(1)).alias("ndv"),
+            F.sum("c").alias("n"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * F.round(F.log("c") * ENTROPY_SCALE).cast("decimal(38,0)")
+            ).alias("s"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(f"{tbl}.{col}").alias("column_name"),
+                F.col("ndv").cast("long").alias("ndv"),
+                F.col("n").cast("long").alias("n_rows"),
+                F.round(
+                    F.log(F.col("n").cast("double"))
+                    - F.col("s").cast("double")
+                    / (F.col("n").cast("double") * ENTROPY_SCALE),
+                    6,
+                ).alias("entropy_nats"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("column_name")
+
+
+def _entropy_oracle() -> str:
+    blocks = []
+    for tbl, col in (
+        ("documents", "lang"),
+        ("documents", "source"),
+        ("events", "event_type"),
+    ):
+        blocks.append(
+            f"""
+SELECT '{tbl}.{col}' AS column_name,
+       CAST(count(*) AS BIGINT) AS ndv,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - CAST(sum(CAST(c AS HUGEINT)
+                        * CAST(round(ln(c) * {ENTROPY_SCALE}) AS HUGEINT))
+                    AS DOUBLE)
+               / (CAST(sum(c) AS DOUBLE) * {ENTROPY_SCALE}), 6)
+         AS entropy_nats
+FROM (SELECT {col} AS v, count(*) AS c FROM {tbl} GROUP BY 1)"""
+        )
+    return " UNION ALL ".join(blocks) + " ORDER BY column_name"
+
+
+_ORACLES["column_entropy_profile"] = _entropy_oracle()
+
+
+SUGGEST_PREFIX = "s"  # autocomplete prefix (matches spark/sort/scan/…)
+SUGGEST_TOP = 10
+
+
+def q_prefix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query autocomplete: the SUGGEST_TOP most document-frequent terms
+    with a given prefix, with their collection frequency — the
+    typeahead readout served straight from the BM25 postings (derived
+    index state, so the suggestion path adds no tokenization work; a
+    term-partitioned postings layout turns the prefix predicate into a
+    partition range prune at scale). df counts distinct docs; ties
+    break term-asc."""
+    posts = _bm25_stats(spark, sf_dir).postings
+    return (
+        posts.where(F.col("term").startswith(SUGGEST_PREFIX))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(SUGGEST_TOP)
+    )
+
+
+_ORACLES["prefix_suggest"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS term
+  FROM documents
+)
+SELECT term,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS total_tf
+FROM toks
+WHERE term LIKE '{SUGGEST_PREFIX}%'
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT {SUGGEST_TOP}
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -13966,6 +14168,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "km_survival": q_km_survival,
         "benford_check": q_benford_check,
+        "snippet_extract": q_snippet_extract,
+        "column_entropy_profile": q_column_entropy_profile,
+        "prefix_suggest": q_prefix_suggest,
         # slots: round-9 second half — all verified hash-green at BOTH
         # sf0.01 and sf0.1 before registration.
         "bpe_pair_counts": q_bpe_pair_counts,

@@ -1158,3 +1158,57 @@ def test_benford_check_is_a_distribution(spark):
     for r in rows:
         assert abs(r.benford_freq - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
         assert abs(r.deviation - round(r.obs_freq - r.benford_freq, 6)) < 2e-6
+
+
+def test_snippet_window_argmax_law(spark, monkeypatch):
+    # query terms {spark, join, query, vector, the}: doc packs 3 query
+    # terms at positions 9-11; the best 8-window must cover all 3 and
+    # start at the earliest covering index
+    filler = "w1 w2 w3 w4 w5 w6 w7 w8"
+    d = spark.createDataFrame(
+        [(1, filler + " spark join vector " + filler, "en", "a", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    r = Qm.q_snippet_extract(spark, "ignored").collect()[0]
+    assert r.n_hits == 3
+    assert r.start == 4  # earliest 8-window covering tokens 9..11
+    assert "spark join vector" in r.snippet
+
+
+def test_column_entropy_uniform_law(spark, monkeypatch):
+    # 4 equally-likely values -> H = ln(4); single value -> H = 0
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, "t", ["a", "b", "c", "d"][i % 4], "only", 1) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ev = spark.createDataFrame(
+        [(i, None, i, "x", 0.0, "{}") for i in range(10)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(
+        Qm, "load_table",
+        lambda s, sf, name: docs if name == "documents" else ev,
+    )
+    got = {r.column_name: (r.ndv, round(r.entropy_nats, 4))
+           for r in Qm.q_column_entropy_profile(spark, "ignored").collect()}
+    assert got["documents.lang"] == (4, round(math.log(4), 4))
+    assert got["documents.source"] == (1, 0.0)
+    assert got["events.event_type"] == (1, 0.0)
+
+
+def test_prefix_suggest_contract(spark):
+    rows = Q.q_prefix_suggest(spark, SF_SMOKE).collect()
+    assert rows
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        assert r.term.startswith(Q.SUGGEST_PREFIX)
+        assert r.total_tf >= r.df >= 1
