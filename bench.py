@@ -115,6 +115,17 @@ HEADLINE = [
     "embedding_outliers",
     "source_overlap",
     "fuzzy_term_search",
+    # round 9 fourth mini-batch: the perf-interesting new shapes — the
+    # capped iterative peel (graph_kcore), the no-division power
+    # iteration (graph_hits), the corpus-sized md5 dup-rate monitor,
+    # the event-type pivot similarity join, the scan-side HOF snippet
+    # window, and the per-user attribution window pass
+    "graph_kcore",
+    "graph_hits",
+    "dedup_rate_by_batch",
+    "user_similarity",
+    "snippet_extract",
+    "attribution_last_touch",
 ]
 
 
