@@ -405,3 +405,100 @@ class IncrementalVideoDedup:
             .outputMode("append")
             .start()
         )
+
+
+class IncrementalDupRate:
+    """Streaming ingest-batch dup-rate monitor — the streaming twin of
+    queries.q_dedup_rate_by_batch: per micro-batch, how many arriving
+    docs are normalization-insensitive duplicates (C4-normalized md5,
+    the same nfp law) of a doc seen in an EARLIER batch. The
+    marginal-novelty gauge a continuously-ingesting pipeline alarms on.
+
+    State = the distinct nfp set, append-only under batch=<id> subdirs
+    (the IncrementalCorpus idempotency contract: a replayed batch
+    excludes its own previous attempt from the state read, and both its
+    writes are overwrite-by-batch-dir). Per batch the monitor writes
+    one stats row (batch, n_docs, n_cross_dups) — dup_rate is derived
+    at read time so the stored state stays integer-only. Stats align
+    with the batch entry when micro-batches mirror its id-range batch
+    split (pinned in test_streaming); state shuffles carry 32-char nfp
+    strings, never document text."""
+
+    def __init__(self, spark: SparkSession, root: str, text_col: str = "text"):
+        self.spark = spark
+        self.root = root
+        self.text_col = text_col
+        self.nfp_path = os.path.join(root, "seen_nfp")
+        self.stats_path = os.path.join(root, "batch_stats")
+
+    @staticmethod
+    def _nfp(col: str) -> F.Column:
+        return F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "),
+                    " +",
+                    " ",
+                )
+            )
+        )
+
+    def _seen(self, exclude_batch: int) -> DataFrame | None:
+        try:
+            return (
+                self.spark.read.parquet(self.nfp_path)
+                .where(F.col("batch").cast("string") != str(exclude_batch))
+                .drop("batch")
+            )
+        except Exception:
+            return None  # first batch
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        if batch_id is None:
+            batch_id = 0
+        nfps = batch.select(self._nfp(self.text_col).alias("nfp")).persist()
+        seen = self._seen(exclude_batch=batch_id)
+        n_docs = nfps.count()
+        if seen is not None:
+            n_dups = nfps.join(seen, "nfp", "left_semi").count()
+        else:
+            n_dups = 0
+        # batch id comes back as the partition column at read time —
+        # storing it in the file too would collide with discovery
+        self.spark.createDataFrame(
+            [(n_docs, n_dups)], "n_docs long, n_cross_dups long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.stats_path, f"batch={batch_id}")
+        )
+        new_nfps = nfps.distinct()
+        if seen is not None:
+            new_nfps = new_nfps.join(seen, "nfp", "left_anti")
+        new_nfps.write.mode("overwrite").parquet(
+            os.path.join(self.nfp_path, f"batch={batch_id}")
+        )
+        nfps.unpersist()
+
+    def stats(self) -> DataFrame:
+        return (
+            self.spark.read.parquet(self.stats_path)
+            .select(
+                F.col("batch").cast("long").alias("batch"),
+                "n_docs",
+                "n_cross_dups",
+            )
+            .withColumn(
+                "dup_rate",
+                F.round(F.col("n_cross_dups") / F.col("n_docs"), 6),
+            )
+        )
+
+    def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
+        return (
+            stream.writeStream.foreachBatch(self.ingest_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.root, "_dr_checkpoint"),
+            )
+            .outputMode("append")
+            .start()
+        )

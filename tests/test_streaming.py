@@ -1220,3 +1220,60 @@ def test_incremental_corpus_as_of_snapshot(spark, tmp_path):
     empty = IncrementalCorpus(spark, str(tmp_path / "nothing"))
     with _pytest.raises(ValueError, match="no ingested batches"):
         empty.as_of(0)
+
+
+def test_incremental_dup_rate_matches_batch_entry(spark, tmp_path):
+    """IncrementalDupRate fed the SAME id-range batches as
+    q_dedup_rate_by_batch reproduces its (n_docs, n_cross_dups, dup_rate)
+    rows exactly — the streaming/batch twin law."""
+    from homemade_vector_db_spark.streaming.dedup import IncrementalDupRate
+    import homemade_vector_db_spark.queries as Qm
+    from homemade_vector_db_spark.sources.tables import load_documents
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    want = {
+        r.batch: (r.n_docs, r.n_cross_dups, r.dup_rate)
+        for r in Qm.q_dedup_rate_by_batch(spark, SF_SMOKE).collect()
+    }
+
+    dr = IncrementalDupRate(spark, str(tmp_path / "dr"))
+    nb = Qm.DEDUP_BATCHES
+    for b in range(nb):
+        chunk = docs.where(
+            F.expr(f"doc_id * {nb} div ({mx} + 1)") == b
+        )
+        dr.ingest_batch(chunk, batch_id=b)
+    got = {
+        r.batch: (r.n_docs, r.n_cross_dups, r.dup_rate)
+        for r in dr.stats().collect()
+    }
+    assert got == want
+
+
+def test_incremental_dup_rate_replay_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (same batch_id) leaves state and stats
+    unchanged — the foreachBatch at-least-once contract."""
+    from homemade_vector_db_spark.streaming.dedup import IncrementalDupRate
+
+    d1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(4, "Alpha, beta!"), (5, "delta")], "doc_id long, text string"
+    )
+    dr = IncrementalDupRate(spark, str(tmp_path / "dr2"))
+    dr.ingest_batch(d1, batch_id=0)
+    dr.ingest_batch(d2, batch_id=1)
+    before = sorted(
+        (r.batch, r.n_docs, r.n_cross_dups) for r in dr.stats().collect()
+    )
+    # batch 1 sees 'Alpha, beta!' normalize into batch 0's 'alpha beta'
+    assert before == [(0, 3, 0), (1, 2, 1)]
+    dr.ingest_batch(d2, batch_id=1)  # replay
+    after = sorted(
+        (r.batch, r.n_docs, r.n_cross_dups) for r in dr.stats().collect()
+    )
+    assert after == before
