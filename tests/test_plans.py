@@ -679,3 +679,39 @@ def test_knn_join_cogroup_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_padding_waste_broadcasts_powers_relation(spark):
+    """The bucket lookup is a broadcast range-join against the 18-row
+    powers relation, never a shuffle join or cartesian on the corpus."""
+    plan = physical_plan(Q.q_padding_waste(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dedup_rate_monitor_never_shuffles_text(spark):
+    """The dup-rate monitor shuffles md5 fingerprints (+ batch ids), not
+    document text: no Exchange in the plan carries the text column."""
+    plan = physical_plan(Q.q_dedup_rate_by_batch(spark, SF_SMOKE))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_user_similarity_profile_rollup_then_bounded_pair_join(spark):
+    """The anchor cut is a TakeOrderedAndProject (per-partition heaps,
+    driver merges p·k rows) and the anchor semi-join broadcasts — the
+    corpus-sized shuffle is only the (user, event_type) rollup."""
+    plan = physical_plan(Q.q_user_similarity(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_snippet_extract_is_scan_side(spark):
+    """Window scoring is one HOF projection over the scan: the only
+    shuffle is the final top-N merge (TakeOrderedAndProject), and no
+    explode/generate multiplies corpus rows."""
+    plan = physical_plan(Q.q_snippet_extract(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Generate" not in plan, plan
