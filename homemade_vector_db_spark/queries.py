@@ -14105,6 +14105,231 @@ LIMIT {SUGGEST_TOP}
 """
 
 
+def q_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel drop-off: view → first click strictly after the
+    first view → first purchase strictly after that click, per user —
+    step populations and conversion rates, the summary readout over
+    the same event chain funnel_paths_sql enumerates paths for.
+    Pure min-timestamp chain (three rollups, each keyed on user_id —
+    co-partitioned at scale), integer microsecond comparisons, two
+    rounded divisions at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    # persisted: each step relation feeds both its own count and the
+    # next step's join — without this the chain recomputes per action
+    v = _track_persist(
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = _track_persist(
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    nv, nc, np_ = v.count(), c.count(), p.count()
+    return spark.createDataFrame(
+        [(nv, nc, np_)], "n_view long, n_click long, n_purchase long"
+    ).select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.when(
+            F.col("n_view") > 0,
+            F.round(F.col("n_click") / F.col("n_view"), 6),
+        ).alias("view_to_click"),
+        F.when(
+            F.col("n_click") > 0,
+            F.round(F.col("n_purchase") / F.col("n_click"), 6),
+        ).alias("click_to_purchase"),
+    )
+
+
+_ORACLES["funnel_dropoff"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.tv
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+  GROUP BY e.user_id
+),
+n AS (
+  SELECT (SELECT count(*) FROM v) AS n_view,
+         (SELECT count(*) FROM c) AS n_click,
+         (SELECT count(*) FROM p) AS n_purchase
+)
+SELECT CAST(n_view AS BIGINT) AS n_view,
+       CAST(n_click AS BIGINT) AS n_click,
+       CAST(n_purchase AS BIGINT) AS n_purchase,
+       CASE WHEN n_view > 0
+            THEN round(CAST(n_click AS DOUBLE) / n_view, 6) END
+         AS view_to_click,
+       CASE WHEN n_click > 0
+            THEN round(CAST(n_purchase AS DOUBLE) / n_click, 6) END
+         AS click_to_purchase
+FROM n
+"""
+
+
+def q_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability profile: tokens per doc, characters and
+    vowel-group pseudo-syllables per token, and a Flesch-shaped index
+    (206.835 − 1.015·tokens/doc − 84.6·syllables/token) — the
+    reading-ease quality feature corpus filters add next to
+    quality_score's stopword/TTR signals. All corpus-sized sums are
+    exact integers computed scan-side by one HOF fold (syllable counts
+    via regexp per token, no explode); the index is one float formula
+    over the per-source integer moments, 6dp."""
+    d = load_documents(spark, sf_dir)
+    toks = d.select(
+        "source",
+        "n_chars",
+        F.size(tokenize("text")).alias("ntok"),
+        F.expr(
+            "aggregate(filter(split(text, '\\\\s+'), t -> t <> ''),"
+            " 0L, (a, t) -> a + regexp_count(t, '[aeiou]+'))"
+        ).alias("nsyl"),
+    )
+    agg = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("st"),
+        F.sum("n_chars").alias("sc"),
+        F.sum("nsyl").alias("ss"),
+    )
+    tpd = F.col("st") / F.col("n_docs")
+    spt = F.col("ss") / F.col("st")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(tpd, 6).alias("tokens_per_doc"),
+        F.round(F.col("sc") / F.col("st"), 6).alias("chars_per_token"),
+        F.round(spt, 6).alias("syllables_per_token"),
+        F.round(206.835 - 1.015 * tpd - 84.6 * spt, 6).alias(
+            "flesch_index"
+        ),
+    ).orderBy("source")
+
+
+_ORACLES["readability_profile"] = """
+WITH toks AS (
+  SELECT source, n_chars,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS ntok,
+         list_sum(list_transform(
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+           t -> len(regexp_extract_all(t, '[aeiou]+')))) AS nsyl
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(ntok) AS BIGINT) AS st,
+         CAST(sum(n_chars) AS BIGINT) AS sc,
+         CAST(sum(nsyl) AS BIGINT) AS ss
+  FROM toks GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(CAST(st AS DOUBLE) / n_docs, 6) AS tokens_per_doc,
+       round(CAST(sc AS DOUBLE) / st, 6) AS chars_per_token,
+       round(CAST(ss AS DOUBLE) / st, 6) AS syllables_per_token,
+       round(206.835 - 1.015 * (CAST(st AS DOUBLE) / n_docs)
+             - 84.6 * (CAST(ss AS DOUBLE) / st), 6) AS flesch_index
+FROM agg
+ORDER BY source
+"""
+
+
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over orders on (price max, date
+    max): an order is on the frontier iff NO other order is strictly
+    higher on BOTH — the classic preference-query operator
+    (Börzsönyi et al., ICDE 2001), the 'best tradeoff' readout any
+    two-criteria ranking needs. Scale shape: a month-local prune first
+    (dominance within a month implies global dominance, so the global
+    skyline ⊆ the union of per-month skylines — a PARTITIONED window,
+    parallel at any scale), then the classic one-pass sort law on the
+    shrunken candidate set: running max date over STRICTLY higher
+    price (integer-cents RANGE frame — exact strictness, no float
+    epsilon); on the frontier iff own date beats it. Integer cents +
+    integer µs end to end; ties on both axes keep both rows (neither
+    strictly dominates)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp'1970-01-01 00:00:00',"
+            " o_orderdate)"
+        ).alias("dt_us"),
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+    )
+
+    def survivors(df: DataFrame, part_cols: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy("cents")
+            .rangeBetween(1, Window.unboundedFollowing)
+        )
+        return df.withColumn("mx", F.max("dt_us").over(w)).where(
+            F.col("mx").isNull() | (F.col("dt_us") > F.col("mx"))
+        )
+
+    cand = survivors(o, ["mon"])  # partitioned prune, parallel
+    sky = survivors(cand.select("o_orderkey", "cents", "dt_us"), [])
+    return (
+        sky.select("o_orderkey", "cents", "dt_us")
+        .orderBy(F.desc("cents"), F.asc("o_orderkey"))
+    )
+
+
+_ORACLES["skyline_orders"] = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         epoch_us(o_orderdate) AS dt_us,
+         date_trunc('month', o_orderdate) AS mon
+  FROM orders
+),
+cand AS (
+  SELECT o_orderkey, cents, dt_us FROM (
+    SELECT *, max(dt_us) OVER (
+        PARTITION BY mon ORDER BY cents
+        RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mx
+    FROM o
+  ) WHERE mx IS NULL OR dt_us > mx
+),
+sky AS (
+  SELECT o_orderkey, cents, dt_us FROM (
+    SELECT *, max(dt_us) OVER (
+        ORDER BY cents
+        RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mx
+    FROM cand
+  ) WHERE mx IS NULL OR dt_us > mx
+)
+SELECT o_orderkey, cents, dt_us
+FROM sky
+ORDER BY cents DESC, o_orderkey ASC
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -14171,6 +14396,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_extract": q_snippet_extract,
         "column_entropy_profile": q_column_entropy_profile,
         "prefix_suggest": q_prefix_suggest,
+        "funnel_dropoff": q_funnel_dropoff,
+        "readability_profile": q_readability_profile,
+        "skyline_orders": q_skyline_orders,
         # slots: round-9 second half — all verified hash-green at BOTH
         # sf0.01 and sf0.1 before registration.
         "bpe_pair_counts": q_bpe_pair_counts,

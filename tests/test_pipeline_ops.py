@@ -1212,3 +1212,73 @@ def test_prefix_suggest_contract(spark):
     for r in rows:
         assert r.term.startswith(Q.SUGGEST_PREFIX)
         assert r.total_tf >= r.df >= 1
+
+
+def test_funnel_dropoff_strict_order(spark, monkeypatch):
+    # u1 completes v->c->p in order; u2 clicks BEFORE the first view
+    # (click must not count); u3 views only
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [
+        (1, t(1), 1, "view", 0.0, "{}"),
+        (2, t(2), 1, "click", 0.0, "{}"),
+        (3, t(3), 1, "purchase", 5.0, "{}"),
+        (4, t(1), 2, "click", 0.0, "{}"),
+        (5, t(2), 2, "view", 0.0, "{}"),
+        (6, t(0), 3, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
+    r = Qm.q_funnel_dropoff(spark, "ignored").collect()[0]
+    assert (r.n_view, r.n_click, r.n_purchase) == (3, 1, 1)
+    assert abs(r.view_to_click - round(1 / 3, 6)) < 1e-9
+    assert r.click_to_purchase == 1.0
+
+
+def test_readability_syllable_law(spark, monkeypatch):
+    # "aa b" -> tokens 2, vowel groups: 'aa'=1, 'b'=0 -> spt = 0.5
+    d = spark.createDataFrame(
+        [(1, "aa b", "en", "s", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    r = Qm.q_readability_profile(spark, "ignored").collect()[0]
+    assert (r.n_docs, r.tokens_per_doc, r.syllables_per_token) == (1, 2.0, 0.5)
+    assert r.chars_per_token == 2.0
+
+
+def test_skyline_no_row_dominated(spark):
+    # frontier law: no member strictly dominated by ANY order (checked
+    # against the full relation), and every non-member dominated by
+    # some member
+    o = Q.load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr(
+            "timestampdiff(MICROSECOND, timestamp'1970-01-01 00:00:00',"
+            " o_orderdate)"
+        ).alias("dt_us"),
+    )
+    allrows = [(r.o_orderkey, r.cents, r.dt_us) for r in o.collect()]
+    sky = [(r.o_orderkey, r.cents, r.dt_us)
+           for r in Q.q_skyline_orders(spark, SF_SMOKE).collect()]
+    skyset = {k for k, _, _ in sky}
+    assert sky
+    for k, cc, dd in sky:
+        assert not any(
+            c2 > cc and d2 > dd for _, c2, d2 in allrows
+        ), f"skyline member {k} is dominated"
+    for k, cc, dd in allrows:
+        if k not in skyset:
+            assert any(
+                c2 > cc and d2 > dd for _, c2, d2 in sky
+            ), f"non-member {k} not dominated by the frontier"
