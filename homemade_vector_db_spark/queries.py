@@ -13111,6 +13111,38 @@ g AS (SELECT src, nb AS neighbor_id FROM ranked WHERE rn <= {KNN_GRAPH_K})"""
 
 KCORE_K = 2  # core threshold over the MUTUAL kNN graph
 KCORE_MAX_ROUNDS = 16  # honesty cap; converged flag reports fixpoint
+KCORE_DRIVER_EDGE_CAP = 500_000  # bounded driver-peel tier (union-find law)
+
+
+def _kcore_peel_driver(spark: SparkSession, edges: list) -> DataFrame:
+    """In-memory peel over a bounded edge list — byte-identical output
+    law to the distributed loop (capped rounds, count-fixpoint
+    convergence)."""
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = set(adj)
+    prev_n = len(nodes)
+    rounds = 0
+    converged = False
+    for _ in range(KCORE_MAX_ROUNDS):
+        keep = {
+            x for x in nodes
+            if sum(1 for y in adj[x] if y in nodes) >= KCORE_K
+        }
+        if len(keep) == prev_n:
+            converged = True
+            break
+        rounds += 1
+        prev_n = len(keep)
+        nodes = keep
+    n_edges = sum(1 for u, v in edges if u in nodes and v in nodes)
+    return spark.createDataFrame(
+        [(KCORE_K, rounds, prev_n, n_edges, converged)],
+        "k int, rounds long, n_core_nodes long, n_core_edges long,"
+        " converged boolean",
+    )
 
 
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13141,6 +13173,14 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.src") < F.col("a.neighbor_id"))
         .select(F.col("a.src").alias("u"), F.col("a.neighbor_id").alias("v"))
     )
+    n_und = und.count()
+    if n_und <= KCORE_DRIVER_EDGE_CAP:
+        # bounded driver tier (the dedup.py union-find discipline:
+        # ≤500k 16-byte edge pairs collect safely; the peel itself is
+        # O(E·rounds) in-memory). Identical fixpoint law to the
+        # distributed loop below — equivalence pytest-pinned by
+        # forcing the cap to 0.
+        return _kcore_peel_driver(spark, [(r.u, r.v) for r in und.collect()])
     edges = und
     prev_n = edges.select(
         F.explode(F.array("u", "v")).alias("x")

@@ -1282,3 +1282,20 @@ def test_skyline_no_row_dominated(spark):
             assert any(
                 c2 > cc and d2 > dd for _, c2, d2 in sky
             ), f"non-member {k} not dominated by the frontier"
+
+
+def test_graph_kcore_distributed_path_equals_driver_tier(spark, monkeypatch):
+    # force the distributed peel (cap=0) on the same fixture: identical
+    # output row to the bounded driver tier
+    edges = [(0, 1), (1, 2), (3, 4), (4, 5), (3, 5)]
+    both = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    g = spark.createDataFrame(both, "src long, neighbor_id long")
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "_knn_graph", lambda s, sf: g)
+    want = Qm.q_graph_kcore(spark, "ignored").collect()[0]
+    monkeypatch.setattr(Qm, "KCORE_DRIVER_EDGE_CAP", 0)
+    got = Qm.q_graph_kcore(spark, "ignored").collect()[0]
+    assert got == want
+    assert (got.n_core_nodes, got.n_core_edges, got.rounds,
+            got.converged) == (3, 3, 2, True)
