@@ -126,6 +126,11 @@ HEADLINE = [
     "user_similarity",
     "snippet_extract",
     "attribution_last_touch",
+    # and the preference/survival/funnel additions (skyline's two-level
+    # window prune is the perf-interesting shape)
+    "skyline_orders",
+    "km_survival",
+    "funnel_dropoff",
 ]
 
 
