@@ -14386,6 +14386,206 @@ ORDER BY cents DESC, o_orderkey ASC
 """
 
 
+def q_wedge_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-closing recommendation over the mutual kNN graph: for
+    each node, the non-neighbor sharing the most common neighbors
+    (ties → smallest candidate id) — the friend-of-friend primitive
+    behind 'related items', here proposing merge candidates the direct
+    kNN edge set missed. Wedge enumeration e(u,v)⋈e(v,w) is bounded by
+    Σdeg² = O(N·k²) on a degree-capped graph — never quadratic; the
+    direct-edge exclusion is one anti-join; counts are exact integers.
+    Output: node, recommended id, common-neighbor count."""
+    from pyspark.sql import Window
+
+    g = _knn_graph(spark, sf_dir).select("src", "neighbor_id")
+    a, b = g.alias("a"), g.alias("b")
+    mut = a.join(
+        b,
+        (F.col("a.src") == F.col("b.neighbor_id"))
+        & (F.col("a.neighbor_id") == F.col("b.src")),
+    ).select(F.col("a.src").alias("u"), F.col("a.neighbor_id").alias("v"))
+    # persisted: the wedge join reads it twice and the exclusion once
+    adj = _track_persist(mut)
+    e1, e2 = adj.alias("e1"), adj.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .where(F.col("e1.u") != F.col("e2.v"))
+        .groupBy(
+            F.col("e1.u").alias("node"), F.col("e2.v").alias("cand")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    direct = adj.select(
+        F.col("u").alias("node"), F.col("v").alias("cand")
+    )
+    open_w = wedges.join(direct, ["node", "cand"], "left_anti")
+    w = Window.partitionBy("node").orderBy(
+        F.desc("common"), F.asc("cand")
+    )
+    return (
+        open_w.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("node", F.col("cand").alias("recommended"), "common")
+        .orderBy("node")
+    )
+
+
+_ORACLES["wedge_recommend"] = f"""
+WITH {_GRAPH_G_PREFIX.format(sql2=_SQL_SQL2.format(a='e.embedding', b='q.embedding')).replace("g AS (", "g AS MATERIALIZED (")},
+adj AS MATERIALIZED (
+  SELECT a.src AS u, a.neighbor_id AS v
+  FROM g a JOIN g b ON a.src = b.neighbor_id AND a.neighbor_id = b.src
+),
+wedges AS (
+  SELECT e1.u AS node, e2.v AS cand, count(*) AS common
+  FROM adj e1 JOIN adj e2 ON e1.v = e2.u
+  WHERE e1.u <> e2.v
+  GROUP BY 1, 2
+),
+open_w AS (
+  SELECT w.* FROM wedges w
+  ANTI JOIN adj d ON d.u = w.node AND d.v = w.cand
+),
+rrec AS (
+  SELECT node, cand, common,
+         row_number() OVER (
+           PARTITION BY node ORDER BY common DESC, cand ASC
+         ) AS rn
+  FROM open_w
+)
+SELECT node, cand AS recommended, CAST(common AS BIGINT) AS common
+FROM rrec WHERE rn = 1
+ORDER BY node
+"""
+
+
+def q_probe_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC readout for a quality signal against the planted
+    near-dup labels (text ending in ' dup' — the derivable ground
+    truth neardup_eval established): AUC computed EXACTLY as the
+    rank-sum identity AUC = (R₂⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) with the
+    doubled-midrank law from mannwhitney_ab — ties integral, no
+    trapezoid sweep, partition-order-independent. Scored signal =
+    the 6dp type-token ratio (quality_score's law). The classifier-
+    evaluation primitive every learned quality filter needs; one
+    groupBy over the rounded-score grid + a bounded rank window."""
+    from pyspark.sql import Window
+
+    d = load_documents(spark, sf_dir)
+    toks = tokenize("text")
+    scored = d.select(
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks), 6
+        ).alias("s"),
+        F.col("text").endswith(" dup").cast("long").alias("pos"),
+    )
+    dist = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("t"), F.sum("pos").alias("tp")
+    )
+    wv = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = dist.select(
+        "t",
+        "tp",
+        F.coalesce(F.sum("t").over(wv), F.lit(0)).alias("cb"),
+    )
+    agg = ranked.agg(
+        F.sum("tp").alias("np"),
+        F.sum(F.col("t") - F.col("tp")).alias("nn"),
+        F.sum(F.col("tp") * (2 * F.col("cb") + F.col("t") + 1)).alias(
+            "r2p"
+        ),
+    )
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("r2p") - F.col("np") * (F.col("np") + 1))
+            / (2.0 * F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_ORACLES["probe_auc"] = """
+WITH scored AS (
+  SELECT round(CAST(len(list_distinct(
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))
+           AS DOUBLE)
+           / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')),
+           6) AS s,
+         CASE WHEN text LIKE '% dup' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+dist AS (SELECT s, count(*) AS t, sum(pos) AS tp FROM scored GROUP BY s),
+ranked AS (
+  SELECT t, tp,
+         coalesce(sum(t) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM dist
+),
+agg AS (
+  SELECT CAST(sum(tp) AS BIGINT) AS np,
+         CAST(sum(t - tp) AS BIGINT) AS nn,
+         CAST(sum(tp * (2 * cb + t + 1)) AS BIGINT) AS r2p
+  FROM ranked
+)
+SELECT np AS n_pos, nn AS n_neg,
+       round((CAST(r2p AS DOUBLE) - CAST(np AS DOUBLE) * (np + 1))
+             / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc
+FROM agg
+"""
+
+
+LDIV_L = 3  # the l in l-diversity
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling (Machanavajjhala
+    et al., ICDE 2006): within each quasi-identifier group (source,
+    n_chars div 100) the SENSITIVE attribute (lang) must take at least
+    l distinct values, else membership in the group leaks the
+    sensitive value even when the group is large. Reports the
+    diversity floor, sub-l group count, and docs exposed. Distinct
+    count per group + summary rollup — integer relational end to
+    end."""
+    d = load_documents(spark, sf_dir)
+    groups = d.groupBy(
+        "source",
+        F.expr(f"n_chars div {KANON_CHAR_BUCKET}").alias("len_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("gsize"),
+        F.countDistinct("lang").alias("ldiv"),
+    )
+    return groups.agg(
+        F.min("ldiv").alias("l_floor"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("ldiv") < LDIV_L).cast("long")).alias(
+            "n_groups_below_l"
+        ),
+        F.sum(
+            F.when(F.col("ldiv") < LDIV_L, F.col("gsize")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_docs_exposed"),
+    )
+
+
+_ORACLES["l_diversity"] = f"""
+WITH groups AS (
+  SELECT source, n_chars // {KANON_CHAR_BUCKET} AS len_bucket,
+         count(*) AS gsize, count(DISTINCT lang) AS ldiv
+  FROM documents GROUP BY 1, 2
+)
+SELECT CAST(min(ldiv) AS BIGINT) AS l_floor,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN ldiv < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_l,
+       CAST(sum(CASE WHEN ldiv < {LDIV_L} THEN gsize ELSE 0 END) AS BIGINT)
+         AS n_docs_exposed
+FROM groups
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -14455,6 +14655,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_dropoff": q_funnel_dropoff,
         "readability_profile": q_readability_profile,
         "skyline_orders": q_skyline_orders,
+        "wedge_recommend": q_wedge_recommend,
+        "probe_auc": q_probe_auc,
+        "l_diversity": q_l_diversity,
         # slots: round-9 second half — all verified hash-green at BOTH
         # sf0.01 and sf0.1 before registration.
         "bpe_pair_counts": q_bpe_pair_counts,

@@ -1299,3 +1299,42 @@ def test_graph_kcore_distributed_path_equals_driver_tier(spark, monkeypatch):
     assert got == want
     assert (got.n_core_nodes, got.n_core_edges, got.rounds,
             got.converged) == (3, 3, 2, True)
+
+
+def test_wedge_recommend_excludes_direct_edges(spark, monkeypatch):
+    # square 0-1-2-3-0 (mutual): each node's only 2-hop non-neighbor is
+    # the opposite corner, via exactly 2 common neighbors
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    both = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    g = spark.createDataFrame(both, "src long, neighbor_id long")
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "_knn_graph", lambda s, sf: g)
+    got = {(r.node, r.recommended, r.common)
+           for r in Qm.q_wedge_recommend(spark, "ignored").collect()}
+    assert got == {(0, 2, 2), (1, 3, 2), (2, 0, 2), (3, 1, 2)}
+
+
+def test_probe_auc_rank_identity(spark, monkeypatch):
+    # positives strictly above negatives on the score -> AUC = 1.0;
+    # 'a b c' TTR=1.0 > 'a a a a' TTR=0.25
+    d = spark.createDataFrame(
+        [(1, "a a b", "en", "s", 1),             # negative, TTR=2/3
+         (2, "a a a a", "en", "s", 1),           # negative, TTR=0.25
+         (3, "b c d dup", "en", "s", 1)],        # positive, TTR=1.0
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    r = Qm.q_probe_auc(spark, "ignored").collect()[0]
+    assert (r.n_pos, r.n_neg) == (1, 2)
+    # positive TTR 1.0; negatives 0.25 and 5/6 -> AUC = 1.0
+    assert r.auc == 1.0
+
+
+def test_l_diversity_consistency(spark):
+    r = Q.q_l_diversity(spark, SF_SMOKE).collect()[0]
+    assert r.l_floor >= 1
+    assert 0 <= r.n_groups_below_l <= r.n_groups
+    assert r.n_docs_exposed >= r.n_groups_below_l
