@@ -131,6 +131,8 @@ HEADLINE = [
     "skyline_orders",
     "km_survival",
     "funnel_dropoff",
+    "wedge_recommend",
+    "probe_auc",
 ]
 
 
