@@ -12708,7 +12708,11 @@ def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix; this is the diagnosis). Token law = the str.split parity
     tokenizer shared with token_count. The bucket lookup is a
     broadcast join against an 18-row powers relation followed by a
-    min — integer-exact, no log2 float anywhere."""
+    min — integer-exact, no log2 float anywhere. Declared domain: docs
+    beyond 2^PAD_MAX_POW tokens fall outside every bucket and leave
+    the profile (identically in both engines) — raise PAD_MAX_POW for
+    corpora with longer documents; the join stays a broadcast at any
+    power count."""
     toks = (
         load_documents(spark, sf_dir)
         .select(F.size(tokenize("text")).alias("n_tok"))
