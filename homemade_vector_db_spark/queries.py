@@ -14590,6 +14590,187 @@ FROM groups
 """
 
 
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LABEL partition over the mutual kNN
+    graph: Q = Σ_c (e_c/m − (d_c/2m)²) — how much more intra-label
+    linkage the similarity graph shows than degree-preserving chance;
+    the quantitative check on 'do embedding labels form real
+    communities' that complements graph_triangles' clustering
+    coefficient. Exact integer inputs (intra-community edge counts,
+    community degree sums, m) with the per-community float terms
+    summed via the fixed-point 10¹² trick (chi2 discipline) so the Σ
+    is partition-order-independent; per-community rows + the global Q.
+    Edge relation is the k·N mutual graph — one join to labels, two
+    rollups."""
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "label")
+    g = _knn_graph(spark, sf_dir).select("src", "neighbor_id")
+    a, b = g.alias("a"), g.alias("b")
+    und = _track_persist(
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.src")),
+        )
+        .where(F.col("a.src") < F.col("a.neighbor_id"))
+        .select(F.col("a.src").alias("u"), F.col("a.neighbor_id").alias("v"))
+        .join(emb.select(F.col("vec_id").alias("u"), F.col("label").alias("lu")), "u")
+        .join(emb.select(F.col("vec_id").alias("v"), F.col("label").alias("lv")), "v")
+    )
+    m = und.count()
+    intra = (
+        und.where(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        und.select(F.explode(F.array(F.struct(F.col("u").alias("x"), F.col("lu").alias("l")),
+                                     F.struct(F.col("v").alias("x"), F.col("lv").alias("l")))).alias("s"))
+        .select("s.x", "s.l")
+        .groupBy(F.col("l").alias("label"))
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    per = (
+        deg.join(intra, "label", "left")
+        .select(
+            "label",
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("e_c"),
+            F.col("d_c").cast("long").alias("d_c"),
+        )
+    )
+    # fixed-point per-community term: (e_c·4m − d_c²)·1e12 div (4m²)
+    term = F.expr(
+        f"CAST((CAST(e_c AS DECIMAL(38,0)) * 4 * {m} - CAST(d_c AS DECIMAL(38,0)) * d_c)"
+        f" * {CHI2_SCALE} div (CAST(4 AS DECIMAL(38,0)) * {m} * {m}) AS DECIMAL(38,0))"
+    )
+    q = per.agg(F.sum(term).alias("s"))
+    return (
+        per.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            "e_c",
+            "d_c",
+            F.round(F.col("s").cast("double") / CHI2_SCALE, 6).alias(
+                "modularity_q"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+def _modularity_sql() -> str:
+    return f"""
+WITH {_GRAPH_G_PREFIX.format(sql2=_SQL_SQL2.format(a='e.embedding', b='q.embedding')).replace("g AS (", "g AS MATERIALIZED (")},
+und AS MATERIALIZED (
+  SELECT a.src AS u, a.neighbor_id AS v, eu.label AS lu, ev.label AS lv
+  FROM g a
+  JOIN g b ON a.src = b.neighbor_id AND a.neighbor_id = b.src
+  JOIN embeddings eu ON eu.vec_id = a.src
+  JOIN embeddings ev ON ev.vec_id = a.neighbor_id
+  WHERE a.src < a.neighbor_id
+),
+mm AS (SELECT count(*) AS m FROM und),
+intra AS (
+  SELECT lu AS label, count(*) AS e_c FROM und WHERE lu = lv GROUP BY 1
+),
+deg AS (
+  SELECT l AS label, count(*) AS d_c
+  FROM (SELECT u AS x, lu AS l FROM und UNION ALL SELECT v, lv FROM und)
+  GROUP BY 1
+),
+per AS (
+  SELECT d.label, coalesce(i.e_c, 0) AS e_c, d.d_c, mm.m
+  FROM deg d LEFT JOIN intra i USING (label), mm
+),
+qq AS (
+  SELECT sum((CAST(e_c AS HUGEINT) * 4 * m - CAST(d_c AS HUGEINT) * d_c)
+             * {CHI2_SCALE} // (CAST(4 AS HUGEINT) * m * m)) AS s
+  FROM per
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(e_c AS BIGINT) AS e_c,
+       CAST(d_c AS BIGINT) AS d_c,
+       round(CAST(s AS DOUBLE) / {CHI2_SCALE}, 6) AS modularity_q
+FROM per, qq
+ORDER BY label
+"""
+
+
+_ORACLES["graph_modularity"] = _modularity_sql()
+
+
+CALIB_BINS = 10
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a quality signal against the planted
+    near-dup labels — probe_auc tells you the RANKING is good;
+    calibration tells you whether the scores mean what they say.
+    Score = 6dp TTR (same signal as probe_auc); bins are fixed-width
+    on the score domain (bin = least(floor(s·10), 9) — no
+    order-dependent quantile step), per bin: doc count, exact-integer
+    positive count, mean score and positive rate as single rounded
+    divisions of exact integers (score sum in micro-units)."""
+    d = load_documents(spark, sf_dir)
+    toks = tokenize("text")
+    scored = d.select(
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks), 6
+        ).alias("s"),
+        F.col("text").endswith(" dup").cast("long").alias("pos"),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("s") * CALIB_BINS), F.lit(CALIB_BINS - 1)
+        ).cast("int").alias("bin"),
+        F.round(F.col("s") * 1_000_000).cast("long").alias("s_u"),
+        "pos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").alias("n_pos"),
+            F.sum("s_u").alias("ssum"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(F.col("ssum") / F.col("n_docs") / 1_000_000, 6).alias(
+                "mean_score"
+            ),
+            F.round(F.col("n_pos") / F.col("n_docs"), 6).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+_ORACLES["calibration_bins"] = f"""
+WITH scored AS (
+  SELECT round(CAST(len(list_distinct(
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))
+           AS DOUBLE)
+           / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')),
+           6) AS s,
+         CASE WHEN text LIKE '% dup' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+binned AS (
+  SELECT CAST(least(floor(s * {CALIB_BINS}), {CALIB_BINS - 1}) AS INT) AS bin,
+         CAST(round(s * 1000000) AS BIGINT) AS s_u, pos
+  FROM scored
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       round(CAST(sum(s_u) AS DOUBLE) / count(*) / 1000000, 6) AS mean_score,
+       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -14662,6 +14843,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wedge_recommend": q_wedge_recommend,
         "probe_auc": q_probe_auc,
         "l_diversity": q_l_diversity,
+        "graph_modularity": q_graph_modularity,
+        "calibration_bins": q_calibration_bins,
         # slots: round-9 second half — all verified hash-green at BOTH
         # sf0.01 and sf0.1 before registration.
         "bpe_pair_counts": q_bpe_pair_counts,

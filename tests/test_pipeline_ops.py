@@ -1338,3 +1338,32 @@ def test_l_diversity_consistency(spark):
     assert r.l_floor >= 1
     assert 0 <= r.n_groups_below_l <= r.n_groups
     assert r.n_docs_exposed >= r.n_groups_below_l
+
+
+def test_graph_modularity_perfect_communities(spark, monkeypatch):
+    # two disjoint mutual triangles with matching labels: Q = 2*(1/2 - 1/4) = 0.5
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    both = [(u, v) for u, v in tri] + [(v, u) for u, v in tri]
+    g = spark.createDataFrame(both, "src long, neighbor_id long")
+    emb = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "vec_id long, label int"
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "_knn_graph", lambda s, sf: g)
+    monkeypatch.setattr(Qm, "load_embeddings", lambda s, sf: emb)
+    rows = Qm.q_graph_modularity(spark, "ignored").collect()
+    assert {(r.label, r.e_c, r.d_c) for r in rows} == {(0, 3, 6), (1, 3, 6)}
+    assert all(r.modularity_q == 0.5 for r in rows)
+
+
+def test_calibration_bins_partition_docs(spark):
+    rows = Q.q_calibration_bins(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bin < Q.CALIB_BINS
+        assert 0 <= r.n_pos <= r.n_docs
+        assert 0.0 <= r.pos_rate <= 1.0
+        # mean score sits inside (or on the edge of) its bin
+        assert r.mean_score >= r.bin / Q.CALIB_BINS - 1e-6
+        assert r.mean_score <= (r.bin + 1) / Q.CALIB_BINS + 1e-6 or r.bin == Q.CALIB_BINS - 1
