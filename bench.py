@@ -133,6 +133,7 @@ HEADLINE = [
     "funnel_dropoff",
     "wedge_recommend",
     "probe_auc",
+    "graph_modularity",
 ]
 
 
