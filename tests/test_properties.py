@@ -547,3 +547,116 @@ def test_containment_pairs_match_model_on_random_corpora(
                 if c >= threshold:
                     want[(a, b)] = round(c, 6)
     assert got == want
+
+
+# ---- round-9 fourth mini-batch law fuzz ----
+
+
+@SETTINGS
+@given(
+    caps=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=8),
+)
+def test_budget_fill_matches_python_waterfill(spark, caps, monkeypatch):
+    """Water-filling allocation vs an O(S²) reference: Σ==B, caps
+    respected, and the equal-share level law (no uncapped source gets
+    less than a capped source's capacity)."""
+    docs = [
+        (i, " ".join(["w"] * c), f"s{i:02d}") for i, c in enumerate(caps)
+    ]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    rows = {r.source: (r.capacity_tokens, r.allocated_tokens, bool(r.capped))
+            for r in Qm.q_budget_mixture_fill(spark, "x").collect()}
+    total = sum(caps)
+    budget = total // 2
+    got_sum = sum(a for _, a, _ in rows.values())
+    assert got_sum == budget
+    for src, (c, a, capped) in rows.items():
+        assert 0 <= a <= c
+        if capped:
+            assert a == c
+    # level law: every capped capacity <= every uncapped allocation + 1
+    capped_caps = [c for c, a, k in rows.values() if k]
+    uncapped_allocs = [a for c, a, k in rows.values() if not k]
+    if capped_caps and uncapped_allocs:
+        assert max(capped_caps) <= min(uncapped_allocs) + 1
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 20)),
+        min_size=2, max_size=30,
+    ).filter(lambda v: len({a for a, _ in v}) == 2),
+)
+def test_mannwhitney_matches_python_ranksum(spark, vals, monkeypatch):
+    """Doubled-midrank U₂ vs a pure-python midrank computation."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1), 2 * i + arm, "purchase", float(v), "{}")
+        for i, (arm, v) in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
+    r = Qm.q_mannwhitney_ab(spark, "x").collect()[0]
+    # python midranks (1-based); arm of user 2i+arm is (2i+arm)%2 = arm
+    data = sorted(range(len(vals)), key=lambda i: vals[i][1])
+    ranks = {}
+    i = 0
+    while i < len(data):
+        j = i
+        while j < len(data) and vals[data[j]][1] == vals[data[i]][1]:
+            j += 1
+        mid2 = (i + 1) + j  # 2*avg of positions i+1..j (1-based)
+        for t in range(i, j):
+            ranks[data[t]] = mid2
+        i = j
+    r2a = sum(ranks[i] for i, (arm, _) in enumerate(vals) if arm == 0)
+    na = sum(1 for a, _ in vals if a == 0)
+    nb = len(vals) - na
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert r.u2_a == r2a - na * (na + 1)
+
+
+@SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)),
+        min_size=1, max_size=25,
+    ),
+)
+def test_skyline_matches_bruteforce(spark, pts, monkeypatch):
+    """Two-level window skyline vs the O(n²) dominance definition."""
+    import datetime as dt
+
+    rows = [
+        (i, float(c) / 100.0, dt.datetime(2024, 1, 1) + dt.timedelta(days=d))
+        for i, (c, d) in enumerate(pts)
+    ]
+    o = spark.createDataFrame(
+        [(k, 7, "O", p, t, "1-URGENT") for k, p, t in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: o)
+    got = {r.o_orderkey for r in Qm.q_skyline_orders(spark, "x").collect()}
+    want = set()
+    for k, (c, d) in enumerate(pts):
+        if not any(
+            c2 > c and d2 > d for k2, (c2, d2) in enumerate(pts) if k2 != k
+        ):
+            want.add(k)
+    assert got == want
