@@ -163,3 +163,167 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+class IncrementalAttribution:
+    """Streaming last-touch revenue attribution — the streaming twin of
+    queries.q_attribution_last_touch. State per user = the single most
+    recent click/view touch (by the (ts, event_id) event order), a
+    2-scalar row per active user; per micro-batch each purchase is
+    credited to the later of the in-batch preceding touch and the state
+    touch, under the same 7-day lookback, and per-batch channel totals
+    append to a stats table.
+
+    CHUNK LAW: when micro-batches partition the stream at time
+    boundaries (every event in batch b+1 after every event in batch b —
+    the shape a time-ordered source delivers), summed stats equal the
+    batch entry exactly, because attribution only ever looks backward
+    and the state row carries precisely the backward view across the
+    cut. Writes are per-batch idempotent (batch=<id> dirs, replay
+    excludes own prior attempt), the IncrementalCorpus contract."""
+
+    ATTR_WINDOW_US = 7 * 86400 * 1_000_000
+
+    def __init__(self, spark, root: str):
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.state_path = os.path.join(root, "last_touch")
+        self.stats_path = os.path.join(root, "batch_stats")
+
+    def _state(self, exclude_batch: int) -> DataFrame | None:
+        try:
+            s = (
+                self.spark.read.parquet(self.state_path)
+                .where(F.col("batch").cast("string") != str(exclude_batch))
+                .drop("batch")
+            )
+            # several batch dirs may carry a row for the same user —
+            # the latest (ts, event_id) wins
+            return (
+                s.groupBy("user_id")
+                .agg(
+                    F.max(
+                        F.struct("touch_ts", "touch_event_id", "touch_type")
+                    ).alias("m")
+                )
+                .select(
+                    "user_id",
+                    F.col("m.touch_ts").alias("st_ts"),
+                    F.col("m.touch_event_id").alias("st_eid"),
+                    F.col("m.touch_type").alias("st_type"),
+                )
+            )
+        except Exception:
+            return None
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        import os
+
+        from pyspark.sql import Window
+
+        if batch_id is None:
+            batch_id = 0
+        is_touch = F.col("event_type").isin("click", "view")
+        ev = batch.select(
+            "user_id", "ts", "event_id", "event_type", "value",
+            F.when(is_touch, F.col("event_type")).alias("touch_type"),
+            F.when(is_touch, F.col("ts")).alias("touch_ts"),
+            F.when(is_touch, F.col("event_id")).alias("touch_eid"),
+        ).persist()
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local = (
+            ev.withColumn(
+                "l_type", F.last("touch_type", ignorenulls=True).over(w)
+            )
+            .withColumn("l_ts", F.last("touch_ts", ignorenulls=True).over(w))
+            .where(F.col("event_type") == "purchase")
+        )
+        st = self._state(exclude_batch=batch_id)
+        if st is not None:
+            local = local.join(st, "user_id", "left")
+        else:
+            local = (
+                local.withColumn("st_ts", F.lit(None).cast("timestamp"))
+                .withColumn("st_type", F.lit(None).cast("string"))
+            )
+        # in-batch touch, if any, is later than any state touch under
+        # the time-partitioned chunk law; else fall back to state
+        eff_type = F.coalesce("l_type", "st_type")
+        attributed = local.select(
+            F.when(
+                eff_type.isNotNull()
+                & (
+                    F.expr(
+                        "timestampdiff(MICROSECOND,"
+                        " coalesce(l_ts, st_ts), ts)"
+                    )
+                    <= self.ATTR_WINDOW_US
+                ),
+                eff_type,
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            F.round(F.col("value") * 1e6).cast("long").alias("v_u"),
+        )
+        stats = attributed.groupBy("channel").agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v_u").alias("revenue_micro"),
+        )
+        stats.write.mode("overwrite").parquet(
+            os.path.join(self.stats_path, f"batch={batch_id}")
+        )
+        # new state: per user the latest in-batch touch (state rows from
+        # earlier batches stay in their own dirs; _state maxes over all)
+        new_touch = (
+            ev.where(F.col("touch_type").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("touch_ts"),
+                        F.col("touch_eid").alias("touch_event_id"),
+                        F.col("touch_type"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "user_id",
+                F.col("m.touch_ts").alias("touch_ts"),
+                F.col("m.touch_event_id").alias("touch_event_id"),
+                F.col("m.touch_type").alias("touch_type"),
+            )
+        )
+        new_touch.write.mode("overwrite").parquet(
+            os.path.join(self.state_path, f"batch={batch_id}")
+        )
+        ev.unpersist()
+
+    def stats(self) -> DataFrame:
+        return (
+            self.spark.read.parquet(self.stats_path)
+            .groupBy("channel")
+            .agg(
+                F.sum("n_purchases").alias("n_purchases"),
+                F.sum("revenue_micro").alias("revenue_micro"),
+            )
+            .orderBy("channel")
+        )
+
+    def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
+        import os
+
+        return (
+            stream.writeStream.foreachBatch(self.ingest_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.root, "_attr_checkpoint"),
+            )
+            .outputMode("append")
+            .start()
+        )

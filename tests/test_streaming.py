@@ -1277,3 +1277,66 @@ def test_incremental_dup_rate_replay_idempotent(spark, tmp_path):
         (r.batch, r.n_docs, r.n_cross_dups) for r in dr.stats().collect()
     )
     assert after == before
+
+
+def test_incremental_attribution_time_chunks_equal_batch(spark, tmp_path):
+    """IncrementalAttribution over time-ordered chunks == the batch
+    last-touch entry (state carries the backward view across cuts)."""
+    from homemade_vector_db_spark.streaming.sessions import (
+        IncrementalAttribution,
+    )
+    import homemade_vector_db_spark.queries as Qm
+    from homemade_vector_db_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = {
+        r.channel: (r.n_purchases, r.revenue_micro)
+        for r in Qm.q_attribution_last_touch(spark, SF_SMOKE).collect()
+    }
+    # three time-ordered chunks split at day boundaries
+    bounds = ["2024-01-08", "2024-01-20"]
+    at = IncrementalAttribution(spark, str(tmp_path / "attr"))
+    at.ingest_batch(ev.where(F.col("ts") < bounds[0]), batch_id=0)
+    at.ingest_batch(
+        ev.where((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        batch_id=1,
+    )
+    at.ingest_batch(ev.where(F.col("ts") >= bounds[1]), batch_id=2)
+    got = {
+        r.channel: (r.n_purchases, r.revenue_micro)
+        for r in at.stats().collect()
+    }
+    assert got == want
+
+
+def test_incremental_attribution_replay_idempotent(spark, tmp_path):
+    """Replaying a micro-batch leaves summed stats unchanged."""
+    import datetime as dt
+
+    from homemade_vector_db_spark.streaming.sessions import (
+        IncrementalAttribution,
+    )
+
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    b0 = spark.createDataFrame(
+        [(1, t(1), 1, "click", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    b1 = spark.createDataFrame(
+        [(2, t(2), 1, "purchase", 10.0, "{}"),
+         (3, t(2, 1), 2, "purchase", 5.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    at = IncrementalAttribution(spark, str(tmp_path / "attr2"))
+    at.ingest_batch(b0, batch_id=0)
+    at.ingest_batch(b1, batch_id=1)
+    want = {(r.channel, r.n_purchases, r.revenue_micro)
+            for r in at.stats().collect()}
+    assert want == {("click", 1, 10_000_000), ("direct", 1, 5_000_000)}
+    at.ingest_batch(b1, batch_id=1)  # replay
+    got = {(r.channel, r.n_purchases, r.revenue_micro)
+           for r in at.stats().collect()}
+    assert got == want
