@@ -54,10 +54,89 @@ def gen_embeddings(spark, n: int):
     )
 
 
+def gen_events(spark, n: int, n_users: int):
+    """10× the sf0.1 events table in the same family: 5 event types,
+    uniform users, 30-day window, value ~ |N(50, 20)| on purchases.
+    Philox keyed by event_id — any partitioning yields identical
+    bytes."""
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            rows = {"event_id": ids, "ts": [], "user_id": [],
+                    "event_type": [], "value": [], "props": []}
+            base = pd.Timestamp("2024-01-01")
+            for i in ids:
+                rng = np.random.Generator(np.random.Philox(key=int(i) + 7))
+                rows["ts"].append(
+                    base + pd.Timedelta(microseconds=int(
+                        rng.integers(0, 30 * 86400_000_000)
+                    ))
+                )
+                rows["user_id"].append(int(rng.integers(0, n_users)))
+                et = types[int(rng.integers(0, len(types)))]
+                rows["event_type"].append(et)
+                rows["value"].append(
+                    round(abs(float(rng.normal(50.0, 20.0))), 2)
+                    if et == "purchase" else 0.0
+                )
+                rows["props"].append("{}")
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def gen_orders(spark, n: int, n_cust: int):
+    """10× the sf0.1 orders table: uniform 1992-1998-style price range
+    collapsed to a uniform [1k, 500k) cents law over one year of
+    dates."""
+    stats = ["O", "F", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            rows = {"o_orderkey": ids, "o_custkey": [], "o_orderstatus": [],
+                    "o_totalprice": [], "o_orderdate": [],
+                    "o_orderpriority": []}
+            base = pd.Timestamp("2024-01-01")
+            for i in ids:
+                rng = np.random.Generator(np.random.Philox(key=int(i) + 13))
+                rows["o_custkey"].append(int(rng.integers(1, n_cust + 1)))
+                rows["o_orderstatus"].append(
+                    stats[int(rng.integers(0, len(stats)))]
+                )
+                rows["o_totalprice"].append(
+                    int(rng.integers(100_000, 50_000_000)) / 100.0
+                )
+                rows["o_orderdate"].append(
+                    base + pd.Timedelta(days=int(rng.integers(0, 365)))
+                )
+                rows["o_orderpriority"].append(
+                    prios[int(rng.integers(0, len(prios)))]
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=50_000)
     ap.add_argument("--emb", type=int, default=20_000)
+    ap.add_argument("--events", type=int, default=200_000)
+    ap.add_argument("--users", type=int, default=15_000)
+    ap.add_argument("--orders", type=int, default=150_000)
     args = ap.parse_args()
 
     from homemade_vector_db_spark.session import get_spark
@@ -84,6 +163,16 @@ def main() -> None:
     emb = gen_embeddings(spark, args.emb)
     emb.repartition(8).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
     print(f"embeddings: {args.emb} rows -> {OUT}/embeddings.parquet")
+
+    ev = gen_events(spark, args.events, args.users)
+    ev.repartition(8).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+    print(f"events: {args.events} rows -> {OUT}/events.parquet")
+
+    orders = gen_orders(spark, args.orders, args.users)
+    orders.repartition(8).write.mode("overwrite").parquet(
+        f"{OUT}/orders.parquet"
+    )
+    print(f"orders: {args.orders} rows -> {OUT}/orders.parquet")
     spark.stop()
 
 
