@@ -14789,6 +14789,103 @@ ORDER BY bin
 """
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level operational readout over the FULL user population
+    (q_sessionize demonstrates the operator on a 40-user slice; this is
+    the corpus-wide summary a product dashboard shows): session count,
+    bounce rate (single-event sessions), and discrete-median session
+    events and duration. Same 30-min-gap law; medians are discrete
+    lower order statistics over the bounded distinct-value grids (the
+    ppl_deciles window discipline) — no interpolation, no float except
+    the one rounded bounce-rate division."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = _track_persist(
+        ev.withColumn("session_id", F.sum(new_sess).over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_timestamp(F.max("ts"))
+                - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_s"),
+        )
+    )
+    n = sess.count()
+    n_bounce = sess.where(F.col("n_events") == 1).count()
+    med_events = _discrete_lower_stat(sess, "n_events", n, 1, 2)
+    med_dur = _discrete_lower_stat(sess, "duration_s", n, 1, 2)
+    return spark.createDataFrame(
+        [(n, n_bounce, int(med_events), int(med_dur))],
+        "n_sessions long, n_bounce long, median_events long,"
+        " median_duration_s long",
+    ).select(
+        "n_sessions",
+        "n_bounce",
+        F.round(F.col("n_bounce") / F.col("n_sessions"), 6).alias(
+            "bounce_rate"
+        ),
+        "median_events",
+        "median_duration_s",
+    )
+
+
+_ORACLES["session_stats"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+         ts
+  FROM flagged
+),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         floor(epoch(max(ts))) - floor(epoch(min(ts))) AS duration_s
+  FROM sess GROUP BY 1, 2
+),
+tot AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounce
+  FROM per
+),
+me AS (
+  SELECT min(v) AS median_events FROM (
+    SELECT n_events AS v,
+           sum(count(*)) OVER (ORDER BY n_events
+             ROWS UNBOUNDED PRECEDING) AS cm
+    FROM per GROUP BY n_events
+  ), tot WHERE cm * 2 >= n
+),
+md AS (
+  SELECT min(v) AS median_duration_s FROM (
+    SELECT duration_s AS v,
+           sum(count(*)) OVER (ORDER BY duration_s
+             ROWS UNBOUNDED PRECEDING) AS cm
+    FROM per GROUP BY duration_s
+  ), tot WHERE cm * 2 >= n
+)
+SELECT CAST(n AS BIGINT) AS n_sessions,
+       CAST(n_bounce AS BIGINT) AS n_bounce,
+       round(CAST(n_bounce AS DOUBLE) / n, 6) AS bounce_rate,
+       CAST(median_events AS BIGINT) AS median_events,
+       CAST(median_duration_s AS BIGINT) AS median_duration_s
+FROM tot, me, md
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -14865,6 +14962,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "graph_modularity": q_graph_modularity,
         "calibration_bins": q_calibration_bins,
+        "session_stats": q_session_stats,
         # slots: round-9 second half — all verified hash-green at BOTH
         # sf0.01 and sf0.1 before registration.
         "bpe_pair_counts": q_bpe_pair_counts,

@@ -1367,3 +1367,11 @@ def test_calibration_bins_partition_docs(spark):
         # mean score sits inside (or on the edge of) its bin
         assert r.mean_score >= r.bin / Q.CALIB_BINS - 1e-6
         assert r.mean_score <= (r.bin + 1) / Q.CALIB_BINS + 1e-6 or r.bin == Q.CALIB_BINS - 1
+
+
+def test_session_stats_consistency(spark):
+    r = Q.q_session_stats(spark, SF_SMOKE).collect()[0]
+    assert 0 <= r.n_bounce <= r.n_sessions
+    assert r.median_events >= 1
+    assert r.median_duration_s >= 0
+    assert abs(r.bounce_rate - round(r.n_bounce / r.n_sessions, 6)) < 1e-9
