@@ -14886,6 +14886,90 @@ FROM tot, me, md
 """
 
 
+NEG_BUCKETS = 64  # candidate-pair buckets: pairs per bucket ≈ (N/B)²
+NEG_PER_ANCHOR = 2
+NEG_ANCHORS = 100
+
+
+def q_link_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive / link-prediction
+    training over the corpus graph: for each of the first NEG_ANCHORS
+    node ids, NEG_PER_ANCHOR partners that are NOT kNN neighbors —
+    the (anchor, negative) pairs every embedding-training and
+    graph-eval pipeline needs, reproducible across retries because
+    selection is a pure hash law (no rand()). Candidate generation is
+    a BUCKET join, never a cross join: nodes pair only within their
+    md5 bucket (pairs ≈ N²/B, tunable; at 100 TB raise NEG_BUCKETS so
+    the per-bucket block stays bounded), true edges leave via one
+    anti-join, and each anchor keeps its NEG_PER_ANCHOR smallest
+    md5(anchor,cand) ranks — the epoch_shard_plan ordering law applied
+    to pair selection."""
+    from pyspark.sql import Window
+
+    emb = load_embeddings(spark, sf_dir).select("vec_id")
+    bucket = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10).cast("long") % NEG_BUCKETS
+    nodes = _track_persist(emb.select("vec_id", bucket.alias("b")))
+    anchors = nodes.where(F.col("vec_id") < NEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor"), "b"
+    )
+    cands = (
+        anchors.join(
+            nodes.select(F.col("vec_id").alias("cand"), "b"), "b"
+        )
+        .where(F.col("cand") != F.col("anchor"))
+        .select("anchor", "cand")
+    )
+    g = _knn_graph(spark, sf_dir).select(
+        F.col("src").alias("anchor"), F.col("neighbor_id").alias("cand")
+    )
+    neg = cands.join(g, ["anchor", "cand"], "left_anti")
+    ordkey = F.md5(
+        F.concat_ws(":", F.col("anchor").cast("string"), F.col("cand").cast("string"))
+    )
+    w = Window.partitionBy("anchor").orderBy(ordkey, "cand")
+    return (
+        neg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= NEG_PER_ANCHOR)
+        .select("anchor", F.col("rn").cast("long").alias("rn"), "cand")
+        .orderBy("anchor", "rn")
+    )
+
+
+_ORACLES["link_negatives"] = f"""
+WITH {_GRAPH_G_PREFIX.format(sql2=_SQL_SQL2.format(a='e.embedding', b='q.embedding')).replace("g AS (", "g AS MATERIALIZED (")},
+nodes AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)
+                   AS BIGINT) % {NEG_BUCKETS} AS BIGINT) AS b
+  FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS anchor, b FROM nodes WHERE vec_id < {NEG_ANCHORS}
+),
+cands AS (
+  SELECT a.anchor, n.vec_id AS cand
+  FROM anchors a JOIN nodes n USING (b)
+  WHERE n.vec_id <> a.anchor
+),
+neg AS (
+  SELECT c.* FROM cands c
+  ANTI JOIN g ON g.src = c.anchor AND g.neighbor_id = c.cand
+),
+rneg AS (
+  SELECT anchor, cand,
+         row_number() OVER (
+           PARTITION BY anchor
+           ORDER BY md5(CAST(anchor AS VARCHAR) || ':' || CAST(cand AS VARCHAR)),
+                    cand
+         ) AS rn
+  FROM neg
+)
+SELECT anchor, CAST(rn AS BIGINT) AS rn, cand
+FROM rneg WHERE rn <= {NEG_PER_ANCHOR}
+ORDER BY anchor, rn
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -14963,6 +15047,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "calibration_bins": q_calibration_bins,
         "session_stats": q_session_stats,
+        "link_negatives": q_link_negatives,
         # slots: round-9 second half — all verified hash-green at BOTH
         # sf0.01 and sf0.1 before registration.
         "bpe_pair_counts": q_bpe_pair_counts,

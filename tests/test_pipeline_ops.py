@@ -1375,3 +1375,18 @@ def test_session_stats_consistency(spark):
     assert r.median_events >= 1
     assert r.median_duration_s >= 0
     assert abs(r.bounce_rate - round(r.n_bounce / r.n_sessions, 6)) < 1e-9
+
+
+def test_link_negatives_are_non_edges(spark):
+    negs = {(r.anchor, r.cand)
+            for r in Q.q_link_negatives(spark, SF_SMOKE).collect()}
+    assert negs
+    edges = {(r.src, r.neighbor_id)
+             for r in Q._knn_graph(spark, SF_SMOKE)
+             .select("src", "neighbor_id").collect()}
+    assert not (negs & edges)
+    per_anchor = {}
+    for a, c in negs:
+        assert a != c
+        per_anchor[a] = per_anchor.get(a, 0) + 1
+    assert all(v <= Q.NEG_PER_ANCHOR for v in per_anchor.values())
