@@ -14970,6 +14970,72 @@ ORDER BY anchor, rn
 """
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations over adjacent token
+    pairs — PMI = ln(T·c₁₂/(c₁·c₂)) with marginals taken over the SAME
+    bigram event set (first/second-position sums), the matrix whose
+    factorization IS the classic word embedding (Levy & Goldberg,
+    NeurIPS 2014); also the collocation detector ('new york') corpora
+    use for phrase mining. Reads the disk-materialized bigram derived
+    state (zero new tokenization); every count is an exact BIGINT and
+    PMI is ONE ln of a ratio of exact integers per pair — no float
+    sums anywhere, so no fixed-point scaffolding needed. Pairs with
+    c₁₂ ≥ PMI_MIN_COUNT; top PMI_TOP by (pmi desc, w1, w2)."""
+    doc_bi = _doc_bigrams(spark, sf_dir)
+    c12 = _track_persist(
+        doc_bi.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = c12.agg(F.sum("c12").alias("t"))
+    pmi = F.round(
+        F.log(
+            F.col("t").cast("double")
+            * F.col("c12").cast("double")
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        c12.where(F.col("c12") >= PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", F.col("c12").cast("long").alias("c12"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+_ORACLES["pmi_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM documents
+),
+bi AS (
+  SELECT tokens[i] AS w1, tokens[i + 1] AS w2
+  FROM toks, unnest(range(1, len(tokens))) AS u(i)
+  WHERE len(tokens) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+c2 AS (SELECT w2, sum(c12) AS c2 FROM c12 GROUP BY 1),
+tot AS (SELECT sum(c12) AS t FROM c12)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       round(ln(CAST(t AS DOUBLE) * CAST(c12 AS DOUBLE)
+                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), tot
+WHERE c12 >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOP}
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -15048,6 +15114,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "session_stats": q_session_stats,
         "link_negatives": q_link_negatives,
+        "pmi_pairs": q_pmi_pairs,
         # slots: round-9 second half — all verified hash-green at BOTH
         # sf0.01 and sf0.1 before registration.
         "bpe_pair_counts": q_bpe_pair_counts,

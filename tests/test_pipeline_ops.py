@@ -1390,3 +1390,24 @@ def test_link_negatives_are_non_edges(spark):
         assert a != c
         per_anchor[a] = per_anchor.get(a, 0) + 1
     assert all(v <= Q.NEG_PER_ANCHOR for v in per_anchor.values())
+
+
+def test_pmi_pairs_hand_computed(spark, monkeypatch, tmp_path):
+    # corpus of one repeated doc "a b": only bigram (a,b); PMI = ln(T*c/(c*c))
+    # with T=c -> ln(1) = 0 after marginals over the event set
+    d = spark.createDataFrame(
+        [(i, "a b", "en", "s", 3) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    monkeypatch.setattr(
+        Qm, "_doc_bigrams",
+        lambda s, sf: d.select(
+            "doc_id", F.lit("a").alias("w1"), F.lit("b").alias("w2"),
+            F.lit(1).alias("tf"),
+        ),
+    )
+    rows = Qm.q_pmi_pairs(spark, "ignored").collect()
+    assert [(r.w1, r.w2, r.c12, r.pmi) for r in rows] == [("a", "b", 5, 0.0)]
