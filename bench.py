@@ -134,6 +134,9 @@ HEADLINE = [
     "wedge_recommend",
     "probe_auc",
     "graph_modularity",
+    "session_stats",
+    "link_negatives",
+    "pmi_pairs",
 ]
 
 
