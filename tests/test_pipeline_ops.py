@@ -1411,3 +1411,37 @@ def test_pmi_pairs_hand_computed(spark, monkeypatch, tmp_path):
     )
     rows = Qm.q_pmi_pairs(spark, "ignored").collect()
     assert [(r.w1, r.w2, r.c12, r.pmi) for r in rows] == [("a", "b", 5, 0.0)]
+
+
+def test_target_encoding_shrinks_toward_prior(spark):
+    rows = Q.q_target_encoding(spark, SF_SMOKE).collect()
+    assert rows
+    prior = sum(r.raw_mean_cents * r.n_orders for r in rows) / sum(
+        r.n_orders for r in rows
+    )
+    for r in rows:
+        lo, hi = sorted((r.raw_mean_cents, prior))
+        assert lo - 1e-3 <= r.encoded_cents <= hi + 1e-3
+
+
+def test_psi_identical_halves_is_zero(spark, monkeypatch):
+    # same value multiset in both halves -> every psi term == 0
+    import datetime as dt
+
+    rows = []
+    for h, base in ((0, dt.datetime(2024, 1, 1)), (1, dt.datetime(2024, 2, 1))):
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0] * 4):
+            rows.append((h * 1000 + i, base + dt.timedelta(minutes=i), i,
+                         "purchase", v, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
+    out = Qm.q_psi_value_drift(spark, "ignored").collect()
+    assert out
+    assert all(r.psi_term == 0.0 for r in out)
+    assert all(r.n_ref == r.n_cur for r in out)
