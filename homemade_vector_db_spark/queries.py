@@ -15237,6 +15237,158 @@ ORDER BY bin
 """
 
 
+def q_gate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparate-impact audit of the quality gate across language
+    groups — the fairness readout (EEOC 80% rule applied to data
+    curation): per lang, the gopher-keep pass rate and its impact
+    ratio vs the best-passing group; a gate that silently drops one
+    language's content below 0.8× the best group is reshaping the
+    corpus demographics and should be reviewed. Integer counts from
+    the same gopher law; rates and ratios are single correctly-rounded
+    double divisions (max group by rate desc, lang asc — both engines
+    compare identical doubles). One gate pass + a langs-sized
+    rollup."""
+    from pyspark.sql import Window
+
+    d = load_documents(spark, sf_dir)
+    gated = textstats.gopher_rules(d).select("doc_id", "keep")
+    per = (
+        d.select("doc_id", "lang")
+        .join(gated, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+    )
+    best = (
+        per.orderBy(
+            F.desc(F.col("n_keep").cast("double") / F.col("n_docs")),
+            F.asc("lang"),
+        )
+        .limit(1)
+        .select(
+            F.col("n_keep").alias("bk"), F.col("n_docs").alias("bd")
+        )
+    )
+    ratio = (
+        F.col("n_keep").cast("double")
+        / F.col("n_docs")
+        / (F.col("bk").cast("double") / F.col("bd"))
+    )
+    return (
+        per.crossJoin(F.broadcast(best))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("n_keep").cast("long").alias("n_keep"),
+            F.round(
+                F.col("n_keep").cast("double") / F.col("n_docs"), 6
+            ).alias("keep_rate"),
+            F.round(ratio, 6).alias("impact_ratio"),
+            (ratio < 0.8).alias("below_80pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLES["gate_parity"] = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         len(tk) AS n_tokens,
+         CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+           / len(tk) AS mwl,
+         CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE) / len(tk) AS alpha_frac,
+         len(list_intersect(list_distinct(tk),
+                            [{stops}])) AS n_stop_distinct
+  FROM t
+),
+gated AS (
+  SELECT lang,
+         CASE WHEN (n_tokens BETWEEN 20 AND 90)
+               AND (mwl BETWEEN 4.0 AND 5.0)
+               AND (alpha_frac >= 0.8) AND (n_stop_distinct >= 2)
+              THEN 1 ELSE 0 END AS keep
+  FROM s
+),
+per AS (
+  SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_keep
+  FROM gated GROUP BY lang
+),
+best AS (
+  SELECT n_keep AS bk, n_docs AS bd FROM per
+  ORDER BY CAST(n_keep AS DOUBLE) / n_docs DESC, lang ASC LIMIT 1
+)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       n_keep,
+       round(CAST(n_keep AS DOUBLE) / n_docs, 6) AS keep_rate,
+       round(CAST(n_keep AS DOUBLE) / n_docs
+             / (CAST(bk AS DOUBLE) / bd), 6) AS impact_ratio,
+       (CAST(n_keep AS DOUBLE) / n_docs / (CAST(bk AS DOUBLE) / bd) < 0.8)
+         AS below_80pct
+FROM per, best
+ORDER BY lang
+""".format(stops=GOPHER_SQL_STOPS)
+
+
+FHASH_DIM = 16  # hashing-trick feature dimension
+
+
+def q_feature_hash_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature-space profile: map every corpus term into
+    FHASH_DIM buckets by the md5 window law and report, per bucket,
+    distinct terms (collision load), total occurrences, and document
+    frequency — the collision diagnosis run before committing to a
+    HashingVectorizer dimension (buckets with many high-df terms
+    conflate features). Served from the postings derived state; one
+    term-grid projection + bucket rollup, no corpus re-tokenization."""
+    posts = _bm25_stats(spark, sf_dir).postings
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+        % FHASH_DIM
+    )
+    return (
+        posts.select(bucket.alias("bucket"), "term", "tf", "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").alias("total_tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ORACLES["feature_hash_load"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS term
+  FROM documents
+),
+b AS (
+  SELECT CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {FHASH_DIM}
+           AS bucket,
+         term, doc_id
+  FROM toks
+)
+SELECT bucket,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS total_tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -15318,6 +15470,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "target_encoding": q_target_encoding,
         "psi_value_drift": q_psi_value_drift,
+        "gate_parity": q_gate_parity,
+        "feature_hash_load": q_feature_hash_load,
         # slots: round-9 second half — all verified hash-green at BOTH
         # sf0.01 and sf0.1 before registration.
         "bpe_pair_counts": q_bpe_pair_counts,

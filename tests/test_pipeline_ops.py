@@ -1445,3 +1445,22 @@ def test_psi_identical_halves_is_zero(spark, monkeypatch):
     assert out
     assert all(r.psi_term == 0.0 for r in out)
     assert all(r.n_ref == r.n_cur for r in out)
+
+
+def test_gate_parity_best_group_ratio_one(spark):
+    rows = Q.q_gate_parity(spark, SF_SMOKE).collect()
+    assert rows
+    assert any(r.impact_ratio == 1.0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_keep <= r.n_docs
+        assert 0.0 <= r.impact_ratio <= 1.0 + 1e-9
+        assert r.below_80pct == (r.impact_ratio < 0.8)
+
+
+def test_feature_hash_load_conserves_mass(spark):
+    rows = Q.q_feature_hash_load(spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= Q.FHASH_DIM
+    n_tok = sum(r.n_tokens for r in Q.q_token_count(spark, SF_SMOKE).collect())
+    assert sum(r.total_tf for r in rows) == n_tok
+    for r in rows:
+        assert r.n_terms >= 1 and r.df >= 1
