@@ -1464,3 +1464,15 @@ def test_feature_hash_load_conserves_mass(spark):
     assert sum(r.total_tf for r in rows) == n_tok
     for r in rows:
         assert r.n_terms >= 1 and r.df >= 1
+
+
+def test_corpus_health_composes_registered_laws(spark):
+    rows = {r.metric: r.value for r in Q.q_corpus_health(spark, SF_SMOKE).collect()}
+    assert set(rows) == {
+        "cross_batch_dup_rate", "min_source_diversity",
+        "min_gate_impact_ratio", "k_anonymity_floor", "l_diversity_floor",
+    }
+    kan = Q.q_k_anonymity(spark, SF_SMOKE).collect()[0]
+    assert rows["k_anonymity_floor"] == float(kan.k_floor)
+    par = min(r.impact_ratio for r in Q.q_gate_parity(spark, SF_SMOKE).collect())
+    assert rows["min_gate_impact_ratio"] == par
