@@ -137,6 +137,11 @@ HEADLINE = [
     "session_stats",
     "link_negatives",
     "pmi_pairs",
+    "target_encoding",
+    "psi_value_drift",
+    "gate_parity",
+    "feature_hash_load",
+    "corpus_health",
 ]
 
 
