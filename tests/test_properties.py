@@ -660,3 +660,79 @@ def test_skyline_matches_bruteforce(spark, pts, monkeypatch):
         ):
             want.add(k)
     assert got == want
+
+
+graph_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=0, max_size=30,
+)
+
+
+@SETTINGS
+@given(edges=graph_edges)
+def test_kcore_matches_python_peel(spark, edges, monkeypatch):
+    """Distributed-or-driver k-core vs a pure-python fixpoint peel on
+    random mutual graphs (both endpoints list each other). Edges are
+    canonicalized first — the kNN-graph input contract is unique
+    (src, neighbor) pairs."""
+    edges = sorted({(min(u, v), max(u, v)) for u, v in edges})
+    both = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    g = spark.createDataFrame(
+        both or [(0, 1), (1, 0)], "src long, neighbor_id long"
+    ) if both else spark.createDataFrame([], "src long, neighbor_id long")
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "_knn_graph", lambda s, sf: g)
+    r = Qm.q_graph_kcore(spark, "ignored").collect()[0]
+
+    und = {(min(u, v), max(u, v)) for u, v in edges}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = set(adj)
+    rounds = 0
+    while True:
+        keep = {x for x in nodes
+                if sum(1 for y in adj[x] if y in nodes) >= Qm.KCORE_K}
+        if keep == nodes:
+            break
+        nodes = keep
+        rounds += 1
+    ce = sum(1 for u, v in und if u in nodes and v in nodes)
+    assert (r.n_core_nodes, r.n_core_edges, r.rounds, r.converged) == (
+        len(nodes), ce, rounds, True
+    )
+
+
+@SETTINGS
+@given(edges=graph_edges)
+def test_hits_matches_python_power_iteration(spark, edges, monkeypatch):
+    """2-round unnormalized HITS vs a pure-python computation on random
+    DIRECTED graphs."""
+    dedges = list(dict.fromkeys(edges))
+    if not dedges:
+        return
+    nodes = sorted({x for e in dedges for x in e})
+    g = spark.createDataFrame(dedges, "src long, neighbor_id long")
+    emb = spark.createDataFrame([(n,) for n in nodes], "vec_id long")
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "_knn_graph", lambda s, sf: g)
+    monkeypatch.setattr(Qm, "load_embeddings", lambda s, sf: emb)
+    got = {r.vec_id: (r.authority, r.hub)
+           for r in Qm.q_graph_hits(spark, "ignored").collect()}
+
+    h = {n: 1 for n in nodes}
+    a = {}
+    for _ in range(Qm.HITS_ROUNDS):
+        a = {n: 0 for n in nodes}
+        for u, v in dedges:
+            a[v] += h[u]
+        h = {n: 0 for n in nodes}
+        for u, v in dedges:
+            h[u] += a[v]
+    want_order = sorted(nodes, key=lambda n: (-a[n], n))[:Qm.HITS_TOP]
+    assert got == {n: (a[n], h[n]) for n in want_order}
