@@ -12706,9 +12706,11 @@ def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     that tells a training pipeline how much compute padding burns and
     whether to switch to sequence packing (q_pack_sequences is the
     fix; this is the diagnosis). Token law = the str.split parity
-    tokenizer shared with token_count. The bucket lookup is a
-    broadcast join against an 18-row powers relation followed by a
-    min — integer-exact, no log2 float anywhere. Declared domain: docs
+    tokenizer shared with token_count. Doc counts aggregate per n_tok
+    FIRST; the bucket lookup is then a broadcast inequality join of
+    the distinct-length relation against an 18-row powers relation
+    followed by a min — integer-exact, no log2 float anywhere, and
+    the join fan-out touches lengths, not docs. Declared domain: docs
     beyond 2^PAD_MAX_POW tokens fall outside every bucket and leave
     the profile (identically in both engines) — raise PAD_MAX_POW for
     corpora with longer documents; the join stays a broadcast at any
@@ -12721,10 +12723,14 @@ def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     pows = spark.range(PAD_MAX_POW + 1).select(
         F.expr("shiftleft(1L, cast(id AS int))").cast("long").alias("p")
     )
+    # Count docs per n_tok BEFORE the inequality join: joining rows
+    # against pows multiplies each doc by the number of powers >= its
+    # length, inflating every count by (PAD_MAX_POW+1 − ceil(log2 n)).
+    counts = toks.groupBy("n_tok").agg(F.count(F.lit(1)).alias("c"))
     bucketed = (
-        toks.join(F.broadcast(pows), F.col("n_tok") <= F.col("p"))
-        .groupBy("n_tok")
-        .agg(F.min("p").alias("bucket_len"), F.count(F.lit(1)).alias("c"))
+        counts.join(F.broadcast(pows), F.col("n_tok") <= F.col("p"))
+        .groupBy("n_tok", "c")
+        .agg(F.min("p").alias("bucket_len"))
     )
     return (
         bucketed.groupBy("bucket_len")
@@ -12755,11 +12761,13 @@ WITH toks AS (
   FROM documents
 ),
 pows AS (SELECT CAST(power(2, i) AS BIGINT) AS p FROM range({PAD_MAX_POW + 1}) t(i)),
+counts AS (
+  SELECT n_tok, count(*) AS c FROM toks WHERE n_tok > 0 GROUP BY n_tok
+),
 bucketed AS (
-  SELECT n_tok, min(p) AS bucket_len, count(*) AS c
-  FROM toks JOIN pows ON n_tok <= p
-  WHERE n_tok > 0
-  GROUP BY n_tok
+  SELECT n_tok, c, min(p) AS bucket_len
+  FROM counts JOIN pows ON n_tok <= p
+  GROUP BY n_tok, c
 )
 SELECT bucket_len,
        CAST(sum(c) AS BIGINT) AS n_docs,
@@ -13473,8 +13481,9 @@ WITH per_user AS (
 mom AS (
   SELECT count(*) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         sum(x * y) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
-         sum(y * y) AS syy
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM per_user
 ),
 am AS (
@@ -13651,21 +13660,25 @@ def q_mannwhitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = na + nb
     u2a = F.col("r2a") - F.col("na") * (F.col("na") + 1)
     mu2 = na * nb  # E[2U] = n_a·n_b
-    var2 = (
-        4.0
-        * (na * nb / 12.0)
-        * (
-            (n + 1)
-            - F.col("ties").cast("double") / (n * (n - 1))
-        )
-    )
+    # Degenerate guards: with n <= 1 the tie correction's n(n-1)
+    # denominator is 0 (tie term is 0 anyway — a single row has
+    # t³−t = 0), and when every value ties or one arm is empty var2
+    # collapses to exactly 0 — the normal approximation is undefined,
+    # so z is NULL while n_a/n_b/u2_a stay exact.
+    tie_term = F.when(
+        n > 1, F.col("ties").cast("double") / (n * (n - 1))
+    ).otherwise(F.lit(0.0))
+    var2 = 4.0 * (na * nb / 12.0) * ((n + 1) - tie_term)
     return agg.select(
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
         u2a.cast("long").alias("u2_a"),
-        F.round(
-            (u2a.cast("double") - mu2) / F.sqrt(var2), 6
-        ).alias("z"),
+        F.when(
+            var2 > 0,
+            F.round((u2a.cast("double") - mu2) / F.sqrt(var2), 6),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("z"),
     )
 
 
@@ -13689,20 +13702,27 @@ agg AS (
   SELECT CAST(sum(ta) AS BIGINT) AS na,
          CAST(sum(t - ta) AS BIGINT) AS nb,
          CAST(sum(ta * (2 * cb + t + 1)) AS BIGINT) AS r2a,
-         sum(t * t * t - t) AS ties
+         sum(CAST(t AS HUGEINT) * t * t - t) AS ties
   FROM ranked
+),
+zcalc AS (
+  SELECT na, nb, CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+         4.0 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+           * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1)
+              - CASE WHEN na + nb > 1
+                     THEN CAST(ties AS DOUBLE)
+                          / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                             * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1))
+                     ELSE 0.0 END) AS var2
+  FROM agg
 )
-SELECT na AS n_a, nb AS n_b,
-       CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
-       round((CAST(r2a - na * (na + 1) AS DOUBLE)
-              - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-             / sqrt(4.0 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
-                    * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1)
-                       - CAST(ties AS DOUBLE)
-                         / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
-                            * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1)))),
-             6) AS z
-FROM agg
+SELECT na AS n_a, nb AS n_b, u2_a,
+       CASE WHEN var2 > 0
+            THEN round((CAST(u2_a AS DOUBLE)
+                        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                       / sqrt(var2), 6)
+            ELSE NULL END AS z
+FROM zcalc
 """
 
 

@@ -964,6 +964,26 @@ def test_padding_waste_bucket_law(spark):
         # every doc in the bucket is > half the bucket (else it would
         # have landed in the smaller power)
         assert r.real_tokens > r.bucket_len // 2 * r.n_docs
+    # Conservation: buckets partition the corpus — sum(n_docs) must
+    # equal the doc count and sum(real_tokens) the corpus token total
+    # (this is the invariant the pre-join count inflation violated:
+    # per-row laws all held while every count carried a fan-out
+    # factor from the inequality join).
+    toks = (
+        Q.load_documents(spark, SF_SMOKE)
+        .select(F.size(Q.tokenize("text")).alias("n_tok"))
+        .where(
+            (F.col("n_tok") > 0)
+            & (F.col("n_tok") <= (1 << Q.PAD_MAX_POW))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tok").alias("tok"),
+        )
+        .first()
+    )
+    assert sum(r.n_docs for r in rows) == toks.n
+    assert sum(r.real_tokens for r in rows) == toks.tok
 
 
 def test_user_similarity_anchor_contract(spark):

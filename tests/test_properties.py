@@ -9,7 +9,13 @@ import math
 
 import numpy as np
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import (
+    HealthCheck,
+    example,
+    given,
+    settings,
+    strategies as st,
+)
 
 from homemade_vector_db_spark.functions.text import tokenize
 from homemade_vector_db_spark.operators import bm25
@@ -20,9 +26,14 @@ WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
 doc_strategy = st.lists(st.sampled_from(WORDS), min_size=1, max_size=8).map(" ".join)
 corpus_strategy = st.lists(doc_strategy, min_size=1, max_size=6)
 
+# derandomize=True: green runs mean the same thing every time — the
+# random draw that found the skyline dominance bug and the all-tied
+# Mann-Whitney crash is replaced by explicit @example pins for the
+# known degenerate corners (empty arm, all-tied, n=1, single group).
 SETTINGS = settings(
     max_examples=8,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
@@ -590,11 +601,19 @@ def test_budget_fill_matches_python_waterfill(spark, caps, monkeypatch):
 @given(
     vals=st.lists(
         st.tuples(st.integers(0, 1), st.integers(0, 20)),
-        min_size=2, max_size=30,
-    ).filter(lambda v: len({a for a, _ in v}) == 2),
+        min_size=1, max_size=30,
+    ),
 )
+@example(vals=[(0, 5), (1, 5)])  # all-tied across arms: var2=0, z NULL
+@example(vals=[(0, 3)])  # n=1 single row: n(n-1)=0 tie denominator
+@example(vals=[(0, 2), (0, 2), (0, 2)])  # one arm empty + all tied
+@example(vals=[(0, 7), (1, 7), (1, 7), (0, 7), (0, 7)])  # all-tied, n=5
+@example(vals=[(0, 1), (1, 2), (1, 2), (0, 3)])  # partial ties, both arms
 def test_mannwhitney_matches_python_ranksum(spark, vals, monkeypatch):
-    """Doubled-midrank U₂ vs a pure-python midrank computation."""
+    """Doubled-midrank U₂ vs a pure-python midrank computation, plus
+    the degenerate-variance contract: z is NULL exactly when the
+    normal approximation's variance collapses to 0 (all values tied,
+    one arm empty, or a single observation)."""
     import datetime as dt
 
     rows = [
@@ -627,6 +646,24 @@ def test_mannwhitney_matches_python_ranksum(spark, vals, monkeypatch):
     nb = len(vals) - na
     assert (r.n_a, r.n_b) == (na, nb)
     assert r.u2_a == r2a - na * (na + 1)
+    # z contract: NULL iff var2 degenerates to 0
+    n = na + nb
+    ties = 0
+    i = 0
+    while i < len(data):
+        j = i
+        while j < len(data) and vals[data[j]][1] == vals[data[i]][1]:
+            j += 1
+        t = j - i
+        ties += t * t * t - t
+        i = j
+    tie_term = ties / (n * (n - 1)) if n > 1 else 0.0
+    var2 = 4.0 * (na * nb / 12.0) * ((n + 1) - tie_term)
+    if var2 > 0:
+        z_py = (r.u2_a - na * nb) / math.sqrt(var2)
+        assert r.z is not None and abs(r.z - z_py) <= 1e-6
+    else:
+        assert r.z is None
 
 
 @SETTINGS
