@@ -180,7 +180,23 @@ def main() -> None:
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
     }
+    # Per-query detail goes to a sidecar file and a PRECEDING stdout
+    # line: the driver's tail capture truncated the front of the
+    # single JSON line once the per-query dict grew past ~79 entries
+    # (BENCH_r09 recorded "parsed": null). The FINAL line is the
+    # compact summary — always short, always parseable.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(out, fh)
     print(json.dumps(out))
+    print(json.dumps({
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": out["sf"],
+        "queries": {"detail": "BENCH_DETAIL.json"},
+    }))
 
 
 if __name__ == "__main__":

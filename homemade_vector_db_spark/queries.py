@@ -272,11 +272,19 @@ def _publish_derived(tmp: str, path: str) -> None:
             raise
 
 
-def _materialized(spark: SparkSession, sf_dir: str, kind: str, build_fn):
+def _materialized(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    build_fn,
+    source_file: str = "documents.parquet",
+):
     """Disk-materialized derived relation keyed by a fingerprint of the
     source file, with a session-cache fallback when the corpus is not
-    file-backed (tests monkeypatch load_documents with in-memory
-    frames).
+    file-backed (tests monkeypatch load_documents/load_embeddings with
+    in-memory frames). `source_file` names the parquet whose
+    (size, mtime) fingerprint keys the state — documents.parquet for
+    text-derived relations, embeddings.parquet for the kNN graph.
 
     Round 6 (ADVICE r4 item 4): the build is write-to-temp + atomic
     rename — two sessions can no longer overwrite the same final path
@@ -286,10 +294,10 @@ def _materialized(spark: SparkSession, sf_dir: str, kind: str, build_fn):
     shares a prefix."""
     key = (kind, sf_dir)
     if key not in _ANN_IDX:
-        if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        if not os.path.exists(os.path.join(sf_dir, source_file)):
             _ANN_IDX[key] = build_fn().cache()
         else:
-            path = _derived_path(sf_dir, kind, "documents.parquet")
+            path = _derived_path(sf_dir, kind, source_file)
             if not os.path.isfile(os.path.join(path, "_SUCCESS")):
                 # GC siblings built from a STALE fingerprint of the same
                 # (kind, corpus-path) before building the fresh one
@@ -2276,12 +2284,24 @@ def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     IncrementalKnnGraph). Also shrinks the bench variance band: the
     build's localCheckpoint rounds were the jitteriest kernel in the
     headline set, and re-running them per consumer multiplied that
-    noise."""
-    key = ("knn_graph", sf_dir)
-    if key not in _ANN_IDX:
-        emb = load_embeddings(spark, sf_dir)
-        _ANN_IDX[key] = nndescent.knn_graph_auto(emb, k=KNN_GRAPH_K).cache()
-    return _ANN_IDX[key]
+    noise.
+
+    Round 10 (VERDICT r9 Next #4): DISK-materialized via the
+    `_materialized` parquet family, fingerprint-keyed on
+    embeddings.parquet — a cold session pays one parquet read instead
+    of the full NN-Descent rebuild (249.7 s at sf1 in SCALE_AUDIT).
+    Corpus changes rotate the fingerprint and invalidate the state;
+    within a live ingest the streaming twin
+    (streaming/graph.IncrementalKnnGraph) is the update path."""
+    return _materialized(
+        spark,
+        sf_dir,
+        "knn_graph",
+        lambda: nndescent.knn_graph_auto(
+            load_embeddings(spark, sf_dir), k=KNN_GRAPH_K
+        ),
+        source_file="embeddings.parquet",
+    )
 
 
 KNN_GRAPH_RECALL_MIN = 0.9  # gate floor, VERDICT r7 Next #1
@@ -13996,13 +14016,29 @@ def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     array is one higher-order-function expression, cost O(len·W) per
     doc with no shuffle except the final top-N; integer hit counts, no
     floats anywhere. Top SNIPPET_TOP docs by (hits desc, doc_id asc)
-    with the winning window rendered as text."""
+    with the winning window rendered as text.
+
+    Scan prune (VERDICT r9 Next #5): only docs containing >= 1 query
+    term can score > 0, so an O(len) arrays_overlap guard runs before
+    the O(len*W) window transform — provably identical output, and
+    cheaper than a postings semi-join (no shuffle at all; the filter
+    rides the scan). On the fixture the prune is a no-op ('the' is in
+    ~99% of docs) — measured honestly in BASELINE.md; with selective
+    query terms it skips the O(len*W) transform for every non-matching
+    doc. (A bitmask OR/bit_count window kernel was tried and measured
+    SLOWER than array_intersect — 5.2 s vs 3.1 s at sf0.1 — the
+    per-window slice allocation dominates either way; rejected.)"""
     qterms = sorted(set(TEXT_QUERY.split()))
     qarr = "array(" + ", ".join(f"'{t}'" for t in qterms) + ")"
     d = load_documents(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.expr("filter(split(text, '\\\\s+'), t -> t <> '')").alias("tk")
-    ).where(F.size("tk") >= SNIPPET_W)
+    toks = (
+        d.select(
+            "doc_id",
+            F.expr("filter(split(text, '\\\\s+'), t -> t <> '')").alias("tk"),
+        )
+        .where(F.size("tk") >= SNIPPET_W)
+        .where(F.expr(f"arrays_overlap(tk, {qarr})"))
+    )
     scored = toks.select(
         "doc_id",
         "tk",
@@ -15577,24 +15613,56 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # standing full-registry artifact CORRECTNESS_sf0.1.json, which
         # is regenerated whenever the registry changes (so no entry is
         # ever further than one round from a recorded green check).
-        # slots 1-N: NEW round-9 fourth mini-batch — pipeline-operations
-        # analytics; verified hash-green at BOTH sf0.01 and sf0.1 before
-        # registration; leading the window per the rotation policy.
+        # ---- driver window (slots 1-50), round 10 ----
+        # slots 1-24 (VERDICT r9 Next #2): the 24 entries that had
+        # never earned a driver CORRECTNESS row across r01-r09 — the
+        # round-8/9 graph/retrieval tier — rotated to the head so the
+        # driver's hard signal touches the newest code. All were green
+        # in the standing sf0.1 artifact; this earns them driver rows.
+        "knn_graph_recall": q_knn_graph_recall,
+        "knn_graph_auto": q_knn_graph_auto,
+        "graph_semdedup": q_graph_semdedup,
+        "graph_semdedup_ann_check": q_graph_semdedup_ann_check,
+        "knn_join_topk": q_knn_join_topk,
+        "knn_join_ivf_recall": q_knn_join_ivf_recall,
+        "knn_join_ivfpq_recall": q_knn_join_ivfpq_recall,
+        "ivf_tune_check": q_ivf_tune_check,
+        "knn_join_auto": q_knn_join_auto,
+        "knn_graph_incremental": q_knn_graph_incremental,
+        "semantic_decontam": q_semantic_decontam,
+        "bm25_batch": q_bm25_batch,
+        "label_prop_round": q_label_prop_round,
+        "hybrid_batch": q_hybrid_batch,
+        "knn_graph_stats": q_knn_graph_stats,
+        "graph_pagerank": q_graph_pagerank,
+        "tfidf_cosine_neardup": q_tfidf_cosine_neardup,
+        "graph_triangles": q_graph_triangles,
+        "neardup_eval": q_neardup_eval,
+        "forecast_backtest": q_forecast_backtest,
+        "bm25_rerank_topk": q_bm25_rerank_topk,
+        "prf_expansion_topk": q_prf_expansion_topk,
+        "retrieval_eval": q_retrieval_eval,
+        "chunk_bm25_topk": q_chunk_bm25_topk,
+        # slots 25-28: semantics changed round 10 (VERDICT r9 Next #1 +
+        # ADVICE) — degenerate-variance guard, padding-count fix,
+        # oracle widening, postings-semi-join prune — re-earn rows.
+        "mannwhitney_ab": q_mannwhitney_ab,
+        "padding_waste": q_padding_waste,
+        "cuped_adjust": q_cuped_adjust,
+        "snippet_extract": q_snippet_extract,
+        # remaining slots: round-9 fourth mini-batch (green in r09) as
+        # filler to the ~50-slot boundary.
         "dedup_rate_by_batch": q_dedup_rate_by_batch,
         "ngram_diversity": q_ngram_diversity,
-        "padding_waste": q_padding_waste,
         "user_similarity": q_user_similarity,
         "budget_mixture_fill": q_budget_mixture_fill,
         "attribution_last_touch": q_attribution_last_touch,
         "graph_kcore": q_graph_kcore,
         "graph_hits": q_graph_hits,
-        "cuped_adjust": q_cuped_adjust,
         "chi2_lang_source": q_chi2_lang_source,
-        "mannwhitney_ab": q_mannwhitney_ab,
         "k_anonymity": q_k_anonymity,
         "km_survival": q_km_survival,
         "benford_check": q_benford_check,
-        "snippet_extract": q_snippet_extract,
         "column_entropy_profile": q_column_entropy_profile,
         "prefix_suggest": q_prefix_suggest,
         "funnel_dropoff": q_funnel_dropoff,
@@ -15632,48 +15700,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": q_neyman_allocation,
         "ab_test_stat": q_ab_test_stat,
         "conversion_latency": q_conversion_latency,
-        "tfidf_cosine_neardup": q_tfidf_cosine_neardup,
-        "graph_triangles": q_graph_triangles,
-        "neardup_eval": q_neardup_eval,
-        "forecast_backtest": q_forecast_backtest,
-        # round-9 first half below — the NN-Descent ANN graph tier
-        # (VERDICT r7 Next #1) and the graph-SemDeDup composition
-        # (VERDICT r7 Next #2) with their gates. Per the round-3 policy
-        # (zero bare rows-only entries, pytest-pinned) the NN-Descent
-        # graph itself is FOLDED INTO its hash-checked gate:
-        # knn_graph_recall executes q_knn_graph_ann in-plan and pins
-        # recall >= 0.9 vs the exact graph.
-        "knn_graph_recall": q_knn_graph_recall,
-        "knn_graph_auto": q_knn_graph_auto,
-        "graph_semdedup": q_graph_semdedup,
-        "graph_semdedup_ann_check": q_graph_semdedup_ann_check,
-        # slot 6: NEW round 9 — fully-distributed exact kNN join (both
-        # sides DataFrames, cogrouped block-matrix tiles, no driver
-        # query block); closes the knn_batch_chunked honesty note
-        "knn_join_topk": q_knn_join_topk,
-        "knn_join_ivf_recall": q_knn_join_ivf_recall,
-        "knn_join_ivfpq_recall": q_knn_join_ivfpq_recall,
-        "ivf_tune_check": q_ivf_tune_check,
-        "knn_join_auto": q_knn_join_auto,
-        # slot 7: NEW round 9 — exact incremental graph maintenance
-        # (ingest batch merged via knn_join pools; oracle = full rebuild)
-        "knn_graph_incremental": q_knn_graph_incremental,
-        # slot 8: NEW round 9 — embedding-level decontamination (nearest
-        # benchmark neighbor over the knn join, corpus as query side)
-        "semantic_decontam": q_semantic_decontam,
-        # slot 9: NEW round 9 — batch BM25 (Q text queries, one postings
-        # pass; the lexical twin of knn_batch)
-        "bm25_batch": q_bm25_batch,
-        # slot 10: NEW round 9 — label propagation over the corpus graph
-        # (one relational round hash-checked end to end, graph included)
-        "label_prop_round": q_label_prop_round,
-        # slot 11: NEW round 9 — batched hybrid fusion (3 text+vector
-        # query pairs, per-query max-normalize, one postings pass)
-        "hybrid_batch": q_hybrid_batch,
-        # slot 12: NEW round 9 — graph connectivity audit (reciprocity,
-        # hub in-degree, never-cited nodes)
-        "knn_graph_stats": q_knn_graph_stats,
-        "graph_pagerank": q_graph_pagerank,
+        # (round-9 first-half graph/retrieval tier — NN-Descent kNN
+        # graph gate, graph-SemDeDup, distributed kNN join family,
+        # batch BM25/hybrid, label propagation — rotated to the window
+        # head in round 10 per VERDICT r9 Next #2.)
         # ---- carried window (round 7 rotation) ----
         # slots 1-2 (VERDICT r6 Next #1): the two sampling entries whose
         # bucket law changed in round 6 (md5 window) — and stratified's
@@ -15779,7 +15809,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_grouped": q_maxsim_grouped,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "token_chunks": q_token_chunks,
-        "chunk_bm25_topk": q_chunk_bm25_topk,
         "key_skew_stats": q_key_skew_stats,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "nation_trade_volume": q_nation_trade_volume,
@@ -15809,9 +15838,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_check": q_kmeans_check,
         "part_profit_by_nation": q_part_profit_by_nation,
         "rrf_fusion": q_rrf_fusion,
-        "bm25_rerank_topk": q_bm25_rerank_topk,
-        "prf_expansion_topk": q_prf_expansion_topk,
-        "retrieval_eval": q_retrieval_eval,
         "benchmark_decontam": q_benchmark_decontam,
         "mmr_check": q_mmr_check,
         "semdedup_check": q_semdedup_check,

@@ -179,8 +179,14 @@ class IncrementalAttribution:
     the shape a time-ordered source delivers), summed stats equal the
     batch entry exactly, because attribution only ever looks backward
     and the state row carries precisely the backward view across the
-    cut. Writes are per-batch idempotent (batch=<id> dirs, replay
-    excludes own prior attempt), the IncrementalCorpus contract."""
+    cut. Round 10 (ADVICE r9 #3): the effective touch is the
+    (ts, event_id)-MAX of the in-batch preceding touch and the state
+    touch — not a coalesce that blindly prefers the in-batch one — so
+    a batch containing events older than the state's latest touch no
+    longer silently mis-attributes; the chunk law is now enforced by
+    construction rather than assumed. Writes are per-batch idempotent
+    (batch=<id> dirs, replay excludes own prior attempt), the
+    IncrementalCorpus contract."""
 
     ATTR_WINDOW_US = 7 * 86400 * 1_000_000
 
@@ -242,6 +248,9 @@ class IncrementalAttribution:
                 "l_type", F.last("touch_type", ignorenulls=True).over(w)
             )
             .withColumn("l_ts", F.last("touch_ts", ignorenulls=True).over(w))
+            .withColumn(
+                "l_eid", F.last("touch_eid", ignorenulls=True).over(w)
+            )
             .where(F.col("event_type") == "purchase")
         )
         st = self._state(exclude_batch=batch_id)
@@ -250,22 +259,39 @@ class IncrementalAttribution:
         else:
             local = (
                 local.withColumn("st_ts", F.lit(None).cast("timestamp"))
+                .withColumn("st_eid", F.lit(None).cast("long"))
                 .withColumn("st_type", F.lit(None).cast("string"))
             )
-        # in-batch touch, if any, is later than any state touch under
-        # the time-partitioned chunk law; else fall back to state
-        eff_type = F.coalesce("l_type", "st_type")
+        # effective touch = the (ts, event_id)-LATER of the in-batch
+        # preceding touch and the state touch (ADVICE r9 #3: a coalesce
+        # that always preferred the in-batch touch mis-attributed when
+        # a batch carried events older than the state's latest touch —
+        # the max enforces the chunk law instead of assuming it)
+        use_local = F.col("l_ts").isNotNull() & (
+            F.col("st_ts").isNull()
+            | (
+                # cast both sides to TIMESTAMP: the in-batch column may
+                # arrive as TIMESTAMP_NTZ while parquet state reads back
+                # as TIMESTAMP, and struct comparison requires equal types
+                F.struct(F.col("l_ts").cast("timestamp"), F.col("l_eid"))
+                > F.struct(F.col("st_ts").cast("timestamp"), F.col("st_eid"))
+            )
+        )
+        local = local.withColumn(
+            "eff_type",
+            F.when(use_local, F.col("l_type")).otherwise(F.col("st_type")),
+        ).withColumn(
+            "eff_ts",
+            F.when(use_local, F.col("l_ts")).otherwise(F.col("st_ts")),
+        )
         attributed = local.select(
             F.when(
-                eff_type.isNotNull()
+                F.col("eff_type").isNotNull()
                 & (
-                    F.expr(
-                        "timestampdiff(MICROSECOND,"
-                        " coalesce(l_ts, st_ts), ts)"
-                    )
+                    F.expr("timestampdiff(MICROSECOND, eff_ts, ts)")
                     <= self.ATTR_WINDOW_US
                 ),
-                eff_type,
+                F.col("eff_type"),
             )
             .otherwise(F.lit("direct"))
             .alias("channel"),

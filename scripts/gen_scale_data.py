@@ -130,13 +130,68 @@ def gen_orders(spark, n: int, n_cust: int):
     )
 
 
+def gen_lineitem(spark, n: int, n_orders: int, n_parts: int):
+    """Lineitem rows in the sf0.1 family (4 lines/order average):
+    orderkey = id // 4 (so basket width stays ~TPC-H-shaped at any
+    scale), partkey mildly skewed (square law) so basket_lift has
+    hot parts, quantities/prices in the TPC-H ranges. Philox keyed
+    by line id — partition-independent bytes."""
+    flags = ["A", "N", "R"]
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            rows = {
+                "l_orderkey": [], "l_partkey": [], "l_suppkey": [],
+                "l_linenumber": [], "l_quantity": [],
+                "l_extendedprice": [], "l_discount": [], "l_tax": [],
+                "l_returnflag": [], "l_linestatus": [], "l_shipdate": [],
+            }
+            base = pd.Timestamp("2024-01-01")
+            for i in ids:
+                rng = np.random.Generator(np.random.Philox(key=int(i) + 29))
+                rows["l_orderkey"].append(int(i) // 4)
+                rows["l_partkey"].append(
+                    int(n_parts * float(rng.random()) ** 2) + 1
+                )
+                rows["l_suppkey"].append(int(rng.integers(1, 1001)))
+                rows["l_linenumber"].append(int(i) % 4 + 1)
+                q = int(rng.integers(1, 51))
+                rows["l_quantity"].append(float(q))
+                rows["l_extendedprice"].append(
+                    int(rng.integers(90_000, 10_500_000)) / 100.0
+                )
+                rows["l_discount"].append(int(rng.integers(0, 11)) / 100.0)
+                rows["l_tax"].append(int(rng.integers(0, 9)) / 100.0)
+                rows["l_returnflag"].append(
+                    flags[int(rng.integers(0, len(flags)))]
+                )
+                rows["l_linestatus"].append(
+                    "O" if int(rng.integers(0, 2)) else "F"
+                )
+                rows["l_shipdate"].append(
+                    base + pd.Timedelta(days=int(rng.integers(0, 365)))
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=50_000)
     ap.add_argument("--emb", type=int, default=20_000)
-    ap.add_argument("--events", type=int, default=200_000)
-    ap.add_argument("--users", type=int, default=15_000)
-    ap.add_argument("--orders", type=int, default=150_000)
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--users", type=int, default=75_000)
+    ap.add_argument("--orders", type=int, default=1_500_000)
+    ap.add_argument("--lines", type=int, default=6_000_000)
+    ap.add_argument("--parts", type=int, default=20_000)
     args = ap.parse_args()
 
     from homemade_vector_db_spark.session import get_spark
@@ -173,6 +228,12 @@ def main() -> None:
         f"{OUT}/orders.parquet"
     )
     print(f"orders: {args.orders} rows -> {OUT}/orders.parquet")
+
+    li = gen_lineitem(spark, args.lines, args.orders, args.parts)
+    li.repartition(16).write.mode("overwrite").parquet(
+        f"{OUT}/lineitem.parquet"
+    )
+    print(f"lineitem: {args.lines} rows -> {OUT}/lineitem.parquet")
     spark.stop()
 
 

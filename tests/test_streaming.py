@@ -1340,3 +1340,35 @@ def test_incremental_attribution_replay_idempotent(spark, tmp_path):
     got = {(r.channel, r.n_purchases, r.revenue_micro)
            for r in at.stats().collect()}
     assert got == want
+
+
+def test_incremental_attribution_out_of_order_batch(spark, tmp_path):
+    """A batch carrying a touch OLDER than the state's latest touch
+    must not steal the attribution (ADVICE r9 #3): the effective touch
+    is the (ts, event_id)-max of in-batch and state, so the day-5 view
+    in state beats the day-1 click that arrives late in batch 1."""
+    import datetime as dt
+
+    from homemade_vector_db_spark.streaming.sessions import (
+        IncrementalAttribution,
+    )
+
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    b0 = spark.createDataFrame(
+        [(1, t(5), 1, "view", 0.0, "{}")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(2, t(1), 1, "click", 0.0, "{}"),  # older than state touch
+         (3, t(6), 1, "purchase", 10.0, "{}")],
+        schema,
+    )
+    at = IncrementalAttribution(spark, str(tmp_path / "attr3"))
+    at.ingest_batch(b0, batch_id=0)
+    at.ingest_batch(b1, batch_id=1)
+    got = {(r.channel, r.n_purchases, r.revenue_micro)
+           for r in at.stats().collect()}
+    assert got == {("view", 1, 10_000_000)}
