@@ -142,6 +142,11 @@ HEADLINE = [
     "gate_parity",
     "feature_hash_load",
     "corpus_health",
+    # round-10 mini-batch: drift + saturation laws
+    "ks_split_drift",
+    "mutual_info_lang_source",
+    "contamination_sweep",
+    "ngram_novelty_curve",
 ]
 
 

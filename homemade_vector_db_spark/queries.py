@@ -15565,6 +15565,387 @@ ORDER BY metric
 """.format(stops=GOPHER_SQL_STOPS)
 
 
+# ---- round-10 mini-batch: distribution-drift + corpus-saturation laws ----
+
+
+def q_ks_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the train and
+    val splits' token-length distributions — the split-health check
+    that catches a leaky or skewed splitter (a correct hash split
+    should show D ≈ 0; a length-correlated split shows up immediately).
+    Splits are the md5-window law shared with train_val_test_split, so
+    this also regression-pins that assignment. Integer-exact law: the
+    KS sup over step ECDFs is attained at data points, so
+    D_num = max over the DISTINCT length grid of
+    |n_val·cumtrain(v) − n_train·cumval(v)| is an exact BIGINT (wide
+    multiply in decimal(38,0)) and ks_stat = D_num/(n_train·n_val) is
+    the single float division, rounded 6dp. The cumulative window runs
+    over the distinct-length relation (bounded by the length grid, not
+    rows) — the ppl_deciles window discipline."""
+    from pyspark.sql import Window
+
+    d = load_documents(spark, sf_dir).select(
+        "doc_id", F.size(tokenize("text")).alias("n_tok")
+    )
+    b = _md5_bucket(F.col("doc_id"), SPLIT_HEX_OFF)
+    s = d.select(
+        F.when(b < SPLIT_TRAIN_PCT, F.lit(0))
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("grp"),
+        "n_tok",
+    ).where(F.col("grp") < 2)
+    cnt = s.groupBy("n_tok").agg(
+        F.sum((F.col("grp") == 0).cast("long")).alias("ca"),
+        F.sum((F.col("grp") == 1).cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select(
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("na").cast("long").alias("n_train"),
+        F.max("nb").cast("long").alias("n_val"),
+        F.max(
+            F.abs(
+                F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+                - F.col("cumb").cast("decimal(38,0)") * F.col("na")
+            )
+        )
+        .cast("long")
+        .alias("d_num"),
+    ).select(
+        "n_train",
+        "n_val",
+        "d_num",
+        F.round(
+            F.col("d_num")
+            / (
+                F.col("n_train").cast("double")
+                * F.col("n_val").cast("double")
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+_ORACLES["ks_split_drift"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT CASE WHEN {_md5_bucket_sql('doc_id', SPLIT_HEX_OFF)}
+                   < {SPLIT_TRAIN_PCT} THEN 0
+              WHEN {_md5_bucket_sql('doc_id', SPLIT_HEX_OFF)}
+                   < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 1
+              ELSE 2 END AS grp,
+         n_tok
+  FROM toks
+),
+cnt AS (
+  SELECT n_tok,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM s WHERE grp < 2 GROUP BY n_tok
+),
+cum AS (
+  SELECT sum(ca) OVER (ORDER BY n_tok) AS cuma,
+         sum(cb) OVER (ORDER BY n_tok) AS cumb
+  FROM cnt
+),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        FROM cnt)
+SELECT max(na) AS n_train,
+       max(nb) AS n_val,
+       CAST(max(abs(CAST(cuma AS HUGEINT) * nb
+                    - CAST(cumb AS HUGEINT) * na)) AS BIGINT) AS d_num,
+       round(CAST(max(abs(CAST(cuma AS HUGEINT) * nb
+                          - CAST(cumb AS HUGEINT) * na)) AS DOUBLE)
+             / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6)
+         AS ks_stat
+FROM cum, tot
+"""
+
+
+def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats — the dataset-audit
+    statistic that quantifies HOW MUCH the two stratification columns
+    are entangled (chi2_lang_source answers whether; MI is the
+    information-theoretic effect size curation mixes on). Law: the
+    fixed-point entropy machinery of column_entropy_profile applied
+    three times (lang, source, joint) over ONE corpus count N:
+    S = Σ c·round(ln(c)·10¹²) summed exactly in decimal(38,0), each
+    H = ln(N) − S/(N·10¹²), and MI = ln(N) − (S_l + S_s − S_j)/(N·10¹²)
+    — every output is a single float formula over exact integers, so
+    both engines produce bit-identical doubles regardless of partition
+    order. Three groupBys over the (lang, source) pair grid — the
+    joint rollup is the only corpus-sized shuffle; marginals derive
+    from it."""
+    d = load_documents(spark, sf_dir)
+    joint = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    joint = _track_persist(joint)
+
+    def sterm(cnt: DataFrame) -> DataFrame:
+        return cnt.agg(
+            F.sum("c").alias("n"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * F.round(F.log("c") * ENTROPY_SCALE).cast("decimal(38,0)")
+            ).alias("s"),
+        )
+
+    sl = sterm(
+        joint.groupBy("lang").agg(F.sum("c").alias("c"))
+    ).select(F.col("s").alias("sl"))
+    ss = sterm(
+        joint.groupBy("source").agg(F.sum("c").alias("c"))
+    ).select(F.col("s").alias("ss"))
+    sj = sterm(joint).select("n", F.col("s").alias("sj"))
+    nd = F.col("n").cast("double")
+    h = lambda s: F.log(nd) - F.col(s).cast("double") / (nd * ENTROPY_SCALE)
+    return (
+        sj.crossJoin(sl)
+        .crossJoin(ss)
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(h("sl"), 6).alias("h_lang"),
+            F.round(h("ss"), 6).alias("h_source"),
+            F.round(h("sj"), 6).alias("h_joint"),
+            F.round(
+                F.log(nd)
+                - (
+                    F.col("sl").cast("double")
+                    + F.col("ss").cast("double")
+                    - F.col("sj").cast("double")
+                )
+                / (nd * ENTROPY_SCALE),
+                6,
+            ).alias("mi_nats"),
+        )
+    )
+
+
+_ORACLES["mutual_info_lang_source"] = f"""
+WITH joint AS (
+  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2
+),
+sj AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(c AS HUGEINT)
+             * CAST(round(ln(c) * {ENTROPY_SCALE}) AS HUGEINT)) AS sj
+  FROM joint
+),
+sl AS (
+  SELECT sum(CAST(c AS HUGEINT)
+             * CAST(round(ln(c) * {ENTROPY_SCALE}) AS HUGEINT)) AS sl
+  FROM (SELECT sum(c) AS c FROM joint GROUP BY lang)
+),
+ss AS (
+  SELECT sum(CAST(c AS HUGEINT)
+             * CAST(round(ln(c) * {ENTROPY_SCALE}) AS HUGEINT)) AS ss
+  FROM (SELECT sum(c) AS c FROM joint GROUP BY source)
+)
+SELECT n AS n_rows,
+       round(ln(CAST(n AS DOUBLE))
+             - CAST(sl AS DOUBLE) / (CAST(n AS DOUBLE) * {ENTROPY_SCALE}), 6)
+         AS h_lang,
+       round(ln(CAST(n AS DOUBLE))
+             - CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * {ENTROPY_SCALE}), 6)
+         AS h_source,
+       round(ln(CAST(n AS DOUBLE))
+             - CAST(sj AS DOUBLE) / (CAST(n AS DOUBLE) * {ENTROPY_SCALE}), 6)
+         AS h_joint,
+       round(ln(CAST(n AS DOUBLE))
+             - (CAST(sl AS DOUBLE) + CAST(ss AS DOUBLE) - CAST(sj AS DOUBLE))
+               / (CAST(n AS DOUBLE) * {ENTROPY_SCALE}), 6) AS mi_nats
+FROM sj, sl, ss
+"""
+
+
+CONTAM_SWEEP_NS = (2, 3, 4, 5)  # shingle sizes the decontam sweep probes
+
+
+def q_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sensitivity sweep: the flagged-doc rate
+    of the one-vs-rest decontamination gate (q_benchmark_decontam's
+    semantics) at shingle sizes n = 2..5 in one result — the curve a
+    pipeline reads to PICK its n (too small flags everything, too
+    large misses paraphrases; the knee is the operating point).
+    Per n: non-benchmark docs sharing ≥ 1 word n-gram with the
+    benchmark source, flagged via a distinct-benchmark-shingle
+    left-semi join — linear in postings, text never shuffles (xxhash64
+    shingle keys). The sweep's 4 shingle scans are its declared cost;
+    eligibility (docs with ≥ 1 n-shingle, i.e. ≥ n tokens) varies with
+    n by construction."""
+    d0 = load_documents(spark, sf_dir)
+    parts = []
+    for n in CONTAM_SWEEP_NS:
+        d = d0.select(
+            "doc_id", "source", dedup.shingles("text", n).alias("sh")
+        )
+        e = _track_persist(
+            d.where(F.size("sh") > 0)
+            .select("doc_id", "source", F.explode("sh").alias("s"))
+            .select("doc_id", "source", F.xxhash64("s").alias("shingle"))
+        )
+        bench = (
+            e.where(F.col("source") == DECONTAM_BENCH_SOURCE)
+            .select("shingle")
+            .distinct()
+        )
+        train = e.where(F.col("source") != DECONTAM_BENCH_SOURCE)
+        tot = train.agg(
+            F.countDistinct("doc_id").alias("n_train_docs")
+        )
+        flagged = train.join(bench, "shingle", "left_semi").agg(
+            F.countDistinct("doc_id").alias("n_flagged")
+        )
+        parts.append(
+            flagged.crossJoin(tot).select(
+                F.lit(n).cast("long").alias("ngram_n"),
+                F.col("n_train_docs").cast("long").alias("n_train_docs"),
+                F.col("n_flagged").cast("long").alias("n_flagged"),
+                F.round(
+                    F.col("n_flagged")
+                    / F.col("n_train_docs").cast("double"),
+                    6,
+                ).alias("flag_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("ngram_n")
+
+
+def _contam_sweep_oracle() -> str:
+    blocks = []
+    for n in CONTAM_SWEEP_NS:
+        concat = " || ' ' || ".join(
+            f"tokens[i + {j}]" if j else "tokens[i]" for j in range(n)
+        )
+        blocks.append(f"""
+SELECT {n} AS ngram_n, n_train_docs, n_flagged,
+       round(CAST(n_flagged AS DOUBLE) / n_train_docs, 6) AS flag_rate
+FROM (
+  WITH toks AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+             AS tokens
+    FROM documents
+  ),
+  e AS (
+    SELECT doc_id, source, unnest(list_distinct(
+             list_transform(range(1, len(tokens) - {n - 2}),
+                            i -> {concat}))) AS shingle
+    FROM toks WHERE len(tokens) >= {n}
+  ),
+  bench AS (
+    SELECT DISTINCT shingle FROM e
+    WHERE source = '{DECONTAM_BENCH_SOURCE}'
+  ),
+  train AS (SELECT * FROM e WHERE source <> '{DECONTAM_BENCH_SOURCE}')
+  SELECT CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+         CAST(count(DISTINCT CASE WHEN b.shingle IS NOT NULL
+                                  THEN t.doc_id END) AS BIGINT) AS n_flagged
+  FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+)""")
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY ngram_n"
+
+
+_ORACLES["contamination_sweep"] = _contam_sweep_oracle()
+
+
+NOVELTY_NGRAM = 3  # shingle size for the batch-novelty curve
+
+
+def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-batch n-gram novelty decay (Lee et al.'s dedup
+    motivation, measured the way a continuously-ingesting corpus
+    watches it): split the corpus into DEDUP_BATCHES arrival batches
+    (the dedup_rate_by_batch projection law — no global-order window),
+    and per batch report how many DISTINCT word 3-gram shingles appear
+    and what fraction are NOVEL (first batch containing them). A
+    flattening novel-rate curve means the source is exhausted and
+    marginal data buys no new n-grams — the saturation readout
+    mixture planners act on. Relational core: distinct
+    (shingle, batch) pairs → min-batch per shingle → one join back;
+    linear in postings, text never shuffles (xxhash64 keys)."""
+    d = load_documents(spark, sf_dir)
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    pairs = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"doc_id * {DEDUP_BATCHES} div (mx + 1)").alias("batch"),
+            F.explode(
+                dedup.shingles("text", NOVELTY_NGRAM)
+            ).alias("s"),
+        )
+        .select("batch", F.xxhash64("s").alias("shingle"))
+        .distinct()
+    )
+    pairs = _track_persist(pairs)
+    first = pairs.groupBy("shingle").agg(F.min("batch").alias("fb"))
+    return (
+        pairs.join(first, "shingle")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("batch") == F.col("fb")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "batch",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_shingles").cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("batch")
+    )
+
+
+_ORACLES["ngram_novelty_curve"] = f"""
+WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+toks AS (
+  SELECT doc_id * {DEDUP_BATCHES} // (mx + 1) AS batch,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+           AS tokens
+  FROM documents, mx
+),
+pairs AS (
+  SELECT DISTINCT batch, shingle FROM (
+    SELECT batch, unnest(list_distinct(
+             list_transform(range(1, len(tokens) - {NOVELTY_NGRAM - 2}),
+               i -> tokens[i] || ' ' || tokens[i + 1] || ' '
+                    || tokens[i + 2]))) AS shingle
+    FROM toks WHERE len(tokens) >= {NOVELTY_NGRAM}
+  )
+),
+first AS (SELECT shingle, min(batch) AS fb FROM pairs GROUP BY shingle)
+SELECT p.batch,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN p.batch = f.fb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN p.batch = f.fb THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty_rate
+FROM pairs p JOIN first f ON p.shingle = f.shingle
+GROUP BY p.batch
+ORDER BY p.batch
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -15650,6 +16031,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_waste": q_padding_waste,
         "cuped_adjust": q_cuped_adjust,
         "snippet_extract": q_snippet_extract,
+        # slots 29-32: NEW round 10 — distribution-drift and
+        # corpus-saturation laws (KS split drift, lang-source mutual
+        # information, decontamination n-gram sweep, batch novelty
+        # decay); verified hash-green at BOTH sf0.01 and sf0.1 before
+        # registration.
+        "ks_split_drift": q_ks_split_drift,
+        "mutual_info_lang_source": q_mutual_info_lang_source,
+        "contamination_sweep": q_contamination_sweep,
+        "ngram_novelty_curve": q_ngram_novelty_curve,
         # remaining slots: round-9 fourth mini-batch (green in r09) as
         # filler to the ~50-slot boundary.
         "dedup_rate_by_batch": q_dedup_rate_by_batch,

@@ -1496,3 +1496,108 @@ def test_corpus_health_composes_registered_laws(spark):
     assert rows["k_anonymity_floor"] == float(kan.k_floor)
     par = min(r.impact_ratio for r in Q.q_gate_parity(spark, SF_SMOKE).collect())
     assert rows["min_gate_impact_ratio"] == par
+
+
+# ---- round-10 mini-batch laws ----
+
+
+def test_ks_split_drift_matches_python_model(spark, monkeypatch):
+    """KS over a tiny synthetic corpus vs a pure-python ECDF model
+    using the same md5-window split assignment."""
+    import hashlib
+
+    docs = [(i, " ".join(["w"] * (3 + i % 7)), "s0") for i in range(60)]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    import homemade_vector_db_spark.queries as Qm
+
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    r = Qm.q_ks_split_drift(spark, "x").collect()[0]
+
+    def bucket(doc_id):  # _md5_bucket(col, SPLIT_HEX_OFF) twin
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[Qm.SPLIT_HEX_OFF - 1:Qm.SPLIT_HEX_OFF + 7], 16) % 100
+
+    train = [3 + i % 7 for i, _, _ in docs
+             if bucket(i) < Qm.SPLIT_TRAIN_PCT]
+    val = [3 + i % 7 for i, _, _ in docs
+           if Qm.SPLIT_TRAIN_PCT <= bucket(i)
+           < Qm.SPLIT_TRAIN_PCT + Qm.SPLIT_VAL_PCT]
+    na, nb = len(train), len(val)
+    grid = sorted(set(train) | set(val))
+    d_num = max(
+        abs(sum(1 for v in train if v <= g) * nb
+            - sum(1 for v in val if v <= g) * na)
+        for g in grid
+    )
+    assert (r.n_train, r.n_val, r.d_num) == (na, nb, d_num)
+    assert abs(r.ks_stat - d_num / (na * nb)) <= 1e-6
+
+
+def test_ks_split_drift_bounds(spark):
+    r = Q.q_ks_split_drift(spark, SF_SMOKE).collect()[0]
+    assert r.n_train > 0 and r.n_val > 0
+    assert 0 <= r.d_num <= r.n_train * r.n_val
+    assert 0.0 <= r.ks_stat <= 1.0
+
+
+def test_mutual_info_identities(spark):
+    r = Q.q_mutual_info_lang_source(spark, SF_SMOKE).collect()[0]
+    # MI = H(lang) + H(source) - H(joint), within rounding of the parts
+    assert abs(r.mi_nats - (r.h_lang + r.h_source - r.h_joint)) <= 3e-6
+    assert -1e-9 <= r.mi_nats <= min(r.h_lang, r.h_source) + 3e-6
+    assert r.h_joint <= r.h_lang + r.h_source + 3e-6
+    assert max(r.h_lang, r.h_source) <= r.h_joint + 3e-6
+
+
+def test_mutual_info_dependence_extremes(spark, monkeypatch):
+    import homemade_vector_db_spark.queries as Qm
+
+    # perfectly dependent: source = lang -> MI == H(lang) == H(source)
+    dep = spark.createDataFrame(
+        [(i, "t", ["en", "fr", "de"][i % 3], ["en", "fr", "de"][i % 3])
+         for i in range(30)],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: dep)
+    r = Qm.q_mutual_info_lang_source(spark, "x").collect()[0]
+    assert r.mi_nats == r.h_lang == r.h_source == r.h_joint
+    # independent uniform grid -> MI == 0 exactly (balanced counts)
+    ind = spark.createDataFrame(
+        [(i, "t", ["en", "fr"][i % 2], ["a", "b", "c"][i // 2 % 3])
+         for i in range(30)],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: ind)
+    r = Qm.q_mutual_info_lang_source(spark, "x").collect()[0]
+    assert abs(r.mi_nats) <= 2e-6
+
+
+def test_contamination_sweep_monotone_flags(spark):
+    rows = Q.q_contamination_sweep(spark, SF_SMOKE).collect()
+    assert [r.ngram_n for r in rows] == list(Q.CONTAM_SWEEP_NS)
+    for r in rows:
+        assert 0 <= r.n_flagged <= r.n_train_docs
+        assert 0.0 <= r.flag_rate <= 1.0
+    # a shared n-gram contains a shared (n-1)-gram and n-eligibility
+    # implies (n-1)-eligibility, so flagged counts are non-increasing
+    flags = [r.n_flagged for r in rows]
+    assert all(a >= b for a, b in zip(flags, flags[1:]))
+
+
+def test_ngram_novelty_first_batch_all_novel_and_conserves(spark):
+    rows = Q.q_ngram_novelty_curve(spark, SF_SMOKE).collect()
+    assert rows and rows[0].batch == 0
+    assert rows[0].novelty_rate == 1.0  # nothing precedes batch 0
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+    # each distinct shingle is novel in exactly one batch
+    total_distinct = (
+        Q.load_documents(spark, SF_SMOKE)
+        .select(F.explode(Q.dedup.shingles("text", Q.NOVELTY_NGRAM)).alias("s"))
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == total_distinct
