@@ -502,3 +502,102 @@ class IncrementalDupRate:
             .outputMode("append")
             .start()
         )
+
+
+class IncrementalNovelty:
+    """Streaming n-gram novelty monitor — the streaming twin of
+    queries.q_ngram_novelty_curve: per micro-batch, how many DISTINCT
+    word 3-gram shingles arrive and what fraction are NOVEL (never
+    seen in an earlier batch) — the marginal-novelty decay gauge a
+    continuously-ingesting pipeline reads to decide when a source is
+    exhausted (the n-gram-level sibling of IncrementalDupRate's
+    doc-level dup rate).
+
+    State = the distinct shingle xxhash64 set, append-only under
+    batch=<id> subdirs (the IncrementalCorpus idempotency contract:
+    a replayed batch excludes its own previous attempt from the state
+    read; both writes are overwrite-by-batch-dir). Stats rows stay
+    integer-only (batch, n_shingles, n_novel); novelty_rate derives at
+    read time. CHUNK LAW: when micro-batches mirror the batch entry's
+    id-range split in order, summed stats equal q_ngram_novelty_curve
+    exactly — novelty only ever looks backward, and the state set is
+    precisely the backward view (pinned in test_streaming). Shuffles
+    carry 8-byte shingle hashes, never document text."""
+
+    NGRAM = 3  # queries.NOVELTY_NGRAM twin
+
+    def __init__(self, spark: SparkSession, root: str, text_col: str = "text"):
+        self.spark = spark
+        self.root = root
+        self.text_col = text_col
+        self.seen_path = os.path.join(root, "seen_shingles")
+        self.stats_path = os.path.join(root, "batch_stats")
+
+    def _shingles(self, batch: DataFrame) -> DataFrame:
+        from homemade_vector_db_spark.operators import dedup as _d
+
+        return (
+            batch.select(
+                F.explode(
+                    _d.shingles(self.text_col, self.NGRAM)
+                ).alias("s")
+            )
+            .select(F.xxhash64("s").alias("shingle"))
+            .distinct()
+        )
+
+    def _seen(self, exclude_batch: int) -> DataFrame | None:
+        try:
+            return (
+                self.spark.read.parquet(self.seen_path)
+                .where(F.col("batch").cast("string") != str(exclude_batch))
+                .drop("batch")
+            )
+        except Exception:
+            return None  # first batch
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        if batch_id is None:
+            batch_id = 0
+        sh = self._shingles(batch).persist()
+        seen = self._seen(exclude_batch=batch_id)
+        n_shingles = sh.count()
+        if seen is not None:
+            novel = sh.join(seen, "shingle", "left_anti").persist()
+        else:
+            novel = sh
+        n_novel = novel.count()
+        self.spark.createDataFrame(
+            [(n_shingles, n_novel)], "n_shingles long, n_novel long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.stats_path, f"batch={batch_id}")
+        )
+        novel.write.mode("overwrite").parquet(
+            os.path.join(self.seen_path, f"batch={batch_id}")
+        )
+        sh.unpersist()
+
+    def stats(self) -> DataFrame:
+        return (
+            self.spark.read.parquet(self.stats_path)
+            .select(
+                F.col("batch").cast("long").alias("batch"),
+                "n_shingles",
+                "n_novel",
+            )
+            .withColumn(
+                "novelty_rate",
+                F.round(F.col("n_novel") / F.col("n_shingles"), 6),
+            )
+        )
+
+    def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
+        return (
+            stream.writeStream.foreachBatch(self.ingest_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.root, "_nv_checkpoint"),
+            )
+            .outputMode("append")
+            .start()
+        )

@@ -1372,3 +1372,58 @@ def test_incremental_attribution_out_of_order_batch(spark, tmp_path):
     got = {(r.channel, r.n_purchases, r.revenue_micro)
            for r in at.stats().collect()}
     assert got == {("view", 1, 10_000_000)}
+
+
+def test_incremental_novelty_matches_batch_entry(spark, tmp_path):
+    """IncrementalNovelty fed the SAME id-range batches as
+    q_ngram_novelty_curve reproduces its (n_shingles, n_novel,
+    novelty_rate) rows exactly — the streaming/batch twin law."""
+    from homemade_vector_db_spark.streaming.dedup import IncrementalNovelty
+    import homemade_vector_db_spark.queries as Qm
+    from homemade_vector_db_spark.sources.tables import load_documents
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    want = {
+        r.batch: (r.n_shingles, r.n_novel, r.novelty_rate)
+        for r in Qm.q_ngram_novelty_curve(spark, SF_SMOKE).collect()
+    }
+    nv = IncrementalNovelty(spark, str(tmp_path / "nv"))
+    nb = Qm.DEDUP_BATCHES
+    for b in range(nb):
+        chunk = docs.where(
+            F.expr(f"doc_id * {nb} div ({mx} + 1)") == b
+        )
+        nv.ingest_batch(chunk, batch_id=b)
+    got = {
+        r.batch: (r.n_shingles, r.n_novel, r.novelty_rate)
+        for r in nv.stats().collect()
+    }
+    assert got == want
+
+
+def test_incremental_novelty_replay_idempotent(spark, tmp_path):
+    from homemade_vector_db_spark.streaming.dedup import IncrementalNovelty
+
+    d1 = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c")], "doc_id long, text string"
+    )
+    d2 = spark.createDataFrame(
+        [(3, "b c d e"), (4, "x y z")], "doc_id long, text string"
+    )
+    nv = IncrementalNovelty(spark, str(tmp_path / "nv2"))
+    nv.ingest_batch(d1, batch_id=0)
+    nv.ingest_batch(d2, batch_id=1)
+    want = sorted(
+        (r.batch, r.n_shingles, r.n_novel) for r in nv.stats().collect()
+    )
+    # d1: shingles {abc,bcd,abc(dup within doc2? no: 'a b c' -> abc)}
+    # batch0 distinct = {abc, bcd} both novel; batch1 = {bcd, cde, xyz}
+    # novel = {cde, xyz}
+    assert want == [(0, 2, 2), (1, 3, 2)]
+    nv.ingest_batch(d2, batch_id=1)  # replay
+    got = sorted(
+        (r.batch, r.n_shingles, r.n_novel) for r in nv.stats().collect()
+    )
+    assert got == want
