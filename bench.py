@@ -147,6 +147,11 @@ HEADLINE = [
     "mutual_info_lang_source",
     "contamination_sweep",
     "ngram_novelty_curve",
+    # round-10 second mini-batch: vocabulary-shape laws
+    "hapax_share",
+    "zipf_fit",
+    "term_burstiness",
+    "doclen_gini_by_source",
 ]
 
 

@@ -15946,6 +15946,332 @@ ORDER BY p.batch
 """
 
 
+# ---- round-10 second mini-batch: vocabulary-shape laws ----
+
+
+def q_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena profile per language: how much of the vocabulary
+    (and of the token mass) is terms that occur exactly ONCE in the
+    corpus — the vocabulary-health readout that separates clean text
+    (hapax-vocab share ~40-60% under Zipf) from OCR noise / mojibake
+    (hapax explosion) and from template spam (hapax collapse). Pure
+    integer relational: the (lang, term, ctf) rollup shared with
+    vocab_stats, then one per-lang aggregate; hapax token mass equals
+    hapax count by definition (ctf = 1). Reads the materialized
+    `_tokens` relation."""
+    per_term = (
+        _tokens(spark, sf_dir)
+        .select("lang", F.explode("toks").alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("ctf"))
+    )
+    return (
+        per_term.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("ctf").alias("n_tokens"),
+            F.sum((F.col("ctf") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "vocab",
+            "n_hapax",
+            F.round(F.col("n_hapax") / F.col("vocab").cast("double"), 6)
+            .alias("hapax_vocab_share"),
+            F.round(
+                F.col("n_hapax") / F.col("n_tokens").cast("double"), 6
+            ).alias("hapax_token_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLES["hapax_share"] = """
+WITH per_term AS (
+  SELECT lang, t, count(*) AS ctf
+  FROM (
+    SELECT lang,
+           unnest(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS t
+    FROM documents
+  )
+  GROUP BY lang, t
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN ctf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(sum(CASE WHEN ctf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_vocab_share,
+       round(CAST(sum(CASE WHEN ctf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(ctf), 6) AS hapax_token_share
+FROM per_term
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+ZIPF_TOP_R = 100  # rank cutoff for the Zipf regression
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: least-squares slope of ln(ctf) on
+    ln(rank) over the top-ZIPF_TOP_R terms — natural language sits
+    near slope −1; synthetic/template corpora flatten, and the fit
+    quality (r²) says whether a power law describes the vocabulary at
+    all. Exactness: ranks are a TOTAL order (ctf desc, term asc);
+    x = round(ln(rank)·10¹²) and y = round(ln(ctf)·10¹²) are exact
+    BIGINTs (the fixed-point ln law of column_entropy_profile), the
+    five regression moments accumulate in decimal(38,0), and slope/r²
+    are single float formulas over those exact integers (the 10¹²
+    scale cancels in the slope ratio). r² is NULL when a lang has a
+    degenerate grid (all ctf equal — the mannwhitney guard
+    discipline); slope is NULL when n < 2. Window runs per-lang over
+    the term-count relation, capped at R rows."""
+    from pyspark.sql import Window
+
+    per_term = (
+        _tokens(spark, sf_dir)
+        .select("lang", F.explode("toks").alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("ctf"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("ctf"), F.asc("t"))
+    top = per_term.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= ZIPF_TOP_R
+    )
+    pts = top.select(
+        "lang",
+        F.round(F.log("rk") * ENTROPY_SCALE).cast("decimal(38,0)").alias("x"),
+        F.round(F.log("ctf") * ENTROPY_SCALE)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    mom = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    varx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vary = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return mom.select(
+        "lang",
+        F.col("n").cast("long").alias("n_terms"),
+        F.when(varx > 0, F.round(cov / varx, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("slope"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(cov * cov / (varx * vary), 6),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("r2"),
+    ).orderBy("lang")
+
+
+_ORACLES["zipf_fit"] = f"""
+WITH per_term AS (
+  SELECT lang, t, count(*) AS ctf
+  FROM (
+    SELECT lang,
+           unnest(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS t
+    FROM documents
+  )
+  GROUP BY lang, t
+),
+top AS (
+  SELECT lang, ctf,
+         row_number() OVER (PARTITION BY lang ORDER BY ctf DESC, t ASC)
+           AS rk
+  FROM per_term
+  QUALIFY rk <= {ZIPF_TOP_R}
+),
+pts AS (
+  SELECT lang,
+         CAST(round(ln(rk) * {ENTROPY_SCALE}) AS HUGEINT) AS x,
+         CAST(round(ln(ctf) * {ENTROPY_SCALE}) AS HUGEINT) AS y
+  FROM top
+),
+mom AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts GROUP BY lang
+),
+f AS (
+  SELECT lang, n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+  FROM mom
+)
+SELECT lang, n AS n_terms,
+       CASE WHEN varx > 0 THEN round(cov / varx, 6) ELSE NULL END AS slope,
+       CASE WHEN varx > 0 AND vary > 0
+            THEN round(cov * cov / (varx * vary), 6)
+            ELSE NULL END AS r2
+FROM f
+ORDER BY lang
+"""
+
+
+BURST_TOP = 20  # terms reported by the burstiness profile
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (variance-to-mean ratio of per-doc tf over the
+    docs containing the term) for the BURST_TOP highest-df terms —
+    the classic IR statistic separating function words (tf uniform,
+    VMR ≈ its Poisson floor) from bursty content words (a term that
+    appears, appears repeatedly). Exactness: per-(term, doc) tf is an
+    exact count, Σtf and Σtf² accumulate in decimal(38,0), and
+    VMR = (df·Σtf² − (Σtf)²)/(df·Σtf) is one float formula over exact
+    integers. Selection is a TOTAL order (df desc, term asc) —
+    TakeOrderedAndProject, no full sort."""
+    tf = (
+        _tokens(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("t", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("t").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("stf"),
+        F.sum(F.col("tf").cast("decimal(38,0)") * F.col("tf")).alias(
+            "stf2"
+        ),
+    )
+    return (
+        stats.select(
+            F.col("t").alias("term"),
+            F.col("df").cast("long").alias("df"),
+            F.col("stf").cast("long").alias("total_tf"),
+            F.round(
+                (
+                    F.col("df").cast("double")
+                    * F.col("stf2").cast("double")
+                    - F.col("stf").cast("double")
+                    * F.col("stf").cast("double")
+                )
+                / (
+                    F.col("df").cast("double")
+                    * F.col("stf").cast("double")
+                ),
+                6,
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(BURST_TOP)
+    )
+
+
+_ORACLES["term_burstiness"] = f"""
+WITH tf AS (
+  SELECT t, doc_id, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS t
+    FROM documents
+  )
+  GROUP BY t, doc_id
+),
+stats AS (
+  SELECT t AS term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS stf,
+         sum(CAST(tf AS HUGEINT) * tf) AS stf2
+  FROM tf GROUP BY t
+)
+SELECT term, df, stf AS total_tf,
+       round((CAST(df AS DOUBLE) * CAST(stf2 AS DOUBLE)
+              - CAST(stf AS DOUBLE) * CAST(stf AS DOUBLE))
+             / (CAST(df AS DOUBLE) * CAST(stf AS DOUBLE)), 6) AS vmr
+FROM stats
+ORDER BY df DESC, term ASC
+LIMIT {BURST_TOP}
+"""
+
+
+def q_doclen_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document token lengths — the
+    batching-inequality readout that pairs with padding_waste: a
+    high-Gini source mixes tiny and huge docs (packing/bucketing
+    pays), a low-Gini source is uniform (fixed-length batching is
+    already fine). The spend_concentration Gini law applied per
+    source: ranks over a TOTAL order (n_tok, doc_id) within each
+    source partition, Σ(rank·x) exact in decimal(38,0),
+    G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n as one rounded float formula.
+    One tokenize scan + one partitioned window pass."""
+    from pyspark.sql import Window
+
+    d = load_documents(spark, sf_dir).select(
+        "doc_id", "source", F.size(tokenize("text")).alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    ranked = d.withColumn("rk", F.row_number().over(w))
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tok").alias("sx"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("n_tok")).alias(
+            "srx"
+        ),
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("sx").cast("long").alias("total_tokens"),
+        F.round(
+            2.0
+            * F.col("srx").cast("double")
+            / (F.col("n").cast("double") * F.col("sx").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    ).orderBy("source")
+
+
+_ORACLES["doclen_gini_by_source"] = """
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT source, n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id)
+           AS rk
+  FROM toks WHERE n_tok > 0
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_tok) AS BIGINT) AS sx,
+         sum(CAST(rk AS HUGEINT) * n_tok) AS srx
+  FROM ranked GROUP BY source
+)
+SELECT source, n AS n_docs, sx AS total_tokens,
+       round(2.0 * CAST(srx AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (n + 1.0) / n, 6) AS gini
+FROM agg
+ORDER BY source
+"""
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
@@ -16040,6 +16366,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_lang_source": q_mutual_info_lang_source,
         "contamination_sweep": q_contamination_sweep,
         "ngram_novelty_curve": q_ngram_novelty_curve,
+        # slots 33-36: NEW round 10, second mini-batch — vocabulary-
+        # shape laws (hapax profile, Zipf regression, term burstiness,
+        # per-source length Gini); verified hash-green at BOTH sf0.01
+        # and sf0.1 before registration.
+        "hapax_share": q_hapax_share,
+        "zipf_fit": q_zipf_fit,
+        "term_burstiness": q_term_burstiness,
+        "doclen_gini_by_source": q_doclen_gini_by_source,
         # remaining slots: round-9 fourth mini-batch (green in r09) as
         # filler to the ~50-slot boundary.
         "dedup_rate_by_batch": q_dedup_rate_by_batch,

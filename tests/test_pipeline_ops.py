@@ -1601,3 +1601,119 @@ def test_ngram_novelty_first_batch_all_novel_and_conserves(spark):
         .count()
     )
     assert sum(r.n_novel for r in rows) == total_distinct
+
+
+def test_hapax_share_counts(spark, monkeypatch):
+    import homemade_vector_db_spark.queries as Qm
+
+    d = spark.createDataFrame(
+        [(1, "a a b c", "en", "s"), (2, "a d", "en", "s"),
+         (3, "x x", "fr", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    Qm._ANN_IDX.pop(("tokens", "x"), None)
+    Qm._TOKENS.pop("x", None)
+    rows = {r.lang: r for r in Qm.q_hapax_share(spark, "x").collect()}
+    # en: counts a=3 b=1 c=1 d=1 -> vocab 4, hapax 3, tokens 6
+    assert (rows["en"].vocab, rows["en"].n_hapax) == (4, 3)
+    assert rows["en"].hapax_vocab_share == 0.75
+    assert rows["en"].hapax_token_share == 0.5
+    # fr: x twice -> no hapax
+    assert (rows["fr"].vocab, rows["fr"].n_hapax) == (1, 0)
+
+
+def test_hapax_share_bounds(spark):
+    for r in Q.q_hapax_share(spark, SF_SMOKE).collect():
+        assert 0 <= r.n_hapax <= r.vocab
+        assert 0.0 <= r.hapax_vocab_share <= 1.0
+        assert 0.0 <= r.hapax_token_share <= 1.0
+
+
+def test_zipf_fit_matches_python_regression(spark):
+    import math
+
+    rows = {r.lang: r for r in Q.q_zipf_fit(spark, SF_SMOKE).collect()}
+    # recompute one lang's regression from the raw term counts
+    lang = sorted(rows)[0]
+    per_term = (
+        Q._tokens(spark, SF_SMOKE)
+        .where(F.col("lang") == lang)
+        .select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("ctf"))
+        .collect()
+    )
+    top = sorted(per_term, key=lambda r: (-r.ctf, r.t))[: Q.ZIPF_TOP_R]
+    S = Q.ENTROPY_SCALE
+    xs = [round(math.log(i + 1) * S) for i in range(len(top))]
+    ys = [round(math.log(r.ctf) * S) for r in top]
+    n = len(xs)
+    cov = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    varx = n * sum(x * x for x in xs) - sum(xs) ** 2
+    want = cov / varx
+    got = rows[lang].slope
+    assert abs(got - want) <= 2e-6
+    for r in rows.values():
+        assert r.slope is None or r.slope <= 0.0  # rank-freq never rises
+        assert r.r2 is None or 0.0 <= r.r2 <= 1.0 + 1e-9
+
+
+def test_zipf_fit_degenerate_grid_null_r2(spark, monkeypatch):
+    import homemade_vector_db_spark.queries as Qm
+
+    # every term occurs exactly once -> all y equal -> r2 NULL, slope 0
+    d = spark.createDataFrame(
+        [(1, "a b", "en", "s"), (2, "c d", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    Qm._ANN_IDX.pop(("tokens", "x"), None)
+    Qm._TOKENS.pop("x", None)
+    r = Qm.q_zipf_fit(spark, "x").collect()[0]
+    assert r.slope == 0.0 and r.r2 is None
+
+
+def test_term_burstiness_uniform_is_zero(spark, monkeypatch):
+    import homemade_vector_db_spark.queries as Qm
+
+    # every term appears exactly once per doc -> VMR == 0
+    d = spark.createDataFrame(
+        [(i, "a b c", "en", "s") for i in range(5)],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    Qm._ANN_IDX.pop(("tokens", "x"), None)
+    Qm._TOKENS.pop("x", None)
+    rows = Qm.q_term_burstiness(spark, "x").collect()
+    assert {r.term for r in rows} == {"a", "b", "c"}
+    for r in rows:
+        assert (r.df, r.total_tf, r.vmr) == (5, 5, 0.0)
+
+
+def test_term_burstiness_law(spark):
+    rows = Q.q_term_burstiness(spark, SF_SMOKE).collect()
+    assert len(rows) <= Q.BURST_TOP
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        assert r.vmr >= -1e-9  # variance is non-negative
+        assert r.total_tf >= r.df
+
+
+def test_doclen_gini_equal_lengths_zero(spark, monkeypatch):
+    import homemade_vector_db_spark.queries as Qm
+
+    d = spark.createDataFrame(
+        [(i, "w w w", "s0") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    r = Qm.q_doclen_gini_by_source(spark, "x").collect()[0]
+    assert (r.n_docs, r.total_tokens, r.gini) == (4, 12, 0.0)
+
+
+def test_doclen_gini_bounds(spark):
+    for r in Q.q_doclen_gini_by_source(spark, SF_SMOKE).collect():
+        assert -1e-9 <= r.gini < 1.0
+        assert r.n_docs > 0 and r.total_tokens >= r.n_docs
