@@ -152,6 +152,10 @@ HEADLINE = [
     "zipf_fit",
     "term_burstiness",
     "doclen_gini_by_source",
+    # round-10 third mini-batch: experimentation hygiene
+    "srm_check",
+    "winsorized_mean_ab",
+    "power_mde",
 ]
 
 

@@ -15946,6 +15946,244 @@ ORDER BY p.batch
 """
 
 
+# ---- round-10 third mini-batch: experimentation-hygiene laws ----
+
+
+SRM_CHI2_CRIT = 3.841459  # chi-square 95% critical value, 1 dof
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check — the FIRST gate an experimentation
+    platform runs before reading any metric: are the two arms' user
+    counts consistent with the designed 50/50 assignment? A failed SRM
+    invalidates the whole experiment (selective logging, bot traffic,
+    broken bucketing). For two cells with expected n/2 each the chi²
+    statistic collapses to (n_a − n_b)²/n — one float division over
+    exact integer counts of DISTINCT users per arm, 1 dof, flagged at
+    the 95% critical value (a shared literal in both engines). One
+    distinct-user rollup; nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct().select(
+        (F.col("user_id") % 2).alias("arm")
+    )
+    agg = users.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("na"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("nb"),
+    )
+    diff = F.col("na") - F.col("nb")
+    chi2 = (diff * diff).cast("double") / (F.col("na") + F.col("nb"))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > SRM_CHI2_CRIT).alias("srm_detected"),
+    )
+
+
+_ORACLES["srm_check"] = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+agg AS (
+  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS na,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nb
+  FROM users
+)
+SELECT na AS n_a, nb AS n_b,
+       round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 6) AS chi2,
+       (CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb))
+         > {SRM_CHI2_CRIT} AS srm_detected
+FROM agg
+"""
+
+
+WINSOR_LO_PCT, WINSOR_HI_PCT = 5, 95  # winsorization percentile bounds
+
+
+def q_winsorized_mean_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized-mean A/B readout: clamp purchase values to the pooled
+    [p5, p95] before taking arm means — the standard robustification
+    against whale users that a raw-means readout (ab_test_stat) is
+    vulnerable to, and the parametric sibling of mannwhitney_ab.
+    Percentile law: p_k = the SMALLEST value whose cumulative count
+    reaches ceil(n·k/100) (the ppl_deciles discrete law; the ceil is
+    the integer identity (n·k + 99) div 100 — no float percentile
+    anywhere). Clamping and arm sums stay exact BIGINT micro-units;
+    each mean is one rounded division. The cumulative window runs over
+    the distinct-value grid."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    vals = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    dist = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select("v", F.sum("c").over(w).alias("cum"))
+    n = dist.agg(F.sum("c").alias("n"))
+    bounds = cum.crossJoin(F.broadcast(n)).agg(
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(f"(n * {WINSOR_LO_PCT} + 99) div 100"),
+                F.col("v"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(f"(n * {WINSOR_HI_PCT} + 99) div 100"),
+                F.col("v"),
+            )
+        ).alias("hi"),
+    )
+    wins = vals.crossJoin(F.broadcast(bounds)).select(
+        "arm",
+        "lo",
+        "hi",
+        F.greatest("lo", F.least("hi", F.col("v"))).alias("wv"),
+    )
+    per_arm = wins.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("wv").alias("s"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
+    a = per_arm.where(F.col("arm") == 0).alias("a")
+    b = per_arm.where(F.col("arm") == 1).alias("b")
+    mean = lambda s: F.round(
+        F.col(f"{s}.s") / F.col(f"{s}.cnt").cast("double"), 6
+    )
+    return a.crossJoin(b).select(
+        F.col("a.lo").cast("long").alias("lo_micro"),
+        F.col("a.hi").cast("long").alias("hi_micro"),
+        F.col("a.cnt").cast("long").alias("n_a"),
+        F.col("b.cnt").cast("long").alias("n_b"),
+        mean("a").alias("wmean_a_micro"),
+        mean("b").alias("wmean_b_micro"),
+        F.round(
+            F.col("a.s") / F.col("a.cnt").cast("double")
+            - F.col("b.s") / F.col("b.cnt").cast("double"),
+            6,
+        ).alias("wdiff_micro"),
+    )
+
+
+_ORACLES["winsorized_mean_ab"] = f"""
+WITH vals AS (
+  SELECT user_id % 2 AS arm, CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+dist AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM dist
+),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM dist),
+bounds AS (
+  SELECT min(CASE WHEN cum >= (n * {WINSOR_LO_PCT} + 99) // 100
+                  THEN v END) AS lo,
+         min(CASE WHEN cum >= (n * {WINSOR_HI_PCT} + 99) // 100
+                  THEN v END) AS hi
+  FROM cum, n
+),
+wins AS (
+  SELECT arm, lo, hi, greatest(lo, least(hi, v)) AS wv
+  FROM vals, bounds
+),
+per_arm AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(wv) AS BIGINT) AS s,
+         max(lo) AS lo, max(hi) AS hi
+  FROM wins GROUP BY arm
+)
+SELECT a.lo AS lo_micro, a.hi AS hi_micro,
+       a.cnt AS n_a, b.cnt AS n_b,
+       round(CAST(a.s AS DOUBLE) / a.cnt, 6) AS wmean_a_micro,
+       round(CAST(b.s AS DOUBLE) / b.cnt, 6) AS wmean_b_micro,
+       round(CAST(a.s AS DOUBLE) / a.cnt
+             - CAST(b.s AS DOUBLE) / b.cnt, 6) AS wdiff_micro
+FROM (SELECT * FROM per_arm WHERE arm = 0) a,
+     (SELECT * FROM per_arm WHERE arm = 1) b
+"""
+
+
+Z_ALPHA_975 = 1.959964  # two-sided 5% z
+Z_BETA_80 = 0.841621  # 80% power z
+
+
+def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at 80% power / 5% two-sided alpha for
+    the purchase-value experiment at its CURRENT sample sizes — the
+    pre-registration statistic that says whether an observed
+    non-significant diff means 'no effect' or 'underpowered test'.
+    MDE = (z_α/2 + z_β)·sqrt(σ²·(1/n_a + 1/n_b)) with σ² the pooled
+    sample variance from exact integer micro-unit moments (n, Σv, Σv²
+    in decimal(38,0) — the ab_test_stat moment law) and the z values
+    shared literals. One scan + a one-row rollup; every output a
+    single rounded float formula over exact integers."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    vals = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    agg = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("sxx"),
+        F.sum((F.col("arm") == 0).cast("long")).alias("na"),
+    )
+    nd = F.col("n").cast("double")
+    var = (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (nd * (nd - 1))
+    nb = F.col("n") - F.col("na")
+    mde = (Z_ALPHA_975 + Z_BETA_80) * F.sqrt(
+        var
+        * (
+            1.0 / F.col("na").cast("double")
+            + 1.0 / nb.cast("double")
+        )
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(F.sqrt(var), 6).alias("sd_micro"),
+        F.round(mde, 6).alias("mde_micro"),
+    )
+
+
+_ORACLES["power_mde"] = f"""
+WITH vals AS (
+  SELECT user_id % 2 AS arm, CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS sx,
+         sum(CAST(v AS HUGEINT) * v) AS sxx,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na
+  FROM vals
+)
+SELECT na AS n_a, n - na AS n_b,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+         AS sd_micro,
+       round(({Z_ALPHA_975} + {Z_BETA_80})
+             * sqrt(((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+                    * (1.0 / na + 1.0 / (n - na))), 6) AS mde_micro
+FROM agg
+"""
+
+
 # ---- round-10 second mini-batch: vocabulary-shape laws ----
 
 
@@ -16374,6 +16612,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "term_burstiness": q_term_burstiness,
         "doclen_gini_by_source": q_doclen_gini_by_source,
+        # slots 37-39: NEW round 10, third mini-batch —
+        # experimentation-hygiene laws (SRM gate, winsorized A/B means,
+        # power/MDE); verified hash-green at BOTH SFs before
+        # registration.
+        "srm_check": q_srm_check,
+        "winsorized_mean_ab": q_winsorized_mean_ab,
+        "power_mde": q_power_mde,
         # remaining slots: round-9 fourth mini-batch (green in r09) as
         # filler to the ~50-slot boundary.
         "dedup_rate_by_batch": q_dedup_rate_by_batch,

@@ -1717,3 +1717,100 @@ def test_doclen_gini_bounds(spark):
     for r in Q.q_doclen_gini_by_source(spark, SF_SMOKE).collect():
         assert -1e-9 <= r.gini < 1.0
         assert r.n_docs > 0 and r.total_tokens >= r.n_docs
+
+
+def test_srm_check_synthetic_counts(spark, monkeypatch):
+    import datetime as dt
+
+    import homemade_vector_db_spark.queries as Qm
+
+    # 60 even users vs 40 odd users -> chi2 = 400/100 = 4.0 > 3.841
+    rows = [(i, dt.datetime(2024, 1, 1), u, "click", 0.0, "{}")
+            for i, u in enumerate(
+                [2 * k for k in range(60)] + [2 * k + 1 for k in range(40)]
+            )]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
+    r = Qm.q_srm_check(spark, "x").collect()[0]
+    assert (r.n_a, r.n_b, r.chi2, r.srm_detected) == (60, 40, 4.0, True)
+
+
+def test_srm_check_balanced_not_detected(spark, monkeypatch):
+    import datetime as dt
+
+    import homemade_vector_db_spark.queries as Qm
+
+    rows = [(i, dt.datetime(2024, 1, 1), i, "view", 0.0, "{}")
+            for i in range(50)]  # 25 even, 25 odd
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
+    r = Qm.q_srm_check(spark, "x").collect()[0]
+    assert (r.chi2, bool(r.srm_detected)) == (0.0, False)
+
+
+def test_winsorized_mean_matches_python_model(spark, monkeypatch):
+    import datetime as dt
+    import math
+
+    import homemade_vector_db_spark.queries as Qm
+
+    vals = [(0, 1), (0, 2), (0, 3), (0, 100), (1, 2), (1, 2), (1, 4),
+            (1, 5), (0, 1), (1, 3)]
+    rows = [(i, dt.datetime(2024, 1, 1), 2 * i + arm, "purchase",
+             float(v), "{}") for i, (arm, v) in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
+    r = Qm.q_winsorized_mean_ab(spark, "x").collect()[0]
+    micro = sorted(v * 1_000_000 for _, v in vals)
+    n = len(micro)
+
+    def pctl(k):  # smallest v with cum >= ceil(n*k/100)
+        need = -(-n * k // 100)
+        return micro[need - 1]
+
+    lo, hi = pctl(Qm.WINSOR_LO_PCT), pctl(Qm.WINSOR_HI_PCT)
+    assert (r.lo_micro, r.hi_micro) == (lo, hi)
+    wa = [max(lo, min(hi, v * 1_000_000)) for a, v in vals if a == 0]
+    wb = [max(lo, min(hi, v * 1_000_000)) for a, v in vals if a == 1]
+    assert abs(r.wmean_a_micro - sum(wa) / len(wa)) <= 1e-6
+    assert abs(r.wmean_b_micro - sum(wb) / len(wb)) <= 1e-6
+    assert lo <= r.wmean_a_micro <= hi and lo <= r.wmean_b_micro <= hi
+
+
+def test_power_mde_matches_python_model(spark):
+    import math
+
+    r = Q.q_power_mde(spark, SF_SMOKE).collect()[0]
+    ev = (
+        Q.load_table(spark, SF_SMOKE, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.round(F.col("value") * 1e6).cast("long").alias("v"),
+        )
+        .collect()
+    )
+    vs = [row.v for row in ev]
+    n = len(vs)
+    var = (n * sum(v * v for v in vs) - sum(vs) ** 2) / (n * (n - 1))
+    na = sum(1 for row in ev if row.arm == 0)
+    nb = n - na
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.sd_micro - math.sqrt(var)) <= 1e-4
+    want = (Q.Z_ALPHA_975 + Q.Z_BETA_80) * math.sqrt(
+        var * (1 / na + 1 / nb)
+    )
+    assert abs(r.mde_micro - want) <= 1e-4
+    assert r.mde_micro > 0
