@@ -156,6 +156,10 @@ HEADLINE = [
     "srm_check",
     "winsorized_mean_ab",
     "power_mde",
+    # round-10 fourth mini-batch: embedding-space diagnostics
+    "twonn_intrinsic_dim",
+    "price_percentiles_by_priority",
+    "embedding_norm_profile",
 ]
 
 

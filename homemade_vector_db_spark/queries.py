@@ -15946,6 +15946,254 @@ ORDER BY p.batch
 """
 
 
+# ---- round-10 fourth mini-batch: embedding-space diagnostics ----
+
+
+def q_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017, Sci.Rep.
+    — the two-nearest-neighbor MLE d = n/Σ ln(r2/r1)) over the corpus
+    embeddings: the curse-of-dimensionality audit that says how many
+    effective degrees of freedom the embedding cloud actually uses —
+    the number that decides whether IVF/PQ compression or an MRL
+    truncation (mrl_recall_curve) is safe. Reads r1, r2 from the
+    shared kNN-graph derived state (rn ≤ 2; r² = 1/score − 1 inverts
+    the graph's similarity law exactly — both engines start from the
+    SAME 6dp-rounded scores). Nodes with r1 = 0 (exact duplicates,
+    score 1.0) are excluded, declared. Determinism: per-node terms are
+    fixed-point BIGINTs round(ln(μ²)·½·10¹²), summed exactly in
+    decimal(38,0) (the entropy-law discipline — a raw float Σ ln μ
+    would be partition-order-dependent), and the estimate
+    d̂ = n_used·10¹²/S is one rounded float formula; NULL when every
+    μ = 1 (all tie distances). At sf ≤ 0.1 the graph's auto tier is
+    the exact kernel, so the quadratic oracle reproduces it
+    relationally (the knn_graph oracle pattern)."""
+    g = _knn_graph(spark, sf_dir).where(F.col("rn") <= 2)
+    piv = (
+        g.groupBy("src")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("score"))).alias("s1"),
+            F.max(F.when(F.col("rn") == 2, F.col("score"))).alias("s2"),
+        )
+        .where(F.col("s1") < 1.0)
+        .where(F.col("s2").isNotNull())
+    )
+    mu2 = (1.0 / F.col("s2") - 1.0) / (1.0 / F.col("s1") - 1.0)
+    terms = piv.select(
+        F.round(F.log(mu2) * 0.5 * ENTROPY_SCALE)
+        .cast("decimal(38,0)")
+        .alias("t")
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_used"), F.sum("t").alias("s")
+    )
+    n_nodes = load_embeddings(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    return agg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_used").cast("long").alias("n_used"),
+        F.when(
+            F.col("s") > 0,
+            F.round(
+                F.col("n_used").cast("double")
+                * ENTROPY_SCALE
+                / F.col("s").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("id_hat"),
+    )
+
+
+_ORACLES["twonn_intrinsic_dim"] = f"""
+WITH s AS (
+  SELECT q.vec_id AS src, e.vec_id AS nb,
+         round(1.0 / (1.0 + {_SQL_SQL2.format(a='e.embedding', b='q.embedding')}), 6)
+           AS score
+  FROM embeddings q, embeddings e
+  WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT src, score,
+         row_number() OVER (PARTITION BY src ORDER BY score DESC, nb ASC)
+           AS rn
+  FROM s
+),
+piv AS (
+  SELECT src,
+         max(CASE WHEN rn = 1 THEN score END) AS s1,
+         max(CASE WHEN rn = 2 THEN score END) AS s2
+  FROM ranked WHERE rn <= 2 GROUP BY src
+),
+terms AS (
+  SELECT CAST(round(ln((1.0 / s2 - 1.0) / (1.0 / s1 - 1.0))
+                    * 0.5 * {ENTROPY_SCALE}) AS HUGEINT) AS t
+  FROM piv WHERE s1 < 1.0 AND s2 IS NOT NULL
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_used, sum(t) AS s FROM terms
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM embeddings)
+SELECT n_nodes, n_used,
+       CASE WHEN s > 0
+            THEN round(CAST(n_used AS DOUBLE) * {ENTROPY_SCALE}
+                       / CAST(s AS DOUBLE), 6)
+            ELSE NULL END AS id_hat
+FROM agg, nn
+"""
+
+
+PCTL_KS = (50, 90, 99)  # the generic percentile profile points
+
+
+def q_price_percentiles_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generic grouped percentile profiler, instantiated on order value
+    by priority class: exact discrete p50/p90/p99 of o_totalprice
+    (BIGINT cents) per o_orderpriority — the SLA-style readout
+    ('p99 order value per priority tier') that every monitoring stack
+    runs, expressed with the ppl_deciles discrete law: p_k is the
+    SMALLEST value whose within-group cumulative count reaches
+    ceil(n·k/100) (the (n·k+99) div 100 integer identity — no float
+    interpolation, so both engines agree bit-for-bit). The cumulative
+    window runs per group over the DISTINCT cents grid, not rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    dist = o.groupBy("o_orderpriority", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dist.select(
+        "o_orderpriority", "cents", F.sum("c").over(w).alias("cum")
+    )
+    tot = dist.groupBy("o_orderpriority").agg(F.sum("c").alias("n"))
+    j = cum.join(tot, "o_orderpriority")
+    aggs = [F.max("n").cast("long").alias("n_orders")]
+    for k in PCTL_KS:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {k} + 99) div 100"),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{k}_cents")
+        )
+    return (
+        j.groupBy("o_orderpriority").agg(*aggs).orderBy("o_orderpriority")
+    )
+
+
+_ORACLES["price_percentiles_by_priority"] = f"""
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+dist AS (
+  SELECT o_orderpriority, cents, count(*) AS c
+  FROM o GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, cents,
+         sum(c) OVER (PARTITION BY o_orderpriority ORDER BY cents) AS cum
+  FROM dist
+),
+tot AS (
+  SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS n
+  FROM dist GROUP BY 1
+)
+SELECT c.o_orderpriority,
+       max(n) AS n_orders,
+       {", ".join(
+           f"CAST(min(CASE WHEN cum >= (n * {k} + 99) // 100 "
+           f"THEN cents END) AS BIGINT) AS p{k}_cents"
+           for k in PCTL_KS
+       )}
+FROM cum c JOIN tot t ON c.o_orderpriority = t.o_orderpriority
+GROUP BY c.o_orderpriority
+ORDER BY c.o_orderpriority
+"""
+
+
+NORM2_SCALE = 1_000_000  # fixed-point micro scale for norm² aggregation
+
+
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm audit: squared L2 norms should be ~1.0
+    for a unit-normalized embedding column — drift says a producer
+    shipped unnormalized (or zero) vectors, which silently corrupts
+    every cosine/IP ranking downstream. Norm² is the shared
+    left-to-right f64 kernel (functions.vector.dot(a,a) ≡ the oracle's
+    list_sum law), then quantized to round(norm²·10⁶) BIGINTs so the
+    per-label mean is an exact integer sum (a raw float mean would be
+    partition-order-dependent). One scan, one tiny rollup."""
+    from homemade_vector_db_spark.functions import vector as V
+
+    e = load_embeddings(spark, sf_dir).select(
+        "label",
+        F.round(V.dot("embedding", "embedding") * NORM2_SCALE)
+        .cast("long")
+        .alias("n2u"),
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("n2u").alias("mn"),
+            F.max("n2u").alias("mx"),
+            F.sum("n2u").alias("s"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(F.col("mn") / float(NORM2_SCALE), 6).alias(
+                "min_norm2"
+            ),
+            F.round(F.col("mx") / float(NORM2_SCALE), 6).alias(
+                "max_norm2"
+            ),
+            F.round(
+                F.col("s").cast("double")
+                / F.col("n_vecs")
+                / NORM2_SCALE,
+                6,
+            ).alias("mean_norm2"),
+        )
+        .orderBy("label")
+    )
+
+
+_ORACLES["embedding_norm_profile"] = f"""
+WITH e AS (
+  SELECT label,
+         CAST(round({_SQL_DOT.format(a='embedding', b='embedding')}
+                    * {NORM2_SCALE}) AS BIGINT) AS n2u
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(min(n2u) / {float(NORM2_SCALE)}, 6) AS min_norm2,
+       round(max(n2u) / {float(NORM2_SCALE)}, 6) AS max_norm2,
+       round(CAST(sum(n2u) AS DOUBLE) / count(*) / {NORM2_SCALE}, 6)
+         AS mean_norm2
+FROM e
+GROUP BY label
+ORDER BY label
+"""
+
+
 # ---- round-10 third mini-batch: experimentation-hygiene laws ----
 
 
@@ -16619,6 +16867,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm_check": q_srm_check,
         "winsorized_mean_ab": q_winsorized_mean_ab,
         "power_mde": q_power_mde,
+        # slots 40-42: NEW round 10, fourth mini-batch — embedding-
+        # space diagnostics (TwoNN intrinsic dimension, grouped exact
+        # percentiles, norm audit); verified hash-green at BOTH SFs
+        # before registration.
+        "twonn_intrinsic_dim": q_twonn_intrinsic_dim,
+        "price_percentiles_by_priority": q_price_percentiles_by_priority,
+        "embedding_norm_profile": q_embedding_norm_profile,
         # remaining slots: round-9 fourth mini-batch (green in r09) as
         # filler to the ~50-slot boundary.
         "dedup_rate_by_batch": q_dedup_rate_by_batch,

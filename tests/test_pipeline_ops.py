@@ -1814,3 +1814,99 @@ def test_power_mde_matches_python_model(spark):
     )
     assert abs(r.mde_micro - want) <= 1e-4
     assert r.mde_micro > 0
+
+
+def test_twonn_line_manifold_matches_python_twin(spark, monkeypatch):
+    """Points on a 1-D line in 4-D with growing gaps (an even lattice
+    ties r1 = r2 for interior points — degenerate for TwoNN): the
+    estimate must match the python replication of the exact
+    fixed-point law and sit far below the ambient dimension."""
+    import math
+
+    import homemade_vector_db_spark.queries as Qm
+
+    xs = [0.01 * i * i for i in range(10)]
+    pts = [(i, [x, 0.0, 0.0, 0.0], 0) for i, x in enumerate(xs)]
+    e = spark.createDataFrame(
+        pts, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(Qm, "load_embeddings", lambda s, sf: e)
+    Qm._ANN_IDX.pop(("knn_graph", "x"), None)
+    r = Qm.q_twonn_intrinsic_dim(spark, "x").collect()[0]
+    assert (r.n_nodes, r.n_used) == (10, 10)
+
+    # python twin: same rounded-score inversion + fixed-point terms
+    def score(r2):
+        return round(1.0 / (1.0 + r2), 6)
+
+    S = Qm.ENTROPY_SCALE
+    total = 0
+    for i in range(10):
+        ds = sorted(
+            (xs[i] - xs[j]) ** 2 for j in range(10) if j != i
+        )[:2]
+        s1, s2 = score(ds[0]), score(ds[1])
+        mu2 = (1.0 / s2 - 1.0) / (1.0 / s1 - 1.0)
+        total += round(math.log(mu2) * 0.5 * S)
+    want = round(10 * S / total, 6)
+    assert abs(r.id_hat - want) <= 1e-6
+    assert r.id_hat < 4.0  # a curve's estimate, not the ambient 4-D
+
+
+def test_twonn_fixture_high_dim(spark):
+    r = Q.q_twonn_intrinsic_dim(spark, SF_SMOKE).collect()[0]
+    assert r.n_used <= r.n_nodes
+    # near-uniform unit 64-d vectors: intrinsic dim far above any
+    # low-dim manifold
+    assert r.id_hat is None or r.id_hat > 5.0
+
+
+def test_price_percentiles_match_python(spark):
+    rows = {
+        r.o_orderpriority: r
+        for r in Q.q_price_percentiles_by_priority(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    o = (
+        Q.load_table(spark, SF_SMOKE, "orders")
+        .select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    by_pri = {}
+    for row in o:
+        by_pri.setdefault(row.o_orderpriority, []).append(row.c)
+    for pri, cents in by_pri.items():
+        cents.sort()
+        n = len(cents)
+        r = rows[pri]
+        assert r.n_orders == n
+        for k in Q.PCTL_KS:
+            need = (n * k + 99) // 100
+            assert getattr(r, f"p{k}_cents") == cents[need - 1]
+        assert r.p50_cents <= r.p90_cents <= r.p99_cents
+
+
+def test_embedding_norm_profile_unit_vectors(spark):
+    for r in Q.q_embedding_norm_profile(spark, SF_SMOKE).collect():
+        assert r.n_vecs > 0
+        assert 0.98 <= r.min_norm2 <= r.mean_norm2 <= r.max_norm2 <= 1.02
+
+
+def test_embedding_norm_profile_scaled_synthetic(spark, monkeypatch):
+    import homemade_vector_db_spark.queries as Qm
+
+    e = spark.createDataFrame(
+        [(0, [2.0, 0.0], 0), (1, [0.0, 2.0], 0), (2, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(Qm, "load_embeddings", lambda s, sf: e)
+    rows = {r.label: r for r in
+            Qm.q_embedding_norm_profile(spark, "x").collect()}
+    assert (rows[0].min_norm2, rows[0].max_norm2, rows[0].mean_norm2) == (
+        4.0, 4.0, 4.0,
+    )
+    assert rows[1].mean_norm2 == 1.0
