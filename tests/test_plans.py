@@ -715,3 +715,39 @@ def test_snippet_extract_is_scan_side(spark):
     plan = physical_plan(Q.q_snippet_extract(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Generate" not in plan, plan
+
+
+# ---- round-10 entry plan contracts ----
+
+
+def test_term_burstiness_topk_avoids_full_sort(spark):
+    # df-desc top-20 must be TakeOrderedAndProject, not a global Sort
+    assert has_operator(
+        Q.q_term_burstiness(spark, SF_SMOKE), "TakeOrderedAndProject"
+    )
+
+
+def test_snippet_extract_topk_avoids_full_sort(spark):
+    assert has_operator(
+        Q.q_snippet_extract(spark, SF_SMOKE), "TakeOrderedAndProject"
+    )
+
+
+def test_doclen_gini_window_is_partitioned(spark):
+    # the rank window must be partitioned by source — a global
+    # (unpartitioned) window would serialize the corpus through one
+    # task at scale
+    plan = physical_plan(Q.q_doclen_gini_by_source(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_price_percentiles_window_is_partitioned(spark):
+    plan = physical_plan(Q.q_price_percentiles_by_priority(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_contamination_sweep_joins_are_semi(spark):
+    # flagging must stay a semi join (bench-shingle membership), never
+    # materialize the full pair relation
+    plan = physical_plan(Q.q_contamination_sweep(spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
