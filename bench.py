@@ -160,6 +160,9 @@ HEADLINE = [
     "twonn_intrinsic_dim",
     "price_percentiles_by_priority",
     "embedding_norm_profile",
+    # round-10 fifth mini-batch: parameter-sweep curves
+    "attribution_window_sweep",
+    "dedup_threshold_sweep",
 ]
 
 

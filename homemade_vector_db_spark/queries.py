@@ -15946,6 +15946,180 @@ ORDER BY p.batch
 """
 
 
+# ---- round-10 fifth mini-batch: parameter-sweep curves ----
+
+
+ATTR_SWEEP_DAYS = (1, 3, 7, 30)  # lookback windows the sweep probes
+
+
+def q_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window sensitivity sweep: the last-touch revenue
+    split at lookback windows of 1/3/7/30 days in ONE result — the
+    curve a marketing team reads to see how much credited revenue is
+    an artifact of the window choice (a channel whose revenue halves
+    from 7d to 3d is riding stale touches). The per-purchase last
+    touch is computed ONCE (the attribution_last_touch window law);
+    the sweep is a broadcast cross-join against a 4-row windows
+    relation + one rollup — the window pass does not repeat."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(is_touch, F.col("event_type")).alias("touch_type"),
+        F.when(is_touch, F.col("ts")).alias("touch_ts"),
+    )
+    purchases = (
+        tagged.withColumn(
+            "last_type", F.last("touch_type", ignorenulls=True).over(w)
+        )
+        .withColumn("last_ts", F.last("touch_ts", ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "last_type",
+            F.expr("timestampdiff(MICROSECOND, last_ts, ts)").alias(
+                "age_us"
+            ),
+            F.round(F.col("value") * 1e6).cast("long").alias("v_u"),
+        )
+    )
+    wins = spark.createDataFrame(
+        [(d,) for d in ATTR_SWEEP_DAYS], "window_days long"
+    )
+    return (
+        purchases.crossJoin(F.broadcast(wins))
+        .select(
+            "window_days",
+            F.when(
+                F.col("last_type").isNotNull()
+                & (
+                    F.col("age_us")
+                    <= F.col("window_days") * 86400 * 1_000_000
+                ),
+                F.col("last_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "v_u",
+        )
+        .groupBy("window_days", "channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v_u").alias("revenue_micro"),
+        )
+        .orderBy("window_days", "channel")
+    )
+
+
+_ORACLES["attribution_window_sweep"] = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END
+           AS touch_type,
+         CASE WHEN event_type IN ('click', 'view') THEN ts END AS touch_ts
+  FROM events
+),
+purchases AS (
+  SELECT last_value(touch_type IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_type,
+         last_value(touch_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_ts,
+         ts, event_type, value
+  FROM tagged
+),
+wins AS (SELECT unnest({list(ATTR_SWEEP_DAYS)}) AS window_days)
+SELECT CAST(window_days AS BIGINT) AS window_days,
+       CASE WHEN last_type IS NOT NULL
+            AND epoch_us(ts) - epoch_us(last_ts)
+                <= CAST(window_days AS BIGINT) * 86400 * 1000000
+            THEN last_type ELSE 'direct' END AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS revenue_micro
+FROM purchases, wins
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+DEDUP_SWEEP_TAUS = (0.5, 0.6, 0.7, 0.8, 0.9)  # Jaccard thresholds probed
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity sweep: exact shingle-Jaccard pair
+    counts at τ = 0.5..0.9 from ONE pair relation — the knee-picking
+    curve every dedup deployment reads before fixing its threshold
+    (too low merges distinct docs, too high misses paraphrases;
+    neardup_eval measures P/R at one τ, this shows the whole curve).
+    The PPJoin prefix-filtered pair join runs ONCE at the loosest τ
+    (its prefix/length filters are exact for every tighter τ by
+    monotonicity); each curve point is then a count over the verified
+    pair relation's 6dp-rounded Jaccard — identical rounding on both
+    engines, so the boundary compares agree."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_documents(spark, sf_dir),
+        n=JACCARD_NGRAM,
+        threshold=min(DEDUP_SWEEP_TAUS),
+        shingled=_shingle_sets(spark, sf_dir),
+    )
+    pairs = _track_persist(pairs.select("jaccard"))
+    taus = spark.createDataFrame(
+        [(t,) for t in DEDUP_SWEEP_TAUS], "tau double"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(taus))
+        .groupBy("tau")
+        .agg(
+            F.sum((F.col("jaccard") >= F.col("tau")).cast("long")).alias(
+                "n_pairs"
+            )
+        )
+        .orderBy("tau")
+    )
+
+
+_ORACLES["dedup_threshold_sweep"] = f"""
+WITH {_SHINGLE_CTE},
+e AS (SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+      FROM sh),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         count(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+  FROM pairs
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter)
+        >= {min(DEDUP_SWEEP_TAUS)}
+),
+taus AS (SELECT unnest({list(DEDUP_SWEEP_TAUS)}) AS tau)
+SELECT tau,
+       CAST(sum(CASE WHEN jaccard >= tau THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs
+FROM j, taus
+GROUP BY tau
+ORDER BY tau
+"""
+
+
 # ---- round-10 fourth mini-batch: embedding-space diagnostics ----
 
 
@@ -16874,6 +17048,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twonn_intrinsic_dim": q_twonn_intrinsic_dim,
         "price_percentiles_by_priority": q_price_percentiles_by_priority,
         "embedding_norm_profile": q_embedding_norm_profile,
+        # slots 43-44: NEW round 10, fifth mini-batch — parameter-sweep
+        # curves (attribution lookback, dedup threshold); verified
+        # hash-green at BOTH SFs before registration.
+        "attribution_window_sweep": q_attribution_window_sweep,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         # remaining slots: round-9 fourth mini-batch (green in r09) as
         # filler to the ~50-slot boundary.
         "dedup_rate_by_batch": q_dedup_rate_by_batch,

@@ -1910,3 +1910,40 @@ def test_embedding_norm_profile_scaled_synthetic(spark, monkeypatch):
         4.0, 4.0, 4.0,
     )
     assert rows[1].mean_norm2 == 1.0
+
+
+def test_attribution_window_sweep_monotone_and_consistent(spark):
+    rows = Q.q_attribution_window_sweep(spark, SF_SMOKE).collect()
+    by_win = {}
+    for r in rows:
+        by_win.setdefault(r.window_days, {})[r.channel] = (
+            r.n_purchases, r.revenue_micro,
+        )
+    assert sorted(by_win) == sorted(Q.ATTR_SWEEP_DAYS)
+    # per-window totals are the same purchase set, just re-bucketed
+    totals = {
+        w: (sum(v[0] for v in ch.values()), sum(v[1] for v in ch.values()))
+        for w, ch in by_win.items()
+    }
+    assert len(set(totals.values())) == 1
+    # direct credit shrinks (weakly) as the window widens
+    directs = [by_win[w].get("direct", (0, 0))[0]
+               for w in sorted(by_win)]
+    assert all(a >= b for a, b in zip(directs, directs[1:]))
+    # the 7-day point must equal the standalone entry exactly
+    want = {
+        r.channel: (r.n_purchases, r.revenue_micro)
+        for r in Q.q_attribution_last_touch(spark, SF_SMOKE).collect()
+    }
+    assert by_win[7] == want
+
+
+def test_dedup_threshold_sweep_monotone_and_consistent(spark):
+    rows = Q.q_dedup_threshold_sweep(spark, SF_SMOKE).collect()
+    assert [r.tau for r in rows] == list(Q.DEDUP_SWEEP_TAUS)
+    counts = [r.n_pairs for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # the 0.6 point must equal the standalone detector's pair count
+    n06 = Q.q_ngram_jaccard_neardup(spark, SF_SMOKE).count()
+    tau_counts = dict(zip([r.tau for r in rows], counts))
+    assert tau_counts[0.6] == n06
