@@ -15622,14 +15622,22 @@ def q_ks_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train",
         "n_val",
         "d_num",
-        F.round(
-            F.col("d_num")
-            / (
-                F.col("n_train").cast("double")
-                * F.col("n_val").cast("double")
+        # degenerate guard (the mannwhitney discipline): a tiny corpus
+        # can land 0 docs in a 5% split window — KS is undefined, not
+        # a DIVIDE_BY_ZERO
+        F.when(
+            (F.col("n_train") > 0) & (F.col("n_val") > 0),
+            F.round(
+                F.col("d_num")
+                / (
+                    F.col("n_train").cast("double")
+                    * F.col("n_val").cast("double")
+                ),
+                6,
             ),
-            6,
-        ).alias("ks_stat"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("ks_stat"),
     )
 
 
@@ -15666,10 +15674,12 @@ SELECT max(na) AS n_train,
        max(nb) AS n_val,
        CAST(max(abs(CAST(cuma AS HUGEINT) * nb
                     - CAST(cumb AS HUGEINT) * na)) AS BIGINT) AS d_num,
-       round(CAST(max(abs(CAST(cuma AS HUGEINT) * nb
-                          - CAST(cumb AS HUGEINT) * na)) AS DOUBLE)
-             / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6)
-         AS ks_stat
+       CASE WHEN max(na) > 0 AND max(nb) > 0
+            THEN round(CAST(max(abs(CAST(cuma AS HUGEINT) * nb
+                              - CAST(cumb AS HUGEINT) * na)) AS DOUBLE)
+                       / (CAST(max(na) AS DOUBLE)
+                          * CAST(max(nb) AS DOUBLE)), 6)
+            ELSE NULL END AS ks_stat
 FROM cum, tot
 """
 
@@ -16389,11 +16399,21 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).alias("arm")
     )
     agg = users.agg(
-        F.sum((F.col("arm") == 0).cast("long")).alias("na"),
-        F.sum((F.col("arm") == 1).cast("long")).alias("nb"),
+        F.coalesce(
+            F.sum((F.col("arm") == 0).cast("long")), F.lit(0)
+        ).alias("na"),
+        F.coalesce(
+            F.sum((F.col("arm") == 1).cast("long")), F.lit(0)
+        ).alias("nb"),
     )
     diff = F.col("na") - F.col("nb")
-    chi2 = (diff * diff).cast("double") / (F.col("na") + F.col("nb"))
+    n = F.col("na") + F.col("nb")
+    # degenerate guard: an empty events relation has no users — the
+    # statistic is undefined, not a DIVIDE_BY_ZERO (NULL chi2 and
+    # NULL flag, counts still exact zeros)
+    chi2 = F.when(n > 0, (diff * diff).cast("double") / n).otherwise(
+        F.lit(None).cast("double")
+    )
     return agg.select(
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
@@ -16405,16 +16425,20 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["srm_check"] = f"""
 WITH users AS (SELECT DISTINCT user_id FROM events),
 agg AS (
-  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS na,
-         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS nb
+  SELECT CAST(coalesce(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS na,
+         CAST(coalesce(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS nb
   FROM users
 )
 SELECT na AS n_a, nb AS n_b,
-       round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 6) AS chi2,
-       (CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb))
-         > {SRM_CHI2_CRIT} AS srm_detected
+       CASE WHEN na + nb > 0
+            THEN round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 6)
+            ELSE NULL END AS chi2,
+       CASE WHEN na + nb > 0
+            THEN (CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb))
+                 > {SRM_CHI2_CRIT}
+            ELSE NULL END AS srm_detected
 FROM agg
 """
 

@@ -1947,3 +1947,39 @@ def test_dedup_threshold_sweep_monotone_and_consistent(spark):
     n06 = Q.q_ngram_jaccard_neardup(spark, SF_SMOKE).count()
     tau_counts = dict(zip([r.tau for r in rows], counts))
     assert tau_counts[0.6] == n06
+
+
+def test_srm_check_empty_events_null_not_crash(spark, monkeypatch):
+    import homemade_vector_db_spark.queries as Qm
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
+    r = Qm.q_srm_check(spark, "x").collect()[0]
+    assert (r.n_a, r.n_b, r.chi2, r.srm_detected) == (0, 0, None, None)
+
+
+def test_ks_split_drift_degenerate_split_null_not_crash(spark, monkeypatch):
+    """A corpus whose every doc hashes into the train window leaves the
+    val side empty — ks_stat must be NULL, not DIVIDE_BY_ZERO."""
+    import hashlib
+
+    import homemade_vector_db_spark.queries as Qm
+
+    def bucket(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[Qm.SPLIT_HEX_OFF - 1:Qm.SPLIT_HEX_OFF + 7], 16) % 100
+
+    train_ids = [i for i in range(400)
+                 if bucket(i) < Qm.SPLIT_TRAIN_PCT][:5]
+    d = spark.createDataFrame(
+        [(i, "w w w", "s") for i in train_ids],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    r = Qm.q_ks_split_drift(spark, "x").collect()[0]
+    assert r.n_train == 5 and r.n_val == 0
+    assert r.ks_stat is None
