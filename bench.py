@@ -163,6 +163,9 @@ HEADLINE = [
     # round-10 fifth mini-batch: parameter-sweep curves
     "attribution_window_sweep",
     "dedup_threshold_sweep",
+    # round-10 sixth mini-batch: time-series + distribution laws
+    "acf_daily_revenue",
+    "js_divergence_by_source",
 ]
 
 

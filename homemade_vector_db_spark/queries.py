@@ -15956,6 +15956,252 @@ ORDER BY p.batch
 """
 
 
+# ---- round-10 sixth mini-batch: time-series + distribution laws ----
+
+
+ACF_MAX_LAG = 7  # autocorrelation lags probed (days)
+
+
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1..ACF_MAX_LAG —
+    the seasonality detector (a weekly cycle shows as a lag-7 spike)
+    that decides whether forecast_backtest's linear trend needs a
+    seasonal term. Law: the day grid is COMPLETE (missing days count
+    as 0 revenue — gap-filled via a sequence over the observed span,
+    so the lag join is over a dense integer grid), revenue is exact
+    BIGINT cents, the lag cross-moments Σ x_t·x_{t+k} accumulate in
+    decimal(38,0) via a self-join on the bounded day relation (days,
+    not orders), and r_k = (S1 − x̄(S2+S3) + (N−k)x̄²)/(Sxx − N·x̄²) is
+    one float formula per lag over exact integers — both engines
+    evaluate identical doubles in identical order. Self-join cost is
+    |days|·|lags|, independent of order count."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate AS date),"
+            " to_date('1970-01-01'))"
+        ).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "x"
+        )
+    )
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = span.select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("d")
+    )
+    days = _track_persist(
+        grid.join(daily, "d", "left")
+        .select(
+            "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+        )
+    )
+    mom = days.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in range(1, ACF_MAX_LAG + 1)], "lag long"
+    )
+    a, b = days.alias("a"), days.alias("b")
+    cross = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.d") == F.col("a.d") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                F.col("a.x").cast("decimal(38,0)") * F.col("b.x")
+            ).alias("s1"),
+            F.sum("a.x").alias("s2"),
+            F.sum("b.x").alias("s3"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    xbar = F.col("sx").cast("double") / F.col("n").cast("double")
+    num = (
+        F.col("s1").cast("double")
+        - xbar * (F.col("s2").cast("double") + F.col("s3").cast("double"))
+        + F.col("cnt").cast("double") * xbar * xbar
+    )
+    den = (
+        F.col("sxx").cast("double")
+        - F.col("n").cast("double") * xbar * xbar
+    )
+    return (
+        cross.crossJoin(F.broadcast(mom))
+        .select(
+            "lag",
+            F.col("cnt").cast("long").alias("n_pairs"),
+            F.when(den > 0, F.round(num / den, 6))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+_ORACLES["acf_daily_revenue"] = f"""
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY 1
+),
+span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+grid AS (SELECT unnest(generate_series(lo, hi)) AS d FROM span),
+days AS (
+  SELECT g.d, CAST(coalesce(daily.x, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN daily ON g.d = daily.d
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM days
+),
+lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+cross_m AS (
+  SELECT lag,
+         sum(CAST(a.x AS HUGEINT) * b.x) AS s1,
+         CAST(sum(a.x) AS BIGINT) AS s2,
+         CAST(sum(b.x) AS BIGINT) AS s3,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM days a, lags, days b
+  WHERE b.d = a.d + lag
+  GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, cnt AS n_pairs,
+       CASE WHEN (CAST(sxx AS DOUBLE)
+                  - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / n)
+                    * (CAST(sx AS DOUBLE) / n)) > 0
+            THEN round((CAST(s1 AS DOUBLE)
+                        - (CAST(sx AS DOUBLE) / n)
+                          * (CAST(s2 AS DOUBLE) + CAST(s3 AS DOUBLE))
+                        + CAST(cnt AS DOUBLE) * (CAST(sx AS DOUBLE) / n)
+                          * (CAST(sx AS DOUBLE) / n))
+                       / (CAST(sxx AS DOUBLE)
+                          - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / n)
+                            * (CAST(sx AS DOUBLE) / n)), 6)
+            ELSE NULL END AS acf
+FROM cross_m, mom
+ORDER BY lag
+"""
+
+
+def q_js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the REST of the corpus, in nats (bounded by ln 2 ≈ 0.693)
+    — the distribution-shift readout mixture planners weight sources
+    by (the symmetric, finite sibling of DSIR's KL machinery): a
+    source near 0 duplicates the corpus mix, near ln 2 brings a
+    disjoint vocabulary. Terms ABSENT from the source contribute
+    ½·q·ln 2 each (p = 0 ⇒ m = q/2), so their total is the closed
+    form ½·ln 2·(1 − Σ_{{t∈s}} q_t) — algebraically folded into the
+    present-term sum as js = ½ln2 + Σ (contrib(t) − ½ln2·q_t), which
+    keeps the relation on the source's own terms only. Determinism:
+    per-(source, term) values are computed from exact integer counts
+    (c, n_s, C, N — identical doubles in both engines), FIXED-POINT
+    rounded to BIGINT·10¹², and summed exactly — the entropy-law
+    discipline, so partition order can never move a digit. One
+    (source, term) rollup joined against the term-total relation."""
+    tok = (
+        load_documents(spark, sf_dir)
+        .select("source", F.explode(tokenize("text")).alias("t"))
+    )
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    st = _track_persist(st)
+    tot_term = st.groupBy("t").agg(F.sum("c").alias("ct"))
+    tot_src = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    n_all = st.agg(F.sum("c").alias("nn"))
+    j = (
+        st.join(tot_term, "t")
+        .join(tot_src, "source")
+        .crossJoin(F.broadcast(n_all))
+    )
+    p = F.col("c").cast("double") / F.col("ns").cast("double")
+    qc = (F.col("ct") - F.col("c")).cast("double")
+    qn = (F.col("nn") - F.col("ns")).cast("double")
+    q = qc / qn
+    m = (p + q) / 2.0
+    ln2 = 0.6931471805599453
+    contrib = (
+        F.when(F.col("c") > 0, 0.5 * p * F.log(p / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(qc > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+        - 0.5 * ln2 * q
+    )
+    terms = j.select(
+        "source",
+        F.round(contrib * ENTROPY_SCALE).cast("decimal(38,0)").alias("f"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("f").alias("s"))
+        .select(
+            "source",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.round(
+                0.5 * ln2
+                + F.col("s").cast("double") / ENTROPY_SCALE,
+                6,
+            ).alias("js_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLES["js_divergence_by_source"] = f"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+st AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+tot_term AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY t),
+tot_src AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY 1),
+n_all AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM st),
+j AS (
+  SELECT st.source, st.c, tt.ct, ts.ns, nn
+  FROM st JOIN tot_term tt ON st.t = tt.t
+          JOIN tot_src ts ON st.source = ts.source
+          CROSS JOIN n_all
+),
+terms AS (
+  SELECT source,
+         CAST(round((
+           CASE WHEN c > 0
+                THEN 0.5 * (CAST(c AS DOUBLE) / ns)
+                     * ln((CAST(c AS DOUBLE) / ns)
+                          / (((CAST(c AS DOUBLE) / ns)
+                              + (CAST(ct - c AS DOUBLE) / (nn - ns))) / 2.0))
+                ELSE 0.0 END
+           + CASE WHEN ct - c > 0
+                  THEN 0.5 * (CAST(ct - c AS DOUBLE) / (nn - ns))
+                       * ln((CAST(ct - c AS DOUBLE) / (nn - ns))
+                            / (((CAST(c AS DOUBLE) / ns)
+                                + (CAST(ct - c AS DOUBLE) / (nn - ns)))
+                               / 2.0))
+                  ELSE 0.0 END
+           - 0.5 * 0.6931471805599453
+             * (CAST(ct - c AS DOUBLE) / (nn - ns)))
+           * {ENTROPY_SCALE}) AS HUGEINT) AS f
+  FROM j
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       round(0.5 * 0.6931471805599453
+             + CAST(sum(f) AS DOUBLE) / {ENTROPY_SCALE}, 6) AS js_nats
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
 # ---- round-10 fifth mini-batch: parameter-sweep curves ----
 
 
@@ -17081,6 +17327,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-green at BOTH SFs before registration.
         "attribution_window_sweep": q_attribution_window_sweep,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        # slots 45-46: NEW round 10, sixth mini-batch — time-series +
+        # distribution laws (revenue autocorrelation, per-source JS
+        # divergence); verified hash-green at BOTH SFs before
+        # registration.
+        "acf_daily_revenue": q_acf_daily_revenue,
+        "js_divergence_by_source": q_js_divergence_by_source,
         # remaining slots: round-9 fourth mini-batch (green in r09) as
         # filler to the ~50-slot boundary.
         "dedup_rate_by_batch": q_dedup_rate_by_batch,

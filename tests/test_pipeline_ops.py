@@ -1983,3 +1983,61 @@ def test_ks_split_drift_degenerate_split_null_not_crash(spark, monkeypatch):
     r = Qm.q_ks_split_drift(spark, "x").collect()[0]
     assert r.n_train == 5 and r.n_val == 0
     assert r.ks_stat is None
+
+
+def test_acf_matches_python_model(spark, monkeypatch):
+    import datetime as dt
+
+    import homemade_vector_db_spark.queries as Qm
+
+    # 14 days of revenue with a period-7 pattern -> lag-7 acf high
+    xs = [100, 20, 30, 40, 50, 60, 70] * 2
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, 7, "O", float(x), base + dt.timedelta(days=i), "1-URGENT")
+            for i, x in enumerate(xs)]
+    o = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: o)
+    got = {r.lag: (r.n_pairs, r.acf)
+           for r in Qm.q_acf_daily_revenue(spark, "x").collect()}
+    cents = [x * 100 for x in xs]
+    n = len(cents)
+    xbar = sum(cents) / n
+    den = sum((x - xbar) ** 2 for x in cents)
+    for k in range(1, Qm.ACF_MAX_LAG + 1):
+        num = sum((cents[t] - xbar) * (cents[t + k] - xbar)
+                  for t in range(n - k))
+        assert got[k][0] == n - k
+        assert abs(got[k][1] - num / den) <= 1e-6
+    assert got[7][1] > 0.9 * max(v for _, v in got.values())
+
+
+def test_acf_bounds_on_fixture(spark):
+    for r in Q.q_acf_daily_revenue(spark, SF_SMOKE).collect():
+        assert r.acf is None or -1.1 <= r.acf <= 1.1
+        assert r.n_pairs > 0
+
+
+def test_js_divergence_bounds_and_extremes(spark, monkeypatch):
+    import math
+
+    import homemade_vector_db_spark.queries as Qm
+
+    # identical distributions -> JS == 0; disjoint vocab -> JS == ln 2
+    d = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "a b", "s2"), (3, "x y", "s3")],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    rows = {r.source: r.js_nats
+            for r in Qm.q_js_divergence_by_source(spark, "x").collect()}
+    # s3 is fully disjoint from the rest -> ln 2
+    assert abs(rows["s3"] - math.log(2)) <= 1e-6
+    # s1 vs rest = {a,b,x,y}: strictly between 0 and ln 2
+    assert 0.0 < rows["s1"] < math.log(2)
+    for r in Q.q_js_divergence_by_source(spark, SF_SMOKE).collect():
+        assert -1e-9 <= r.js_nats <= math.log(2) + 1e-9
