@@ -17205,7 +17205,7 @@ ORDER BY source
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
-    Round-10 close state: 268 entries, 268 oracle-paired — zero
+    Round-10 close state: 270 entries, 270 oracle-paired — zero
     rows-only (iterative NN-Descent has no one-statement SQL twin, so
     per the round-3 fold policy it registers THROUGH its gate:
     knn_graph_recall runs the NN-Descent graph in-plan against the
