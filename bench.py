@@ -166,6 +166,10 @@ HEADLINE = [
     # round-10 sixth mini-batch: time-series + distribution laws
     "acf_daily_revenue",
     "js_divergence_by_source",
+    # round-10 seventh mini-batch: monitors + profiles
+    "changepoint_cusum",
+    "inter_arrival_profile",
+    "category_mix_drift",
 ]
 
 

@@ -2041,3 +2041,82 @@ def test_js_divergence_bounds_and_extremes(spark, monkeypatch):
     assert 0.0 < rows["s1"] < math.log(2)
     for r in Q.q_js_divergence_by_source(spark, SF_SMOKE).collect():
         assert -1e-9 <= r.js_nats <= math.log(2) + 1e-9
+
+
+def test_changepoint_cusum_detects_level_shift(spark, monkeypatch):
+    import datetime as dt
+
+    import homemade_vector_db_spark.queries as Qm
+
+    # revenue 100/day for 10 days then 300/day for 10 days:
+    # |CUSUM| peaks exactly at the boundary (day index 9)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, 7, "O", 100.0 if i < 10 else 300.0,
+             base + dt.timedelta(days=i), "1-URGENT")
+            for i in range(20)]
+    o = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: o)
+    r = Qm.q_changepoint_cusum(spark, "x").collect()[0]
+    base_day = (base - dt.datetime(1970, 1, 1)).days
+    assert r.changepoint_day == base_day + 9
+    assert r.n_days == 20
+    # perfect two-level shift: normalized CUSUM stat = 0.5 exactly
+    assert abs(r.cusum_stat - 0.5) <= 1e-6
+
+
+def test_inter_arrival_profile_matches_python(spark):
+    rows = {r.event_type: r
+            for r in Q.q_inter_arrival_profile(spark, SF_SMOKE).collect()}
+    ev = (
+        Q.load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    by_ut = {}
+    for e in ev:
+        by_ut.setdefault((e.user_id, e.event_type), []).append(
+            (e.ts, e.event_id)
+        )
+    gaps_by_type = {}
+    for (u, t), es in by_ut.items():
+        es.sort()
+        for a, b in zip(es, es[1:]):
+            us = int((b[0] - a[0]).total_seconds() * 1_000_000)
+            gaps_by_type.setdefault(t, []).append(us // 1_000_000)
+    for t, gaps in gaps_by_type.items():
+        gaps.sort()
+        n = len(gaps)
+        r = rows[t]
+        assert r.n_gaps == n
+        for k in Q.IAT_KS:
+            need = (n * k + 99) // 100
+            assert getattr(r, f"p{k}_s") == gaps[need - 1]
+
+
+def test_category_mix_drift_identical_halves_zero(spark, monkeypatch):
+    import datetime as dt
+
+    import homemade_vector_db_spark.queries as Qm
+
+    # identical type mix in both halves -> chi2 == 0
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for half in (0, 1):
+        for i, t in enumerate(["click", "view", "click", "purchase"]):
+            rows.append(
+                (len(rows), base + dt.timedelta(days=10 * half + i),
+                 len(rows), t, 0.0, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
+    r = Qm.q_category_mix_drift(spark, "x").collect()[0]
+    assert (r.n_types, r.dof, r.chi2) == (3, 2, 0.0)
