@@ -773,3 +773,67 @@ def test_hits_matches_python_power_iteration(spark, edges, monkeypatch):
             h[u] += a[v]
     want_order = sorted(nodes, key=lambda n: (-a[n], n))[:Qm.HITS_TOP]
     assert got == {n: (a[n], h[n]) for n in want_order}
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30)),
+        min_size=1, max_size=40,
+    ).filter(lambda v: len({a for a, _ in v}) == 2),
+)
+@example(vals=[(0, 5), (1, 5)])  # all equal: lo == hi == every value
+@example(vals=[(0, 0), (1, 30)])  # two-point extremes
+@example(vals=[(0, 1)] * 20 + [(1, 29)])  # mass at one value
+def test_winsorized_mean_matches_python(spark, vals, monkeypatch):
+    """Discrete ceil-identity percentile bounds + clamped arm means vs
+    a pure-python model on randomized arm/value lists."""
+    import datetime as dt
+
+    import homemade_vector_db_spark.queries as Qm
+
+    rows = [(i, dt.datetime(2024, 1, 1), 2 * i + arm, "purchase",
+             float(v), "{}") for i, (arm, v) in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
+    r = Qm.q_winsorized_mean_ab(spark, "x").collect()[0]
+    micro = sorted(v * 1_000_000 for _, v in vals)
+    n = len(micro)
+
+    def pctl(k):
+        return micro[(n * k + 99) // 100 - 1]
+
+    lo, hi = pctl(Qm.WINSOR_LO_PCT), pctl(Qm.WINSOR_HI_PCT)
+    assert (r.lo_micro, r.hi_micro) == (lo, hi)
+    wa = [max(lo, min(hi, v * 1_000_000)) for a, v in vals if a == 0]
+    wb = [max(lo, min(hi, v * 1_000_000)) for a, v in vals if a == 1]
+    assert abs(r.wmean_a_micro - sum(wa) / len(wa)) <= 1e-6
+    assert abs(r.wmean_b_micro - sum(wb) / len(wb)) <= 1e-6
+
+
+@SETTINGS
+@given(
+    lens=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+)
+@example(lens=[7] * 10)  # all equal lengths: gini == 0
+@example(lens=[1, 39])  # two extremes
+def test_doclen_gini_matches_python(spark, lens, monkeypatch):
+    """Per-source Gini vs the rank-formula python model."""
+    import homemade_vector_db_spark.queries as Qm
+
+    d = spark.createDataFrame(
+        [(i, " ".join(["w"] * c), "s0") for i, c in enumerate(lens)],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
+    r = Qm.q_doclen_gini_by_source(spark, "x").collect()[0]
+    xs = sorted(lens)
+    n, sx = len(xs), sum(xs)
+    srx = sum((i + 1) * x for i, x in enumerate(xs))
+    want = 2.0 * srx / (n * sx) - (n + 1.0) / n
+    assert r.n_docs == n and r.total_tokens == sx
+    assert abs(r.gini - want) <= 1e-6
