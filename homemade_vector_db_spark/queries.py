@@ -17708,13 +17708,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_expansion_topk": q_prf_expansion_topk,
         "retrieval_eval": q_retrieval_eval,
         "chunk_bm25_topk": q_chunk_bm25_topk,
-        # slots 25-28: semantics changed round 10 (VERDICT r9 Next #1 +
+        # slots 25-27: semantics changed round 10 (VERDICT r9 Next #1 +
         # ADVICE) — degenerate-variance guard, padding-count fix,
-        # oracle widening, postings-semi-join prune — re-earn rows.
+        # oracle widening — re-earn rows. (snippet_extract's prune is
+        # provably output-identical, its r09 row stands, so it yields
+        # its slot to the capstones and sits just below the window.)
         "mannwhitney_ab": q_mannwhitney_ab,
         "padding_waste": q_padding_waste,
         "cuped_adjust": q_cuped_adjust,
-        "snippet_extract": q_snippet_extract,
         # slots 29-32: NEW round 10 — distribution-drift and
         # corpus-saturation laws (KS split drift, lang-source mutual
         # information, decontamination n-gram sweep, batch novelty
@@ -17769,8 +17770,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-green at BOTH SFs before registration.
         "experiment_readout": q_experiment_readout,
         "drift_dashboard": q_drift_dashboard,
-        # remaining slots: round-9 fourth mini-batch (green in r09) as
-        # filler to the ~50-slot boundary.
+        # just below the window: plan-changed-only (output-identical,
+        # r09 row stands), then round-9 filler.
+        "snippet_extract": q_snippet_extract,
         "dedup_rate_by_batch": q_dedup_rate_by_batch,
         "ngram_diversity": q_ngram_diversity,
         "user_similarity": q_user_similarity,
