@@ -6,6 +6,10 @@ Per query: 1 warmup + N timed runs, MIN reported (this container shows
 multi-second JIT/GC stalls on otherwise-sub-second queries; min-of-N is
 the standard noise-robust statistic for microbenchmarks). `value` is the
 sum of per-query minima (total headline seconds — lower is better).
+VERDICT r10 Next #2: the MEDIAN of the same samples is reported beside
+the min (`median` total + per-query `queries_median`), so a run-local
+outlier like the r10 knn_graph 12× swing is detectable in the artifact
+itself instead of only by diffing rounds.
 """
 
 from __future__ import annotations
@@ -85,7 +89,14 @@ HEADLINE = [
     "dedup_cluster_sample",
     "triplet_mining",
     "tokenizer_fertility",
-    "knn_graph",
+    # round 11 (VERDICT r10 Next #1): the bare exact `knn_graph` tier is
+    # OUT of the headline set — same code measured 1.93 s (r9), 8.2 s
+    # (SCALE_AUDIT), 24.58 s (r10) at the same sf0.1, i.e. run-local
+    # noise that swamped the whole bench total. The exact tier remains
+    # the oracle input to the knn_graph_recall gate (its correctness
+    # role, mirroring the reference's flat index, local_db.py:47-48);
+    # the entry users should call — and the one benched — is
+    # knn_graph_auto below (tier dispatch + disk materialization).
     "mixture_reweight",
     # round 9: the tier-dispatched graph entry (exact kernel at bench SF —
     # one chunk, vs knn_graph's two) and the graph-SemDeDup composition.
@@ -193,6 +204,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = Q.registry()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
         fn(spark, SF_DIR).collect()  # warmup: JIT, parquet footer cache
@@ -202,13 +214,16 @@ def main() -> None:
             fn(spark, SF_DIR).collect()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 4)
+        medians[name] = round(statistics.median(samples), 4)
         release_transient()
     spark.stop()
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 4),
+        "median": round(sum(medians.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": sf_from_dir(SF_DIR),
     }
     # Per-query detail goes to a sidecar file and a PRECEDING stdout
@@ -223,6 +238,7 @@ def main() -> None:
     print(json.dumps({
         "metric": out["metric"],
         "value": out["value"],
+        "median": out["median"],
         "unit": "sec",
         "n_queries": len(timings),
         "sf": out["sf"],

@@ -575,6 +575,12 @@ class IncrementalNovelty:
         novel.write.mode("overwrite").parquet(
             os.path.join(self.seen_path, f"batch={batch_id}")
         )
+        # ADVICE r10 #2: unpersist BOTH cached frames — in a
+        # long-running stream leaking one cached DataFrame per
+        # micro-batch grows executor storage unboundedly (guard the
+        # first-batch novel-is-sh aliasing against double-unpersist)
+        if novel is not sh:
+            novel.unpersist()
         sh.unpersist()
 
     def stats(self) -> DataFrame:

@@ -266,23 +266,37 @@ class IncrementalAttribution:
         # preceding touch and the state touch (ADVICE r9 #3: a coalesce
         # that always preferred the in-batch touch mis-attributed when
         # a batch carried events older than the state's latest touch —
-        # the max enforces the chunk law instead of assuming it)
+        # the max enforces the chunk law instead of assuming it).
+        # ADVICE r10 #1: the state touch is ELIGIBLE only if it
+        # precedes the purchase in (ts, event_id) order — the batch law
+        # only ever looks backward, so a late-arriving purchase that is
+        # OLDER than the state's latest touch must not be attributed to
+        # that future touch (the in-batch window already guarantees
+        # this for the local candidate by construction).
+        # cast both sides to TIMESTAMP: the in-batch column may arrive
+        # as TIMESTAMP_NTZ while parquet state reads back as TIMESTAMP,
+        # and struct comparison requires equal types
+        st_eligible = F.col("st_ts").isNotNull() & (
+            F.struct(F.col("st_ts").cast("timestamp"), F.col("st_eid"))
+            < F.struct(F.col("ts").cast("timestamp"), F.col("event_id"))
+        )
         use_local = F.col("l_ts").isNotNull() & (
-            F.col("st_ts").isNull()
+            ~st_eligible
             | (
-                # cast both sides to TIMESTAMP: the in-batch column may
-                # arrive as TIMESTAMP_NTZ while parquet state reads back
-                # as TIMESTAMP, and struct comparison requires equal types
                 F.struct(F.col("l_ts").cast("timestamp"), F.col("l_eid"))
                 > F.struct(F.col("st_ts").cast("timestamp"), F.col("st_eid"))
             )
         )
         local = local.withColumn(
             "eff_type",
-            F.when(use_local, F.col("l_type")).otherwise(F.col("st_type")),
+            F.when(use_local, F.col("l_type"))
+            .when(st_eligible, F.col("st_type"))
+            .otherwise(F.lit(None).cast("string")),
         ).withColumn(
             "eff_ts",
-            F.when(use_local, F.col("l_ts")).otherwise(F.col("st_ts")),
+            F.when(use_local, F.col("l_ts").cast("timestamp"))
+            .when(st_eligible, F.col("st_ts").cast("timestamp"))
+            .otherwise(F.lit(None).cast("timestamp")),
         )
         attributed = local.select(
             F.when(
@@ -290,7 +304,11 @@ class IncrementalAttribution:
                 & (
                     F.expr("timestampdiff(MICROSECOND, eff_ts, ts)")
                     <= self.ATTR_WINDOW_US
-                ),
+                )
+                # belt for the backward law: never credit a touch that
+                # follows the purchase (eligibility above already
+                # guarantees eff_ts <= ts)
+                & (F.expr("timestampdiff(MICROSECOND, eff_ts, ts)") >= 0),
                 F.col("eff_type"),
             )
             .otherwise(F.lit("direct"))

@@ -1374,6 +1374,44 @@ def test_incremental_attribution_out_of_order_batch(spark, tmp_path):
     assert got == {("view", 1, 10_000_000)}
 
 
+def test_incremental_attribution_late_purchase(spark, tmp_path):
+    """A batch carrying a purchase OLDER than the state's latest touch
+    must not be attributed to that future touch (ADVICE r10 #1): the
+    batch law only looks backward, so a state touch is eligible only
+    if it precedes the purchase in (ts, event_id) order. User 1: the
+    day-5 state view is in the future of the day-3 late purchase, but
+    the in-batch day-2 click precedes it → click. User 2: no backward
+    candidate at all (only the day-5 future view) → direct."""
+    import datetime as dt
+
+    from homemade_vector_db_spark.streaming.sessions import (
+        IncrementalAttribution,
+    )
+
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    b0 = spark.createDataFrame(
+        [(10, t(5), 1, "view", 0.0, "{}"),
+         (11, t(5), 2, "view", 0.0, "{}")],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(12, t(2), 1, "click", 0.0, "{}"),
+         (13, t(3), 1, "purchase", 10.0, "{}"),
+         (14, t(3), 2, "purchase", 5.0, "{}")],
+        schema,
+    )
+    at = IncrementalAttribution(spark, str(tmp_path / "attr4"))
+    at.ingest_batch(b0, batch_id=0)
+    at.ingest_batch(b1, batch_id=1)
+    got = {(r.channel, r.n_purchases, r.revenue_micro)
+           for r in at.stats().collect()}
+    assert got == {("click", 1, 10_000_000), ("direct", 1, 5_000_000)}
+
+
 def test_incremental_novelty_matches_batch_entry(spark, tmp_path):
     """IncrementalNovelty fed the SAME id-range batches as
     q_ngram_novelty_curve reproduces its (n_shingles, n_novel,
