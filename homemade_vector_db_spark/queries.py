@@ -14077,6 +14077,15 @@ ORDER BY digit
 
 SNIPPET_W = 8  # snippet window width in tokens
 SNIPPET_TOP = 20
+# Snippet query: the reference's own query_text tests use a SELECTIVE
+# query ("meeting with team", test_local_db.py:29) — the fixture's
+# analogue leads with its one selective term ('dup', df ≈ 5%; every
+# other vocabulary word is in ~77% of docs, where TEXT_QUERY's all-
+# common terms made every BM25 score <= 0 at sf0.1 and the "top"-k
+# degenerated to no-term docs). idf('dup') ≈ +2.9 dominates, so the
+# candidate page is real matches at every SF (verified positive-score
+# top-20 at sf0.001/0.01/0.1).
+SNIPPET_QUERY = "dup spark join vector"
 
 
 def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14090,21 +14099,49 @@ def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats anywhere. Top SNIPPET_TOP docs by (hits desc, doc_id asc)
     with the winning window rendered as text.
 
-    Scan prune (VERDICT r9 Next #5): only docs containing >= 1 query
-    term can score > 0, so an O(len) arrays_overlap guard runs before
-    the O(len*W) window transform — provably identical output, and
-    cheaper than a postings semi-join (no shuffle at all; the filter
-    rides the scan). On the fixture the prune is a no-op ('the' is in
-    ~99% of docs) — measured honestly in BASELINE.md; with selective
-    query terms it skips the O(len*W) transform for every non-matching
-    doc. (A bitmask OR/bit_count window kernel was tried and measured
-    SLOWER than array_intersect — 5.2 s vs 3.1 s at sf0.1 — the
-    per-window slice allocation dominates either way; rejected.)"""
-    qterms = sorted(set(TEXT_QUERY.split()))
+    Round 11 (VERDICT r10 Next #4): snippets are extracted for the
+    BM25 top-SNIPPET_TOP RESULT SET, not the whole corpus — the
+    reference's own flow (query_text returns top_k docs,
+    test_local_db.py:80-96; a UI renders snippets for that page), and
+    the only shape that survives scale: the r9 arrays_overlap prune
+    was provably a no-op on this fixture (every vocabulary term is in
+    ~77% of docs — no selective multi-term query EXISTS here), so the
+    O(len·W) window transform ran over ~every doc; candidate-set
+    extraction bounds it to SNIPPET_TOP docs at ANY corpus size. The
+    corpus-sized work is exactly the BM25 ranking law (the hash-green
+    bm25_topk plan); the candidates broadcast back into one pruned
+    scan-side HOF pass. (A bitmask OR/bit_count window kernel was
+    tried and measured SLOWER than array_intersect — 5.2 s vs 3.1 s at
+    sf0.1 — the per-window slice allocation dominates either way;
+    rejected.)"""
+    qterms = sorted(set(SNIPPET_QUERY.split()))
     qarr = "array(" + ", ".join(f"'{t}'" for t in qterms) + ")"
     d = load_documents(spark, sf_dir)
+    # The candidate page is DRIVER-BOUNDED by construction (exactly
+    # SNIPPET_TOP ids — the knn_batch query-block pattern), so it goes
+    # back into the corpus as an IN-list: the parquet scan gets
+    # PushedFilters: In(doc_id, ...) and row-group pruning, and every
+    # downstream O(len) / O(len·W) expression touches only the result
+    # page. A broadcast-join formulation was measured instead executing
+    # its split/overlap filters against EVERY corpus row inside the
+    # scan task (filters on left-side columns sink below the join) —
+    # 1.7 s vs 0.3 s at sf0.1, and at 100 TB the difference is a full
+    # corpus pass.
+    cand_ids = [
+        r.doc_id
+        for r in bm25.query_text(
+            spark,
+            d,
+            SNIPPET_QUERY,
+            top_k=SNIPPET_TOP,
+            stats=_bm25_stats(spark, sf_dir),
+        )
+        .select("doc_id")
+        .collect()
+    ]
     toks = (
-        d.select(
+        d.where(F.col("doc_id").isin(cand_ids))
+        .select(
             "doc_id",
             F.expr("filter(split(text, '\\\\s+'), t -> t <> '')").alias("tk"),
         )
@@ -14119,12 +14156,21 @@ def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" i -> size(array_intersect(slice(tk, i, {SNIPPET_W}), {qarr})))"
         ).alias("scores"),
     )
+    # NO n_hits>0 filter here: it is IMPLIED by the arrays_overlap
+    # prune (a doc with >= 1 query term and >= W tokens always has a
+    # window covering that term), and as an explicit predicate it
+    # references only document columns, so Catalyst pushed it through
+    # the candidate join down to the corpus scan — re-running the
+    # O(len·W) window transform over EVERY doc, the exact cost the
+    # candidate set exists to avoid (measured: 2.9 s vs 0.2 s at
+    # sf0.1). The oracle keeps WHERE n_hits > 0, which drops the same
+    # rows the overlap prune drops — provably identical output.
     best = scored.select(
         "doc_id",
         "tk",
         F.array_max("scores").alias("n_hits"),
         F.expr("array_position(scores, array_max(scores))").alias("start"),
-    ).where(F.col("n_hits") > 0)
+    )
     return (
         best.select(
             "doc_id",
@@ -14140,25 +14186,32 @@ def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _snippet_oracle() -> str:
-    qterms = sorted(set(TEXT_QUERY.split()))
+    qterms = sorted(set(SNIPPET_QUERY.split()))
     qlist = "[" + ", ".join(f"'{t}'" for t in qterms) + "]"
     return f"""
-WITH t AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents
+WITH {_bm25_cte('documents', SNIPPET_QUERY)},
+cand AS (
+  SELECT d.doc_id
+  FROM documents d LEFT JOIN scores s USING (doc_id)
+  ORDER BY round(coalesce(s.s, 0.0), 6) DESC, d.doc_id DESC
+  LIMIT {SNIPPET_TOP}
 ),
-s AS (
+t AS (
+  SELECT d.doc_id,
+         list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS tk
+  FROM documents d JOIN cand USING (doc_id)
+),
+ws AS (
   SELECT doc_id, tk,
          list_transform(generate_series(1, len(tk) - {SNIPPET_W} + 1),
-           i -> len(list_intersect(tk[i:i+{SNIPPET_W - 1}], {qlist}))) AS scores
+           i -> len(list_intersect(tk[i:i+{SNIPPET_W - 1}], {qlist}))) AS wscores
   FROM t WHERE len(tk) >= {SNIPPET_W}
 ),
 b AS (
   SELECT doc_id, tk,
-         list_max(scores) AS n_hits,
-         list_position(scores, list_max(scores)) AS start
-  FROM s
+         list_max(wscores) AS n_hits,
+         list_position(wscores, list_max(wscores)) AS start
+  FROM ws
 )
 SELECT doc_id,
        CAST(start AS BIGINT) AS start,

@@ -1183,7 +1183,11 @@ def test_benford_check_is_a_distribution(spark):
 def test_snippet_window_argmax_law(spark, monkeypatch):
     # query terms {spark, join, query, vector, the}: doc packs 3 query
     # terms at positions 9-11; the best 8-window must cover all 3 and
-    # start at the earliest covering index
+    # start at the earliest covering index. Round 11: the entry now
+    # snippets the bm25 top-SNIPPET_TOP candidate set — with one doc
+    # the candidate set is that doc, so the window law is unchanged;
+    # a UNIQUE sf key keeps the _BM25_STATS session cache this entry
+    # now builds from colliding with other monkeypatched tests.
     filler = "w1 w2 w3 w4 w5 w6 w7 w8"
     d = spark.createDataFrame(
         [(1, filler + " spark join vector " + filler, "en", "a", 1)],
@@ -1192,7 +1196,8 @@ def test_snippet_window_argmax_law(spark, monkeypatch):
     import homemade_vector_db_spark.queries as Qm
 
     monkeypatch.setattr(Qm, "load_documents", lambda s, sf: d)
-    r = Qm.q_snippet_extract(spark, "ignored").collect()[0]
+    Qm._BM25_STATS.pop("ignored-snippet-argmax", None)
+    r = Qm.q_snippet_extract(spark, "ignored-snippet-argmax").collect()[0]
     assert r.n_hits == 3
     assert r.start == 4  # earliest 8-window covering tokens 9..11
     assert "spark join vector" in r.snippet

@@ -709,12 +709,19 @@ def test_user_similarity_profile_rollup_then_bounded_pair_join(spark):
 
 
 def test_snippet_extract_is_scan_side(spark):
-    """Window scoring is one HOF projection over the scan: the only
-    shuffle is the final top-N merge (TakeOrderedAndProject), and no
-    explode/generate multiplies corpus rows."""
-    plan = physical_plan(Q.q_snippet_extract(spark, SF_SMOKE))
+    """Round 11: snippets run over the bm25 top-SNIPPET_TOP candidate
+    PAGE — the driver-bounded candidate ids must reach the parquet
+    scan as a pushed In(doc_id, ...) filter (row-group pruning; the
+    O(len·W) window HOF then touches only the result page, never the
+    corpus), and the final ordering is a top-N merge. A broadcast-join
+    formulation was rejected measured: filters on document columns
+    sink below the join and re-run the HOF over every corpus row."""
+    df = Q.q_snippet_extract(spark, SF_SMOKE)
+    plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
-    assert "Generate" not in plan, plan
+    from homemade_vector_db_spark.plans.explain import has_pushed_filter
+
+    assert has_pushed_filter(df, "In(doc_id"), plan
 
 
 # ---- round-10 entry plan contracts ----
