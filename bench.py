@@ -70,6 +70,9 @@ HEADLINE = [
     "bq_topk",
     "radius_search",
     "maxsim_topk",
+    # round 11: token-level MaxSim over the real per-token vector
+    # fixture (warmup absorbs the one-time fixture generation)
+    "maxsim_token_topk",
     # round 4: derived-state guards (disk-materialized token/bigram/BPE
     # relations — warmup absorbs the one-time build; the timed number is
     # the scoring-only path these rounds optimized)

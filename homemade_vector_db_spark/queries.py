@@ -12612,6 +12612,94 @@ _ORACLES["maxsim_topk"] = _maxsim_oracle()
 _ORACLES["maxsim_grouped"] = _maxsim_oracle()
 
 
+def q_maxsim_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level MaxSim top-k over REAL per-token embeddings (VERDICT
+    r10 Next #5 — the last retrieval modality previously shipped on
+    deterministic sub-vector slices): score(q, d) = Σ_qtok max_dtok
+    dot(qvec, tvec), the ColBERT late-interaction law, over the
+    deterministic token-vector fixture sources/tokenvec.py derives from
+    this sf's documents table (query stored in-fixture as pseudo-doc
+    doc_id = -1, so BOTH engines read identical float32 vectors from
+    the same parquet). Plan: the query side is driver-bounded (4 token
+    vectors → literals), per-token dots are one codegen projection over
+    the token scan, and the ONLY shuffle is the groupBy(doc_id) max
+    rollup (partial map-side max) — the maxsim_grouped decomposition
+    applied to a real token relation, linear in total tokens at any
+    corpus size. Fixed 4-column m0+m1+m2+m3 fold keeps the float sum
+    order identical to the oracle's pivot."""
+    from homemade_vector_db_spark.functions.vector import dot_lit
+    from homemade_vector_db_spark.sources import tokenvec
+
+    path = tokenvec.ensure_token_fixture(sf_dir)
+    t = spark.read.parquet(path)
+    nq = len(tokenvec.TOKVEC_QUERY.split())
+    qrows = (
+        t.where(F.col("doc_id") == -1)
+        .select("pos", "tvec")
+        .orderBy("pos")
+        .collect()
+    )
+    assert len(qrows) == nq
+    qvecs = [[float(x) for x in r.tvec] for r in qrows]
+    dots = t.where(F.col("doc_id") >= 0).select(
+        "doc_id",
+        *[dot_lit("tvec", qvecs[p]).alias(f"d{p}") for p in range(nq)],
+    )
+    agg = dots.groupBy("doc_id").agg(
+        *[F.max(f"d{p}").alias(f"m{p}") for p in range(nq)]
+    )
+    score = F.round(sum(F.col(f"m{p}") for p in range(nq)), 6).alias(
+        "score"
+    )
+    return (
+        agg.select("doc_id", score)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def _maxsim_token_oracle() -> str:
+    """DuckDB twin over the SAME fixture parquet. The literal path names
+    the sf0.01 fixture (the driver's correctness SF);
+    scripts/check_correctness.py rewrites the basename when checking
+    other SFs. read_parquet instead of a registered view because the
+    token relation is repo-derived state, not driver testdata."""
+    from homemade_vector_db_spark.sources import tokenvec
+
+    path = tokenvec.token_fixture_path("/root/testdata/sf0.01")
+    nq = len(tokenvec.TOKVEC_QUERY.split())
+    dim = tokenvec.TOKVEC_DIM
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> CAST(d.tvec[i] AS DOUBLE) * CAST(q.tvec[i] AS DOUBLE)))"
+    )
+    piv = ",\n         ".join(
+        f"max(CASE WHEN qpos = {p} THEN m END) AS m{p}" for p in range(nq)
+    )
+    ssum = " + ".join(f"m{p}" for p in range(nq))
+    return f"""
+WITH tfix AS (SELECT doc_id, pos, tvec FROM read_parquet('{path}')),
+q AS (SELECT pos, tvec FROM tfix WHERE doc_id = -1),
+dots AS (
+  SELECT d.doc_id, q.pos AS qpos, max({dot}) AS m
+  FROM (SELECT doc_id, tvec FROM tfix WHERE doc_id >= 0) d, q
+  GROUP BY 1, 2
+),
+piv AS (
+  SELECT doc_id,
+         {piv}
+  FROM dots GROUP BY doc_id
+)
+SELECT doc_id, round({ssum}, 6) AS score
+FROM piv
+ORDER BY score DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
+_ORACLES["maxsim_token_topk"] = _maxsim_token_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Round 9, fourth mini-batch: pipeline-operations analytics — ingest-batch
 # dedup monitoring, corpus diversity, batching efficiency, behavioral
@@ -17837,6 +17925,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is regenerated whenever the registry changes (so no entry is
         # ever further than one round from a recorded green check).
         # ---- driver window (slots 1-50), round 10 ----
+        # ---- driver window (slots 1-50), round 11 ----
+        # leads: NEW maxsim_token_topk (real per-token vectors, VERDICT
+        # r10 Next #5) and the semantics-changed snippet_extract
+        # (bm25-page extraction, Next #4) re-earn rows first; the
+        # split-division chi2 pair and the three capstones follow
+        # (plan/law changed, values unchanged — re-verified anyway).
+        "maxsim_token_topk": q_maxsim_token_topk,
         # slots 1-24 (VERDICT r9 Next #2): the 24 entries that had
         # never earned a driver CORRECTNESS row across r01-r09 — the
         # round-8/9 graph/retrieval tier — rotated to the head so the
@@ -18250,4 +18345,16 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracles() -> dict[str, str]:
+    # The maxsim_token_topk oracle reads the repo-derived token-vector
+    # fixture via read_parquet, so it must EXIST before the driver runs
+    # any oracle SQL (the driver may execute oracles in any order
+    # relative to the Spark twins). Idempotent and cheap (~1 s once per
+    # checkout at sf0.01); skipped silently where testdata is absent.
+    from homemade_vector_db_spark.sources import tokenvec
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        try:
+            tokenvec.ensure_token_fixture(sf)
+        except FileNotFoundError:
+            pass
     return dict(_ORACLES)

@@ -74,6 +74,21 @@ def main() -> int:
 
     qs = ent.queries()
     oracles = ent.oracle_sql()
+    # maxsim_token_topk's oracle reads the repo-derived token-vector
+    # fixture with the sf0.01 basename hardwired (the driver's
+    # correctness SF); when checking another SF, generate that SF's
+    # fixture and rewrite the basename so both engines read it.
+    base = _os.path.basename(SF_DIR.rstrip("/"))
+    if base != "sf0.01":
+        from homemade_vector_db_spark.sources import tokenvec
+
+        tokenvec.ensure_token_fixture(SF_DIR)
+        oracles = {
+            k: v.replace(
+                "token_embeddings_sf0.01", f"token_embeddings_{base}"
+            )
+            for k, v in oracles.items()
+        }
     failures = []
     records: dict[str, dict] = {}
     for name, fn in qs.items():

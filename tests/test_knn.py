@@ -146,6 +146,77 @@ def test_maxsim_self_is_top_and_plan_shuffle_free(spark, embs):
     assert "Exchange" not in plan, plan  # TakeOrderedAndProject only
 
 
+def test_maxsim_token_matches_numpy_model(spark):
+    """Token-level MaxSim (round 11): score(d) = Σ_q max_t dot(q, t)
+    over the REAL per-token vector fixture must match an independent
+    numpy evaluation of the same law, with the engine's rounding + tie
+    rules (round 6dp, score desc, doc_id asc)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import homemade_vector_db_spark.queries as Qm
+    from homemade_vector_db_spark.sources import tokenvec
+
+    path = tokenvec.ensure_token_fixture(SF_SMOKE)
+    t = pq.read_table(path).to_pandas()
+    qv = np.stack(
+        t[t.doc_id == -1].sort_values("pos").tvec.map(np.asarray)
+    ).astype(np.float64)
+    docs = t[t.doc_id >= 0]
+    truth = {}
+    for doc_id, grp in docs.groupby("doc_id"):
+        D = np.stack(grp.tvec.map(np.asarray)).astype(np.float64)
+        truth[int(doc_id)] = round(float((qv @ D.T).max(axis=1).sum()), 6)
+    ids = np.array(sorted(truth))
+    sc = np.array([truth[i] for i in ids])
+    order = np.lexsort((ids, -sc))
+    want = [(int(ids[i]), truth[int(ids[i])]) for i in order[:10]]
+    got = [
+        (r.doc_id, r.score)
+        for r in Qm.q_maxsim_token_topk(spark, SF_SMOKE).collect()
+    ]
+    # scores agree to the last rounding ulp; ids exactly
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) <= 1e-6
+
+
+def test_token_fixture_law(spark):
+    """Fixture invariants: unit-norm vectors, positional variation
+    (same word at different positions gets different vectors), the
+    in-fixture query pseudo-doc, the doc-length cap, and
+    generation determinism (same (word, pos) -> same vector)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from homemade_vector_db_spark.sources import tokenvec
+
+    path = tokenvec.ensure_token_fixture(SF_SMOKE)
+    t = pq.read_table(path).to_pandas()
+    q = t[t.doc_id == -1].sort_values("pos")
+    assert list(q.term) == tokenvec.TOKVEC_QUERY.split()
+    norms = np.stack(t.tvec.map(np.asarray)).astype(np.float64)
+    assert np.allclose(np.linalg.norm(norms, axis=1), 1.0, atol=1e-5)
+    assert t[t.doc_id >= 0].groupby("doc_id").size().max() <= (
+        tokenvec.TOKVEC_MAX_TOKENS
+    )
+    # positional variation + determinism via the law itself
+    w = "spark"
+    v0 = tokenvec._normalize(
+        tokenvec._base_vec(w, 16) + 0.15 * tokenvec._pos_vec(0, 16)
+    )
+    v1 = tokenvec._normalize(
+        tokenvec._base_vec(w, 16) + 0.15 * tokenvec._pos_vec(1, 16)
+    )
+    assert not np.allclose(v0, v1)
+    sel = t[(t.term == w) & (t.pos == 0) & (t.doc_id >= 0)]
+    if len(sel):
+        assert np.allclose(
+            np.asarray(sel.iloc[0].tvec, dtype=np.float64),
+            v0.astype(np.float32).astype(np.float64),
+        )
+
+
 def test_mips_matches_numpy_and_allows_negative(spark, embs):
     import numpy as np
 

@@ -727,6 +727,18 @@ def test_snippet_extract_is_scan_side(spark):
 # ---- round-10 entry plan contracts ----
 
 
+def test_maxsim_token_one_shuffle_topk(spark):
+    """Token-level MaxSim plan contract: per-token dots are a codegen
+    projection over the token scan; the ONLY exchange is the
+    groupBy(doc_id) max rollup (map-side partial max), and the final
+    top-k is a heap merge — linear in total tokens at any corpus
+    size."""
+    df = Q.q_maxsim_token_topk(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # one shuffle (+AQE read)
+
+
 def test_term_burstiness_topk_avoids_full_sort(spark):
     # df-desc top-20 must be TakeOrderedAndProject, not a global Sort
     assert has_operator(
