@@ -222,6 +222,119 @@ def knn_graph_add(
     )
 
 
+def knn_graph_delete(
+    old_graph: DataFrame,
+    old_df: DataFrame,
+    ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """EXACT mutation-driven graph maintenance (VERDICT r10 Next #7):
+    remove `ids` from the corpus kNN graph WITHOUT a rebuild. Law: a
+    node's top-k changes only if one of its current neighbors was
+    deleted, so
+      (a) drop deleted nodes' own adjacency rows,
+      (b) keep every surviving node whose list is untouched verbatim,
+      (c) recompute ONLY the affected nodes (those that lost >= 1
+          neighbor) exactly against the post-delete corpus — a
+          knn_join whose query side is |affected| <= k·|deleted| rows.
+    Cost: one corpus pass sized by the mutation, not the corpus — vs
+    the O(N²)/multi-round rebuild the fingerprint-rotation path pays.
+    A from-scratch exact rebuild produces identical rows
+    (pytest-pinned). old_df is the PRE-delete corpus; ids absent from
+    it are ignored (idempotent replay)."""
+    from homemade_vector_db_spark.operators.knn import knn_join
+
+    id_list = [int(i) for i in ids]
+    corpus = old_df.where(~F.col(id_col).isin(id_list))
+    kept = old_graph.where(~F.col("src").isin(id_list))
+    affected = (
+        kept.where(F.col("neighbor_id").isin(id_list))
+        .select("src")
+        .distinct()
+    )
+    intact = kept.join(affected, "src", "left_anti").select(
+        "src", "neighbor_id", "score"
+    )
+    repair_q = (
+        corpus.join(
+            affected.withColumnRenamed("src", id_col), id_col, "left_semi"
+        )
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    repaired = (
+        knn_join(
+            corpus,
+            repair_q,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k + 1,
+            score_decimals=score_decimals,
+        )
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col("query_id").alias("src"),
+            F.col(id_col).alias("neighbor_id"),
+            "score",
+        )
+    )
+    pool = intact.unionByName(repaired)
+    w = Window.partitionBy("src").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        pool.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("src", "rn", "neighbor_id", "score")
+        .orderBy("src", "rn")
+    )
+
+
+def knn_graph_update(
+    old_graph: DataFrame,
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """EXACT in-place vector update of graph nodes (ids STABLE — the
+    db.update contract lifted to the graph tier): strip the updated ids
+    via knn_graph_delete's repair law, then re-insert the replacement
+    vectors via knn_graph_add's three-pool merge (new→rest, new→new,
+    rest→new reverse repair). Both halves are exact, so the composition
+    equals a from-scratch rebuild on the post-update corpus
+    (pytest-pinned) at one mutation-sized cost instead of O(N²). The
+    updated id set is collected to the driver — mutations are
+    driver-issued id lists by nature (db.update), bounded by the
+    mutation batch, never corpus-sized."""
+    id_list = [
+        int(r[id_col]) for r in new_df.select(id_col).distinct().collect()
+    ]
+    stripped = knn_graph_delete(
+        old_graph,
+        old_df,
+        id_list,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        score_decimals=score_decimals,
+    )
+    rest = old_df.where(~F.col(id_col).isin(id_list))
+    return knn_graph_add(
+        stripped,
+        rest,
+        new_df,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        score_decimals=score_decimals,
+    )
+
+
 def label_propagation(
     graph: DataFrame,
     seeds: DataFrame,

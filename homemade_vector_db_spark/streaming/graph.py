@@ -58,12 +58,39 @@ class IncrementalKnnGraph:
 
     # ---------------------------------------------------------- state
     def _corpus_before(self, exclude_batch: int) -> DataFrame | None:
+        """Live corpus view across batch dirs: the LATEST batch's row
+        wins per id (an update_batch supersedes the original row; a
+        delete_batch writes a `_deleted` tombstone that wins the same
+        way — VERDICT r10 Next #7). Append-only dirs stay the storage
+        law; mutation is a read-time window, the standard columnar
+        merge-on-read. Pre-mutation state (no `_deleted` column) reads
+        as live via mergeSchema + coalesce."""
+        from pyspark.sql.window import Window
+
         try:
-            df = self.spark.read.parquet(self.corpus_path)
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                self.corpus_path
+            )
         except Exception:
             return None  # first batch
         df = df.where(F.col("batch").cast("string") != str(exclude_batch))
-        return df.drop("batch") if df.limit(1).count() else None
+        if "_deleted" not in df.columns:
+            df = df.withColumn("_deleted", F.lit(False))
+        # try_cast: the compacted dir's batch value is the string
+        # 'compacted' — it sorts as NULL (last under desc), i.e. older
+        # than every numeric mutation batch, which is exactly the law
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.desc(F.expr("try_cast(batch AS long)"))
+        )
+        live = (
+            df.withColumn("_v", F.row_number().over(w))
+            .where(
+                (F.col("_v") == 1)
+                & ~F.coalesce(F.col("_deleted"), F.lit(False))
+            )
+            .select(self.id_col, self.vec_col)
+        )
+        return live if live.limit(1).count() else None
 
     def _graph_before(self, exclude_batch: int) -> DataFrame | None:
         try:
@@ -113,6 +140,81 @@ class IncrementalKnnGraph:
             os.path.join(self.corpus_path, f"batch={batch_id}")
         )
 
+    # ---------------------------------------------------------- mutate
+    def delete_batch(self, ids, batch_id: int) -> None:
+        """Mutation-driven maintenance (VERDICT r10 Next #7): remove ids
+        and repair ONLY the nodes that lost a neighbor
+        (nndescent.knn_graph_delete — exact, one mutation-sized pass,
+        no NN-Descent rebuild). Writes a new graph version plus
+        `_deleted` tombstone rows that supersede the original corpus
+        rows under the latest-batch-wins read law. Per-batch idempotent
+        like ingest_batch."""
+        old = self._corpus_before(exclude_batch=batch_id)
+        if old is None:
+            raise ValueError("delete_batch on empty graph state")
+        prev = self._graph_before(exclude_batch=batch_id)
+        id_list = [int(i) for i in ids]
+        if prev is None:
+            graph = nndescent.knn_graph_auto(
+                old.where(~F.col(self.id_col).isin(id_list)),
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                k=self.k,
+            )
+        else:
+            graph = nndescent.knn_graph_delete(
+                prev,
+                old,
+                id_list,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                k=self.k,
+            )
+        graph.write.mode("overwrite").parquet(
+            os.path.join(self.graph_path, f"batch={batch_id}")
+        )
+        tombs = old.where(F.col(self.id_col).isin(id_list)).withColumn(
+            "_deleted", F.lit(True)
+        )
+        tombs.write.mode("overwrite").parquet(
+            os.path.join(self.corpus_path, f"batch={batch_id}")
+        )
+
+    def update_batch(self, rows: DataFrame, batch_id: int) -> None:
+        """In-place vector update (ids stable — the db.update contract):
+        strip + re-insert via nndescent.knn_graph_update (exact, no
+        rebuild). The replacement rows supersede the originals under
+        the latest-batch-wins corpus law."""
+        new = rows.select(self.id_col, self.vec_col)
+        old = self._corpus_before(exclude_batch=batch_id)
+        if old is None:
+            raise ValueError("update_batch on empty graph state")
+        prev = self._graph_before(exclude_batch=batch_id)
+        if prev is None:
+            upd = new
+            keep = old.join(new.select(self.id_col), self.id_col, "left_anti")
+            graph = nndescent.knn_graph_auto(
+                keep.unionByName(upd),
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                k=self.k,
+            )
+        else:
+            graph = nndescent.knn_graph_update(
+                prev,
+                old,
+                new,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                k=self.k,
+            )
+        graph.write.mode("overwrite").parquet(
+            os.path.join(self.graph_path, f"batch={batch_id}")
+        )
+        new.write.mode("overwrite").parquet(
+            os.path.join(self.corpus_path, f"batch={batch_id}")
+        )
+
     # ---------------------------------------------------------- access
     def graph(self) -> DataFrame:
         df = self.spark.read.parquet(self.graph_path)
@@ -120,7 +222,12 @@ class IncrementalKnnGraph:
         return df.where(F.col("batch") == latest).drop("batch")
 
     def corpus(self) -> DataFrame:
-        return self.spark.read.parquet(self.corpus_path).drop("batch")
+        # merge-on-read live view: latest batch wins per id, tombstones
+        # excluded (exclude_batch=-1 matches no real batch dir)
+        live = self._corpus_before(exclude_batch=-1)
+        if live is None:
+            raise ValueError("empty graph state")
+        return live
 
     def compact(self) -> None:
         """Drop superseded graph versions (keep the latest) and fold the
@@ -132,11 +239,20 @@ class IncrementalKnnGraph:
         for name in os.listdir(self.graph_path):
             if name.startswith("batch=") and name != f"batch={latest}":
                 shutil.rmtree(os.path.join(self.graph_path, name))
-        from homemade_vector_db_spark.sources.maintenance import (
-            compact_batched_state,
-        )
-
-        compact_batched_state(self.spark, self.corpus_path)
+        # The corpus must compact through the LIVE view (latest batch
+        # wins per id, tombstones dropped) — a raw fold of the batch
+        # dirs would put superseded rows and tombstones into one batch
+        # and collapse the merge-on-read law. Materialize live rows,
+        # then swap (offline, stream quiesced).
+        live = self._corpus_before(exclude_batch=-1)
+        tmp = self.corpus_path.rstrip("/") + "_compact_tmp"
+        if live is not None:
+            live.write.mode("overwrite").parquet(
+                os.path.join(tmp, "batch=compacted")
+            )
+        shutil.rmtree(self.corpus_path, ignore_errors=True)
+        if live is not None:
+            os.replace(tmp, self.corpus_path)
 
     def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
         """stream must carry (id_col, vec_col); returns the StreamingQuery."""

@@ -244,6 +244,38 @@ def test_incremental_add_extends_ivf_without_refit(spark):
     assert got == [20]
 
 
+def test_delete_update_maintain_ivf_index_without_rebuild(spark):
+    """Round 11 (VERDICT r10 Next #7): delete filters the code relation
+    against FROZEN geometry (same centroids object — no refit, no lazy
+    rebuild), and update = incremental delete + add-after-train encode.
+    Search results reflect the mutation exactly."""
+    import random
+
+    rng = random.Random(11)
+    mk = lambda: [rng.random() for _ in range(8)]
+    db = VectorDatabase(spark, dim=8, index_type="ivf")
+    vecs = [mk() for _ in range(20)]
+    db.add([f"doc {i}" for i in range(20)], vecs)
+    db.query_vector(mk(), top_k=3)  # force index build
+    idx_before = db._ann_index
+    assert idx_before is not None
+
+    # delete: index survives (not None), geometry frozen, row gone
+    assert db.delete([5]) == 1
+    assert db._ann_index is not None
+    assert db._ann_index.centroids is idx_before.centroids
+    got = db.query_vector(vecs[5], top_k=20)
+    assert 5 not in got
+
+    # update: id 7 moves to a distinct region; the maintained index
+    # must rank it first for its own new vector, geometry still frozen
+    target = [10.0 + x for x in mk()]
+    assert db.update([7], vectors=[target]) == 1
+    assert db._ann_index is not None
+    assert db._ann_index.centroids is idx_before.centroids
+    assert db.query_vector(target, top_k=1) == [7]
+
+
 @pytest.mark.parametrize("ref_name,ours", [("hnsw", "nsw"), ("ivfpq", "ivfpq")])
 def test_reference_index_type_aliases(spark, ref_name, ours):
     # round 9: 'ivfpq' is no longer an alias for plain IVF — it is the

@@ -172,6 +172,103 @@ def test_incremental_graph_stream_twin_laws(spark, embs, tmp_path):
     assert norm(g2.graph().collect()) == full
 
 
+def test_knn_graph_delete_update_equal_rebuild(spark, embs):
+    """Mutation maintenance laws (VERDICT r10 Next #7): delete repairs
+    only affected nodes, update = strip + re-insert — each must be
+    bit-identical to a from-scratch exact build on the mutated
+    corpus."""
+    from homemade_vector_db_spark.operators.nndescent import (
+        knn_graph_delete,
+        knn_graph_update,
+    )
+
+    norm = lambda rows: sorted(
+        (r.src, r.rn, r.neighbor_id, r.score) for r in rows
+    )
+    graph = knn_graph_auto(embs, k=K)
+    dead = [3, 77, 240]
+    after_del = embs.where(~F.col("vec_id").isin(dead))
+    inc = knn_graph_delete(graph, embs, dead, k=K).collect()
+    full = knn_graph_auto(after_del, k=K).collect()
+    assert norm(inc) == norm(full)
+
+    # update: move three vectors to (near-)copies of vector 0 — they
+    # must become each other's / vector 0's neighbors in the refreshed
+    # graph exactly as in a rebuild
+    base = embs.where(F.col("vec_id") == 0).first().embedding
+    upd_rows = [
+        (10, [float(x) + 0.001 for x in base]),
+        (20, [float(x) + 0.002 for x in base]),
+        (450, [float(x) + 0.003 for x in base]),
+    ]
+    upd = spark.createDataFrame(
+        upd_rows, "vec_id long, embedding array<double>"
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    inc2 = knn_graph_update(graph, embs, upd, k=K).collect()
+    mutated = embs.where(~F.col("vec_id").isin([10, 20, 450])).select(
+        "vec_id", "embedding"
+    ).unionByName(upd)
+    full2 = knn_graph_auto(mutated, k=K).collect()
+    assert norm(inc2) == norm(full2)
+
+
+def test_incremental_graph_mutations_no_rebuild(spark, embs, tmp_path, monkeypatch):
+    """A delete+update sequence refreshes IncrementalKnnGraph WITHOUT a
+    full NN-Descent/auto rebuild (the Done bar of VERDICT r10 Next #7):
+    after seeding, the rebuild entrypoints are poisoned — the mutation
+    path must never call them — and the refreshed graph equals the
+    from-scratch exact build on the mutated corpus. Replay of a
+    mutation batch is idempotent; corpus() reflects the live view."""
+    from homemade_vector_db_spark.operators import nndescent as nd
+    from homemade_vector_db_spark.streaming import graph as graph_mod
+    from homemade_vector_db_spark.streaming.graph import IncrementalKnnGraph
+
+    norm = lambda rows: sorted(
+        (r.src, r.rn, r.neighbor_id, r.score) for r in rows
+    )
+    g = IncrementalKnnGraph(spark, str(tmp_path / "gm"), k=K)
+    g.ingest_batch(embs, batch_id=0)
+
+    def boom(*a, **kw):  # noqa: ANN002
+        raise AssertionError("full rebuild invoked on mutation path")
+
+    monkeypatch.setattr(graph_mod.nndescent, "knn_graph_auto", boom)
+    monkeypatch.setattr(graph_mod.nndescent, "knn_graph_nndescent", boom)
+
+    dead = [3, 77, 240]
+    g.delete_batch(dead, batch_id=1)
+    base = embs.where(F.col("vec_id") == 0).first().embedding
+    upd = spark.createDataFrame(
+        [
+            (10, [float(x) + 0.001 for x in base]),
+            (20, [float(x) + 0.002 for x in base]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    g.update_batch(upd, batch_id=2)
+
+    mutated = (
+        embs.where(~F.col("vec_id").isin(dead + [10, 20]))
+        .select("vec_id", "embedding")
+        .unionByName(upd)
+    )
+    full = norm(knn_graph_auto(mutated, k=K).collect())
+    assert norm(g.graph().collect()) == full
+    assert g.corpus().count() == embs.count() - len(dead)
+
+    # replayed mutation batch recomputes the identical version
+    g.update_batch(upd, batch_id=2)
+    assert norm(g.graph().collect()) == full
+
+    # compaction preserves the live view and the graph
+    monkeypatch.undo()
+    g.compact()
+    assert norm(g.graph().collect()) == full
+    assert g.corpus().count() == embs.count() - len(dead)
+
+
 def test_label_propagation_laws(spark, embs):
     # seeds clamp; coverage grows monotonically with rounds; determinism
     from homemade_vector_db_spark.operators.nndescent import label_propagation
