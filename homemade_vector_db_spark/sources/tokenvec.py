@@ -83,7 +83,10 @@ def ensure_token_fixture(sf_dir: str) -> str:
     if os.path.isfile(path):
         return path
     docs_parquet = os.path.join(sf_dir, "documents.parquet")
-    if not os.path.isfile(docs_parquet):
+    if os.path.isdir(docs_parquet):
+        # Spark-written dataset dir (the .localdata/sf1 layout)
+        docs_parquet = os.path.join(docs_parquet, "*.parquet")
+    elif not os.path.isfile(docs_parquet):
         raise FileNotFoundError(docs_parquet)
 
     import numpy as np

@@ -183,6 +183,88 @@ def gen_lineitem(spark, n: int, n_orders: int, n_parts: int):
     )
 
 
+def gen_customer(spark, n: int):
+    """Customer dimension in the sf0.1 family (keys cover every
+    o_custkey the orders generator draws)."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64) + 1
+            rows = {"c_custkey": ids, "c_name": [], "c_nationkey": [],
+                    "c_acctbal": [], "c_mktsegment": []}
+            for i in ids:
+                rng = np.random.Generator(np.random.Philox(key=int(i) + 37))
+                rows["c_name"].append(f"Customer#{int(i):09d}")
+                rows["c_nationkey"].append(int(rng.integers(0, 25)))
+                rows["c_acctbal"].append(
+                    int(rng.integers(-99_999, 1_000_000)) / 100.0
+                )
+                rows["c_mktsegment"].append(
+                    segs[int(rng.integers(0, len(segs)))]
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+
+
+def gen_supplier(spark, n: int):
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64) + 1
+            rows = {"s_suppkey": ids, "s_name": [], "s_nationkey": [],
+                    "s_acctbal": []}
+            for i in ids:
+                rng = np.random.Generator(np.random.Philox(key=int(i) + 41))
+                rows["s_name"].append(f"Supplier#{int(i):09d}")
+                rows["s_nationkey"].append(int(rng.integers(0, 25)))
+                rows["s_acctbal"].append(
+                    int(rng.integers(-99_999, 1_000_000)) / 100.0
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+
+
+def gen_part(spark, n: int):
+    types = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]
+    mats = ["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"]
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64) + 1
+            rows = {"p_partkey": ids, "p_name": [], "p_brand": [],
+                    "p_type": [], "p_size": [], "p_retailprice": []}
+            for i in ids:
+                rng = np.random.Generator(np.random.Philox(key=int(i) + 43))
+                rows["p_name"].append(f"part {int(i)}")
+                rows["p_brand"].append(
+                    f"Brand#{int(rng.integers(1, 6))}{int(rng.integers(1, 6))}"
+                )
+                rows["p_type"].append(
+                    f"{types[int(rng.integers(0, len(types)))]} "
+                    f"{mats[int(rng.integers(0, len(mats)))]}"
+                )
+                rows["p_size"].append(int(rng.integers(1, 51)))
+                rows["p_retailprice"].append(
+                    int(rng.integers(90_000, 200_000)) / 100.0
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=50_000)
@@ -234,6 +316,28 @@ def main() -> None:
         f"{OUT}/lineitem.parquet"
     )
     print(f"lineitem: {args.lines} rows -> {OUT}/lineitem.parquet")
+
+    # round 11: the TPC-H dimension tables, so every HEADLINE entry can
+    # be audited at sf1 (VERDICT r10 Next #6). Keys cover exactly the
+    # fact generators' draws (o_custkey <= users, l_suppkey <= 1000,
+    # l_partkey <= parts); nation/region are the fixed TPC-H constants,
+    # copied verbatim from the driver testdata.
+    gen_customer(spark, args.users).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(f"{OUT}/customer.parquet")
+    print(f"customer: {args.users} rows")
+    gen_supplier(spark, 1000).coalesce(1).write.mode("overwrite").parquet(
+        f"{OUT}/supplier.parquet"
+    )
+    gen_part(spark, args.parts).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(f"{OUT}/part.parquet")
+    print(f"supplier: 1000 rows; part: {args.parts} rows")
+    for dim in ("nation", "region"):
+        spark.read.parquet(f"/root/testdata/sf0.1/{dim}.parquet").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{OUT}/{dim}.parquet")
+    print("nation/region: copied from sf0.1 (fixed dimension constants)")
     spark.stop()
 
 
