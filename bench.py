@@ -71,8 +71,11 @@ HEADLINE = [
     "radius_search",
     "maxsim_topk",
     # round 11: token-level MaxSim over the real per-token vector
-    # fixture (warmup absorbs the one-time fixture generation)
+    # fixture (warmup absorbs the one-time fixture generation), the
+    # bm25→MaxSim rerank cascade, and the proximity-ranking window law
     "maxsim_token_topk",
+    "maxsim_rerank_topk",
+    "term_proximity_topk",
     # round 4: derived-state guards (disk-materialized token/bigram/BPE
     # relations — warmup absorbs the one-time build; the timed number is
     # the scoring-only path these rounds optimized)

@@ -49,6 +49,15 @@ from homemade_vector_db_spark.sources.tables import (
 )
 
 TEXT_QUERY = "spark join query vector the"
+# Snippet query: the reference's own query_text tests use a SELECTIVE
+# query ("meeting with team", test_local_db.py:29) — the fixture's
+# analogue leads with its one selective term ('dup', df ≈ 5%; every
+# other vocabulary word is in ~77% of docs, where TEXT_QUERY's all-
+# common terms made every BM25 score <= 0 at sf0.1 and the "top"-k
+# degenerated to no-term docs). idf('dup') ≈ +2.9 dominates, so the
+# candidate page is real matches at every SF (verified positive-score
+# top-20 at sf0.001/0.01/0.1).
+SNIPPET_QUERY = "dup spark join vector"
 HYBRID_TEXT_QUERY = "spark join query"
 TOP_K = 10
 EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA)
@@ -12700,6 +12709,195 @@ LIMIT {TOP_K}
 _ORACLES["maxsim_token_topk"] = _maxsim_token_oracle()
 
 
+MAXSIM_RERANK_POOL = 50  # bm25 recall pool fed to the MaxSim reranker
+
+
+def q_maxsim_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction rerank cascade (the production ColBERT serving
+    shape, and the token-level sibling of bm25_rerank_topk): BM25
+    recalls a MAXSIM_RERANK_POOL-doc candidate pool for SNIPPET_QUERY
+    (cheap, postings-sized), then token-level MaxSim over the real
+    per-token vectors re-scores ONLY that pool — the expensive
+    late-interaction sum-of-max touches 50 docs at any corpus size.
+    Same driver-bounded IN-list pushdown as snippet_extract; scores,
+    rounding and tie law (score desc, doc_id asc) match
+    maxsim_token_topk exactly. Output: top TOP_K of the pool by MaxSim."""
+    from homemade_vector_db_spark.functions.vector import dot_lit
+    from homemade_vector_db_spark.sources import tokenvec
+
+    d = load_documents(spark, sf_dir)
+    cand_ids = [
+        r.doc_id
+        for r in bm25.query_text(
+            spark,
+            d,
+            SNIPPET_QUERY,
+            top_k=MAXSIM_RERANK_POOL,
+            stats=_bm25_stats(spark, sf_dir),
+        )
+        .select("doc_id")
+        .collect()
+    ]
+    path = tokenvec.ensure_token_fixture(sf_dir)
+    t = spark.read.parquet(path)
+    nq = len(tokenvec.TOKVEC_QUERY.split())
+    qrows = (
+        t.where(F.col("doc_id") == -1)
+        .select("pos", "tvec")
+        .orderBy("pos")
+        .collect()
+    )
+    qvecs = [[float(x) for x in r.tvec] for r in qrows]
+    dots = t.where(F.col("doc_id").isin(cand_ids)).select(
+        "doc_id",
+        *[dot_lit("tvec", qvecs[p]).alias(f"d{p}") for p in range(nq)],
+    )
+    agg = dots.groupBy("doc_id").agg(
+        *[F.max(f"d{p}").alias(f"m{p}") for p in range(nq)]
+    )
+    score = F.round(sum(F.col(f"m{p}") for p in range(nq)), 6).alias(
+        "score"
+    )
+    return (
+        agg.select("doc_id", score)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def _maxsim_rerank_oracle() -> str:
+    from homemade_vector_db_spark.sources import tokenvec
+
+    path = tokenvec.token_fixture_path("/root/testdata/sf0.01")
+    nq = len(tokenvec.TOKVEC_QUERY.split())
+    dim = tokenvec.TOKVEC_DIM
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> CAST(d.tvec[i] AS DOUBLE) * CAST(q.tvec[i] AS DOUBLE)))"
+    )
+    piv = ",\n         ".join(
+        f"max(CASE WHEN qpos = {p} THEN m END) AS m{p}" for p in range(nq)
+    )
+    ssum = " + ".join(f"m{p}" for p in range(nq))
+    return f"""
+WITH {_bm25_cte('documents', SNIPPET_QUERY)},
+cand AS (
+  SELECT dd.doc_id
+  FROM documents dd LEFT JOIN scores s USING (doc_id)
+  ORDER BY round(coalesce(s.s, 0.0), 6) DESC, dd.doc_id DESC
+  LIMIT {MAXSIM_RERANK_POOL}
+),
+tfix AS (SELECT doc_id, pos, tvec FROM read_parquet('{path}')),
+q AS (SELECT pos, tvec FROM tfix WHERE doc_id = -1),
+dots AS (
+  SELECT d.doc_id, q.pos AS qpos, max({dot}) AS m
+  FROM (SELECT t.doc_id, t.tvec FROM tfix t JOIN cand USING (doc_id)
+        WHERE t.doc_id >= 0) d, q
+  GROUP BY 1, 2
+),
+piv AS (
+  SELECT doc_id,
+         {piv}
+  FROM dots GROUP BY doc_id
+)
+SELECT doc_id, round({ssum}, 6) AS score
+FROM piv
+ORDER BY score DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
+_ORACLES["maxsim_rerank_topk"] = _maxsim_rerank_oracle()
+
+
+def q_term_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity ranking: the minimum position gap between occurrences
+    of two DIFFERENT query terms per doc (SNIPPET_QUERY terms) — the
+    classic proximity feature rankers blend with BM25 (docs where
+    query terms co-occur tightly beat bag-of-words matches). Exactness
+    law: the min |pos_i − pos_j| over pairs of distinct query terms is
+    always achieved by an ADJACENT pair in position order (any qt
+    token strictly between a distinct pair forms a closer distinct
+    pair with one end), so one lag window over the position-ordered
+    query-term tokens per doc suffices — linear in query-term
+    occurrences, never a pair join; the window is partitioned by
+    doc_id (parallel at any scale). Integer gaps; top TOP_K by
+    (min_gap asc, n_qt_hits desc, doc_id asc)."""
+    qterms = sorted(set(SNIPPET_QUERY.split()))
+    qarr = "array(" + ", ".join(f"'{t}'" for t in qterms) + ")"
+    from pyspark.sql.window import Window
+
+    d = load_documents(spark, sf_dir)
+    qt = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(text, '\\\\s+'), t -> t <> '')")
+        ).alias("pos", "term"),
+    ).where(F.expr(f"array_contains({qarr}, term)"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gaps = (
+        qt.withColumn("prev_term", F.lag("term").over(w))
+        .withColumn("prev_pos", F.lag("pos").over(w))
+        .withColumn(
+            "gap",
+            F.when(
+                F.col("prev_term").isNotNull()
+                & (F.col("prev_term") != F.col("term")),
+                F.col("pos") - F.col("prev_pos"),
+            ),
+        )
+    )
+    per_doc = gaps.groupBy("doc_id").agg(
+        F.min("gap").alias("min_gap"),
+        F.count(F.lit(1)).cast("long").alias("n_qt_hits"),
+    ).where(F.col("min_gap").isNotNull())
+    return (
+        per_doc.select(
+            "doc_id", F.col("min_gap").cast("long").alias("min_gap"),
+            "n_qt_hits",
+        )
+        .orderBy(F.asc("min_gap"), F.desc("n_qt_hits"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def _term_proximity_oracle() -> str:
+    qterms = sorted(set(SNIPPET_QUERY.split()))
+    qlist = "[" + ", ".join(f"'{t}'" for t in qterms) + "]"
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tks
+  FROM documents
+),
+qt AS (
+  SELECT doc_id, tks[u.pos] AS term, u.pos AS pos
+  FROM tk, unnest(generate_series(1, len(tks))) AS u(pos)
+  WHERE list_contains({qlist}, tks[u.pos])
+),
+gaps AS (
+  SELECT doc_id, term, pos,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_term,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+  FROM qt
+),
+per_doc AS (
+  SELECT doc_id,
+         min(CASE WHEN prev_term IS NOT NULL AND prev_term <> term
+                  THEN pos - prev_pos END) AS min_gap,
+         CAST(count(*) AS BIGINT) AS n_qt_hits
+  FROM gaps GROUP BY doc_id
+)
+SELECT doc_id, CAST(min_gap AS BIGINT) AS min_gap, n_qt_hits
+FROM per_doc WHERE min_gap IS NOT NULL
+ORDER BY min_gap ASC, n_qt_hits DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
+_ORACLES["term_proximity_topk"] = _term_proximity_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Round 9, fourth mini-batch: pipeline-operations analytics — ingest-batch
 # dedup monitoring, corpus diversity, batching efficiency, behavioral
@@ -14165,15 +14363,9 @@ ORDER BY digit
 
 SNIPPET_W = 8  # snippet window width in tokens
 SNIPPET_TOP = 20
-# Snippet query: the reference's own query_text tests use a SELECTIVE
-# query ("meeting with team", test_local_db.py:29) — the fixture's
-# analogue leads with its one selective term ('dup', df ≈ 5%; every
-# other vocabulary word is in ~77% of docs, where TEXT_QUERY's all-
-# common terms made every BM25 score <= 0 at sf0.1 and the "top"-k
-# degenerated to no-term docs). idf('dup') ≈ +2.9 dominates, so the
-# candidate page is real matches at every SF (verified positive-score
-# top-20 at sf0.001/0.01/0.1).
-SNIPPET_QUERY = "dup spark join vector"
+# SNIPPET_QUERY (the selective page query) is defined beside
+# TEXT_QUERY at the top of the module — the maxsim rerank cascade
+# (earlier in the file) shares it.
 
 
 def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17882,6 +18074,8 @@ _ORACLES["drift_dashboard"] = _drift_dashboard_oracle()
 # CORRECTNESS_sf0.1.json).
 _R11_WINDOW = [
     "maxsim_token_topk",
+    "maxsim_rerank_topk",
+    "term_proximity_topk",
     "snippet_extract",
     "chi2_lang_source",
     "category_mix_drift",
@@ -17931,8 +18125,6 @@ _R11_WINDOW = [
     "users_intersect",
     "weekly_orders",
     "pivot_events",
-    "orders_above_avg",
-    "parties_by_nation",
 ]
 
 
@@ -17999,6 +18191,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split-division chi2 pair and the three capstones follow
         # (plan/law changed, values unchanged — re-verified anyway).
         "maxsim_token_topk": q_maxsim_token_topk,
+        # round-11 second mini-batch: late-interaction rerank cascade +
+        # proximity ranking (both verified hash-green at sf0.01 and
+        # sf0.1 before registration)
+        "maxsim_rerank_topk": q_maxsim_rerank_topk,
+        "term_proximity_topk": q_term_proximity_topk,
         # slots 1-24 (VERDICT r9 Next #2): the 24 entries that had
         # never earned a driver CORRECTNESS row across r01-r09 — the
         # round-8/9 graph/retrieval tier — rotated to the head so the

@@ -739,6 +739,31 @@ def test_maxsim_token_one_shuffle_topk(spark):
     assert plan.count("Exchange") <= 2, plan  # one shuffle (+AQE read)
 
 
+def test_maxsim_rerank_pool_is_pushed(spark):
+    """The rerank cascade must push the bm25 candidate pool into the
+    token-fixture scan as an In(doc_id, ...) filter — the expensive
+    late-interaction scoring touches only the pool at any corpus
+    size (the snippet_extract discipline)."""
+    df = Q.q_maxsim_rerank_topk(spark, SF_SMOKE)
+    from homemade_vector_db_spark.plans.explain import has_pushed_filter
+
+    assert has_pushed_filter(df, "In(doc_id"), physical_plan(df)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_term_proximity_window_is_partitioned(spark):
+    """The lag window must be partitioned by doc_id (parallel at any
+    scale), and the adjacent-pair law means no pair join: no cartesian
+    or nested-loop join anywhere in the plan."""
+    plan = physical_plan(Q.q_term_proximity_topk(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    m = re.search(r"Window.*doc_id", plan, re.S)
+    assert m is not None, plan
+
+
 def test_term_burstiness_topk_avoids_full_sort(spark):
     # df-desc top-20 must be TakeOrderedAndProject, not a global Sort
     assert has_operator(
