@@ -76,6 +76,8 @@ HEADLINE = [
     "maxsim_token_topk",
     "maxsim_rerank_topk",
     "term_proximity_topk",
+    "t_closeness",
+    "dow_revenue_profile",
     # round 4: derived-state guards (disk-materialized token/bigram/BPE
     # relations — warmup absorbs the one-time build; the timed number is
     # the scoring-only path these rounds optimized)

@@ -14153,6 +14153,114 @@ FROM groups
 """
 
 
+TCLOSE_NUM, TCLOSE_DEN = 3, 8  # t threshold 3/8 as an exact rational
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the privacy triple
+    (k_anonymity bounds group size, l_diversity bounds sensitive-value
+    variety, t-closeness bounds how much a group's sensitive
+    DISTRIBUTION leaks vs the global one; Li et al., ICDE 2007). QI =
+    (source, len_bucket) — lang is the SENSITIVE attribute here, so it
+    leaves the QI tuple; distance is the categorical variational
+    distance t_g = ½ Σ_v |p_g(v) − p(v)|. Exactness: the sum is over
+    the FULL lang grid (absent values contribute their global mass)
+    with every term an exact integer cross-multiplication
+    |c_gv·N − c_v·n_g|, so per-group numerators are BIGINT-exact and
+    the above-threshold count compares integers
+    (num·DEN > NUM·2·n_g·N in decimal(38,0) — no float thresholds);
+    t itself is one rounded division per group. QI-grid-sized
+    relations after one corpus rollup."""
+    d = load_documents(spark, sf_dir)
+    qi = [
+        F.col("source"),
+        F.expr(f"n_chars div {KANON_CHAR_BUCKET}").alias("len_bucket"),
+    ]
+    cells = _track_persist(
+        d.groupBy(*qi, F.col("lang")).agg(F.count(F.lit(1)).alias("c_gv"))
+    )
+    groups = cells.groupBy("source", "len_bucket").agg(
+        F.sum("c_gv").alias("n_g")
+    )
+    glob = cells.groupBy("lang").agg(F.sum("c_gv").alias("c_v"))
+    tot = cells.agg(F.sum("c_gv").alias("nn"))
+    full = (
+        groups.crossJoin(F.broadcast(glob))
+        .join(cells, ["source", "len_bucket", "lang"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "len_bucket",
+            "n_g",
+            "nn",
+            F.coalesce("c_gv", F.lit(0)).alias("c_gv"),
+            "c_v",
+        )
+    )
+    per_g = full.groupBy("source", "len_bucket", "n_g", "nn").agg(
+        F.sum(
+            F.abs(
+                F.expr(
+                    "CAST(c_gv AS DECIMAL(38,0)) * nn"
+                    " - CAST(c_v AS DECIMAL(38,0)) * n_g"
+                )
+            )
+        ).alias("num")
+    )
+    over = (
+        F.expr(f"num * {TCLOSE_DEN}")
+        > F.expr(f"CAST({TCLOSE_NUM} AS DECIMAL(38,0)) * 2 * n_g * nn")
+    ).cast("long")
+    return per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.round(
+            F.max(
+                F.col("num").cast("double")
+                / (2.0 * F.col("n_g").cast("double")
+                   * F.col("nn").cast("double"))
+            ),
+            6,
+        ).alias("max_t"),
+        F.sum(over).cast("long").alias("n_groups_above_t"),
+    )
+
+
+_ORACLES["t_closeness"] = f"""
+WITH cells AS (
+  SELECT source, n_chars // {KANON_CHAR_BUCKET} AS len_bucket, lang,
+         count(*) AS c_gv
+  FROM documents GROUP BY 1, 2, 3
+),
+groups AS (
+  SELECT source, len_bucket, CAST(sum(c_gv) AS BIGINT) AS n_g
+  FROM cells GROUP BY 1, 2
+),
+gl AS (SELECT lang, CAST(sum(c_gv) AS BIGINT) AS c_v FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(c_gv) AS BIGINT) AS nn FROM cells),
+fullg AS (
+  SELECT g.source, g.len_bucket, g.n_g, tot.nn,
+         coalesce(cells.c_gv, 0) AS c_gv, gl.c_v
+  FROM groups g CROSS JOIN gl
+  LEFT JOIN cells ON cells.source = g.source
+                 AND cells.len_bucket = g.len_bucket
+                 AND cells.lang = gl.lang
+  CROSS JOIN tot
+),
+per_g AS (
+  SELECT source, len_bucket, n_g, nn,
+         sum(abs(CAST(c_gv AS HUGEINT) * nn - CAST(c_v AS HUGEINT) * n_g))
+           AS num
+  FROM fullg GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       round(max(CAST(num AS DOUBLE) / (2.0 * n_g * nn)), 6) AS max_t,
+       CAST(sum(CASE WHEN num * {TCLOSE_DEN}
+                      > CAST({TCLOSE_NUM} AS HUGEINT) * 2 * n_g * nn
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_above_t
+FROM per_g
+"""
+
+
 def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-convert curve with right censoring: per
     user, days from first click to first purchase after it (event) or
@@ -16818,6 +16926,81 @@ FROM agg
 ACF_MAX_LAG = 7  # autocorrelation lags probed (days)
 
 
+def q_dow_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue profile — the seasonal DECOMPOSITION readout
+    beside acf_daily_revenue's seasonality DETECTOR: per weekday, the
+    number of grid days, exact revenue cents, mean daily revenue, and
+    the weekday's share of total revenue. Law: same gap-filled
+    integer day grid as the ACF (missing days are 0-revenue days and
+    COUNT toward the weekday's mean — the honest calendar mean), dow =
+    d mod 7 anchored to the 1970-01-01 epoch (a Thursday; integer
+    arithmetic, no locale weekday trap), revenue in BIGINT cents, and
+    mean/share are one rounded division each over exact integers.
+    Grid-sized relations after one orders rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate AS date), to_date('1970-01-01'))"
+        ).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = span.select(F.explode(F.expr("sequence(lo, hi)")).alias("d"))
+    days = (
+        grid.join(daily, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    per_dow = days.groupBy(F.expr("d % 7").cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("rev_cents"),
+    )
+    tot = per_dow.agg(F.sum("rev_cents").alias("t"))
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            "rev_cents",
+            F.round(F.col("rev_cents") / F.col("n_days") / 100.0, 6).alias(
+                "mean_daily_rev"
+            ),
+            F.round(F.col("rev_cents") / F.col("t"), 6).alias("rev_share"),
+        )
+        .orderBy("dow")
+    )
+
+
+_ORACLES["dow_revenue_profile"] = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY 1
+),
+span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+grid AS (SELECT unnest(range(lo, hi + 1)) AS d FROM span),
+days AS (
+  SELECT g.d, coalesce(daily.x, 0) AS x
+  FROM grid g LEFT JOIN daily USING (d)
+),
+per_dow AS (
+  SELECT CAST(d % 7 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS rev_cents
+  FROM days GROUP BY 1
+),
+tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS t FROM per_dow)
+SELECT dow, n_days, rev_cents,
+       round(CAST(rev_cents AS DOUBLE) / n_days / 100.0, 6)
+         AS mean_daily_rev,
+       round(CAST(rev_cents AS DOUBLE) / t, 6) AS rev_share
+FROM per_dow, tot
+ORDER BY dow
+"""
+
+
 def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of daily order revenue at lags 1..ACF_MAX_LAG —
     the seasonality detector (a weekly cycle shows as a lag-7 spike)
@@ -18076,6 +18259,8 @@ _R11_WINDOW = [
     "maxsim_token_topk",
     "maxsim_rerank_topk",
     "term_proximity_topk",
+    "t_closeness",
+    "dow_revenue_profile",
     "snippet_extract",
     "chi2_lang_source",
     "category_mix_drift",
@@ -18123,8 +18308,6 @@ _R11_WINDOW = [
     # r02-vintage rows
     "events_sliding",
     "users_intersect",
-    "weekly_orders",
-    "pivot_events",
 ]
 
 
@@ -18196,6 +18379,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.1 before registration)
         "maxsim_rerank_topk": q_maxsim_rerank_topk,
         "term_proximity_topk": q_term_proximity_topk,
+        # round-11 third mini-batch: t-closeness (privacy triple
+        # completion) and day-of-week revenue decomposition — both
+        # hash-green at sf0.01 and sf0.1 before registration
+        "t_closeness": q_t_closeness,
+        "dow_revenue_profile": q_dow_revenue_profile,
         # slots 1-24 (VERDICT r9 Next #2): the 24 entries that had
         # never earned a driver CORRECTNESS row across r01-r09 — the
         # round-8/9 graph/retrieval tier — rotated to the head so the

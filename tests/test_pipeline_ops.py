@@ -1180,6 +1180,57 @@ def test_benford_check_is_a_distribution(spark):
         assert abs(r.deviation - round(r.obs_freq - r.benford_freq, 6)) < 2e-6
 
 
+def test_t_closeness_laws(spark, monkeypatch):
+    """Degenerate corners of the variational-distance law: a corpus
+    where every QI group has the GLOBAL lang mix gives max_t = 0; a
+    corpus where one group holds one lang exclusively gives
+    max_t = 1 - p(lang) for that group (here 1 - 1/2 = 0.5)."""
+    import homemade_vector_db_spark.queries as Qm
+
+    mk = lambda rows: spark.createDataFrame(
+        [(i, "t", lang, src, 10) for i, (lang, src) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    # two sources, each 50/50 en/fr -> every group mirrors the global mix
+    uniform = mk([("en", "a"), ("fr", "a"), ("en", "b"), ("fr", "b")])
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: uniform)
+    r = Qm.q_t_closeness(spark, "ignored-tclose-1").collect()[0]
+    assert r.max_t == 0.0 and r.n_groups_above_t == 0
+    # source a = all en, source b = all fr; global mix 50/50 -> t = 0.5
+    skew = mk([("en", "a"), ("en", "a"), ("fr", "b"), ("fr", "b")])
+    monkeypatch.setattr(Qm, "load_documents", lambda s, sf: skew)
+    r = Qm.q_t_closeness(spark, "ignored-tclose-2").collect()[0]
+    assert r.max_t == 0.5
+    assert r.n_groups_above_t == 2  # 0.5 > 3/8 for both groups
+
+
+def test_dow_revenue_profile_laws(spark):
+    from tests.conftest import SF_SMOKE
+    import homemade_vector_db_spark.queries as Qm
+
+    rows = Qm.q_dow_revenue_profile(spark, SF_SMOKE).collect()
+    assert [r.dow for r in rows] == sorted(r.dow for r in rows)
+    assert all(0 <= r.dow <= 6 for r in rows)
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-4
+    # gap-filled grid: total day count spans the whole observed window
+    total_days = sum(r.n_days for r in rows)
+    lo_hi = (
+        Qm.load_table(spark, SF_SMOKE, "orders")
+        .agg(
+            F.expr(
+                "max(datediff(cast(o_orderdate AS date),"
+                " to_date('1970-01-01')))"
+                " - min(datediff(cast(o_orderdate AS date),"
+                " to_date('1970-01-01'))) + 1"
+            ).alias("span")
+        )
+        .collect()[0]
+        .span
+    )
+    assert total_days == lo_hi
+
+
 def test_snippet_window_argmax_law(spark, monkeypatch):
     # query terms {spark, join, query, vector, the}: doc packs 3 query
     # terms at positions 9-11; the best 8-window must cover all 3 and
