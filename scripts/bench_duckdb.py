@@ -51,6 +51,21 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     oracles = ent.oracle_sql()
+    # maxsim token oracles read the repo-derived token-vector fixture
+    # with the sf0.01 basename hardwired (the driver's correctness SF);
+    # at any other SF, generate that SF's fixture and rewrite the
+    # basename so the proxy times the same data Spark reads.
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base != "sf0.01":
+        from homemade_vector_db_spark.sources import tokenvec
+
+        tokenvec.ensure_token_fixture(SF_DIR)
+        oracles = {
+            k: v.replace(
+                "token_embeddings_sf0.01", f"token_embeddings_{base}"
+            )
+            for k, v in oracles.items()
+        }
     # Gate-style entries whose oracle is an arithmetic LAW enumeration
     # (expected pair lists), not the actual decode/hash computation —
     # timing that SQL would compare Spark's real codec work against a
