@@ -117,24 +117,41 @@ def bm25_scores(
     qcounts = Counter(py_tokenize(query))
     if not qcounts:
         raise ValueError("empty query")  # parity: local_db.py raises on no tokens
-    # The query side is literals, not a DataFrame: term_stats filtered by
-    # an IN-list and qtf looked up from a literal map — one broadcast
-    # exchange total (the qside build), vs a createDataFrame + an extra
-    # broadcast join. N/avgdl inlined as literals (stats.scalars). The
-    # main job is then a single broadcast hash join over postings + one
-    # partial-sum groupBy.
+    # The query side is DRIVER LITERALS end-to-end (round 11): the
+    # per-term idf is collected from the cached term_stats (a
+    # ≤|query|-row read of a vocabulary-sized cached relation — bounded
+    # by the query, never the corpus) and premultiplied with qtf into a
+    # literal weight map. The scoring job is then ONE stage over the
+    # postings cache — an in-scan IN-list filter + literal-map lookup +
+    # partial-sum groupBy — where the previous broadcast-join form paid
+    # a broadcast-exchange job per query and hash-joined the full
+    # postings scan. Bit-identical scores: the collected idf doubles
+    # are the same values the join delivered, and (qtf·idf) was already
+    # the left-associated first product in the contribution expression.
+    # N/avgdl inlined as literals (stats.scalars).
     _, avgdl = stats.scalars()
-    qtf_map = F.create_map(
-        *[F.lit(x) for t, c in qcounts.items() for x in (t, int(c))]
-    )
-    qside = (
+    qrows = (
         stats.term_stats.where(F.col("term").isin(list(qcounts)))
-        .select("term", "idf", qtf_map[F.col("term")].alias("qtf"))
+        .select("term", "idf")
+        .collect()
     )
-    matched = stats.postings.join(F.broadcast(qside), "term")
+    if not qrows:
+        # no query term in the vocabulary: empty scores relation
+        return stats.postings.where(F.lit(False)).select(
+            "doc_id", F.lit(0.0).alias("score")
+        )
+    w_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in qrows
+            for x in (r["term"], float(qcounts[r["term"]]) * float(r["idf"]))
+        ]
+    )
+    matched = stats.postings.where(
+        F.col("term").isin([r["term"] for r in qrows])
+    )
     contrib = (
-        F.col("qtf")
-        * F.col("idf")
+        w_map[F.col("term")]
         * (F.col("tf") * (k1 + 1))
         / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
     )
