@@ -273,6 +273,133 @@ def containment_pairs(
     )
 
 
+TFIDF_PREFIX_MAX_RATIO = 0.5  # auto tier: filter only if prefixes prune
+
+
+def tfidf_cosine_pairs(
+    u: DataFrame,
+    threshold: float,
+    prefix_filter: "bool | str" = "auto",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """All-pairs cosine similarity over L2-normalized weighted postings
+    (doc_id, term, w) — Bayardo et al., "Scaling Up All Pairs
+    Similarity Search" (WWW 2007). Cosine draws contributions only
+    from SHARED terms, so a postings self-join computes the EXACT
+    score; with `prefix_filter` the join runs over a pruned candidate
+    set instead of every co-occurring pair (round 11: the previously
+    documented-only scale path for q_tfidf_cosine_neardup):
+
+      mw_t = max doc weight of term t in the corpus (any partner's
+      weight is ≤ mw_t). Order each doc's terms by (mw desc, term asc)
+      and keep the PREFIX positions whose tail bound
+      Σ_{j≥i} w_j·mw_j clears threshold − 1e-9: if every shared term
+      of a pair sits beyond the smaller-id doc's prefix, cos ≤ that
+      doc's tail bound < threshold — the pair cannot qualify, so
+      candidates = prefix(a) ⨝ full postings(b) on term (a < b) is an
+      EXACT candidate superset. The 1e-9 float slack on the bound only
+      ever ADDS candidates (verification is exact), never drops one;
+      pytest pins filtered ≡ unfiltered.
+
+    Cost: the unfiltered join is Σ_t df_t² on stop terms; the prefix
+    side carries only the high-discrimination head of each doc, which
+    on a power-law vocabulary shrinks candidates by orders of
+    magnitude. On a near-uniform vocabulary every prefix ≈ the whole
+    doc and the filter's extra candidate+verify joins are pure
+    overhead (this fixture's 31-word corpus measured 288 s filtered vs
+    ~30 s unfiltered at sf0.1), so the DEFAULT is an auto tier — the
+    repo's embedding_neardup_pairs_auto idiom: one cheap postings-pass
+    measures the prefix/postings row ratio and dispatches to the
+    filtered plan only when prefixes actually prune
+    (ratio ≤ TFIDF_PREFIX_MAX_RATIO); both tiers are exact and
+    pytest-pinned identical either way."""
+    from pyspark.sql.window import Window
+
+    if prefix_filter == "auto":
+        mw0 = u.groupBy("term").agg(F.max("w").alias("mw"))
+        wnd0 = (
+            Window.partitionBy("doc_id")
+            .orderBy(F.desc("mw"), F.asc("term"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        counts = (
+            u.join(mw0, "term")
+            .withColumn(
+                "tail", F.sum(F.col("w") * F.col("mw")).over(wnd0)
+            )
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(
+                    (F.col("tail") >= threshold - 1e-9).cast("long")
+                ).alias("pref"),
+            )
+            .collect()[0]
+        )
+        prefix_filter = (
+            counts["total"] > 0
+            and counts["pref"] <= TFIDF_PREFIX_MAX_RATIO * counts["total"]
+        )
+    if not prefix_filter:
+        a, b = u.alias("a"), u.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.term") == F.col("b.term"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("a.w") * F.col("b.w")), score_decimals
+                ).alias("cos")
+            )
+            .where(F.col("cos") >= threshold)
+            .orderBy("a_id", "b_id")
+        )
+    mw = u.groupBy("term").agg(F.max("w").alias("mw"))
+    wnd = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("mw"), F.asc("term"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pref = (
+        u.join(mw, "term")
+        .withColumn("tail", F.sum(F.col("w") * F.col("mw")).over(wnd))
+        .where(F.col("tail") >= threshold - 1e-9)
+        .select("doc_id", "term")
+    )
+    cand = (
+        pref.alias("pa")
+        .join(
+            u.alias("fb"),
+            (F.col("pa.term") == F.col("fb.term"))
+            & (F.col("pa.doc_id") < F.col("fb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("a_id"),
+            F.col("fb.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    ua = u.select(F.col("doc_id").alias("a_id"), "term", F.col("w").alias("wa"))
+    ub = u.select(F.col("doc_id").alias("b_id"), "term", F.col("w").alias("wb"))
+    return (
+        cand.join(ua, "a_id")
+        .join(ub, ["b_id", "term"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.round(
+                F.sum(F.col("wa") * F.col("wb")), score_decimals
+            ).alias("cos")
+        )
+        .where(F.col("cos") >= threshold)
+        .orderBy("a_id", "b_id")
+    )
+
+
 def minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Fixed (a, b) coefficients for h_i(x) = (a·x + b) mod p, seeded."""
     import random

@@ -4139,12 +4139,13 @@ def q_tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural fact: cosine only draws contributions from SHARED terms,
     so one postings self-join on term computes the EXACT full score —
     no candidate/verify split needed. At 100 TB the stop-term join keys
-    are the cost center; the standard APSS treatments are Bayardo's
-    threshold prefix filter, or a df-cap applied as DELIBERATE
-    vocabulary pruning to both the score law and its oracle (unlike
-    jaccard's pruned-universe consistency, capping tf-idf terms changes
-    norms, so it must be a declared preprocessing step, never a silent
-    approximation — this corpus's 31-word vocabulary needs neither).
+    are the cost center; round 11 IMPLEMENTS Bayardo's threshold prefix
+    filter (dedup.tfidf_cosine_pairs — exact candidate pruning,
+    filtered ≡ unfiltered pytest-pinned). The remaining documented
+    option is a df-cap applied as DELIBERATE vocabulary pruning to both
+    the score law and its oracle (unlike jaccard's pruned-universe
+    consistency, capping tf-idf terms changes norms, so it must be a
+    declared preprocessing step, never a silent approximation).
     idf is the sklearn-smooth law ln((N+1)/(df+1))+1 (never negative,
     never div0); per-doc norms and the pair dot-product are the one
     rounded-6dp float path (the bm25 precedent). The (doc, term, tf)
@@ -4170,21 +4171,13 @@ def q_tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "term", (F.col("w") / F.col("nn")).alias("w")
         )
     )
-    a, b = u.alias("a"), u.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-        )
-        .agg(F.round(F.sum(F.col("a.w") * F.col("b.w")), 6).alias("cos"))
-        .where(F.col("cos") >= TFIDF_COS_THRESHOLD)
-        .orderBy("a_id", "b_id")
-    )
+    # round 11: the Bayardo threshold prefix filter is now IMPLEMENTED
+    # (dedup.tfidf_cosine_pairs), not just documented — the auto tier
+    # dispatches to prefix-pruned candidates on prunable vocabularies
+    # and to the single co-occurrence join on this fixture's
+    # near-uniform one; exact either way (filtered ≡ unfiltered,
+    # pytest-pinned), hash unchanged.
+    return dedup.tfidf_cosine_pairs(u, TFIDF_COS_THRESHOLD)
 
 
 CONTAINMENT_THRESHOLD = 0.9

@@ -373,3 +373,139 @@ def test_containment_is_directed_where_jaccard_dilutes(spark):
     assert (2, 1) not in pairs  # the container is not contained
     jac = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.9).collect()
     assert jac == []  # symmetric jaccard misses the subset duplicate
+
+
+def test_tfidf_prefix_filter_equals_unfiltered(spark):
+    """Bayardo prefix filtering is EXACT candidate pruning: the
+    filtered plan must produce the identical pair relation as the full
+    co-occurrence self-join — on the fixture corpus (the degenerate
+    all-stop-terms worst case) AND on a skewed synthetic corpus where
+    the prefix actually prunes (near-dup pair on rare terms + docs
+    sharing only the stop term, which can never reach the
+    threshold)."""
+    import homemade_vector_db_spark.queries as Qm
+
+    def normalized(u_docs):
+        tf = (
+            u_docs.select(
+                "doc_id",
+                F.explode(
+                    F.expr("filter(split(text, '\\\\s+'), t -> t <> '')")
+                ).alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        n_docs = tf.select("doc_id").distinct().count()
+        idf = tf.groupBy("term").agg(
+            (F.log((n_docs + 1.0) / (F.count(F.lit(1)) + 1.0)) + 1.0)
+            .alias("idf")
+        )
+        w = tf.join(idf, "term").select(
+            "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w")
+        )
+        nrm = w.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn")
+        )
+        return w.join(nrm, "doc_id").select(
+            "doc_id", "term", (F.col("w") / F.col("nn")).alias("w")
+        )
+
+    norm_rows = lambda rows: sorted((r.a_id, r.b_id, r.cos) for r in rows)
+
+    # fixture corpus through the registered entry's own relation
+    entry_rows = Qm.q_tfidf_cosine_neardup(spark, SF_SMOKE).collect()
+    # unfiltered twin over the same normalized postings
+    tfm = Qm._bm25_stats(spark, SF_SMOKE).postings.select(
+        "doc_id", "term", "tf"
+    )
+    n_docs = tfm.select("doc_id").distinct().count()
+    idf = tfm.groupBy("term").agg(
+        (F.log((n_docs + 1.0) / (F.count(F.lit(1)) + 1.0)) + 1.0).alias("idf")
+    )
+    w = tfm.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn")
+    )
+    u = w.join(nrm, "doc_id").select(
+        "doc_id", "term", (F.col("w") / F.col("nn")).alias("w")
+    )
+    full = dedup.tfidf_cosine_pairs(
+        u, Qm.TFIDF_COS_THRESHOLD, prefix_filter=False
+    ).collect()
+    assert norm_rows(entry_rows) == norm_rows(full)
+
+    # skewed synthetic corpus: docs 1/2 are near-dups on rare terms,
+    # docs 3..8 share only the stop term 'the' with everything
+    rows = [
+        (1, "zebra quark flux the"),
+        (2, "zebra quark flux the the"),
+        (3, "the alpha"),
+        (4, "the beta"),
+        (5, "the gamma"),
+        (6, "the delta"),
+        (7, "the epsilon"),
+        (8, "the zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    u2 = normalized(docs)
+    got = dedup.tfidf_cosine_pairs(u2, 0.8, prefix_filter=True).collect()
+    want = dedup.tfidf_cosine_pairs(u2, 0.8, prefix_filter=False).collect()
+    assert norm_rows(got) == norm_rows(want)
+    assert {(r.a_id, r.b_id) for r in got} == {(1, 2)}
+
+
+def test_tfidf_auto_tier_dispatch(spark):
+    """The auto tier picks the unfiltered join on a near-uniform
+    vocabulary (every prefix ≈ whole doc) and the filtered plan on a
+    skewed one — and both dispatch results equal the explicit tiers."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+    def normalized(u_docs):
+        tf = (
+            u_docs.select(
+                "doc_id",
+                F.explode(
+                    F.expr("filter(split(text, '\\\\s+'), t -> t <> '')")
+                ).alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        n_docs = tf.select("doc_id").distinct().count()
+        idf = tf.groupBy("term").agg(
+            (F.log((n_docs + 1.0) / (F.count(F.lit(1)) + 1.0)) + 1.0)
+            .alias("idf")
+        )
+        w = tf.join(idf, "term").select(
+            "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w")
+        )
+        nrm = w.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn")
+        )
+        return w.join(nrm, "doc_id").select(
+            "doc_id", "term", (F.col("w") / F.col("nn")).alias("w")
+        )
+
+    norm_rows = lambda rows: sorted((r.a_id, r.b_id, r.cos) for r in rows)
+    skew = normalized(mk([
+        (1, "zebra quark flux the"),
+        (2, "zebra quark flux the the"),
+        (3, "the alpha"), (4, "the beta"), (5, "the gamma"),
+        (6, "the delta"), (7, "the epsilon"), (8, "the zeta"),
+    ]))
+    auto = dedup.tfidf_cosine_pairs(skew, 0.8).collect()
+    assert norm_rows(auto) == norm_rows(
+        dedup.tfidf_cosine_pairs(skew, 0.8, prefix_filter=True).collect()
+    )
+    uniform = normalized(mk([
+        (1, "a b c"), (2, "a b c"), (3, "b c a"), (4, "c a b"),
+    ]))
+    auto_u = dedup.tfidf_cosine_pairs(uniform, 0.95).collect()
+    assert norm_rows(auto_u) == norm_rows(
+        dedup.tfidf_cosine_pairs(
+            uniform, 0.95, prefix_filter=False
+        ).collect()
+    )
