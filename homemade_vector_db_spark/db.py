@@ -195,7 +195,9 @@ class VectorDatabase:
         else:
             self._ann_index = None
 
-    def _maintain_index_on_delete(self, id_list: "list[int]") -> None:
+    def _maintain_index_on_delete(
+        self, id_list: "list[int]", for_update: bool = False
+    ) -> None:
         """Per-tier incremental maintenance for a deleted id block
         (VERDICT r10 Next #7 — mutation-driven maintenance instead of
         fingerprint-rotation full rebuilds): the code tiers (IVF /
@@ -203,10 +205,13 @@ class VectorDatabase:
         trained geometry, so deletion is an exact filter of the code
         relation — search results equal a from-scratch rebuild minus
         the rows (the geometry never depended on individual rows being
-        present). The graph tier (hnsw/nsw) routes beams THROUGH nodes,
-        so dropping rows would silently change reachability — it
-        rebuilds lazily (honest refusal; hnswlib's mark_deleted keeps
-        nodes for routing for the same reason)."""
+        present). The graph tier (hnsw/nsw) mark-deletes (round 11 —
+        nsw.nsw_delete, the hnswlib mark_deleted analogue: tombstones
+        stay for routing, search excludes them, rebalance GCs them);
+        for an UPDATE the graph tier instead rebuilds lazily — the
+        replacement row would collide with its own tombstone in the
+        per-shard insertion state, and hnswlib's in-place replace has
+        the same repair caveat."""
         import dataclasses
 
         idx = self._ann_index
@@ -230,6 +235,10 @@ class VectorDatabase:
             self._ann_index = dataclasses.replace(
                 idx, codes=idx.codes.where(cond)
             )
+        elif t in ("hnsw", "nsw") and not for_update:
+            from homemade_vector_db_spark.operators import nsw as nswmod
+
+            self._ann_index = nswmod.nsw_delete(idx, id_list)
         else:
             self._ann_index = None
 
@@ -363,8 +372,9 @@ class VectorDatabase:
         # round 11 (VERDICT r10 Next #7): update = incremental delete of
         # the old codes + add-after-train encode of the replacements —
         # the code tiers never rebuild; the graph tier rebuilds lazily
-        # (see _maintain_index_on_delete)
-        self._maintain_index_on_delete(id_list)
+        # (see _maintain_index_on_delete: a replacement row would
+        # collide with its own tombstone)
+        self._maintain_index_on_delete(id_list, for_update=True)
         self._maintain_index_on_append(replacement)
         return len(rows)
 

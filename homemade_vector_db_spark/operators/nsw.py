@@ -258,6 +258,13 @@ def nsw_search(
         X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         pos = {int(i): p for p, i in enumerate(ids)}
         levels = pdf["level"].to_numpy(dtype=np.int64)
+        # mark-delete (round 11, hnswlib parity): tombstoned nodes stay
+        # in the graph for ROUTING but never appear in results
+        dele = (
+            pdf["deleted"].fillna(False).to_numpy(dtype=bool)
+            if "deleted" in pdf.columns
+            else np.zeros(len(pdf), dtype=bool)
+        )
         adj = [
             [[pos[int(v)] for v in lvl_links] for lvl_links in node_links]
             for node_links in pdf["neighbors"]
@@ -269,6 +276,7 @@ def nsw_search(
         for lvl in range(max_lvl, 0, -1):
             ep = _greedy_hop(X, adj, q, ep, lvl)
         best = _search_layer(X, adj, q, [ep], ef_search, 0)
+        best = [t for t in best if not dele[t[1]]]
         best.sort(key=lambda t: (t[0], ids[t[1]]))
         top = best[:k]
         return pd.DataFrame(
@@ -345,6 +353,11 @@ def nsw_batch_search(
         X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         pos = {int(i): p for p, i in enumerate(ids)}
         levels = pdf["level"].to_numpy(dtype=np.int64)
+        dele = (
+            pdf["deleted"].fillna(False).to_numpy(dtype=bool)
+            if "deleted" in pdf.columns
+            else np.zeros(len(pdf), dtype=bool)
+        )
         adj = [
             [[pos[int(v)] for v in lvl_links] for lvl_links in node_links]
             for node_links in pdf["neighbors"]
@@ -358,6 +371,7 @@ def nsw_batch_search(
             for lvl in range(max_lvl, 0, -1):
                 ep = _greedy_hop(X, adj, q, ep, lvl)
             best = _search_layer(X, adj, q, [ep], ef_search, 0)
+            best = [t for t in best if not dele[t[1]]]
             best.sort(key=lambda t: (t[0], ids[t[1]]))
             for d, v in best[:k]:
                 out_qid.append(qids[j])
@@ -428,6 +442,39 @@ def nsw_batch_search_chunked(
     return reduce(DataFrame.unionByName, parts).orderBy(query_id_col, "rn")
 
 
+def nsw_delete(
+    index: NSWIndex,
+    ids,
+    cache: bool = True,
+) -> NSWIndex:
+    """Mark-delete — the hnswlib `mark_deleted` analogue (round 11,
+    VERDICT r10 Next #7 follow-through): tombstoned nodes STAY in the
+    graph so beams keep routing through them (physically dropping a
+    node would sever every link list that references it and silently
+    change reachability), but the search kernels exclude them from
+    results. Recall caveat shared with hnswlib: a query whose true
+    top-k neighbors are mostly tombstoned needs a larger ef_search to
+    fill k live results. `nsw_rebalance` is the GC point — it rebuilds
+    from live rows only and physically drops tombstones. Idempotent;
+    unknown ids are a no-op."""
+    import dataclasses
+
+    id_list = [int(i) for i in ids]
+    g = index.graph
+    prior = (
+        F.coalesce(F.col("deleted"), F.lit(False))
+        if "deleted" in g.columns
+        else F.lit(False)
+    )
+    g2 = g.withColumn("deleted", F.col("id").isin(id_list) | prior)
+    if cache:
+        g2 = g2.persist()
+        g2.count()
+        if index.graph.is_cached:
+            index.graph.unpersist()
+    return dataclasses.replace(index, graph=g2)
+
+
 def nsw_add(
     index: NSWIndex,
     new_df: DataFrame,
@@ -459,14 +506,17 @@ def nsw_add(
             "adds."
         )
     n_shards = index.n_shards
-    new_rows = new_df.select(
+    has_deleted = "deleted" in index.graph.columns
+    new_cols = [
         F.pmod(F.xxhash64(F.col(index.id_col)), F.lit(n_shards)).alias("shard"),
         F.col(index.id_col).alias("id"),
         F.col(index.vec_col).alias("vec"),
         F.lit(None).cast("int").alias("level"),
         F.lit(None).cast("array<array<bigint>>").alias("neighbors"),
-        F.lit(True).alias("is_new"),
-    )
+    ]
+    if has_deleted:
+        new_cols.append(F.lit(False).alias("deleted"))
+    new_rows = new_df.select(*new_cols, F.lit(True).alias("is_new"))
     existing = index.graph.withColumn("is_new", F.lit(False))
     m, ef = index.m, index.ef_construction
 
@@ -521,18 +571,23 @@ def nsw_add(
                 entry,
                 max_lvl,
             )
-        return pd.DataFrame(
-            {
-                "shard": key[0],
-                "id": ids,
-                "vec": vecs,
-                "level": levels,
-                "neighbors": [
-                    [[int(ids[v]) for v in lvl_links] for lvl_links in adj[p]]
-                    for p in range(len(ids))
-                ],
-            }
-        )
+        out = {
+            "shard": key[0],
+            "id": ids,
+            "vec": vecs,
+            "level": levels,
+            "neighbors": [
+                [[int(ids[v]) for v in lvl_links] for lvl_links in adj[p]]
+                for p in range(len(ids))
+            ],
+        }
+        if "deleted" in pdf.columns:
+            # tombstone flags ride through in (old, new) order — the
+            # same order `ids` was assembled in; fresh rows are live
+            out["deleted"] = [bool(x) for x in old["deleted"]] + [
+                False
+            ] * len(new)
+        return pd.DataFrame(out)
 
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -586,9 +641,15 @@ def nsw_rebalance(
     it is an offline maintenance op, not a query-path one. Levels are a
     pure id-hash law, so every node keeps its level; only shard
     membership and links change. Also the escape hatch for a legacy
-    manifest with unknown shard count: the rebuild re-declares it."""
+    manifest with unknown shard count: the rebuild re-declares it.
+    Rebalance is also the tombstone GC point (nsw_delete): only LIVE
+    rows enter the rebuild, so marked nodes are physically dropped
+    here."""
+    src = index.graph
+    if "deleted" in src.columns:
+        src = src.where(~F.coalesce(F.col("deleted"), F.lit(False)))
     rebuilt = build_nsw(
-        index.graph.select(
+        src.select(
             F.col("id").alias(index.id_col), F.col("vec").alias(index.vec_col)
         ),
         id_col=index.id_col,

@@ -527,3 +527,70 @@ def test_ivf_filtered_respects_predicate_under_narrow_probe(spark, embs):
     assert rows, "narrow probe returned nothing"
     allowed = {r.vec_id for r in embs.where(F.col("label") == 2).collect()}
     assert {r.vec_id for r in rows} <= allowed
+
+
+def test_nsw_mark_delete_and_gc(spark, embs, qvec):
+    """nsw_delete (hnswlib mark_deleted parity, round 11): tombstoned
+    ids vanish from results while the graph keeps routing through
+    them (k live results still come back); nsw_add after a delete
+    preserves the tombstone flags; nsw_rebalance physically GCs the
+    marked rows; and the db graph tier mark-deletes instead of
+    dropping the index."""
+    from pyspark.sql import functions as F
+
+    from homemade_vector_db_spark.operators import nsw
+
+    idx = nsw.build_nsw(embs.where(F.col("vec_id") < 480),
+                        rows_per_shard=150)
+    before = [r.vec_id for r in
+              nsw.nsw_search(idx, qvec, k=10, ef_search=60).collect()]
+    dead = before[:2]
+    idx2 = nsw.nsw_delete(idx, dead)
+    after = [r.vec_id for r in
+             nsw.nsw_search(idx2, qvec, k=10, ef_search=60).collect()]
+    assert not set(dead) & set(after)
+    assert len(after) == 10  # beam fills k from live nodes
+    assert set(after) >= set(before[2:])  # survivors keep their ranks
+
+    # add-after-delete: flags ride through the insert kernel
+    late = embs.where(F.col("vec_id") >= 480)
+    idx3 = nsw.nsw_add(idx2, late)
+    again = [r.vec_id for r in
+             nsw.nsw_search(idx3, qvec, k=10, ef_search=60).collect()]
+    assert not set(dead) & set(again)
+    n_marked = idx3.graph.where("deleted").count()
+    assert n_marked == len(dead)
+
+    # rebalance = GC: tombstones physically dropped, search unchanged
+    idx4 = nsw.nsw_rebalance(idx3, rows_per_shard=150)
+    assert "deleted" not in [c for c in idx4.graph.columns] or (
+        idx4.graph.where("deleted").count() == 0
+    )
+    assert idx4.graph.count() == idx3.graph.count() - len(dead)
+    gc = [r.vec_id for r in
+          nsw.nsw_search(idx4, qvec, k=10, ef_search=60).collect()]
+    assert not set(dead) & set(gc)
+
+
+def test_db_graph_tier_mark_delete(spark):
+    """db.delete on the graph tier keeps the index alive (mark-delete)
+    and excludes the id from results; db.update still rebuilds
+    lazily (tombstone/insert collision)."""
+    import random
+
+    from homemade_vector_db_spark.db import VectorDatabase
+
+    rng = random.Random(23)
+    mk = lambda: [rng.random() for _ in range(8)]
+    db = VectorDatabase(spark, dim=8, index_type="hnsw")
+    vecs = [mk() for _ in range(30)]
+    db.add([f"doc {i}" for i in range(30)], vecs)
+    db.query_vector(mk(), top_k=3)  # force index build
+    assert db._ann_index is not None
+    assert db.delete([4]) == 1
+    assert db._ann_index is not None  # mark-delete, not a drop
+    got = db.query_vector(vecs[4], top_k=29)
+    assert 4 not in got
+    target = [5.0 + x for x in mk()]
+    assert db.update([7], vectors=[target]) == 1
+    assert db.query_vector(target, top_k=1) == [7]
