@@ -18309,6 +18309,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 dict entries) covers the queries without a green row yet —
     round 11 reorders via _R11_WINDOW (changed/new entries first, then
     the stalest r01/r02-vintage rows; see its comment).
+    Round-11 close state: 280 entries, 280 oracle-paired (zero
+    rows-only); five new entries this round (maxsim_token_topk,
+    maxsim_rerank_topk, term_proximity_topk, t_closeness,
+    dow_revenue_profile), snippet_extract semantics changed (bm25-page
+    extraction), and the standing CORRECTNESS_sf0.1.json regenerated
+    280/280 hash-green.
     Round-10 close state: 275 entries, 275 oracle-paired — zero
     rows-only (iterative NN-Descent has no one-statement SQL twin, so
     per the round-3 fold policy it registers THROUGH its gate:
