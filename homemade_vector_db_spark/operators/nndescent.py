@@ -255,6 +255,12 @@ def knn_graph_delete(
         .select("src")
         .distinct()
     )
+    if affected.limit(1).count() == 0:
+        # deleted ids were nobody's neighbor: every surviving adjacency
+        # list is already exact — no repair pass, no empty knn_join
+        return kept.select("src", "rn", "neighbor_id", "score").orderBy(
+            "src", "rn"
+        )
     intact = kept.join(affected, "src", "left_anti").select(
         "src", "neighbor_id", "score"
     )

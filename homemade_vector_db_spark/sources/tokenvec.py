@@ -48,9 +48,37 @@ _REPO_ROOT = os.path.dirname(
 FIXTURE_DIR = os.path.join(_REPO_ROOT, "fixtures")
 
 
+def _docs_tag(sf_dir: str) -> str:
+    """Fingerprint of the source documents (the _materialized family's
+    (size, mtime) discipline): the fixture filename encodes it, so a
+    driver-regenerated documents.parquet can never be served a STALE
+    token relation — both engines would keep agreeing on the old bytes
+    (hash-green) while no longer describing the corpus. Missing source
+    → empty tag (in-memory/test corpora)."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            parts = sorted(
+                f for f in os.listdir(p) if f.endswith(".parquet")
+            )
+            sig = ",".join(
+                f"{f}:{os.path.getsize(os.path.join(p, f))}" for f in parts
+            )
+        else:
+            st = os.stat(p)
+            sig = f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        return ""
+    return format(zlib.crc32(sig.encode()) & 0xFFFFFFFF, "08x")
+
+
 def token_fixture_path(sf_dir: str) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(FIXTURE_DIR, f"token_embeddings_{base}.parquet")
+    tag = _docs_tag(sf_dir)
+    suffix = f"_{tag}" if tag else ""
+    return os.path.join(
+        FIXTURE_DIR, f"token_embeddings_{base}{suffix}.parquet"
+    )
 
 
 def _base_vec(word: str, dim: int):
@@ -89,6 +117,7 @@ def ensure_token_fixture(sf_dir: str) -> str:
     elif not os.path.isfile(docs_parquet):
         raise FileNotFoundError(docs_parquet)
 
+    import glob
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -96,6 +125,18 @@ def ensure_token_fixture(sf_dir: str) -> str:
     import duckdb
 
     os.makedirs(FIXTURE_DIR, exist_ok=True)
+    # GC fixtures built from a STALE documents fingerprint of this sf
+    base = os.path.basename(sf_dir.rstrip("/"))
+    for old in glob.glob(
+        os.path.join(FIXTURE_DIR, f"token_embeddings_{base}_*.parquet")
+    ) + glob.glob(
+        os.path.join(FIXTURE_DIR, f"token_embeddings_{base}.parquet")
+    ):
+        if old != path and not old.startswith(f"{path}.tmp."):
+            try:
+                os.remove(old)
+            except OSError:
+                pass
     rows_doc, rows_pos, rows_term, rows_vec = [], [], [], []
 
     # memoize per-(word, pos) vectors: the fixture vocabulary is tiny

@@ -60,12 +60,9 @@ def main() -> None:
         from homemade_vector_db_spark.sources import tokenvec
 
         tokenvec.ensure_token_fixture(SF_DIR)
-        oracles = {
-            k: v.replace(
-                "token_embeddings_sf0.01", f"token_embeddings_{base}"
-            )
-            for k, v in oracles.items()
-        }
+        src = tokenvec.token_fixture_path("/root/testdata/sf0.01")
+        dst = tokenvec.token_fixture_path(SF_DIR)
+        oracles = {k: v.replace(src, dst) for k, v in oracles.items()}
     # Gate-style entries whose oracle is an arithmetic LAW enumeration
     # (expected pair lists), not the actual decode/hash computation —
     # timing that SQL would compare Spark's real codec work against a

@@ -83,12 +83,9 @@ def main() -> int:
         from homemade_vector_db_spark.sources import tokenvec
 
         tokenvec.ensure_token_fixture(SF_DIR)
-        oracles = {
-            k: v.replace(
-                "token_embeddings_sf0.01", f"token_embeddings_{base}"
-            )
-            for k, v in oracles.items()
-        }
+        src = tokenvec.token_fixture_path("/root/testdata/sf0.01")
+        dst = tokenvec.token_fixture_path(SF_DIR)
+        oracles = {k: v.replace(src, dst) for k, v in oracles.items()}
     failures = []
     records: dict[str, dict] = {}
     for name, fn in qs.items():

@@ -192,6 +192,19 @@ def test_knn_graph_delete_update_equal_rebuild(spark, embs):
     full = knn_graph_auto(after_del, k=K).collect()
     assert norm(inc) == norm(full)
 
+    # corner: deleting an id that is NOBODY's neighbor must short-
+    # circuit (no repair pass, no empty-query knn_join) and stay exact
+    neigh = {r.neighbor_id for r in graph.select("neighbor_id").collect()}
+    unref = sorted(
+        {r.vec_id for r in embs.select("vec_id").collect()} - neigh
+    )
+    if unref:
+        inc0 = knn_graph_delete(graph, embs, [unref[0]], k=K).collect()
+        full0 = knn_graph_auto(
+            embs.where(F.col("vec_id") != unref[0]), k=K
+        ).collect()
+        assert norm(inc0) == norm(full0)
+
     # update: move three vectors to (near-)copies of vector 0 — they
     # must become each other's / vector 0's neighbors in the refreshed
     # graph exactly as in a rebuild
