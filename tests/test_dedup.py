@@ -414,23 +414,15 @@ def test_tfidf_prefix_filter_equals_unfiltered(spark):
     norm_rows = lambda rows: sorted((r.a_id, r.b_id, r.cos) for r in rows)
 
     # fixture corpus through the registered entry's own relation
+    # (round 12: the entry applies the declared TFIDF_MAX_DF_FRAC cap,
+    # so the unfiltered twin is built through the same capped kernel)
     entry_rows = Qm.q_tfidf_cosine_neardup(spark, SF_SMOKE).collect()
-    # unfiltered twin over the same normalized postings
     tfm = Qm._bm25_stats(spark, SF_SMOKE).postings.select(
         "doc_id", "term", "tf"
     )
     n_docs = tfm.select("doc_id").distinct().count()
-    idf = tfm.groupBy("term").agg(
-        (F.log((n_docs + 1.0) / (F.count(F.lit(1)) + 1.0)) + 1.0).alias("idf")
-    )
-    w = tfm.join(idf, "term").select(
-        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w")
-    )
-    nrm = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn")
-    )
-    u = w.join(nrm, "doc_id").select(
-        "doc_id", "term", (F.col("w") / F.col("nn")).alias("w")
+    u = dedup.tfidf_normalized_postings(
+        tfm, n_docs, max_df_frac=Qm.TFIDF_MAX_DF_FRAC
     )
     full = dedup.tfidf_cosine_pairs(
         u, Qm.TFIDF_COS_THRESHOLD, prefix_filter=False
@@ -509,3 +501,73 @@ def test_tfidf_auto_tier_dispatch(spark):
             uniform, 0.95, prefix_filter=False
         ).collect()
     )
+
+
+def test_tfidf_max_df_cap_tier(spark):
+    """The declared max_df vocabulary cap (round 12, sklearn
+    TfidfVectorizer max_df semantics) — the scale tier for near-uniform
+    vocabularies where Bayardo prefixes cannot prune:
+
+    1. On a corpus where no term exceeds the cap, capped ≡ uncapped
+       bit-for-bit (the cap is a no-op, never a perturbation).
+    2. On the skewed synthetic corpus (stop term 'the' in every doc,
+       df = N > 0.5N), the cap drops only the stop term; the DETECTED
+       PAIR SET is unchanged (a stop term shared by everything never
+       decides a near-dup pair) while the norms legitimately change.
+    3. Filtered/unfiltered tiers stay pinned identical over the capped
+       relation (cap composes with the Bayardo filter)."""
+    import math
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+    def raw_tf(u_docs):
+        return (
+            u_docs.select(
+                "doc_id",
+                F.explode(
+                    F.expr("filter(split(text, '\\\\s+'), t -> t <> '')")
+                ).alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    norm_rows = lambda rows: sorted((r.a_id, r.b_id, r.cos) for r in rows)
+    pair_set = lambda rows: {(r.a_id, r.b_id) for r in rows}
+
+    # 1. cap does not bind -> identical relation and identical pairs
+    low_df = mk([
+        (1, "zebra quark flux"),
+        (2, "zebra quark flux nova"),
+        (3, "alpha beta"),
+        (4, "gamma delta"),
+    ])  # max df = 2 of 4 docs = exactly 0.5 -> kept (<= floor(0.5*4))
+    tf1 = raw_tf(low_df)
+    n1 = tf1.select("doc_id").distinct().count()
+    capped = dedup.tfidf_normalized_postings(tf1, n1, max_df_frac=0.5)
+    uncapped = dedup.tfidf_normalized_postings(tf1, n1, max_df_frac=None)
+    as_rows = lambda u: sorted(
+        (r.doc_id, r.term, round(r.w, 9)) for r in u.collect()
+    )
+    assert as_rows(capped) == as_rows(uncapped)
+
+    # 2. skewed corpus: 'the' in all 8 docs is pruned; pair set invariant
+    skew = mk([
+        (1, "zebra quark flux the"),
+        (2, "zebra quark flux the the"),
+        (3, "the alpha"), (4, "the beta"), (5, "the gamma"),
+        (6, "the delta"), (7, "the epsilon"), (8, "the zeta"),
+    ])
+    tf2 = raw_tf(skew)
+    n2 = tf2.select("doc_id").distinct().count()
+    u_cap = dedup.tfidf_normalized_postings(tf2, n2, max_df_frac=0.5)
+    u_raw = dedup.tfidf_normalized_postings(tf2, n2, max_df_frac=None)
+    # the stop term is gone from the capped vocabulary
+    assert u_cap.where(F.col("term") == "the").count() == 0
+    got_cap = dedup.tfidf_cosine_pairs(u_cap, 0.8, prefix_filter=False).collect()
+    got_raw = dedup.tfidf_cosine_pairs(u_raw, 0.8, prefix_filter=False).collect()
+    assert pair_set(got_cap) == pair_set(got_raw) == {(1, 2)}
+
+    # 3. Bayardo filter stays exact over the capped relation
+    got_filt = dedup.tfidf_cosine_pairs(u_cap, 0.8, prefix_filter=True).collect()
+    assert norm_rows(got_filt) == norm_rows(got_cap)
