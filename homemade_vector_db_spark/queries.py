@@ -258,10 +258,34 @@ def _corpus_tag(sf_dir: str) -> str:
     return _hashlib.md5(p.encode()).hexdigest()[:12]
 
 
-def _derived_path(sf_dir: str, kind: str, source_file: str) -> str:
+def _code_key(fns) -> str:
+    """Short content hash of one-or-more functions' SOURCE TEXT, folded
+    into derived-state fingerprints so a semantics change to the build
+    law self-invalidates its disk cache (ADVICE r11 item 1: the
+    (size, mtime) source fingerprint alone serves stale output across
+    code changes until someone remembers to bump a version constant).
+    Falls back to the compiled bytecode when source is unavailable
+    (frozen/interactive definitions)."""
+    import hashlib as _hashlib
+    import inspect as _inspect
+
+    h = _hashlib.sha256()
+    for f in fns if isinstance(fns, (list, tuple)) else (fns,):
+        try:
+            h.update(_inspect.getsource(f).encode())
+        except (OSError, TypeError):
+            h.update(getattr(getattr(f, "__code__", None), "co_code", b""))
+    return h.hexdigest()[:10]
+
+
+def _derived_path(
+    sf_dir: str, kind: str, source_file: str, extra_key: str = ""
+) -> str:
     src = os.path.join(sf_dir, source_file)
     st = os.stat(src)
     key = f"{_corpus_tag(sf_dir)}_{st.st_size}_{st.st_mtime_ns}"
+    if extra_key:
+        key = f"{key}_{extra_key}"
     return os.path.join(_DERIVED_ROOT, f"{kind}_{key}")
 
 
@@ -287,6 +311,7 @@ def _materialized(
     kind: str,
     build_fn,
     source_file: str = "documents.parquet",
+    code_of=None,
 ):
     """Disk-materialized derived relation keyed by a fingerprint of the
     source file, with a session-cache fallback when the corpus is not
@@ -300,13 +325,20 @@ def _materialized(
     and GC each other mid-read — and the stale-state GC glob is anchored
     on a hash of the corpus's absolute path, so it can only ever match
     older fingerprints of THIS corpus, never a sibling whose basename
-    shares a prefix."""
+    shares a prefix.
+
+    Round 12 (ADVICE r11 item 1): `code_of` — the function(s) whose
+    SOURCE defines the build law — folds a content hash into the
+    fingerprint, so a semantics change self-invalidates the disk state
+    (the GC glob still matches the stale sibling: the code hash lives
+    in the key suffix, after the `{kind}_{tag}_` anchor)."""
     key = (kind, sf_dir)
     if key not in _ANN_IDX:
         if not os.path.exists(os.path.join(sf_dir, source_file)):
             _ANN_IDX[key] = build_fn().cache()
         else:
-            path = _derived_path(sf_dir, kind, source_file)
+            extra = _code_key(code_of) if code_of is not None else ""
+            path = _derived_path(sf_dir, kind, source_file, extra)
             if not os.path.isfile(os.path.join(path, "_SUCCESS")):
                 # GC siblings built from a STALE fingerprint of the same
                 # (kind, corpus-path) before building the fresh one
@@ -327,9 +359,9 @@ def _materialized(
     return _ANN_IDX[key]
 
 
-_CMP_VERSION = 1  # bump when a component law changes semantics: the
-# _materialized fingerprint keys on the SOURCE parquet only, so a code
-# change needs an explicit version rotation to invalidate disk state
+_CMP_VERSION = 1  # retained for artifact-name compat; invalidation on
+# code change is now automatic — _component folds a content hash of the
+# component function's source into the fingerprint (ADVICE r11 item 1)
 
 
 def _component(spark: SparkSession, sf_dir: str, name: str, fn,
@@ -351,6 +383,7 @@ def _component(spark: SparkSession, sf_dir: str, name: str, fn,
         f"cmp{_CMP_VERSION}_{name}",
         lambda: fn(spark, sf_dir),
         source_file=source_file,
+        code_of=fn,
     )
 
 
@@ -2248,21 +2281,16 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_GRAPH_K = 3  # neighbors per node in the corpus kNN graph
 
 
-def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide kNN-graph construction: EVERY row's top-k nearest
-    neighbors (squared-L2 similarity, self excluded) — the input
-    relation for graph-based SemDeDup variants, label propagation, and
-    connectivity audits. Runs through `knn_batch_chunked` with the
-    corpus itself as the query block: the driver holds one bounded
+def _knn_graph_exact_build(emb: DataFrame) -> DataFrame:
+    """Exact corpus kNN-graph kernel body (shared by q_knn_graph and the
+    fingerprint-keyed artifact below): `knn_batch_chunked` with the
+    corpus itself as the query block — the driver holds one bounded
     chunk at a time (hash-split, union ≡ unbounded exactly), each
     chunk's corpus pass emits only local top-(k+1) candidates, and the
     self row is dropped with a re-rank over the ≤(k+1)-row-per-node
-    candidate relation (tiny). The oracle recomputes the full
-    self-excluded ranking relationally; ties break by ascending
-    neighbor id (the knn tie law)."""
+    candidate relation (tiny)."""
     from pyspark.sql.window import Window
 
-    emb = load_embeddings(spark, sf_dir)
     queries = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -2281,8 +2309,37 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             "score",
         )
-        .orderBy("src", "rn")
     )
+
+
+def _knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-keyed EXACT graph artifact (VERDICT r11 Next #2): the
+    exact tier is the oracle input for three verification gates
+    (knn_graph_recall, graph_semdedup_ann_check, and — indirectly — the
+    incremental gate's rebuild comparison); each previously re-ran the
+    chunked full-corpus scans. One disk materialization, code-hash
+    self-invalidating, shared by all consumers."""
+    return _materialized(
+        spark,
+        sf_dir,
+        "knn_graph_exact",
+        lambda: _knn_graph_exact_build(load_embeddings(spark, sf_dir)),
+        source_file="embeddings.parquet",
+        code_of=(_knn_graph_exact_build,),
+    )
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide kNN-graph construction: EVERY row's top-k nearest
+    neighbors (squared-L2 similarity, self excluded) — the input
+    relation for graph-based SemDeDup variants, label propagation, and
+    connectivity audits (kernel: _knn_graph_exact_build above). The
+    oracle recomputes the full self-excluded ranking relationally; ties
+    break by ascending neighbor id (the knn tie law). Round 12: reads
+    the shared fingerprint-keyed artifact — the exact graph is derived
+    index state built once per corpus, exactly like the BM25 postings,
+    not a per-gate rebuild."""
+    return _knn_graph_exact(spark, sf_dir).orderBy("src", "rn")
 
 
 def q_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2294,9 +2351,19 @@ def q_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-3 fold policy it is NOT registered bare: knn_graph_recall
     executes this plan in-plan and pins recall ≥ 0.9 vs the exact
     graph. Same output contract as q_knn_graph:
-    (src, rn, neighbor_id, score 1/(1+L2²) @6dp)."""
-    emb = load_embeddings(spark, sf_dir)
-    return nndescent.knn_graph_nndescent(emb, k=KNN_GRAPH_K)
+    (src, rn, neighbor_id, score 1/(1+L2²) @6dp). Round 12: the
+    NN-Descent output is itself a fingerprint-keyed artifact shared by
+    the recall and SemDeDup-check gates (VERDICT r11 Next #2)."""
+    return _materialized(
+        spark,
+        sf_dir,
+        "knn_graph_ann",
+        lambda: nndescent.knn_graph_nndescent(
+            load_embeddings(spark, sf_dir), k=KNN_GRAPH_K
+        ),
+        source_file="embeddings.parquet",
+        code_of=(nndescent.knn_graph_nndescent,),
+    )
 
 
 def q_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2337,6 +2404,7 @@ def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_embeddings(spark, sf_dir), k=KNN_GRAPH_K
         ),
         source_file="embeddings.parquet",
+        code_of=(nndescent.knn_graph_auto,),
     )
 
 
@@ -2729,7 +2797,18 @@ def q_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = n - KNN_INC_NEW
     old = emb.where(F.col("vec_id") < cut)
     new = emb.where(F.col("vec_id") >= cut)
-    old_graph = nndescent.knn_graph_auto(old, k=KNN_GRAPH_K)
+    # round 12 (VERDICT r11 Next #2): the pre-ingest base graph is the
+    # state a real pipeline already holds on disk — materialize it
+    # fingerprint-keyed instead of rebuilding per gate run. The MERGE
+    # (the maintenance law under test) still executes live every call.
+    old_graph = _materialized(
+        spark,
+        sf_dir,
+        f"knn_graph_base{KNN_INC_NEW}",
+        lambda: nndescent.knn_graph_auto(old, k=KNN_GRAPH_K),
+        source_file="embeddings.parquet",
+        code_of=(nndescent.knn_graph_auto,),
+    )
     return nndescent.knn_graph_add(old_graph, old, new, k=KNN_GRAPH_K)
 
 

@@ -63,6 +63,15 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
+    # --warm: one untimed warmup call per entry before the timed run, so
+    # first-touch derived-state builds (parquet cache, _materialized
+    # artifacts, session caches) don't masquerade as entry cost in the
+    # standing artifact's spark_sec telemetry — the same policy
+    # scale_audit.py and bench.py already apply (r11 measured lang_id at
+    # 21.3 s cold vs 0.6 s steady-state from exactly this effect).
+    warm = "--warm" in args
+    if warm:
+        args.remove("--warm")
     only = set(args)
     spark = get_spark(app_name="correctness-check", cpus=8, shuffle_partitions=8)
 
@@ -91,6 +100,8 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if warm:
+            fn(spark, SF_DIR).count()
         t0 = time.time()
         spark_pdf = fn(spark, SF_DIR).toPandas()
         t_spark = time.time() - t0
