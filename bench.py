@@ -213,6 +213,19 @@ def main() -> None:
     registry = Q.registry()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    # Phase 0 (VERDICT r11 Next #4): one untimed PRE-BUILD pass over the
+    # whole headline set before ANY timed sample. This forces every
+    # piece of session-shared derived state (BM25 stats, shingle sets,
+    # tf-idf norms, token fixture, _materialized graph/token artifacts)
+    # to exist up front — the reference builds its index at add() time
+    # (local_db.py:73-75), not inside a query — and gives the JVM a full
+    # JIT pass over every generated plan class, so a first-use build or
+    # C2 compilation stall can never land inside one entry's timed
+    # min on a contended box (r11: rrf_fusion 1.06 s builder vs 4.16 s
+    # driver for identical code).
+    for name in HEADLINE:
+        registry[name](spark, SF_DIR).collect()
+        release_transient()
     for name in HEADLINE:
         fn = registry[name]
         fn(spark, SF_DIR).collect()  # warmup: JIT, parquet footer cache

@@ -15993,21 +15993,44 @@ def q_feature_hash_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct terms (collision load), total occurrences, and document
     frequency — the collision diagnosis run before committing to a
     HashingVectorizer dimension (buckets with many high-df terms
-    conflate features). Served from the postings derived state; one
-    term-grid projection + bucket rollup, no corpus re-tokenization."""
+    conflate features). Served from the postings derived state; no
+    corpus re-tokenization.
+
+    Plan (round 12, VERDICT r11 Next #6): the original single groupBy
+    with TWO countDistincts + a sum forced Catalyst's multi-distinct
+    Expand — every postings row tripled before the shuffle, the only
+    superlinear SCALE_AUDIT row besides the by-design exact graph tier
+    (α=1.21 sf0.1→sf1). Decomposed: (a) n_terms/total_tf come from a
+    vocabulary-sized per-term rollup (map-side combine collapses the
+    corpus pass to |V| rows before anything wide shuffles); (b) df is
+    ONE distinct over (bucket, doc_id) — the only genuinely corpus-scale
+    distinct, with partial aggregation deduping map-side; (c) the two
+    ≤FHASH_DIM-row bucket relations broadcast-join. Same output, one
+    Expand-free linear pass."""
     posts = _bm25_stats(spark, sf_dir).postings
     bucket = (
         F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
         % FHASH_DIM
     )
-    return (
-        posts.select(bucket.alias("bucket"), "term", "tf", "doc_id")
+    term_grid = (
+        posts.groupBy("term")
+        .agg(F.sum("tf").alias("ttf"))
+        .select(bucket.alias("bucket"), "ttf")
         .groupBy("bucket")
         .agg(
-            F.countDistinct("term").alias("n_terms"),
-            F.sum("tf").alias("total_tf"),
-            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("ttf").alias("total_tf"),
         )
+    )
+    docs_per_bucket = (
+        posts.select(bucket.alias("bucket"), "doc_id")
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        term_grid.join(docs_per_bucket, "bucket")
+        .select("bucket", "n_terms", "total_tf", "df")
         .orderBy("bucket")
     )
 

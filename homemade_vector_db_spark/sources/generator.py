@@ -18,9 +18,13 @@ Scale properties:
   splitmix64 — same corpus on every run, every retry, any partitioning.
   The same generator drives the batch and streaming paths, so a streaming
   pipeline can be validated against its batch twin row-for-row.
-- FILTER PUSHDOWN: doc_id range predicates are handled inside the source
-  (pushFilters) by clamping the generated range — the Python-source
-  analogue of parquet min/max pruning; other filters are left for Spark.
+- NO FILTER PUSHDOWN (round 12, deliberate): Spark reuses one reader per
+  loaded relation across every scan of a plan, and branches with
+  un-pushable predicates never call pushFilters — so any range clamp set
+  by one branch silently prunes rows out of its siblings (measured:
+  doc_id 0 lost from a union whose other branch pushed doc_id > 0).
+  Spark post-applies all predicates itself; generation is cheap enough
+  that source-side pruning bought nothing real.
 - STREAMING: `fake_docs` also implements a microbatch stream reader whose
   offset is the next doc_id — an unbounded, replayable document feed for
   exercising the streaming ingest/dedup/decontam gates without files.
@@ -37,12 +41,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
-    Filter,
-    GreaterThan,
-    GreaterThanOrEqual,
     InputPartition,
-    LessThan,
-    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
@@ -97,32 +96,23 @@ class _FakeDocsReader(DataSourceReader):
         self.n = int(options.get("n", 1000))
         self.seed = int(options.get("seed", 42))
         self.num_partitions = int(options.get("numpartitions", 8))
-        self.lo = 0
-        self.hi = self.n
 
-    def pushFilters(self, filters: "list[Filter]") -> "Iterator[Filter]":
-        # handle doc_id range predicates by clamping the generation range
-        # (the source-side analogue of min/max pruning); return the rest
-        # to Spark for post-filtering
-        for f in filters:
-            col = getattr(f, "attribute", None)
-            if col == ("doc_id",) or col == "doc_id":
-                if isinstance(f, GreaterThanOrEqual):
-                    self.lo = max(self.lo, int(f.value))
-                    continue
-                if isinstance(f, GreaterThan):
-                    self.lo = max(self.lo, int(f.value) + 1)
-                    continue
-                if isinstance(f, LessThan):
-                    self.hi = min(self.hi, int(f.value))
-                    continue
-                if isinstance(f, LessThanOrEqual):
-                    self.hi = min(self.hi, int(f.value) + 1)
-                    continue
-            yield f
+    # Round 12: pushFilters/range-clamping REMOVED — deliberately. Spark
+    # creates ONE reader per loaded relation and reuses it for every scan
+    # of that relation in a plan; a branch whose filters are not pushable
+    # (e.g. an OR) never calls pushFilters, so it inherits whatever range
+    # another branch's pushed predicates clamped onto the shared reader.
+    # Measured: doc_id 0 silently missing from a base∪dups union because
+    # the dups branch pushed doc_id > 0 — a correctness bug no clamp
+    # bookkeeping can fix, since the un-called branch is invisible to the
+    # reader. Without pushFilters, Spark applies every predicate itself
+    # (post-scan, exact in all sharing scenarios); generation cost is a
+    # splitmix64 stream per row, so the pruning this gives up is
+    # microseconds at any tested scale. Real pruning for derived corpora
+    # belongs in a file-backed source (parquet min/max), not a generator.
 
     def partitions(self) -> Sequence[InputPartition]:
-        lo, hi = self.lo, max(self.lo, self.hi)
+        lo, hi = 0, self.n
         p = max(1, self.num_partitions)
         step = max(1, (hi - lo + p - 1) // p)
         return [

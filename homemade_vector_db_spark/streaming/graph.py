@@ -243,16 +243,33 @@ class IncrementalKnnGraph:
         # wins per id, tombstones dropped) — a raw fold of the batch
         # dirs would put superseded rows and tombstones into one batch
         # and collapse the merge-on-read law. Materialize live rows,
-        # then swap (offline, stream quiesced).
+        # then swap via RENAMES (ADVICE r11 item 2): the old dir moves
+        # ASIDE first and is deleted LAST, so a crash at any point
+        # leaves at least one complete copy at a well-known path (the
+        # previous rmtree-then-replace had a window with no corpus dir
+        # at all). When every row is tombstoned, an EMPTY compacted
+        # batch (schema-preserving limit(0)) keeps the corpus dir
+        # present and readable instead of vanishing.
+        if not os.path.isdir(self.corpus_path):
+            return  # no corpus state yet — nothing to compact
         live = self._corpus_before(exclude_batch=-1)
-        tmp = self.corpus_path.rstrip("/") + "_compact_tmp"
-        if live is not None:
-            live.write.mode("overwrite").parquet(
-                os.path.join(tmp, "batch=compacted")
+        if live is None:
+            live = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self.corpus_path)
+                .select(self.id_col, self.vec_col)
+                .limit(0)
             )
-        shutil.rmtree(self.corpus_path, ignore_errors=True)
-        if live is not None:
-            os.replace(tmp, self.corpus_path)
+        tmp = self.corpus_path.rstrip("/") + "_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        live.write.mode("overwrite").parquet(
+            os.path.join(tmp, "batch=compacted")
+        )
+        bak = self.corpus_path.rstrip("/") + "_compact_bak"
+        shutil.rmtree(bak, ignore_errors=True)
+        os.replace(self.corpus_path, bak)  # old aside (atomic)
+        os.replace(tmp, self.corpus_path)  # new in (atomic)
+        shutil.rmtree(bak)  # old copy deleted last
 
     def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
         """stream must carry (id_col, vec_col); returns the StreamingQuery."""

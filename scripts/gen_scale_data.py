@@ -294,6 +294,29 @@ def main() -> None:
         .option("numPartitions", 16)
         .load()
     )
+    # Round 12: reproduce the driver testdata's DUPLICATE structure —
+    # 5% of docs carry text = (another doc's text) || ' dup' (the
+    # neardup_eval truth law; sf0.01 measures 25/500 such docs and the
+    # 'dup' token is the one sub-max_df rare term). Without it the sf1
+    # dedup-family audit rows are vacuous: tfidf_cosine_neardup returned
+    # 0 rows because every generated term sits in >50% of docs.
+    # Deterministic: doc_id % 20 == 7 becomes a dup of doc_id - 1
+    # (partner % 20 == 6 can never itself be a dup — no chains).
+    from pyspark.sql import functions as F
+
+    base = docs.where((F.col("doc_id") % 20 != 7) | (F.col("doc_id") == 0))
+    partners = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" dup")).alias("text"),
+    )
+    dups = (
+        docs.where((F.col("doc_id") % 20 == 7) & (F.col("doc_id") > 0))
+        .drop("text")
+        .join(partners, "doc_id")
+        .withColumn("n_chars", F.length("text"))
+        .select(*docs.columns)
+    )
+    docs = base.unionByName(dups)
     docs.repartition(8).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
     print(f"documents: {args.docs} rows -> {OUT}/documents.parquet")
 

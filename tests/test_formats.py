@@ -1,6 +1,8 @@
 """JSONL/CSV interchange round-trips preserve rows exactly (incl. the
 float array column through CSV's JSON-encoding path)."""
 
+from pyspark.sql import functions as F
+
 from homemade_vector_db_spark.sources import formats
 from homemade_vector_db_spark.sources.tables import load_documents, load_embeddings
 from tests.conftest import SF_SMOKE
@@ -181,36 +183,42 @@ def test_fake_docs_batch_partitioned_deterministic(spark):
     assert all(r.n_chars == len(r.text) for r in a)
 
 
-def test_fake_docs_source_side_range_pruning(spark):
-    from homemade_vector_db_spark.sources.generator import (
-        _FakeDocsReader,
-    )
-    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan, EqualTo
-
-    r = _FakeDocsReader({"n": "1000", "numpartitions": "4"})
-    rest = list(
-        r.pushFilters(
-            [
-                GreaterThanOrEqual(("doc_id",), 100),
-                LessThan(("doc_id",), 120),
-                EqualTo(("lang",), "en"),
-            ]
-        )
-    )
-    # range handled inside the source; the lang predicate returned to Spark
-    assert [type(f).__name__ for f in rest] == ["EqualTo"]
-    parts = r.partitions()
-    assert min(p.start for p in parts) == 100
-    assert max(p.end for p in parts) == 120
-    # and the semantic result matches
+def test_fake_docs_no_pushdown_multi_scan_exact(spark):
+    """Round 12: the source deliberately implements NO pushFilters —
+    Spark reuses one reader per loaded relation across every scan of a
+    plan, and a branch with un-pushable predicates (an OR) never calls
+    pushFilters, so a range clamp set by a sibling branch silently
+    pruned its rows (measured: doc_id 0 lost from base∪dups when the
+    dups branch pushed doc_id > 0). With no source-side clamp, Spark
+    post-applies every predicate and all sharing scenarios are exact."""
+    from homemade_vector_db_spark.sources.generator import _FakeDocsReader
     from homemade_vector_db_spark.sources import generator
 
+    # the reader must not advertise filter pushdown at all
+    r = _FakeDocsReader({"n": "1000", "numpartitions": "4"})
+    assert not hasattr(type(r), "pushFilters") or (
+        type(r).pushFilters
+        is type(r).__mro__[1].pushFilters  # inherited default only
+    )
+    parts = r.partitions()
+    assert min(p.start for p in parts) == 0
+    assert max(p.end for p in parts) == 1000
+
     generator.register(spark)
+    # single-scan filters stay exact (Spark-side evaluation)
     df = (
         spark.read.format("fake_docs").option("n", 1000).load()
         .where("doc_id >= 100 AND doc_id < 120 AND lang IS NOT NULL")
     )
     assert df.count() == 20
+    # the union-of-branches regression: one load(), two branch filters —
+    # doc_id 0 must survive in every action
+    docs = spark.read.format("fake_docs").option("n", 200).load()
+    base = docs.where((F.col("doc_id") % 20 != 7) | (F.col("doc_id") == 0))
+    dups = docs.where((F.col("doc_id") % 20 == 7) & (F.col("doc_id") > 0))
+    u = base.select("doc_id").unionByName(dups.select("doc_id"))
+    assert u.count() == 200
+    assert sorted(r.doc_id for r in u.collect()) == list(range(200))
 
 
 def test_fake_docs_stream_equals_batch(spark, tmp_path):
