@@ -236,6 +236,26 @@ def build_nsw(
     )
 
 
+def _ef_for_tombstones(ef_search: int, dele: "np.ndarray") -> int:
+    """Layer-0 beam width inflated by the shard's tombstone fraction
+    (ADVICE r11 item 3): with fraction f of nodes mark-deleted, a beam
+    of ef candidates yields ~(1-f)·ef live ones, so searching with
+    ef/(1-f) restores the requested live-result budget under moderate
+    delete load (before nsw_rebalance GCs). Exactly ef_search when no
+    node is deleted — undeleted corpora keep bit-identical behavior.
+    Bounded by the shard size; a fully-tombstoned shard degenerates to
+    a whole-shard beam whose post-filter then yields nothing, which is
+    the honest answer."""
+    import math
+
+    n = int(dele.size)
+    n_dead = int(dele.sum())
+    if n_dead == 0 or n == 0:
+        return ef_search
+    frac = n_dead / n
+    return min(n, int(math.ceil(ef_search / max(1.0 - frac, 1.0 / n))))
+
+
 def nsw_search(
     index: NSWIndex, query, k: int = 10, ef_search: int = 50
 ) -> DataFrame:
@@ -275,7 +295,14 @@ def nsw_search(
         ep = int(np.flatnonzero(levels == max_lvl)[0])
         for lvl in range(max_lvl, 0, -1):
             ep = _greedy_hop(X, adj, q, ep, lvl)
-        best = _search_layer(X, adj, q, [ep], ef_search, 0)
+        # ADVICE r11 item 3: tombstones are filtered AFTER the beam, so
+        # a beam landing in a heavily-deleted region could return fewer
+        # than k live results with no signal. Inflate the layer-0 beam
+        # by the shard's tombstone fraction (no-op at zero deletes —
+        # identical behavior and hashes on undeleted corpora); hnswlib
+        # users achieve the same by raising ef at query time.
+        ef_eff = _ef_for_tombstones(ef_search, dele)
+        best = _search_layer(X, adj, q, [ep], ef_eff, 0)
         best = [t for t in best if not dele[t[1]]]
         best.sort(key=lambda t: (t[0], ids[t[1]]))
         top = best[:k]
@@ -364,13 +391,16 @@ def nsw_batch_search(
         ]
         max_lvl = int(levels.max())
         entry = int(np.flatnonzero(levels == max_lvl)[0])
+        # tombstone-aware beam width, same law as nsw_search (ADVICE r11
+        # item 3); computed once per shard, no-op at zero deletes
+        ef_eff = _ef_for_tombstones(ef_search, dele)
         out_qid, out_id, out_score = [], [], []
         for j in range(len(qids)):
             q = qmat[j]
             ep = entry
             for lvl in range(max_lvl, 0, -1):
                 ep = _greedy_hop(X, adj, q, ep, lvl)
-            best = _search_layer(X, adj, q, [ep], ef_search, 0)
+            best = _search_layer(X, adj, q, [ep], ef_eff, 0)
             best = [t for t in best if not dele[t[1]]]
             best.sort(key=lambda t: (t[0], ids[t[1]]))
             for d, v in best[:k]:

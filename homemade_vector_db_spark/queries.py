@@ -18921,4 +18921,13 @@ def oracles() -> dict[str, str]:
             tokenvec.ensure_token_fixture(sf)
         except FileNotFoundError:
             pass
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    # ADVICE r11 item 4: the two fixture-reading oracles embed the
+    # fingerprint-tagged fixture path; the module-import copies go stale
+    # if documents.parquet is regenerated mid-process (the GC above then
+    # deletes the old fixture file the baked string still names).
+    # Recompute them at CALL time so the served SQL always points at the
+    # fixture that ensure_token_fixture just guaranteed.
+    out["maxsim_token_topk"] = _maxsim_token_oracle()
+    out["maxsim_rerank_topk"] = _maxsim_rerank_oracle()
+    return out

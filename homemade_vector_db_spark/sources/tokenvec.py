@@ -152,9 +152,11 @@ def ensure_token_fixture(sf_dir: str) -> str:
         return cache[key]
 
     con = duckdb.connect()
+    # prepared parameter for the path (ADVICE r11 item 4): a quote
+    # character in a corpus directory no longer breaks the SQL
     for doc_id, text in con.execute(
-        f"SELECT doc_id, text FROM read_parquet('{docs_parquet}') "
-        "ORDER BY doc_id"
+        "SELECT doc_id, text FROM read_parquet(?) ORDER BY doc_id",
+        [docs_parquet],
     ).fetchall():
         toks = [t for t in text.split() if t][:TOKVEC_MAX_TOKENS]
         for p, w in enumerate(toks):

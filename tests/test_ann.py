@@ -594,3 +594,37 @@ def test_db_graph_tier_mark_delete(spark):
     target = [5.0 + x for x in mk()]
     assert db.update([7], vectors=[target]) == 1
     assert db.query_vector(target, top_k=1) == [7]
+
+
+def test_nsw_heavy_delete_still_fills_k(spark, embs, qvec):
+    """ADVICE r11 item 3: tombstones are filtered after the layer-0
+    beam, so under heavy delete load a fixed beam width starved the
+    result set below k with no signal. The beam now inflates by the
+    shard's tombstone fraction (ef/(1-f), shard-size-bounded): 80% of
+    ids deleted, small ef_search, k live results must still come back.
+    Zero-delete shards keep the exact requested ef (bit-identical
+    undeleted behavior — pinned by the recall/determinism tests)."""
+    import numpy as np
+
+    from homemade_vector_db_spark.operators import nsw
+    from homemade_vector_db_spark.operators.nsw import _ef_for_tombstones
+
+    # unit law: no deletes -> unchanged; f=0.8 -> 5x; full -> shard size
+    assert _ef_for_tombstones(20, np.zeros(100, dtype=bool)) == 20
+    mostly = np.ones(100, dtype=bool); mostly[:20] = False
+    assert _ef_for_tombstones(20, mostly) == 100
+    assert _ef_for_tombstones(20, np.ones(50, dtype=bool)) == 50
+
+    idx = nsw.build_nsw(
+        embs.where(F.col("vec_id") < 480), rows_per_shard=150
+    )
+    dead = [
+        r.vec_id
+        for r in embs.where(
+            (F.col("vec_id") < 480) & (F.col("vec_id") % 5 != 0)
+        ).select("vec_id").collect()
+    ]
+    idx2 = nsw.nsw_delete(idx, dead)
+    got = nsw.nsw_search(idx2, qvec, k=10, ef_search=12).collect()
+    assert len(got) == 10  # beam inflated past the tombstone wall
+    assert not set(dead) & {r.vec_id for r in got}
