@@ -1,0 +1,155 @@
+"""OPQ — Optimized Product Quantization (rotated PQ).
+
+Ge et al., "Optimized Product Quantization for Approximate Nearest
+Neighbor Search" (CVPR 2013), parametric variant: learn an ORTHOGONAL
+rotation R that decorrelates the data and balances variance across the
+m PQ subspaces, quantize in the rotated frame. This is the pre-rotation
+FAISS exposes as `OPQMatrix` in front of a PQ index. Squared-L2 is
+invariant under orthogonal maps, so exact distances — and therefore the
+recall gates — are directly comparable between the original and rotated
+frames; the rotation only changes how quantization ERROR distributes
+across subspaces.
+
+Composition over existing kernels (no new distributed machinery):
+
+1. `pca.fit_pca(..., dim_out=dim)` — full-rank PCA on the deterministic
+   hash-ordered sample: mean + orthonormal components + singular values.
+2. Eigenvalue-balanced subspace allocation (the paper's parametric
+   solution under a Gaussian assumption): greedily assign principal
+   directions, largest variance first, to the subspace with the
+   smallest current log-variance PRODUCT that still has a free slot —
+   equalizing per-subspace variance products minimizes the summed
+   quantization distortion bound. The resulting row permutation of the
+   PCA basis IS the rotation.
+3. `pca.project` — the rotated corpus, distributed (codegen or Arrow
+   tier by kernel width, no shuffle).
+4. `pq.build_pq` on the rotated vectors — driver-sample Lloyd training,
+   distributed encode, unchanged.
+
+Search rotates the query driver-side (one gemv) and runs the standard
+PQ ADC kernel — per-query cost is identical to plain PQ.
+
+Reference parity note: the reference stores raw vectors and delegates
+quantization to FAISS (local_db.py:49-52); OPQ is part of the
+compression tier layered beyond it (with PQ/SQ8/BQ/IVF-PQ). On this
+fixture's near-isotropic unit vectors OPQ ≈ PQ by construction (there
+is no covariance structure to exploit); the win appears on anisotropic
+real embedding spaces, which is exactly when FAISS recommends OPQ.
+
+Scale: training is O(sample) driver-side (the FAISS strategy); rotation
+and encoding are scan-side distributed passes; ADC search is the PQ
+kernel. Nothing here shuffles beyond what PQ already does.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from homemade_vector_db_spark.operators import pca, pq
+
+
+@dataclass
+class OPQIndex:
+    pq_index: "pq.PQIndex"  # trained over ROTATED vectors
+    mean: np.ndarray  # [dim] — sample mean removed before rotation
+    rotation: np.ndarray  # [dim, dim] orthogonal (permuted PCA basis)
+    dim: int
+    id_col: str
+    vec_col: str
+
+
+def balanced_allocation(variances: Sequence[float], m: int) -> list[int]:
+    """Greedy eigenvalue-balanced assignment of `len(variances)`
+    principal directions to m equal-width subspaces: directions in
+    descending variance, each to the subspace with the smallest current
+    log-variance product among those with free slots (Ge et al. §4's
+    balance criterion). Returns, per direction index (in the given
+    order), its subspace. Deterministic: ties break on subspace index."""
+    d = len(variances)
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m {m}")
+    cap = d // m
+    order = sorted(range(d), key=lambda i: (-float(variances[i]), i))
+    load = [0.0] * m  # running sum of log-variances
+    slots = [0] * m
+    assign = [0] * d
+    for i in order:
+        j = min(
+            (j for j in range(m) if slots[j] < cap),
+            key=lambda j: (load[j], j),
+        )
+        assign[i] = j
+        # log of a zero/negative-noise variance: floor tiny values so a
+        # degenerate direction doesn't produce -inf and absorb a slot set
+        load[j] += float(np.log(max(float(variances[i]), 1e-30)))
+        slots[j] += 1
+    return assign
+
+
+def build_opq(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    codebook_size: int = 256,
+    dim: int | None = None,
+    seed: int = 42,
+    cache: bool = True,
+) -> OPQIndex:
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("cannot build OPQ index on empty table")
+        dim = len(first[0])
+    mean, comps, svals = pca.fit_pca(
+        df, dim, dim, id_col=id_col, vec_col=vec_col,
+        return_singular_values=True,
+    )
+    # per-direction sample variances ∝ squared singular values
+    assign = balanced_allocation((svals ** 2).tolist(), m)
+    # rotation rows grouped by subspace: subspace j's block holds its
+    # directions in descending variance (stable within the greedy order)
+    perm = [
+        i
+        for j in range(m)
+        for i in sorted(
+            (i for i in range(dim) if assign[i] == j),
+            key=lambda i: (-float(svals[i]), i),
+        )
+    ]
+    rotation = comps[perm]
+    rotated = pca.project(
+        df.select(id_col, vec_col), mean, rotation,
+        vec_col=vec_col, out_col="__rot",
+    ).select(id_col, "__rot")
+    inner = pq.build_pq(
+        rotated,
+        id_col=id_col,
+        vec_col="__rot",
+        m=m,
+        codebook_size=codebook_size,
+        dim=dim,
+        seed=seed,
+        cache=cache,
+    )
+    return OPQIndex(inner, mean, rotation, dim, id_col, vec_col)
+
+
+def opq_search(
+    index: OPQIndex,
+    query: Sequence[float],
+    k: int = 10,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """ADC top-k in the rotated frame: rotate the query driver-side
+    (one gemv — the FAISS OPQMatrix apply), then the standard PQ ADC
+    kernel over the rotated-frame codes."""
+    q = np.asarray(list(query), dtype="float64")
+    qr = index.rotation @ (q - index.mean)
+    return pq.pq_search(
+        index.pq_index, qr.tolist(), k=k, score_decimals=score_decimals
+    )

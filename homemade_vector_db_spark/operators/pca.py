@@ -33,12 +33,16 @@ def fit_pca(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_limit: int = SAMPLE_LIMIT,
-) -> tuple[np.ndarray, np.ndarray]:
+    return_singular_values: bool = False,
+):
     """(mean[dim_in], components[dim_out, dim_in]) from a deterministic
     hash-ordered sample (TakeOrderedAndProject, never a full sort).
     numpy SVD is deterministic for a fixed sample; component sign is
     normalized (first nonzero coordinate positive) so the transform is
-    reproducible across BLAS builds."""
+    reproducible across BLAS builds. With `return_singular_values` a
+    third element carries the sample singular values for the kept
+    components (the per-direction variance signal OPQ's balanced
+    subspace allocation needs, operators/opq.py)."""
     sample = (
         df.select(vec_col, F.xxhash64(F.col(id_col).cast("string")).alias("__h"))
         .orderBy("__h")
@@ -47,12 +51,14 @@ def fit_pca(
     )
     X = np.asarray([r[0] for r in sample], dtype="float64")
     mean = X.mean(axis=0)
-    _, _, vt = np.linalg.svd(X - mean, full_matrices=False)
+    _, svals, vt = np.linalg.svd(X - mean, full_matrices=False)
     comps = vt[:dim_out]
     for i in range(comps.shape[0]):
         nz = np.flatnonzero(np.abs(comps[i]) > 1e-12)
         if nz.size and comps[i, nz[0]] < 0:
             comps[i] = -comps[i]
+    if return_singular_values:
+        return mean, comps, svals[:dim_out]
     return mean, comps
 
 

@@ -172,6 +172,17 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return _ANN_IDX[key]
 
 
+def _opq_index(spark: SparkSession, sf_dir: str):
+    from homemade_vector_db_spark.operators import opq as opqmod
+
+    key = ("opq8x64", sf_dir)
+    if key not in _ANN_IDX:
+        _ANN_IDX[key] = opqmod.build_opq(
+            load_embeddings(spark, sf_dir), m=8, codebook_size=64, dim=EMB_DIM
+        )
+    return _ANN_IDX[key]
+
+
 def _shingle_sets(spark: SparkSession, sf_dir: str):
     """Session-cached (doc_id, shingles) relation at the Jaccard n-gram
     width — derived index state like the BM25 postings above: the three
@@ -4662,6 +4673,36 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ (rotated PQ — Ge et al. CVPR 2013 parametric variant, the
+    FAISS OPQMatrix pre-rotation; round 12) shortlist gate, same
+    contract as pq_recall: the exact top-k must be ≥50% contained in
+    the OPQ-ADC top-10k shortlist. Because squared-L2 is invariant
+    under the learned orthogonal rotation, the exact top-k computed in
+    the ORIGINAL frame is the correct reference for the rotated-frame
+    ADC shortlist — the rotation only redistributes quantization error
+    across subspaces (eigenvalue-balanced allocation,
+    operators/opq.py). On this fixture's near-isotropic unit vectors
+    OPQ ≈ PQ by construction (measured: identical shortlist recall);
+    the improvement appears on anisotropic real embedding spaces, which
+    is when FAISS recommends the OPQ pre-rotation."""
+    from homemade_vector_db_spark.operators import opq as opqmod
+
+    embs = load_embeddings(spark, sf_dir)
+    q = list(embs.where(F.col("vec_id") == 0).first().embedding)
+    shortlist = opqmod.opq_search(
+        _opq_index(spark, sf_dir), q, k=10 * TOP_K
+    ).select("vec_id")
+    exact = knn.knn_exact(embs, q, k=TOP_K, dim=EMB_DIM).select("vec_id")
+    n = shortlist.agg(F.count(F.lit(1)).alias("n"))
+    h = shortlist.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("h"))
+    return n.crossJoin(h).select(
+        F.lit(TOP_K).alias("k"),
+        (F.col("n") == 10 * TOP_K).alias("full_shortlist"),
+        (F.col("h") >= int(TOP_K * ANN_RECALL_MIN)).alias("recall_ok"),
+    )
+
+
 def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the full residual IVF-PQ pipeline (probe →
     residual-ADC → exact rerank) vs the global exact top-k (measured
@@ -8777,6 +8818,9 @@ _ORACLES["ivf_tune_check"] = (
     "SELECT 5 AS k, true AS chosen_in_range, true AS target_met"
 )
 _ORACLES["pq_recall"] = (
+    "SELECT 10 AS k, true AS full_shortlist, true AS recall_ok"
+)
+_ORACLES["opq_recall"] = (
     "SELECT 10 AS k, true AS full_shortlist, true AS recall_ok"
 )
 _ORACLES["sq_recall"] = (
@@ -18359,6 +18403,7 @@ _ORACLES["drift_dashboard"] = _drift_dashboard_oracle()
 # stalest remaining driver rows (all r02-vintage; every entry is also
 # covered by the regenerated standing CORRECTNESS_sf0.1.json).
 _R12_WINDOW = [
+    "opq_recall",  # NEW round 12: rotated-PQ compression tier gate
     "tfidf_cosine_neardup",
     "feature_hash_load",
     "knn_graph",
@@ -18477,6 +18522,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     since its last driver row first — the tfidf df-cap rewrite, the
     materialized-graph family and its consumers, the r11 BM25-consumer
     rewrites — then the stalest r02-vintage rows; see its comment).
+    Round-12 close state: 281 entries, 281 oracle-paired — one NEW
+    entry (opq_recall, the rotated-PQ compression tier gate), verified
+    hash-green at sf0.01 AND sf0.1 before registration; the standing
+    CORRECTNESS_sf0.1.json regenerated over the full registry with the
+    new --warm policy.
     Round-11 close state: 280 entries, 280 oracle-paired (zero
     rows-only); five new entries this round (maxsim_token_topk,
     maxsim_rerank_topk, term_proximity_topk, t_closeness,
@@ -18916,6 +18966,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "pq_recall": q_pq_recall,
+        "opq_recall": q_opq_recall,
         "sq_recall": q_sq_recall,
         "ivfpq_recall": q_ivfpq_recall,
         "lsh_neardup_check": q_lsh_neardup_check,

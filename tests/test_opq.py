@@ -1,0 +1,74 @@
+"""OPQ (rotated PQ, Ge et al. CVPR 2013 parametric variant) laws:
+rotation orthogonality, L2 invariance, balanced allocation, and
+ADC-equals-PQ-on-rotated composition. Reference parity note: the
+reference delegates quantization to FAISS (local_db.py:49-52); OPQ is
+the compression-tier extension FAISS ships as OPQMatrix."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from homemade_vector_db_spark.operators import opq, pq
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+
+    return load_embeddings(spark, SF_SMOKE).cache()
+
+
+def test_balanced_allocation_laws():
+    # 8 directions, 4 subspaces of 2: pairing largest with smallest
+    # balances log-variance products (greedy achieves the snake order)
+    variances = [256.0, 64.0, 16.0, 4.0, 2.0, 1.0, 0.5, 0.25]
+    assign = opq.balanced_allocation(variances, 4)
+    groups = {}
+    for i, j in enumerate(assign):
+        groups.setdefault(j, []).append(variances[i])
+    assert all(len(v) == 2 for v in groups.values())
+    prods = sorted(np.prod(v) for v in groups.values())
+    # greedy balance: max/min product ratio far below the naive
+    # contiguous split ([256,64]=16384 vs [0.5,0.25]=0.125 -> 131072x)
+    assert prods[-1] / prods[0] <= 64
+    # determinism
+    assert assign == opq.balanced_allocation(variances, 4)
+    with pytest.raises(ValueError):
+        opq.balanced_allocation(variances, 3)  # 8 % 3 != 0
+
+
+def test_opq_rotation_orthogonal_and_l2_invariant(spark, embs):
+    idx = opq.build_opq(embs, m=8, codebook_size=16, dim=64)
+    R = idx.rotation
+    assert R.shape == (64, 64)
+    assert np.allclose(R @ R.T, np.eye(64), atol=1e-9)
+    # squared-L2 between two corpus vectors is invariant under R
+    rows = embs.where(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    a = np.asarray(rows[0].embedding, dtype="float64")
+    b = np.asarray(rows[1].embedding, dtype="float64")
+    d0 = ((a - b) ** 2).sum()
+    d1 = ((R @ (a - idx.mean) - R @ (b - idx.mean)) ** 2).sum()
+    assert abs(d0 - d1) < 1e-9
+
+
+def test_opq_search_equals_pq_on_rotated(spark, embs):
+    """Composition contract: opq_search(index, q) must equal running the
+    plain PQ ADC kernel on the driver-rotated query over the inner
+    rotated-frame index — OPQ adds exactly one gemv, nothing else."""
+    idx = opq.build_opq(embs, m=8, codebook_size=16, dim=64)
+    q = [float(x) for x in embs.where(F.col("vec_id") == 0).first().embedding]
+    got = opq.opq_search(idx, q, k=10).collect()
+    qr = idx.rotation @ (np.asarray(q) - idx.mean)
+    want = pq.pq_search(idx.pq_index, qr.tolist(), k=10).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in want
+    ]
+    assert len(got) == 10
+
+
+def test_opq_recall_gate_green(spark):
+    import homemade_vector_db_spark.queries as Q
+
+    row = Q.q_opq_recall(spark, SF_SMOKE).collect()[0]
+    assert row.k == 10 and row.full_shortlist and row.recall_ok
