@@ -19,7 +19,9 @@ path, mirroring test_local_db.py:155-157's "flat is exact" stance);
 shortlist over probed cells, exact rerank; faiss IndexIVFPQ parity);
 'nsw' (graph tier behind the 'hnsw' alias) → nsw.py; 'sq8' / 'bq' /
 'ivfbq' (compressed shortlist → exact rerank; ivfbq adds coarse-cell
-scan pruning) → sq.py / bq.py.
+scan pruning) → sq.py / bq.py; 'opq' (rotated PQ — FAISS OPQMatrix
+role: PCA rotation + eigenvalue-balanced subspaces ahead of the PQ
+kernel, ADC shortlist → exact rerank) → opq.py.
 """
 
 from __future__ import annotations
@@ -34,7 +36,9 @@ from pyspark.sql import types as T
 
 from homemade_vector_db_spark.operators import bm25, hybrid, knn
 
-_INDEX_TYPES = ("flat", "lsh", "ivf", "ivfpq", "nsw", "sq8", "bq", "ivfbq")
+_INDEX_TYPES = (
+    "flat", "lsh", "ivf", "ivfpq", "nsw", "sq8", "bq", "ivfbq", "opq",
+)
 # Reference spellings (local_db.py:24: 'hnsw' | 'flat' | 'ivfpq') map onto
 # the Spark-native tier that fills the same role, so reference call sites
 # port 1:1. "hnsw" maps to the sharded NSW GRAPH tier (operators/nsw.py)
@@ -165,6 +169,10 @@ class VectorDatabase:
             from homemade_vector_db_spark.operators import bq as bqmod
 
             self._ann_index = bqmod.bq_add(self._ann_index, new)
+        elif self._ann_index is not None and self.index_type == "opq":
+            from homemade_vector_db_spark.operators import opq as opqmod
+
+            self._ann_index = opqmod.opq_add(self._ann_index, new)
         elif self._ann_index is not None and self.index_type in ("hnsw", "nsw"):
             # incremental graph insert — hnswlib add_items parity
             # (local_db.py:78-80): same shard hash, same level law, the
@@ -234,6 +242,15 @@ class VectorDatabase:
         elif t in ("pq", "sq8", "bq"):
             self._ann_index = dataclasses.replace(
                 idx, codes=idx.codes.where(cond)
+            )
+        elif t == "opq":
+            # codes live on the inner rotated-frame PQ index; frozen
+            # rotation/codebooks never depended on the deleted rows
+            self._ann_index = dataclasses.replace(
+                idx,
+                pq_index=dataclasses.replace(
+                    idx.pq_index, codes=idx.pq_index.codes.where(cond)
+                ),
             )
         elif t in ("hnsw", "nsw") and not for_update:
             from homemade_vector_db_spark.operators import nsw as nswmod
@@ -501,6 +518,22 @@ class VectorDatabase:
                     nlist=min(self.ivf_clusters, max(1, self._n // 2)),
                 )
                 self._ann_index = bqmod.build_ivfbq(coarse, dim=self.dim)
+            elif self.index_type == "opq":
+                from homemade_vector_db_spark.operators import opq as opqmod
+
+                # m = pq_code_size, clamped to a divisor of dim (the
+                # same graceful-degrade law as the ivfpq branch below)
+                if self.pq_code_size < 1:
+                    raise ValueError(
+                        f"pq_code_size must be >= 1, got {self.pq_code_size}"
+                    )
+                m = min(self.pq_code_size, self.dim)
+                while self.dim % m != 0:
+                    m -= 1
+                self._ann_index = opqmod.build_opq(
+                    self._df, id_col=self.id_col, vec_col=self.vec_col,
+                    m=m, codebook_size=256, dim=self.dim,
+                )
             elif self.index_type == "ivfpq":
                 from homemade_vector_db_spark.operators import pq as pqmod
 
@@ -554,6 +587,17 @@ class VectorDatabase:
             return pqmod.ivfpq_rerank_search(
                 self._ann_index, self._df, vector, k=top_k,
                 nprobe=nprobe, overfetch=overfetch,
+            )
+        if self.index_type == "opq":
+            from homemade_vector_db_spark.operators import opq as opqmod
+
+            # rotated-frame ADC shortlist -> exact original-frame rerank;
+            # pool mirrors the reference hybrid's widened k
+            # (max(top_k*10, 100), local_db.py:362), same as ivfpq
+            overfetch = max(10, -(-100 // top_k))
+            return opqmod.opq_rerank_search(
+                self._ann_index, self._df, vector, k=top_k,
+                overfetch=overfetch,
             )
         if self.index_type in ("sq8", "bq"):
             # compressed shortlist -> exact rerank; pool mirrors the
@@ -742,8 +786,12 @@ class VectorDatabase:
                 from homemade_vector_db_spark.operators import pq as pqmod
 
                 pqmod.save_ivfpq(self._ann_index, ann_path)
+            elif self.index_type == "opq":
+                from homemade_vector_db_spark.operators import opq as opqmod
+
+                opqmod.save_opq(self._ann_index, ann_path)
             has_ann = self.index_type in (
-                "lsh", "ivf", "ivfpq", "nsw", "sq8", "bq", "ivfbq"
+                "lsh", "ivf", "ivfpq", "nsw", "sq8", "bq", "ivfbq", "opq"
             )
         manifest = {
             "dim": self.dim,
@@ -806,6 +854,10 @@ class VectorDatabase:
                 from homemade_vector_db_spark.operators import bq as bqmod
 
                 db._ann_index = bqmod.load_ivfbq(spark, ann_path)
+            elif m["index_type"] == "opq":
+                from homemade_vector_db_spark.operators import opq as opqmod
+
+                db._ann_index = opqmod.load_opq(spark, ann_path)
             elif m["index_type"] == "ivfpq":
                 from homemade_vector_db_spark.operators import pq as pqmod
 

@@ -153,3 +153,102 @@ def opq_search(
     return pq.pq_search(
         index.pq_index, qr.tolist(), k=k, score_decimals=score_decimals
     )
+
+
+def opq_add(index: OPQIndex, new_df: DataFrame) -> OPQIndex:
+    """Add-after-train: encode an appended row block with the FROZEN
+    rotation and codebooks (the sq_add/bq_add discipline — geometry
+    never depended on individual rows, so the union of code relations
+    equals a re-encode of the union). One distributed rotate + encode
+    pass over the new rows only."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    inner = index.pq_index
+    rotated = pca.project(
+        new_df.select(index.id_col, index.vec_col),
+        index.mean,
+        index.rotation,
+        vec_col=index.vec_col,
+        out_col="__rot",
+    ).select(index.id_col, "__rot")
+    sub = index.dim // inner.m
+    subcols = [
+        F.slice(F.col("__rot"), i * sub + 1, sub)
+        .cast("array<double>")
+        .alias(f"__s{i}")
+        for i in range(inner.m)
+    ]
+    base = rotated.select(F.col(index.id_col), *subcols)
+    new_codes = pq._encode(
+        base, inner.codebooks, sub, index.id_col, new_df.sparkSession
+    )
+    return replace(
+        index,
+        pq_index=replace(
+            inner, codes=inner.codes.unionByName(new_codes)
+        ),
+    )
+
+
+def opq_rerank_search(
+    index: OPQIndex,
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    overfetch: int = 4,
+) -> DataFrame:
+    """Rotated-frame ADC shortlist (k·overfetch) → exact rerank on the
+    RAW vectors in the ORIGINAL frame (squared-L2 is rotation-invariant,
+    so original-frame exact distances rank identically — no need to
+    rotate the corpus again for the rerank join)."""
+    from homemade_vector_db_spark.operators.knn import knn_exact
+    from pyspark.sql import functions as F
+
+    shortlist = opq_search(
+        index, query, k=k * overfetch, score_decimals=None
+    ).select(index.id_col)
+    candidates = df.join(F.broadcast(shortlist), index.id_col)
+    return knn_exact(
+        candidates, list(query), id_col=index.id_col,
+        vec_col=index.vec_col, k=k,
+    )
+
+
+def save_opq(index: OPQIndex, path: str) -> None:
+    """Persist OPQ state: the inner PQ state (codes parquet + codebook
+    JSON, pq.save_pq) plus the rotation geometry (mean + orthogonal
+    matrix — dim² doubles, a JSON sidecar like the IVF centroids)."""
+    import json
+    import os
+
+    pq.save_pq(index.pq_index, path)
+    with open(os.path.join(path, "opq.json"), "w") as f:
+        json.dump(
+            {
+                "mean": index.mean.tolist(),
+                "rotation": index.rotation.tolist(),
+                "dim": index.dim,
+                "id_col": index.id_col,
+                "vec_col": index.vec_col,
+            },
+            f,
+        )
+
+
+def load_opq(spark, path: str) -> OPQIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "opq.json")) as f:
+        meta = json.load(f)
+    inner = pq.load_pq(spark, path)
+    return OPQIndex(
+        inner,
+        np.asarray(meta["mean"], dtype="float64"),
+        np.asarray(meta["rotation"], dtype="float64"),
+        meta["dim"],
+        meta["id_col"],
+        meta["vec_col"],
+    )

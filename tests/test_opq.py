@@ -72,3 +72,39 @@ def test_opq_recall_gate_green(spark):
 
     row = Q.q_opq_recall(spark, SF_SMOKE).collect()[0]
     assert row.k == 10 and row.full_shortlist and row.recall_ok
+
+
+def test_db_opq_facade_roundtrip(spark, tmp_path):
+    """'opq' as a first-class facade index_type: search parity with the
+    exact flat tier on an easy margin, add-after-train encodes with the
+    frozen rotation/codebooks, delete filters the rotated-frame code
+    relation, and save/load round-trips the rotation geometry."""
+    import random
+
+    from homemade_vector_db_spark.db import VectorDatabase
+
+    rng = random.Random(7)
+    mk = lambda: [rng.random() for _ in range(8)]
+    db = VectorDatabase(spark, dim=8, index_type="opq", pq_code_size=4)
+    docs = [f"doc {i}" for i in range(120)]
+    vecs = [mk() for _ in range(120)]
+    db.add(docs, vecs)
+    q = vecs[5]
+    got = db.query_vector(q, top_k=3)
+    assert got[0] == 5  # the exact duplicate survives ADC + rerank
+
+    # add-after-train: a planted near-duplicate of q becomes findable
+    db.add(["late twin"], [list(q)])
+    got2 = db.query_vector(q, top_k=2)
+    assert set(got2) == {5, 120}
+
+    # delete filters the code relation without rebuilding
+    db.delete([5])
+    got3 = db.query_vector(q, top_k=2)
+    assert 5 not in got3 and 120 in got3
+
+    # save/load round-trips rotation + codes
+    path = str(tmp_path / "opqdb")
+    db.save(path)
+    db2 = VectorDatabase.load(spark, path)
+    assert db2.query_vector(q, top_k=2) == got3
