@@ -78,7 +78,6 @@ def build_bm25_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> BM25Stats:
     toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tokens"))
-    doc_len = toks.select("doc_id", F.size("tokens").alias("dl"))
     # dl rides along through the postings groupBy (constant per doc_id) so
     # scoring never needs a second shuffle join against doc_len.
     postings = (
@@ -88,6 +87,28 @@ def build_bm25_stats(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
+    # NOTE: zero-token docs carry no postings row, so stats derived from
+    # postings alone would miss them in N/avgdl. The reference counts
+    # them (BM25Okapi receives the empty token list, local_db.py:74);
+    # doc_len therefore comes from the token relation, not postings.
+    doc_len = toks.select("doc_id", F.size("tokens").alias("dl"))
+    return stats_from_postings(postings, doc_len=doc_len)
+
+
+def stats_from_postings(
+    postings: DataFrame, doc_len: DataFrame | None = None
+) -> BM25Stats:
+    """BM25Stats from a (doc_id, term, tf, dl) postings relation — the
+    single definition of the idf law (rank_bm25 semantics: raw idf
+    ln((N−df+0.5)/(df+0.5)), negatives floored to ε·avg_idf), shared by
+    the fresh build above and the disk-materialized ingest path
+    (queries._bm25_stats reads the postings parquet and re-derives the
+    vocabulary-sized stats relations from it — round 12). `doc_len`
+    defaults to the distinct (doc_id, dl) projection of postings; pass
+    the token-relation form when zero-token docs must count in
+    N/avgdl."""
+    if doc_len is None:
+        doc_len = postings.select("doc_id", "dl").distinct()
     corpus_stats = doc_len.agg(
         F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
     )

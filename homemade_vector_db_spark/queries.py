@@ -108,9 +108,39 @@ _BM25_STATS: dict[str, "bm25.BM25Stats"] = {}
 
 
 def _bm25_stats(spark: SparkSession, sf_dir: str) -> "bm25.BM25Stats":
+    """Session-cached BM25 state, with the POSTINGS relation — the one
+    corpus-sized piece, and the most-shared derived state in the engine
+    (~30 lexical entries consume it) — disk-materialized per corpus
+    fingerprint (round 12): a cold session pays one parquet read
+    instead of the full tokenize/explode/groupBy pass, the same
+    built-at-ingest treatment as the kNN graph and token relations (the
+    reference builds BM25 at add() time, local_db.py:73-75). doc_len
+    is materialized separately because zero-token docs carry no
+    postings row but must count in N/avgdl (rank_bm25 receives the
+    empty token list); the vocabulary-sized term_stats/corpus_stats are
+    re-derived relationally from the materialized relations
+    (bm25.stats_from_postings — the single definition of the idf law)."""
     if sf_dir not in _BM25_STATS:
-        _BM25_STATS[sf_dir] = bm25.build_bm25_stats(
-            load_documents(spark, sf_dir)
+        posts = _materialized(
+            spark,
+            sf_dir,
+            "bm25_postings",
+            lambda: bm25.build_bm25_stats(
+                load_documents(spark, sf_dir)
+            ).postings,
+            code_of=(bm25.build_bm25_stats, bm25.stats_from_postings),
+        )
+        doc_len = _materialized(
+            spark,
+            sf_dir,
+            "bm25_doclen",
+            lambda: bm25.build_bm25_stats(
+                load_documents(spark, sf_dir)
+            ).doc_len,
+            code_of=(bm25.build_bm25_stats,),
+        )
+        _BM25_STATS[sf_dir] = bm25.stats_from_postings(
+            posts, doc_len=doc_len
         ).cache()
     return _BM25_STATS[sf_dir]
 
