@@ -158,8 +158,33 @@ def _bm25_stats_corpus(spark: SparkSession, sf_dir: str) -> "bm25.BM25Stats":
     the hybrid entries scoring with full-corpus stats while their
     oracles (correctly) used joined-corpus stats."""
     if sf_dir not in _BM25_STATS_CORPUS:
-        _BM25_STATS_CORPUS[sf_dir] = bm25.build_bm25_stats(
-            _corpus(spark, sf_dir)
+        # round 12: same disk-materialized treatment as _bm25_stats —
+        # fingerprint-keyed on BOTH join inputs (the hybrid corpus is
+        # documents ⋈ embeddings, so either file changing must rotate
+        # the state)
+        srcs = ("documents.parquet", "embeddings.parquet")
+        posts = _materialized(
+            spark,
+            sf_dir,
+            "bm25c_postings",
+            lambda: bm25.build_bm25_stats(
+                _corpus(spark, sf_dir)
+            ).postings,
+            source_file=srcs,
+            code_of=(bm25.build_bm25_stats, bm25.stats_from_postings),
+        )
+        doc_len = _materialized(
+            spark,
+            sf_dir,
+            "bm25c_doclen",
+            lambda: bm25.build_bm25_stats(
+                _corpus(spark, sf_dir)
+            ).doc_len,
+            source_file=srcs,
+            code_of=(bm25.build_bm25_stats,),
+        )
+        _BM25_STATS_CORPUS[sf_dir] = bm25.stats_from_postings(
+            posts, doc_len=doc_len
         ).cache()
     return _BM25_STATS_CORPUS[sf_dir]
 
@@ -214,16 +239,22 @@ def _opq_index(spark: SparkSession, sf_dir: str):
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str):
-    """Session-cached (doc_id, shingles) relation at the Jaccard n-gram
-    width — derived index state like the BM25 postings above: the three
-    Jaccard-family queries (exact pairs, MinHash, components) all consume
-    it, and a real pipeline materializes shingles once at ingest."""
-    key = ("shingles", sf_dir)
-    if key not in _ANN_IDX:
-        _ANN_IDX[key] = dedup._shingled(
+    """(doc_id, shingles) relation at the Jaccard n-gram width — derived
+    index state like the BM25 postings above: the whole Jaccard/
+    containment/boilerplate dedup family consumes it, and a real
+    pipeline materializes shingles once at ingest. Round 12:
+    disk-materialized per corpus fingerprint like the postings — a cold
+    session pays one parquet read instead of the tokenize+shingle
+    pass."""
+    return _materialized(
+        spark,
+        sf_dir,
+        "shingles",
+        lambda: dedup._shingled(
             load_documents(spark, sf_dir), "doc_id", "text", JACCARD_NGRAM
-        ).cache()
-    return _ANN_IDX[key]
+        ),
+        code_of=(dedup._shingled,),
+    )
 
 
 def _sq_index(spark: SparkSession, sf_dir: str):
@@ -320,11 +351,17 @@ def _code_key(fns) -> str:
 
 
 def _derived_path(
-    sf_dir: str, kind: str, source_file: str, extra_key: str = ""
+    sf_dir: str, kind: str, source_file, extra_key: str = ""
 ) -> str:
-    src = os.path.join(sf_dir, source_file)
-    st = os.stat(src)
-    key = f"{_corpus_tag(sf_dir)}_{st.st_size}_{st.st_mtime_ns}"
+    files = (
+        source_file if isinstance(source_file, (list, tuple))
+        else (source_file,)
+    )
+    parts = []
+    for f in files:
+        st = os.stat(os.path.join(sf_dir, f))
+        parts.append(f"{st.st_size}_{st.st_mtime_ns}")
+    key = f"{_corpus_tag(sf_dir)}_" + "_".join(parts)
     if extra_key:
         key = f"{key}_{extra_key}"
     return os.path.join(_DERIVED_ROOT, f"{kind}_{key}")
@@ -375,7 +412,13 @@ def _materialized(
     in the key suffix, after the `{kind}_{tag}_` anchor)."""
     key = (kind, sf_dir)
     if key not in _ANN_IDX:
-        if not os.path.exists(os.path.join(sf_dir, source_file)):
+        srcs = (
+            source_file if isinstance(source_file, (list, tuple))
+            else (source_file,)
+        )
+        if not all(
+            os.path.exists(os.path.join(sf_dir, f)) for f in srcs
+        ):
             _ANN_IDX[key] = build_fn().cache()
         else:
             extra = _code_key(code_of) if code_of is not None else ""
