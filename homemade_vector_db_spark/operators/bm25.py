@@ -75,9 +75,21 @@ class BM25Stats:
 
 
 def build_bm25_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist_tokens: bool = False,
 ) -> BM25Stats:
+    """`persist_tokens` persists the tokenized relation (tracked for
+    session.release_transient) so a cold ingest that materializes BOTH
+    the postings and the doc_len relations tokenizes the corpus ONCE —
+    the second write reuses the cached token arrays instead of
+    re-running the full corpus pass (ADVICE r12 item 3)."""
     toks = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("tokens"))
+    if persist_tokens:
+        from homemade_vector_db_spark.session import track_persist
+
+        toks = track_persist(toks)
     # dl rides along through the postings groupBy (constant per doc_id) so
     # scoring never needs a second shuffle join against doc_len.
     postings = (

@@ -109,6 +109,16 @@ def build_opq(
         df, dim, dim, id_col=id_col, vec_col=vec_col,
         return_singular_values=True,
     )
+    # With fewer sample rows than dim, SVD returns min(n, dim) components
+    # — a rectangular basis that would project vectors SHORTER than dim
+    # and break the downstream PQ subspace slicing in non-obvious ways
+    # (ADVICE r12). Fail loud instead.
+    if comps.shape != (dim, dim):
+        raise ValueError(
+            f"need at least {dim} sample vectors to learn a full-rank "
+            f"OPQ rotation (PCA returned {comps.shape[0]} components of "
+            f"width {comps.shape[1]})"
+        )
     # per-direction sample variances ∝ squared singular values
     assign = balanced_allocation((svals ** 2).tolist(), m)
     # rotation rows grouped by subspace: subspace j's block holds its

@@ -121,23 +121,37 @@ def _bm25_stats(spark: SparkSession, sf_dir: str) -> "bm25.BM25Stats":
     re-derived relationally from the materialized relations
     (bm25.stats_from_postings — the single definition of the idf law)."""
     if sf_dir not in _BM25_STATS:
+        # One build for BOTH cold artifacts (ADVICE r12 item 3): the
+        # postings and doc_len relations share a persisted token
+        # relation, so a cold ingest tokenizes the corpus once — the
+        # doc_len write reuses the cached arrays. When both artifacts
+        # already exist neither lambda runs and nothing is built.
+        # `tokenize` joins code_of: it is the transitive build law
+        # (build_bm25_stats calls it), invisible to the hash otherwise
+        # (ADVICE r12 item 1).
+        _cold: dict[str, "bm25.BM25Stats"] = {}
+
+        def _built() -> "bm25.BM25Stats":
+            if "st" not in _cold:
+                _cold["st"] = bm25.build_bm25_stats(
+                    load_documents(spark, sf_dir), persist_tokens=True
+                )
+            return _cold["st"]
+
         posts = _materialized(
             spark,
             sf_dir,
             "bm25_postings",
-            lambda: bm25.build_bm25_stats(
-                load_documents(spark, sf_dir)
-            ).postings,
-            code_of=(bm25.build_bm25_stats, bm25.stats_from_postings),
+            lambda: _built().postings,
+            code_of=(bm25.build_bm25_stats, bm25.stats_from_postings,
+                     tokenize),
         )
         doc_len = _materialized(
             spark,
             sf_dir,
             "bm25_doclen",
-            lambda: bm25.build_bm25_stats(
-                load_documents(spark, sf_dir)
-            ).doc_len,
-            code_of=(bm25.build_bm25_stats,),
+            lambda: _built().doc_len,
+            code_of=(bm25.build_bm25_stats, tokenize),
         )
         _BM25_STATS[sf_dir] = bm25.stats_from_postings(
             posts, doc_len=doc_len
@@ -163,25 +177,32 @@ def _bm25_stats_corpus(spark: SparkSession, sf_dir: str) -> "bm25.BM25Stats":
         # documents ⋈ embeddings, so either file changing must rotate
         # the state)
         srcs = ("documents.parquet", "embeddings.parquet")
+        # single-build cold path + tokenize in code_of — see _bm25_stats
+        _cold: dict[str, "bm25.BM25Stats"] = {}
+
+        def _built() -> "bm25.BM25Stats":
+            if "st" not in _cold:
+                _cold["st"] = bm25.build_bm25_stats(
+                    _corpus(spark, sf_dir), persist_tokens=True
+                )
+            return _cold["st"]
+
         posts = _materialized(
             spark,
             sf_dir,
             "bm25c_postings",
-            lambda: bm25.build_bm25_stats(
-                _corpus(spark, sf_dir)
-            ).postings,
+            lambda: _built().postings,
             source_file=srcs,
-            code_of=(bm25.build_bm25_stats, bm25.stats_from_postings),
+            code_of=(bm25.build_bm25_stats, bm25.stats_from_postings,
+                     tokenize),
         )
         doc_len = _materialized(
             spark,
             sf_dir,
             "bm25c_doclen",
-            lambda: bm25.build_bm25_stats(
-                _corpus(spark, sf_dir)
-            ).doc_len,
+            lambda: _built().doc_len,
             source_file=srcs,
-            code_of=(bm25.build_bm25_stats,),
+            code_of=(bm25.build_bm25_stats, tokenize),
         )
         _BM25_STATS_CORPUS[sf_dir] = bm25.stats_from_postings(
             posts, doc_len=doc_len
@@ -254,6 +275,7 @@ def _shingle_sets(spark: SparkSession, sf_dir: str):
             load_documents(spark, sf_dir), "doc_id", "text", JACCARD_NGRAM
         ),
         code_of=(dedup._shingled,),
+        params=f"n{JACCARD_NGRAM}",
     )
 
 
@@ -390,6 +412,7 @@ def _materialized(
     build_fn,
     source_file: str = "documents.parquet",
     code_of=None,
+    params: str = "",
 ):
     """Disk-materialized derived relation keyed by a fingerprint of the
     source file, with a session-cache fallback when the corpus is not
@@ -409,7 +432,13 @@ def _materialized(
     SOURCE defines the build law — folds a content hash into the
     fingerprint, so a semantics change self-invalidates the disk state
     (the GC glob still matches the stale sibling: the code hash lives
-    in the key suffix, after the `{kind}_{tag}_` anchor)."""
+    in the key suffix, after the `{kind}_{tag}_` anchor).
+
+    Round 13 (ADVICE r12 item 1): `params` — build-law constants the
+    builder CAPTURES from module scope (KNN_GRAPH_K, JACCARD_NGRAM, ...)
+    are invisible to `code_of`'s source hash; callers fold them in here
+    (e.g. params=f"k{KNN_GRAPH_K}") so changing a captured constant
+    rotates the fingerprint like a code change does."""
     key = (kind, sf_dir)
     if key not in _ANN_IDX:
         srcs = (
@@ -422,6 +451,8 @@ def _materialized(
             _ANN_IDX[key] = build_fn().cache()
         else:
             extra = _code_key(code_of) if code_of is not None else ""
+            if params:
+                extra = f"{extra}{params}" if extra else params
             path = _derived_path(sf_dir, kind, source_file, extra)
             if not os.path.isfile(os.path.join(path, "_SUCCESS")):
                 # GC siblings built from a STALE fingerprint of the same
@@ -509,7 +540,8 @@ def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("tf"))
         )
 
-    return _materialized(spark, sf_dir, "doc_bigrams", build, code_of=(build,))
+    return _materialized(spark, sf_dir, "doc_bigrams", build,
+                         code_of=(build, tokenize))
 
 
 def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,7 +572,8 @@ def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _materialized(spark, sf_dir, "bigram_lm", build, code_of=(build,))
+    return _materialized(spark, sf_dir, "bigram_lm", build,
+                         code_of=(build, tokenize))
 
 
 def _bpe_word_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,7 +618,10 @@ def _bpe_word_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _materialized(spark, sf_dir, "bpe_word_pieces", build, code_of=(build,))
+    from homemade_vector_db_spark.functions.text import bpe_encode as _bpe
+
+    return _materialized(spark, sf_dir, "bpe_word_pieces", build,
+                         code_of=(build, _bpe, tokenize))
 
 
 def _bpe_oracle_cte() -> str:
@@ -2412,6 +2448,7 @@ def _knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _knn_graph_exact_build(load_embeddings(spark, sf_dir)),
         source_file="embeddings.parquet",
         code_of=(_knn_graph_exact_build,),
+        params=f"k{KNN_GRAPH_K}",
     )
 
 
@@ -2449,6 +2486,7 @@ def q_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         source_file="embeddings.parquet",
         code_of=(nndescent.knn_graph_nndescent,),
+        params=f"k{KNN_GRAPH_K}",
     )
 
 
@@ -2490,7 +2528,9 @@ def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_embeddings(spark, sf_dir), k=KNN_GRAPH_K
         ),
         source_file="embeddings.parquet",
-        code_of=(nndescent.knn_graph_auto,),
+        code_of=(nndescent.knn_graph_auto,
+                 nndescent.knn_graph_nndescent),
+        params=f"k{KNN_GRAPH_K}",
     )
 
 
@@ -2893,7 +2933,9 @@ def q_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"knn_graph_base{KNN_INC_NEW}",
         lambda: nndescent.knn_graph_auto(old, k=KNN_GRAPH_K),
         source_file="embeddings.parquet",
-        code_of=(nndescent.knn_graph_auto,),
+        code_of=(nndescent.knn_graph_auto,
+                 nndescent.knn_graph_nndescent),
+        params=f"k{KNN_GRAPH_K}",
     )
     return nndescent.knn_graph_add(old_graph, old, new, k=KNN_GRAPH_K)
 

@@ -55,6 +55,18 @@ class IncrementalKnnGraph:
         self.id_col, self.vec_col, self.k = id_col, vec_col, k
         self.corpus_path = os.path.join(root, "corpus")
         self.graph_path = os.path.join(root, "graph")
+        self._recover_compact()
+
+    def _recover_compact(self) -> None:
+        """Crash recovery for compact()'s two-rename swap (ADVICE r12):
+        between `old aside` and `new in` there is a window where
+        corpus_path does not exist and the only complete copy sits at
+        _compact_bak. Restore it whenever we observe that state — at
+        startup, at compact entry, and before any corpus read — so a
+        crash inside the window never strands the corpus."""
+        bak = self.corpus_path.rstrip("/") + "_compact_bak"
+        if not os.path.isdir(self.corpus_path) and os.path.isdir(bak):
+            os.replace(bak, self.corpus_path)
 
     # ---------------------------------------------------------- state
     def _corpus_before(self, exclude_batch: int) -> DataFrame | None:
@@ -67,6 +79,7 @@ class IncrementalKnnGraph:
         as live via mergeSchema + coalesce."""
         from pyspark.sql.window import Window
 
+        self._recover_compact()
         try:
             df = self.spark.read.option("mergeSchema", "true").parquet(
                 self.corpus_path
@@ -234,6 +247,7 @@ class IncrementalKnnGraph:
         corpus batch dirs. Offline maintenance — run while quiesced."""
         import shutil
 
+        self._recover_compact()
         df = self.spark.read.parquet(self.graph_path)
         latest = df.agg(F.max("batch").alias("m")).collect()[0].m
         for name in os.listdir(self.graph_path):

@@ -334,3 +334,34 @@ def test_graph_pagerank_matches_python_reference(spark, embs):
     assert got == want
     # floor of the law: a never-cited node ends at exactly 15% base
     assert min(pr.values()) >= (15 * Q.PR_BASE) // 100
+
+
+def test_compact_crash_window_recovers_from_bak(spark, embs, tmp_path):
+    """compact()'s two-rename swap has a window where corpus/ is absent
+    and the only complete copy sits at corpus_compact_bak (ADVICE r12):
+    simulate a crash inside that window and verify the next reader —
+    and a fresh instance's startup — restores the bak and serves the
+    identical live corpus."""
+    import shutil
+
+    from homemade_vector_db_spark.streaming.graph import IncrementalKnnGraph
+
+    g = IncrementalKnnGraph(spark, str(tmp_path / "gc"), k=K)
+    g.ingest_batch(embs.where(F.col("vec_id") < 100), batch_id=0)
+    before = sorted(r.vec_id for r in g.corpus().collect())
+
+    # crash mid-compact: old dir moved aside, new dir never renamed in
+    shutil.move(g.corpus_path, g.corpus_path + "_compact_bak")
+    assert not __import__("os").path.isdir(g.corpus_path)
+
+    # a reader on the SAME instance self-heals before touching state
+    assert sorted(r.vec_id for r in g.corpus().collect()) == before
+
+    # crash again; a FRESH instance (restart path) also self-heals
+    shutil.move(g.corpus_path, g.corpus_path + "_compact_bak")
+    g2 = IncrementalKnnGraph(spark, str(tmp_path / "gc"), k=K)
+    assert __import__("os").path.isdir(g2.corpus_path)
+    assert sorted(r.vec_id for r in g2.corpus().collect()) == before
+    # and compact() still works end-to-end after recovery
+    g2.compact()
+    assert sorted(r.vec_id for r in g2.corpus().collect()) == before

@@ -108,3 +108,16 @@ def test_db_opq_facade_roundtrip(spark, tmp_path):
     db.save(path)
     db2 = VectorDatabase.load(spark, path)
     assert db2.query_vector(q, top_k=2) == got3
+
+
+def test_build_opq_rejects_rank_deficient_sample(spark):
+    """Fewer sample rows than dim ⇒ PCA returns a rectangular basis that
+    would silently break the PQ subspace slicing — build_opq must fail
+    loud with the full-rank message (ADVICE r12)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(16)]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="full-rank OPQ rotation"):
+        opq.build_opq(tiny, m=8, codebook_size=4, dim=64)
