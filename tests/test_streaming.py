@@ -1189,6 +1189,50 @@ def test_incremental_pq_index_twin_laws(spark, tmp_path):
     assert rows[0].vec_id == 120 and rows[0].score == 1.0
 
 
+def test_incremental_opq_index_twin_laws(spark, tmp_path):
+    """IncrementalOPQIndex (round 13): per-batch codes under the FROZEN
+    rotation + geometry equal opq.ivfopq_add's codes for the same rows
+    (twin law); replayed batches overwrite their own dir (idempotency);
+    search reranks exactly in the original frame."""
+    from homemade_vector_db_spark.operators import opq
+    from homemade_vector_db_spark.sources.tables import load_embeddings
+    from homemade_vector_db_spark.streaming.ingest import IncrementalOPQIndex
+    from tests.conftest import SF_SMOKE
+
+    embs = load_embeddings(spark, SF_SMOKE).cache()
+    seed = embs.where("vec_id < 100")
+    late = embs.where("vec_id >= 100 AND vec_id < 140")
+    iopq = IncrementalOPQIndex.bootstrap(
+        seed, str(tmp_path / "opqidx"), nlist=8, m=8, codebook_size=16
+    )
+    iopq.ingest_batch(late, 0)
+
+    # twin law: streamed state (seed dir + batch dir, through the
+    # partitioned parquet roundtrip) == batch-mode ivfopq_add merge
+    seed_codes = spark.read.parquet(
+        str(tmp_path / "opqidx/codes/batch=seed")
+    )
+    merged = opq.ivfopq_add(iopq._index(seed_codes), late, cache=False)
+    want = {
+        (r.vec_id, tuple(r.codes), r.cluster)
+        for r in merged.ivfpq.codes_with_cluster.collect()
+    }
+    got = {
+        (r.vec_id, tuple(r.codes), r.cluster)
+        for r in iopq.index().ivfpq.codes_with_cluster.collect()
+    }
+    assert got == want and len(got) == 140
+
+    # replay idempotency
+    iopq.ingest_batch(late, 0)
+    assert iopq.index().ivfpq.codes_with_cluster.count() == 140
+
+    # search: exact original-frame rerank — a self-match surfaces at 1.0
+    target = embs.where("vec_id = 120").first()
+    rows = iopq.search(embs, list(target.embedding), k=3, nprobe=8).collect()
+    assert rows[0].vec_id == 120 and rows[0].score == 1.0
+
+
 def test_incremental_corpus_as_of_snapshot(spark, tmp_path):
     """as_of(b) reproduces the exact state a fresh corpus with only
     batches <= b would hold — the training-reproducibility law — and
