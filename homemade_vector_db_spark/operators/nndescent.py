@@ -27,8 +27,10 @@ Spark shape (no driver state anywhere):
   paper's local-join rule (skip pairs where BOTH sides are old — any such
   pair was already proposed the round the younger edge arrived); known
   pairs are anti-joined out; survivors get an exact distance via the
-  codegen `squared_l2` column expression (JVM-side, whole-stage codegen —
-  no Python in the hot path); a per-node window keeps the best `big_k`.
+  fixed-dim codegen `squared_l2_fixed` expansion (JVM-side, inside
+  whole-stage codegen — no Python in the hot path; the HOF aggregate
+  form is CodegenFallback and was the sf1 cost center, round 13); a
+  per-node window keeps the best `big_k`.
   Every step is a key-partitioned shuffle on src — no collect, no
   broadcast of corpus data, so the same plan runs on 1000 executors.
 - Reverse edges reuse the already-known symmetric distance; only truly
@@ -37,7 +39,7 @@ Spark shape (no driver state anywhere):
 Determinism contract: bucket assignment is xxhash64(seed, id); all
 rankings order by (exact float64 distance asc, neighbor id asc); the
 init kernel sums distances with a fixed-axis numpy reduction and the
-round kernel uses the strict left-to-right `squared_l2` aggregate, so the
+round kernel uses the strict left-to-right `squared_l2_fixed` sum, so the
 graph is a pure function of the input rows. Emitted scores follow the
 engine-wide 1/(1+L2²) similarity convention rounded to `score_decimals`
 (SURVEY.md §2.3-1).
@@ -63,7 +65,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from homemade_vector_db_spark.functions.vector import squared_l2
+from homemade_vector_db_spark.functions.vector import squared_l2_fixed
 
 
 def knn_graph_auto(
@@ -420,6 +422,8 @@ def knn_graph_nndescent(
     iters: int = 3,
     n_bucketings: int = 3,
     score_decimals: int = 6,
+    dim: int | None = None,
+    min_updates_frac: float = 0.001,
 ) -> DataFrame:
     """Approximate corpus kNN graph: (src, rn, neighbor_id, score) with
     rn = 1..k per node — same schema and score convention as the exact
@@ -429,6 +433,26 @@ def knn_graph_nndescent(
     improves with big_k and iters; the defaults (24, 3, 3 bucketings)
     measure recall@3 ≈ 0.97 on the hardest test corpus (near-uniform
     unit vectors) and are gated at ≥ 0.9 by q_knn_graph_recall.
+
+    `dim` (round 13): with a known vector width the round kernel scores
+    candidates with the fixed-dim codegen expansion (squared_l2_fixed —
+    bit-identical left-associated sum) instead of the HOF aggregate,
+    which is CodegenFallback and evaluated INTERPRETED: at sf1 the
+    scoring pass over ~13M round-1 candidates measured 35.6 s HOF vs
+    ~5 s codegen (85 s → 46 s whole-build). Derived from the first row
+    when omitted.
+
+    `min_updates_frac` (round 13): Dong et al.'s §2.3 termination rule —
+    stop early when a round's update count (edges that newly entered
+    the working graph) falls to ≤ δ·N·big_k, δ = 0.001 per the paper.
+    On clustered real embeddings NN-Descent converges in 2-3 rounds and
+    later rounds would be pure waste; on THIS fixture's near-uniform
+    unit vectors the tail of each node's big_k list churns forever
+    (measured: 234k of 480k edges still new in round 3 at sf1) so the
+    rule never fires and the fixed `iters` bound is what terminates —
+    both behaviors are correct, the rule is the robustness guard for
+    the data regime where early exit is real. The per-round count is
+    one scan of the just-checkpointed edge relation (~0.1 s at sf1).
     """
     if k < 1 or big_k < k:
         raise ValueError(f"need 1 <= k <= big_k, got k={k} big_k={big_k}")
@@ -439,6 +463,8 @@ def knn_graph_nndescent(
     n = nodes.count()
     if n < 2:
         raise ValueError(f"need >= 2 rows to build a graph, got {n}")
+    if dim is None:
+        dim = len(nodes.select("vec").first()[0])
     eff_big_k = min(big_k, n - 1)
     eff_k = min(k, n - 1)
     # expected bucket size ≈ 2·big_k keeps the init kernel's all-pairs
@@ -542,6 +568,9 @@ def knn_graph_nndescent(
             )
             .distinct()
         )
+        # fixed-dim codegen distance (bit-identical to the HOF fold —
+        # left-associated, 0.0+t1 == t1 in IEEE); the HOF aggregate is
+        # CodegenFallback and was the round's cost center at sf1
         scored = (
             cand.join(
                 nodes.select(F.col("id").alias("src"), F.col("vec").alias("__sv")),
@@ -554,7 +583,7 @@ def knn_graph_nndescent(
             .select(
                 "src",
                 "dst",
-                squared_l2("__sv", "__dv").alias("d2"),
+                squared_l2_fixed("__sv", "__dv", dim).alias("d2"),
                 F.lit(False).alias("in_b"),
             )
         )
@@ -573,6 +602,14 @@ def knn_graph_nndescent(
             .select("src", "dst", "d2", (~F.col("in_b")).alias("is_new"))
             .localCheckpoint(eager=True)
         )
+        # paper §2.3 termination: new-edge count ≤ δ·N·K ends the loop
+        # (one scan of the checkpointed relation; see docstring for why
+        # this fires on clustered data but not on this fixture)
+        if (
+            min_updates_frac > 0
+            and b.where("is_new").count() <= min_updates_frac * n * eff_big_k
+        ):
+            break
 
     return (
         b.withColumn("rn", F.row_number().over(w))
