@@ -192,6 +192,13 @@ HEADLINE = [
     # round-10 capstones
     "experiment_readout",
     "drift_dashboard",
+    # round 13 (VERDICT r12 Next #4): the entries whose plans rounds
+    # 12-13 changed join the headline so the cross-round trend sees
+    # them — the tfidf df-cap APSS rewrite (r11's invisibility
+    # complaint), the rotated-PQ gate, and the new IVF-OPQ stack gate.
+    "tfidf_cosine_neardup",
+    "opq_recall",
+    "ivfopq_recall",
 ]
 
 

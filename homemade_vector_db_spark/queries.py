@@ -18558,6 +18558,70 @@ _ORACLES["drift_dashboard"] = _drift_dashboard_oracle()
 # builder-verified but missed the r11 window; the rest rotates in the
 # stalest remaining driver rows (all r02-vintage; every entry is also
 # covered by the regenerated standing CORRECTNESS_sf0.1.json).
+# Round-13 window: 1-14 every entry whose executed plan changed this
+# round — the new IVF-OPQ gate; the OPQ gate (learn_rotation refactor +
+# full-rank guard run inside its index build); the NN-Descent family
+# (fixed-dim codegen distance kernel + paper termination rule rebuilt
+# the ann artifact; the auto/exact artifacts re-keyed via the
+# params/code_of fingerprint fix, content unchanged); the BM25 family
+# (single-tokenize cold build, tokenize folded into the code key); the
+# shingle consumers (JACCARD_NGRAM folded into the key); the
+# bigram/BPE artifacts (tokenize/bpe_encode in code_of) — then 15-50
+# the stalest driver rows by measured max-round over CORRECTNESS_r*.
+_R13_WINDOW = [
+    "ivfopq_recall",  # NEW round 13: OPQMatrix+IVFPQ stack gate
+    "opq_recall",
+    "knn_graph_recall",
+    "graph_semdedup_ann_check",
+    "knn_graph",
+    "knn_graph_auto",
+    "knn_graph_incremental",
+    "bm25_topk",
+    "hybrid_topk",
+    "tfidf_cosine_neardup",
+    "ngram_jaccard_neardup",
+    "containment_neardup",
+    "bigram_logprob",
+    "token_count_bpe",
+    # stalest driver rows (last window: rounds 2-5)
+    "pivot_events",
+    "pq_recall",
+    "pricing_unpivot",
+    "promo_revenue",
+    "props_typed_histogram",
+    "regional_supplier_volume",
+    "repetition_stats",
+    "rich_inactive_customers",
+    "salted_event_weights",
+    "sample_k_per_lang",
+    "segment_revenue_sql",
+    "simhash_check",
+    "small_qty_revenue",
+    "sq_recall",
+    "temperature_mixture",
+    "tfidf_top_terms",
+    "unigram_logprob",
+    "user_value_resampled",
+    "vector_norm_stats",
+    "weekly_orders",
+    "bq_recall",
+    "bq_topk",
+    "docs_by_params_sql",
+    "hll_merge_check",
+    "ivfbq_recall",
+    "knn_per_label",
+    "maxsim_topk",
+    "mips_topk",
+    "nsw_recall",
+    "overlap_pairs",
+    "pca_check",
+    "phrase_search",
+    "purchase_state_pit",
+    "radius_search",
+    "user_state_scd2",
+    "components_star_check",
+]
+
 _R12_WINDOW = [
     "opq_recall",  # NEW round 12: rotated-PQ compression tier gate
     "tfidf_cosine_neardup",
@@ -18674,10 +18738,15 @@ _R11_WINDOW = [
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's per-round correctness window (observed: the
     first 50 dict entries) covers the queries without a green row yet —
-    round 12 reorders via _R12_WINDOW (every entry whose plan changed
-    since its last driver row first — the tfidf df-cap rewrite, the
-    materialized-graph family and its consumers, the r11 BM25-consumer
-    rewrites — then the stalest r02-vintage rows; see its comment).
+    round 13 reorders via _R13_WINDOW (every entry whose executed plan
+    changed this round first — the new IVF-OPQ gate, the OPQ gate over
+    the refactored rotation learner, the NN-Descent family on the
+    codegen distance kernel, the single-pass BM25 cold build, the
+    re-keyed shingle/bigram/BPE artifacts — then the stalest rows by
+    measured max-round over CORRECTNESS_r*; see its comment).
+    Round-13 close state: 282 entries, 282 oracle-paired — one NEW
+    entry (ivfopq_recall, the OPQMatrix+IVFPQ stack gate), verified
+    hash-green at sf0.01 AND sf0.1 before registration.
     Round-12 close state: 281 entries, 281 oracle-paired — one NEW
     entry (opq_recall, the rotated-PQ compression tier gate), verified
     hash-green at sf0.01 AND sf0.1 before registration; the standing
@@ -19169,10 +19238,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_pricing": q_grouping_sets_pricing,
         "length_histogram": q_length_histogram,
     }
-    # round-11 window rotation: changed/new entries first, then the
-    # stalest driver rows (_R11_WINDOW above); everything else keeps
+    # round-13 window rotation: changed/new entries first, then the
+    # stalest driver rows (_R13_WINDOW above); everything else keeps
     # its prior relative order below the window.
-    ordered = {k: base.pop(k) for k in _R12_WINDOW}
+    ordered = {k: base.pop(k) for k in _R13_WINDOW}
     ordered.update(base)
     return ordered
 
