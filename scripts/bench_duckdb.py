@@ -71,6 +71,13 @@ def main() -> None:
         "image_phash_neardup",
         "audio_fingerprint_neardup",
         "video_phash_neardup",
+        # round 13: the compression-tier recall gates joined the
+        # headline; their oracles are one-row CONTRACT enumerations
+        # (SELECT true AS recall_ok), so timing them would compare
+        # Spark's real index build + ADC search against a constant —
+        # same exclusion class as the media gates.
+        "opq_recall",
+        "ivfopq_recall",
     }
     timings: dict[str, float] = {}
     law_only_skipped = []
