@@ -39,6 +39,19 @@ from pyspark.sql import types as T
 
 from homemade_vector_db_spark.operators import bm25, hybrid, knn
 
+
+def _clamp_m(pq_code_size: int, dim: int) -> int:
+    """The shared PQ subspace-count law for the opq/ivfopq/ivfpq facade
+    tiers: m = pq_code_size clamped to a divisor of dim (faiss would
+    throw on a non-divisor — we degrade gracefully), validated ≥ 1."""
+    if pq_code_size < 1:
+        raise ValueError(f"pq_code_size must be >= 1, got {pq_code_size}")
+    m = min(pq_code_size, dim)
+    while dim % m != 0:
+        m -= 1
+    return m
+
+
 _INDEX_TYPES = (
     "flat", "lsh", "ivf", "ivfpq", "nsw", "sq8", "bq", "ivfbq", "opq",
     "ivfopq",
@@ -543,15 +556,7 @@ class VectorDatabase:
             elif self.index_type == "opq":
                 from homemade_vector_db_spark.operators import opq as opqmod
 
-                # m = pq_code_size, clamped to a divisor of dim (the
-                # same graceful-degrade law as the ivfpq branch below)
-                if self.pq_code_size < 1:
-                    raise ValueError(
-                        f"pq_code_size must be >= 1, got {self.pq_code_size}"
-                    )
-                m = min(self.pq_code_size, self.dim)
-                while self.dim % m != 0:
-                    m -= 1
+                m = _clamp_m(self.pq_code_size, self.dim)
                 self._ann_index = opqmod.build_opq(
                     self._df, id_col=self.id_col, vec_col=self.vec_col,
                     m=m, codebook_size=256, dim=self.dim,
@@ -559,15 +564,9 @@ class VectorDatabase:
             elif self.index_type == "ivfopq":
                 from homemade_vector_db_spark.operators import opq as opqmod
 
-                # the FAISS OPQ{m}+IVF{nlist},PQ{m} recipe: same m-clamp
-                # law as opq/ivfpq, same nlist cap as ivf/ivfpq
-                if self.pq_code_size < 1:
-                    raise ValueError(
-                        f"pq_code_size must be >= 1, got {self.pq_code_size}"
-                    )
-                m = min(self.pq_code_size, self.dim)
-                while self.dim % m != 0:
-                    m -= 1
+                # the FAISS OPQ{m}+IVF{nlist},PQ{m} recipe: shared
+                # m-clamp law, same nlist cap as ivf/ivfpq
+                m = _clamp_m(self.pq_code_size, self.dim)
                 self._ann_index = opqmod.build_ivfopq(
                     self._df, id_col=self.id_col, vec_col=self.vec_col,
                     nlist=min(self.ivf_clusters, max(1, self._n // 2)),
@@ -580,16 +579,9 @@ class VectorDatabase:
                     self._df, id_col=self.id_col, vec_col=self.vec_col,
                     nlist=min(self.ivf_clusters, max(1, self._n // 2)),
                 )
-                # m = pq_code_size (the faiss IndexIVFPQ 'm'); fall back
-                # to a divisor of dim when the reference default doesn't
-                # divide it (faiss would throw — we degrade gracefully)
-                if self.pq_code_size < 1:
-                    raise ValueError(
-                        f"pq_code_size must be >= 1, got {self.pq_code_size}"
-                    )
-                m = min(self.pq_code_size, self.dim)
-                while self.dim % m != 0:
-                    m -= 1
+                # m = pq_code_size (the faiss IndexIVFPQ 'm'), shared
+                # clamp law
+                m = _clamp_m(self.pq_code_size, self.dim)
                 self._ann_index = pqmod.build_ivfpq(
                     coarse, m=m, codebook_size=256, dim=self.dim
                 )

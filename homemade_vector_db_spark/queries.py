@@ -2463,7 +2463,10 @@ def _knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "knn_graph_exact",
         lambda: _knn_graph_exact_build(load_embeddings(spark, sf_dir)),
         source_file="embeddings.parquet",
-        code_of=(_knn_graph_exact_build,),
+        # transitive build laws hashed too (the ADVICE r12 class): the
+        # chunked kernel and its per-chunk batch law define the scores
+        code_of=(_knn_graph_exact_build, knn.knn_batch_chunked,
+                 knn.knn_batch),
         params=f"k{KNN_GRAPH_K}",
     )
 
@@ -2498,10 +2501,10 @@ def q_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "knn_graph_ann",
         lambda: nndescent.knn_graph_nndescent(
-            load_embeddings(spark, sf_dir), k=KNN_GRAPH_K
+            load_embeddings(spark, sf_dir), k=KNN_GRAPH_K, dim=EMB_DIM
         ),
         source_file="embeddings.parquet",
-        code_of=(nndescent.knn_graph_nndescent,),
+        code_of=(nndescent.knn_graph_nndescent, squared_l2_fixed),
         params=f"k{KNN_GRAPH_K}",
     )
 
@@ -2541,11 +2544,12 @@ def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "knn_graph",
         lambda: nndescent.knn_graph_auto(
-            load_embeddings(spark, sf_dir), k=KNN_GRAPH_K
+            load_embeddings(spark, sf_dir), k=KNN_GRAPH_K, dim=EMB_DIM
         ),
         source_file="embeddings.parquet",
         code_of=(nndescent.knn_graph_auto,
-                 nndescent.knn_graph_nndescent),
+                 nndescent.knn_graph_nndescent, squared_l2_fixed,
+                 knn.knn_batch_chunked, knn.knn_batch),
         params=f"k{KNN_GRAPH_K}",
     )
 
@@ -2947,10 +2951,11 @@ def q_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         f"knn_graph_base{KNN_INC_NEW}",
-        lambda: nndescent.knn_graph_auto(old, k=KNN_GRAPH_K),
+        lambda: nndescent.knn_graph_auto(old, k=KNN_GRAPH_K, dim=EMB_DIM),
         source_file="embeddings.parquet",
         code_of=(nndescent.knn_graph_auto,
-                 nndescent.knn_graph_nndescent),
+                 nndescent.knn_graph_nndescent, squared_l2_fixed,
+                 knn.knn_batch_chunked, knn.knn_batch),
         params=f"k{KNN_GRAPH_K}",
     )
     return nndescent.knn_graph_add(old_graph, old, new, k=KNN_GRAPH_K)

@@ -550,24 +550,22 @@ class IncrementalPQIndex:
         )
 
 
-class IncrementalOPQIndex:
-    """Streaming IVF-OPQ ingest — the rotated sibling of
+class IncrementalOPQIndex(IncrementalPQIndex):
+    """Streaming IVF-OPQ ingest — the rotated subclass of
     IncrementalPQIndex, completing the OPQ tier's lifecycle parity
     (VERDICT r12 Next #2b).
 
-    Bootstrap learns the OPQ rotation, the coarse quantizer, and the
-    residual codebooks ONCE on a seed corpus (all sample-bounded —
-    opq.build_ivfopq); from then on every micro-batch is ROTATED with
-    the frozen geometry (one distributed gemv/codegen pass,
-    opq.rotate) and encoded against the FIXED cells/codebooks
-    (pq.encode_with_geometry — the same single encode definition behind
-    ivfopq_add), landing as m-byte codes in the batch-keyed
-    `batch=<id>/cluster=<c>` parquet layout. Replayed batches overwrite
-    their own dir (at-least-once foreachBatch → idempotent state);
-    nprobe probes are partition pruning on `cluster`. Rotation /
-    codebook refresh is a drift-policy rebuild, never a per-batch
-    cost — the IncrementalPQIndex discipline, plus one frozen
-    orthogonal matrix."""
+    Everything batch-mechanical is INHERITED (batch-keyed
+    `batch=<id>/cluster=<c>` parquet layout, replay-idempotent
+    overwrite, compaction, partition-pruned probes, attach_stream);
+    the subclass changes exactly what OPQ changes: bootstrap learns the
+    rotation + geometry once via opq.build_ivfopq; encode_batch ROTATES
+    each micro-batch with the frozen orthogonal matrix (one distributed
+    gemv/codegen pass, opq.rotate) before the shared
+    pq.encode_with_geometry path — the same single encode definition
+    behind ivfopq_add; search reranks exactly in the ORIGINAL frame via
+    opq.ivfopq_rerank_search. Rotation / codebook refresh stays a
+    drift-policy rebuild, never a per-batch cost."""
 
     def __init__(
         self,
@@ -583,15 +581,11 @@ class IncrementalOPQIndex:
     ):
         import numpy as np
 
-        self.spark = spark
-        self.root = root
+        super().__init__(
+            spark, root, centroids, codebooks, dim, id_col, vec_col
+        )
         self.mean = np.asarray(mean, dtype="float64")
         self.rotation = np.asarray(rotation, dtype="float64")
-        self.centroids = centroids
-        self.codebooks = codebooks
-        self.dim = dim
-        self.id_col, self.vec_col = id_col, vec_col
-        self.codes_path = os.path.join(root, "codes")
 
     @classmethod
     def bootstrap(
@@ -651,28 +645,6 @@ class IncrementalOPQIndex:
             self.id_col, "__rot",
         )
 
-    def ingest_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
-        sub = "batch=adhoc" if batch_id is None else f"batch={batch_id}"
-        mode = "append" if batch_id is None else "overwrite"
-        self.encode_batch(batch).write.mode(mode).partitionBy(
-            "cluster"
-        ).parquet(os.path.join(self.codes_path, sub))
-
-    def compact(self, target_file_mb: int = 256) -> None:
-        from homemade_vector_db_spark.sources.maintenance import (
-            compact_batched_state,
-        )
-
-        compact_batched_state(
-            self.spark, self.codes_path,
-            partition_by="cluster", target_file_mb=target_file_mb,
-        )
-
-    def index(self):
-        return self._index(
-            self.spark.read.parquet(self.codes_path).drop("batch")
-        )
-
     def search(
         self, df: DataFrame, query, k: int = 10, nprobe: int = 4,
         overfetch: int = 4,
@@ -684,17 +656,6 @@ class IncrementalOPQIndex:
         return opq.ivfopq_rerank_search(
             self.index(), df, query, k=k, nprobe=nprobe,
             overfetch=overfetch,
-        )
-
-    def attach_stream(self, stream: DataFrame, checkpoint: str | None = None):
-        return (
-            stream.writeStream.foreachBatch(self.ingest_batch)
-            .option(
-                "checkpointLocation",
-                checkpoint or os.path.join(self.root, "_opq_checkpoint"),
-            )
-            .outputMode("append")
-            .start()
         )
 
 

@@ -244,6 +244,17 @@ def main() -> None:
             )
             row["sec"][sf] = dt
             row["rows"][sf] = rows
+            if name == "components" and not kinds:
+                # fresh machine: the cmp_* dirs only exist AFTER the
+                # build — re-discover them now so bytes are recorded on
+                # exactly the cold runs the ledger exists to measure
+                tag = Q._corpus_tag(d)
+                kinds = sorted(
+                    os.path.basename(p).split(f"_{tag}_")[0]
+                    for p in glob.glob(os.path.join(
+                        Q._DERIVED_ROOT, f"cmp{Q._CMP_VERSION}_*_{tag}_*"
+                    ))
+                )
             row["bytes"][sf] = _artifact_bytes(kinds, d) if kinds else None
             release_transient()
             print(f"BUILD {name:22s} {sf:7s} {dt:8.2f}s rows={rows}",

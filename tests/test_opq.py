@@ -217,3 +217,53 @@ def test_db_ivfopq_facade_roundtrip(spark, tmp_path):
     db.save(path)
     db2 = VectorDatabase.load(spark, path)
     assert db2.query_vector(q, top_k=2) == got3
+
+
+def test_opq_beats_pq_on_anisotropic_data(spark):
+    """The tier's raison d'être, demonstrated rather than argued: on a
+    corpus with strong covariance structure (per-coordinate scales
+    spanning 3 orders of magnitude, which a contiguous-slice PQ cannot
+    balance), the eigenvalue-balanced rotation must yield strictly
+    lower total quantization error than plain PQ with the identical
+    code budget. On the near-isotropic fixture OPQ ≈ PQ by construction
+    (docstring claim); this is the other half of that claim."""
+    import numpy as np
+
+    from homemade_vector_db_spark.functions.vector import squared_l2_fixed
+
+    rng = np.random.default_rng(3)
+    n, dim, m, cb = 512, 16, 4, 16
+    # anisotropic: coordinate j has scale 10**(-(j % 8) / 2), arranged
+    # so every contiguous PQ slice mixes large and tiny scales badly
+    scales = np.array([10.0 ** (-(j % 8) / 2) for j in range(dim)])
+    X = rng.normal(size=(n, dim)) * scales
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+
+    def recon_err(codes_df, codebooks, rot=None, mean=None):
+        ids = {r.vec_id: list(r.codes) for r in codes_df.collect()}
+        cb_arr = [np.asarray(c, dtype="float64") for c in codebooks]
+        sub = dim // m
+        err = 0.0
+        for i in range(n):
+            x = X[i].astype("float64")
+            if rot is not None:
+                x = rot @ (x - mean)
+            rec = np.concatenate(
+                [cb_arr[j][ids[i][j]] for j in range(m)]
+            )
+            err += float(((x - rec) ** 2).sum())
+        return err
+
+    pidx = pq.build_pq(df, m=m, codebook_size=cb, dim=dim, cache=False)
+    oidx = opq.build_opq(df, m=m, codebook_size=cb, dim=dim, cache=False)
+    e_pq = recon_err(pidx.codes, pidx.codebooks)
+    # rotated-frame reconstruction error IS original-frame error
+    # (orthogonal invariance), so the comparison is apples-to-apples
+    e_opq = recon_err(
+        oidx.pq_index.codes, oidx.pq_index.codebooks,
+        rot=oidx.rotation, mean=oidx.mean,
+    )
+    assert e_opq < e_pq * 0.8, (e_opq, e_pq)
