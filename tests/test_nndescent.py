@@ -365,3 +365,58 @@ def test_compact_crash_window_recovers_from_bak(spark, embs, tmp_path):
     # and compact() still works end-to-end after recovery
     g2.compact()
     assert sorted(r.vec_id for r in g2.corpus().collect()) == before
+
+
+def test_nndescent_termination_rule_fires_on_clustered_data(spark):
+    """Dong et al.'s update-count termination (round 13) actually FIRES
+    on data where NN-Descent converges — the fixture's near-uniform
+    vectors never trigger it (documented in the operator), so this
+    pins the other branch: 20 tight, well-separated clusters, iters=8
+    requested, the loop must stop well short of 8 rounds (counted via
+    the per-round localCheckpoint calls: 1 init + 2 per executed
+    round), and the early-exited graph must still be the EXACT top-k
+    (every node's true neighbors are its own-cluster mates, which the
+    bucketed init + co-neighbor rounds recover fully here)."""
+    import numpy as np
+
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    from homemade_vector_db_spark.operators.nndescent import (
+        knn_graph_auto,
+        knn_graph_nndescent,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(20, 16)) * 50
+    X = np.concatenate(
+        [c + rng.normal(scale=0.01, size=(60, 16)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    ).cache()
+
+    calls = {"n": 0}
+    orig = _CDF.localCheckpoint
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    _CDF.localCheckpoint = counting
+    try:
+        ann = knn_graph_nndescent(df, k=3, iters=8, dim=16).collect()
+    finally:
+        _CDF.localCheckpoint = orig
+    rounds = (calls["n"] - 1) // 2
+    assert rounds < 8, f"termination rule never fired ({rounds} rounds)"
+
+    exact = knn_graph_auto(df, k=3).collect()
+    norm = lambda rows: sorted(
+        (r.src, r.rn, r.neighbor_id, r.score) for r in rows
+    )
+    hits = len(
+        {(r.src, r.neighbor_id) for r in ann}
+        & {(r.src, r.neighbor_id) for r in exact}
+    )
+    assert hits >= int(0.95 * len(exact)), (hits, len(exact))
