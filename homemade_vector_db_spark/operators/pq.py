@@ -375,33 +375,50 @@ def ivfpq_search(
     nprobe: int = 4,
     score_decimals: int | None = 6,
 ) -> DataFrame:
-    """Probe the nprobe nearest cells; ADC-score each probed cell with its
-    own query residual (per-cell LUT literals); merge and top-k."""
+    """Probe the nprobe nearest cells in ONE scan: `cluster IN (probes)`
+    filter (partition PRUNING under the save_ivfpq layout), a per-row
+    residual-ADC score via a CASE over the probed cells' LUT literals,
+    then a single global TakeOrderedAndProject.
+
+    Round 13: previously one pq_search plan PER probed cell unioned and
+    re-selected — nprobe scans/stages whose per-cell top-k pruning could
+    even drop a row that would win a rounded-score tie in the merge.
+    The single-scan form is the FAISS single-phase select (scan probed
+    lists, one global heap), one job instead of nprobe, and applies the
+    engine-wide (rounded score DESC, id ASC) law to ALL probed rows.
+    Per-row arithmetic is unchanged: each cell's LUT chain is the same
+    left-associated m-term sum pq_search builds."""
     import numpy as np
+
+    from homemade_vector_db_spark.functions.vector import _lit_d
 
     q = np.asarray(list(query), dtype="float64")
     cents = np.asarray(index.centroids, dtype="float64")
     probe = np.argsort(((cents - q) ** 2).sum(axis=1))[: nprobe]
-    parts = []
+    sub = index.pq.dim // index.pq.m
+    branches = []
     for c in probe:
-        cell_codes = index.codes_with_cluster.where(
-            F.col("cluster") == int(c)
-        ).select(F.col(index.id_col), "codes")
-        sub_idx = PQIndex(
-            cell_codes, index.pq.codebooks, index.pq.m, index.pq.dim,
-            index.id_col, index.vec_col,
-        )
-        parts.append(
-            pq_search(sub_idx, (q - cents[c]).tolist(), k=k, score_decimals=None)
-        )
-    merged = parts[0]
-    for p in parts[1:]:
-        merged = merged.unionByName(p)
-    score = F.col("score")
+        qr = q - cents[c]
+        terms = []
+        for i in range(index.pq.m):
+            qs = qr[i * sub : (i + 1) * sub]
+            cb = np.asarray(index.pq.codebooks[i], dtype="float64")
+            lut = ((cb - qs) ** 2).sum(axis=1)
+            lut_sql = "array(" + ", ".join(_lit_d(float(d)) for d in lut) + ")"
+            terms.append(
+                f"element_at({lut_sql}, "
+                f"CAST(element_at(codes, {i + 1}) AS INT) + 1)"
+            )
+        branches.append(f"WHEN {int(c)} THEN ({' + '.join(terms)})")
+    adc = F.expr("CASE cluster " + " ".join(branches) + " END")
+    score = 1.0 / (1.0 + adc)
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     return (
-        merged.select(F.col(index.id_col), score.alias("score"))
+        index.codes_with_cluster.where(
+            F.col("cluster").isin([int(c) for c in probe])
+        )
+        .select(F.col(index.id_col), score.alias("score"))
         .orderBy(F.desc("score"), F.asc(index.id_col))
         .limit(k)
     )

@@ -18575,6 +18575,7 @@ _ORACLES["drift_dashboard"] = _drift_dashboard_oracle()
 # the stalest driver rows by measured max-round over CORRECTNESS_r*.
 _R13_WINDOW = [
     "ivfopq_recall",  # NEW round 13: OPQMatrix+IVFPQ stack gate
+    "ivfpq_recall",  # plan changed: single-scan CASE-over-cells probe
     "opq_recall",
     "knn_graph_recall",
     "graph_semdedup_ann_check",
@@ -18624,7 +18625,6 @@ _R13_WINDOW = [
     "purchase_state_pit",
     "radius_search",
     "user_state_scd2",
-    "components_star_check",
 ]
 
 _R12_WINDOW = [
