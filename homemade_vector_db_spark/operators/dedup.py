@@ -76,7 +76,15 @@ def shingle_windows(text_col: Column | str, n: int = 3) -> Column:
     """ALL word n-gram windows in order (duplicates kept, position
     preserved) — the multiset form of `shingles`; phrase-occurrence
     counting needs every window, dedup only the distinct set."""
-    toks = tokenize(text_col)
+    return windows_from_tokens(tokenize(text_col), n)
+
+
+def windows_from_tokens(toks: Column, n: int) -> Column:
+    """`shingle_windows` over an already-tokenized ARRAY<STRING> column —
+    lets a multi-width sweep (contamination_sweep) tokenize the corpus
+    ONCE and derive every shingle width from the same token array
+    (codegen subexpression elimination collapses the shared `toks`
+    references to a single evaluation per row)."""
     length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     acc = F.slice(toks, 1, length)
     for j in range(2, n + 1):

@@ -5869,7 +5869,17 @@ def q_chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(_track_persist)
     )
-    stats = bm25.build_bm25_stats(chunk_docs, id_col="cid")
+    # Round 13 (guide §1.2): unlike doc-level BM25 (whose postings are
+    # session-cached derived state), the chunk postings are transient —
+    # and the scoring path reads them TWICE (the idf collect for the
+    # query terms and the scoring scan) plus once for corpus stats.
+    # Persisting the tokenized relation and the postings for the
+    # duration of the query turns 3 executions of the tokenize+groupBy
+    # chain into 1.
+    stats = bm25.build_bm25_stats(
+        chunk_docs, id_col="cid", persist_tokens=True
+    )
+    stats.postings = _track_persist(stats.postings)
     scored = bm25.bm25_scores(spark, stats, TEXT_QUERY).withColumnRenamed(
         "doc_id", "cid"
     )
@@ -13932,30 +13942,38 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
     g = _knn_graph(spark, sf_dir).select("src", "neighbor_id")
     nodes = emb.select("vec_id")
+    # Round 13 (guide §2.4): the per-round zero-fill (left join back to
+    # the full node relation, coalesce 0) is sum-neutral — a node with
+    # score 0 contributes exactly nothing to the next round's Σ, so the
+    # iteration runs on the SPARSE nonzero relations and the zero rows
+    # are restored ONCE at the end. 2 joins per round instead of 4;
+    # identical integers (absent ≡ 0 throughout, pinned by the oracle).
     hub = nodes.select("vec_id", F.lit(1).cast("long").alias("h"))
-    auth = None
+    a_in = None
+    h_out = None
     for _ in range(HITS_ROUNDS):
         a_in = (
             g.join(hub.select(F.col("vec_id").alias("src"), "h"), "src")
             .groupBy(F.col("neighbor_id").alias("vec_id"))
             .agg(F.sum("h").alias("a"))
         )
-        auth = nodes.join(a_in, "vec_id", "left").select(
-            "vec_id", F.coalesce("a", F.lit(0)).cast("long").alias("a")
-        )
         h_out = (
             g.join(
-                auth.select(F.col("vec_id").alias("neighbor_id"), "a"),
+                a_in.select(F.col("vec_id").alias("neighbor_id"), "a"),
                 "neighbor_id",
             )
             .groupBy(F.col("src").alias("vec_id"))
             .agg(F.sum("a").alias("h"))
         )
-        hub = nodes.join(h_out, "vec_id", "left").select(
-            "vec_id", F.coalesce("h", F.lit(0)).cast("long").alias("h")
-        )
+        hub = h_out
+    auth = nodes.join(a_in, "vec_id", "left").select(
+        "vec_id", F.coalesce("a", F.lit(0)).cast("long").alias("a")
+    )
+    hub_full = nodes.join(h_out, "vec_id", "left").select(
+        "vec_id", F.coalesce("h", F.lit(0)).cast("long").alias("h")
+    )
     return (
-        auth.join(hub, "vec_id")
+        auth.join(hub_full, "vec_id")
         .select(
             "vec_id",
             F.col("a").alias("authority"),
@@ -14594,18 +14612,22 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t1").isNotNull().cast("long").alias("is_event"),
         )
     )
-    total = times.count()
+    # Round 13 (guide §5): the user total was a driver action whose
+    # literal seeded the at-risk ladder; it is now a broadcast 1-row
+    # relation joined onto the bounded day grid — same integers, one
+    # fewer Spark action.
+    total_rel = times.agg(F.count(F.lit(1)).alias("n_total"))
     days = times.groupBy("d").agg(
         F.count(F.lit(1)).alias("c"),
         F.sum("is_event").alias("e"),
     )
     wb = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
-    at_risk = days.select(
+    at_risk = days.crossJoin(F.broadcast(total_rel)).select(
         "d",
         "e",
-        (F.lit(total) - F.coalesce(F.sum("c").over(wb), F.lit(0))).alias(
-            "n"
-        ),
+        (
+            F.col("n_total") - F.coalesce(F.sum("c").over(wb), F.lit(0))
+        ).alias("n"),
     )
     wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     # e == n (everyone at risk converts) sends the factor to exactly 0;
@@ -15048,21 +15070,29 @@ def q_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("tp"))
     )
-    nv, nc, np_ = v.count(), c.count(), p.count()
-    return spark.createDataFrame(
-        [(nv, nc, np_)], "n_view long, n_click long, n_purchase long"
-    ).select(
-        "n_view",
-        "n_click",
-        "n_purchase",
-        F.when(
-            F.col("n_view") > 0,
-            F.round(F.col("n_click") / F.col("n_view"), 6),
-        ).alias("view_to_click"),
-        F.when(
-            F.col("n_click") > 0,
-            F.round(F.col("n_purchase") / F.col("n_click"), 6),
-        ).alias("click_to_purchase"),
+    # Round 13 (guide §5): the three step counts were three serialized
+    # driver actions; they are now three 1-row aggregates crossJoined
+    # into one lazy plan (the oracle's own n-CTE shape) — one Spark
+    # action instead of four, same integers.
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.when(
+                F.col("n_view") > 0,
+                F.round(F.col("n_click") / F.col("n_view"), 6),
+            ).alias("view_to_click"),
+            F.when(
+                F.col("n_click") > 0,
+                F.round(F.col("n_purchase") / F.col("n_click"), 6),
+            ).alias("click_to_purchase"),
+        )
     )
 
 
@@ -15487,7 +15517,11 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb.select(F.col("vec_id").alias("u"), F.col("label").alias("lu")), "u")
         .join(emb.select(F.col("vec_id").alias("v"), F.col("label").alias("lv")), "v")
     )
-    m = und.count()
+    # Round 13 (guide §5): the edge count m was a driver action whose
+    # literal was spliced into the fixed-point expression; it now rides
+    # as a broadcast 1-row relation and the SAME decimal arithmetic
+    # reads it as a column — exact integer div, one fewer Spark action.
+    m_rel = und.agg(F.count(F.lit(1)).alias("m"))
     intra = (
         und.where(F.col("lu") == F.col("lv"))
         .groupBy(F.col("lu").alias("label"))
@@ -15502,16 +15536,20 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = (
         deg.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m_rel))
         .select(
             "label",
             F.coalesce("e_c", F.lit(0)).cast("long").alias("e_c"),
             F.col("d_c").cast("long").alias("d_c"),
+            "m",
         )
     )
     # fixed-point per-community term: (e_c·4m − d_c²)·1e12 div (4m²)
     term = F.expr(
-        f"CAST((CAST(e_c AS DECIMAL(38,0)) * 4 * {m} - CAST(d_c AS DECIMAL(38,0)) * d_c)"
-        f" * {CHI2_SCALE} div (CAST(4 AS DECIMAL(38,0)) * {m} * {m}) AS DECIMAL(38,0))"
+        f"CAST((CAST(e_c AS DECIMAL(38,0)) * 4 * CAST(m AS DECIMAL(38,0))"
+        f" - CAST(d_c AS DECIMAL(38,0)) * d_c)"
+        f" * {CHI2_SCALE} div (CAST(4 AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))"
+        f" * CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0))"
     )
     q = per.agg(F.sum(term).alias("s"))
     return (
@@ -15669,22 +15707,43 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("duration_s"),
         )
     )
-    n = sess.count()
-    n_bounce = sess.where(F.col("n_events") == 1).count()
-    med_events = _discrete_lower_stat(sess, "n_events", n, 1, 2)
-    med_dur = _discrete_lower_stat(sess, "duration_s", n, 1, 2)
-    return spark.createDataFrame(
-        [(n, n_bounce, int(med_events), int(med_dur))],
-        "n_sessions long, n_bounce long, median_events long,"
-        " median_duration_s long",
-    ).select(
-        "n_sessions",
-        "n_bounce",
-        F.round(F.col("n_bounce") / F.col("n_sessions"), 6).alias(
-            "bounce_rate"
-        ),
-        "median_events",
-        "median_duration_s",
+    # Round 13 (guide §5/§1.2): the former 4 serialized driver actions
+    # (count, count, two median probes) are now ONE lazy plan — the
+    # medians are the same discrete-lower-stat law expressed
+    # relationally (cumulative count over the bounded distinct-value
+    # grid, exactly the oracle's formulation), and the scalar total
+    # rides as a broadcast 1-row relation instead of a collected
+    # literal. Same values, one Spark action instead of five.
+    tot = sess.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("nb"),
+    )
+
+    def med(col: str, out: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = (
+            sess.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("cm", F.sum("c").over(w))
+        )
+        return (
+            cum.crossJoin(F.broadcast(tot.select("n")))
+            .where(F.col("cm") * 2 >= F.col("n"))
+            .agg(F.min(col).alias(out))
+        )
+
+    me = med("n_events", "median_events")
+    md = med("duration_s", "median_duration_s")
+    return (
+        tot.crossJoin(F.broadcast(me))
+        .crossJoin(F.broadcast(md))
+        .select(
+            F.col("n").alias("n_sessions"),
+            F.col("nb").alias("n_bounce"),
+            F.round(F.col("nb") / F.col("n"), 6).alias("bounce_rate"),
+            "median_events",
+            "median_duration_s",
+        )
     )
 
 
@@ -15987,7 +16046,11 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ref = vals.where(F.col("half") == 0)
-    n_ref = ref.count()
+    # Round 13 (guide §5): the reference-half count was a driver action
+    # whose collected literal parameterized the decile bounds; it now
+    # rides as a broadcast 1-row relation — same floor arithmetic
+    # (long·k + bins−1 over float bins), zero extra Spark actions.
+    n_ref_rel = ref.agg(F.count(F.lit(1)).alias("n_ref_tot"))
     ks = range(1, PSI_BINS)
     from pyspark.sql import Window
 
@@ -15997,13 +16060,14 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("cm", F.sum("c").over(wv))
     )
-    bounds = cum.agg(
+    bounds = cum.crossJoin(F.broadcast(n_ref_rel)).agg(
         *[
             F.min(
                 F.when(
                     F.col("cm")
                     >= F.floor(
-                        (F.lit(n_ref) * k + (PSI_BINS - 1)) / float(PSI_BINS)
+                        (F.col("n_ref_tot") * k + (PSI_BINS - 1))
+                        / float(PSI_BINS)
                     ),
                     F.col("v"),
                 )
@@ -16616,48 +16680,71 @@ def q_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per n: non-benchmark docs sharing ≥ 1 word n-gram with the
     benchmark source, flagged via a distinct-benchmark-shingle
     left-semi join — linear in postings, text never shuffles (xxhash64
-    shingle keys). The sweep's 4 shingle scans are its declared cost;
-    eligibility (docs with ≥ 1 n-shingle, i.e. ≥ n tokens) varies with
-    n by construction."""
-    d0 = load_documents(spark, sf_dir)
-    parts = []
-    for n in CONTAM_SWEEP_NS:
-        d = d0.select(
-            "doc_id", "source", dedup.shingles("text", n).alias("sh")
+    shingle keys). Round 13 (guide §1.2/§2.4): the sweep's 4
+    independent shingle pipelines (4 corpus scans, 4 persisted explode
+    relations, ~42 Spark jobs) are FUSED into ONE corpus pass — the
+    text is tokenized once, all 4 shingle widths are built from the
+    one token array and exploded as (n, shingle) pairs in a single
+    generator, and the per-n gates become grouped aggregations over
+    the shared relation. Eligibility (docs with ≥ 1 n-shingle, i.e.
+    ≥ n tokens) is unchanged: a too-short doc contributes no array
+    elements for that n."""
+    # tokenize ONCE into a named column: the shingle builders reference
+    # it ~Σ(n+1) times, and CollapseProject keeps a multiply-referenced
+    # expensive expression in its own Project instead of inlining the
+    # regex split per reference.
+    dt = load_documents(spark, sf_dir).select(
+        "doc_id", "source", tokenize("text").alias("toks")
+    )
+
+    def _tagged(n: int) -> Column:
+        # NOTE: the lambda must stay single-parameter — a second
+        # (defaulted) parameter flips pyspark into the (element, index)
+        # lambda form and silently rebinds it to the array index.
+        return F.transform(
+            F.array_distinct(dedup.windows_from_tokens(F.col("toks"), n)),
+            lambda s: F.struct(
+                F.lit(n).alias("n"), F.xxhash64(s).alias("shingle")
+            ),
         )
-        e = _track_persist(
-            d.where(F.size("sh") > 0)
-            .select("doc_id", "source", F.explode("sh").alias("s"))
-            .select("doc_id", "source", F.xxhash64("s").alias("shingle"))
+
+    parts = [_tagged(n) for n in CONTAM_SWEEP_NS]
+    e = _track_persist(
+        dt.select(
+            "doc_id", "source", F.explode(F.flatten(F.array(*parts))).alias("x")
         )
-        bench = (
-            e.where(F.col("source") == DECONTAM_BENCH_SOURCE)
-            .select("shingle")
-            .distinct()
+        .select("doc_id", "source", F.col("x.n").alias("n"), F.col("x.shingle").alias("shingle"))
+    )
+    bench = (
+        e.where(F.col("source") == DECONTAM_BENCH_SOURCE)
+        .select("n", "shingle")
+        .distinct()
+    )
+    train = e.where(F.col("source") != DECONTAM_BENCH_SOURCE)
+    tot = train.groupBy("n").agg(
+        F.countDistinct("doc_id").alias("n_train_docs")
+    )
+    flagged = train.join(bench, ["n", "shingle"], "left_semi").groupBy("n").agg(
+        F.countDistinct("doc_id").alias("n_flagged")
+    )
+    ns = spark.createDataFrame(
+        [(n,) for n in CONTAM_SWEEP_NS], "ngram_n long"
+    )
+    return (
+        ns.join(tot.withColumnRenamed("n", "ngram_n"), "ngram_n", "left")
+        .join(flagged.withColumnRenamed("n", "ngram_n"), "ngram_n", "left")
+        .select(
+            "ngram_n",
+            F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+            F.round(
+                F.coalesce("n_flagged", F.lit(0))
+                / F.col("n_train_docs").cast("double"),
+                6,
+            ).alias("flag_rate"),
         )
-        train = e.where(F.col("source") != DECONTAM_BENCH_SOURCE)
-        tot = train.agg(
-            F.countDistinct("doc_id").alias("n_train_docs")
-        )
-        flagged = train.join(bench, "shingle", "left_semi").agg(
-            F.countDistinct("doc_id").alias("n_flagged")
-        )
-        parts.append(
-            flagged.crossJoin(tot).select(
-                F.lit(n).cast("long").alias("ngram_n"),
-                F.col("n_train_docs").cast("long").alias("n_train_docs"),
-                F.col("n_flagged").cast("long").alias("n_flagged"),
-                F.round(
-                    F.col("n_flagged")
-                    / F.col("n_train_docs").cast("double"),
-                    6,
-                ).alias("flag_rate"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("ngram_n")
+        .orderBy("ngram_n")
+    )
 
 
 def _contam_sweep_oracle() -> str:
@@ -17062,11 +17149,20 @@ def q_inter_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("gap_s")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = dist.select(
-        "event_type", "gap_s", F.sum("c").over(w).alias("cum")
+    # Round 13 (guide §2.4): the per-type total was a separate groupBy
+    # branch joined back on event_type — a second execution of the dist
+    # lineage plus a join exchange. A full-partition window over the
+    # SAME partitioning computes it in the exchange the cumulative
+    # window already pays for; the join disappears.
+    wt = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    tot = dist.groupBy("event_type").agg(F.sum("c").alias("n"))
-    j = cum.join(tot, "event_type")
+    j = dist.select(
+        "event_type",
+        "gap_s",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+    )
     aggs = [F.max("n").cast("long").alias("n_gaps")]
     for k in IAT_KS:
         aggs.append(
