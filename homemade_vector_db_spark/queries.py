@@ -1294,12 +1294,30 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = _track_persist(
         p.select(F.expr("timestampdiff(MICROSECOND, t0, t1)").alias("us"))
     )
+    # Round 13 (guide §5): both order statistics share ONE cumulative
+    # grid and ride a single lazy plan (3 driver actions → 1 count for
+    # the documented empty-relation guard + parameters).
     n = lat.count()
-    med = _discrete_lower_stat(lat, "us", n, 1, 2)
-    p90 = _discrete_lower_stat(lat, "us", n, 9, 10)
-    return spark.createDataFrame(
-        [(n, int(med), int(p90))],
-        "n_converted long, median_us long, p90_us long",
+    if n <= 0:
+        raise ValueError(
+            "discrete order statistic over an empty relation (us)"
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        lat.groupBy("us")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cm", F.sum("c").over(w))
+    )
+    return cum.agg(
+        F.lit(n).cast("long").alias("n_converted"),
+        F.min(F.when(F.col("cm") * 2 >= n, F.col("us")))
+        .cast("long")
+        .alias("median_us"),
+        F.min(F.when(F.col("cm") * 10 >= n * 9, F.col("us")))
+        .cast("long")
+        .alias("p90_us"),
     )
 
 
@@ -1576,11 +1594,38 @@ def q_event_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.date_trunc("day", "ts")).alias("day")
         ).agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = d.count()
-    med = _discrete_lower_stat(d, "n", tot, 1, 2)
-    ad = d.select("day", "n", F.abs(F.col("n") - F.lit(med)).alias("dev"))
-    mad = _discrete_lower_stat(ad, "dev", tot, 1, 2)
-    return ad.where(F.col("dev") > 3 * mad).orderBy("day")
+    # Round 13 (guide §5): 4 driver actions → 1 lazy plan. Both medians
+    # are the same discrete 2·cum ≥ n law expressed relationally over
+    # the bounded distinct-value grids; the scalars ride as broadcast
+    # 1-row relations.
+    from pyspark.sql import Window
+
+    tot = d.agg(F.count(F.lit(1)).alias("t"))
+
+    def dls(vals: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = (
+            vals.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("cm", F.sum("c").over(w))
+        )
+        return cum.crossJoin(F.broadcast(tot)).agg(
+            F.min(
+                F.when(F.col("cm") * 2 >= F.col("t"), F.col(col))
+            ).alias(out)
+        )
+
+    med = dls(d, "n", "med")
+    ad = d.crossJoin(F.broadcast(med)).select(
+        "day", "n", F.abs(F.col("n") - F.col("med")).alias("dev")
+    )
+    mad = dls(ad, "dev", "mad")
+    return (
+        ad.crossJoin(F.broadcast(mad))
+        .where(F.col("dev") > 3 * F.col("mad"))
+        .select("day", "n", "dev")
+        .orderBy("day")
+    )
 
 
 BASKET_MIN_SUPPORT = 3
@@ -1599,7 +1644,11 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
-    n_orders = load_table(spark, sf_dir, "orders").count()
+    # round 13 (guide §5): order count as a broadcast 1-row relation
+    # instead of a collected literal — one fewer driver action
+    n_ord = load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_orders_tot")
+    )
     per_part = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("np"))
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -1620,12 +1669,13 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("np", "na")
         .join(per_part.withColumnRenamed("l_partkey", "part_b"), "part_b")
         .withColumnRenamed("np", "nb")
+        .crossJoin(F.broadcast(n_ord))
         .select(
             "part_a",
             "part_b",
             F.col("n_ab").cast("long").alias("n_ab"),
             F.round(
-                F.col("n_ab") * F.lit(n_orders)
+                F.col("n_ab") * F.col("n_orders_tot")
                 / (F.col("na") * F.col("nb")),
                 6,
             ).alias("lift"),
@@ -2724,16 +2774,21 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "neighbor_id").alias("v"),
         ).distinct()
     )
-    n_edges = und.count()
+    # Round 13 (guide §5): edge count, triangle count and wedge sum were
+    # three serialized driver actions feeding a literal frame; they are
+    # now three 1-row aggregates crossJoined lazily — one Spark action,
+    # same integers (coalesce(w, 0) keeps the empty-graph NULL-sum
+    # behavior of the old int(wedges or 0)).
+    ne_rel = und.agg(F.count(F.lit(1)).alias("n_edges"))
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
-    tri = (
+    tri_rel = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
         .join(
             e3,
             (F.col("e3.u") == F.col("e1.u"))
             & (F.col("e3.v") == F.col("e2.v")),
         )
-        .count()
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     deg = (
         und.select(F.col("u").alias("x"))
@@ -2741,24 +2796,27 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    wedges = deg.agg(
-        F.sum(F.expr("(d * (d - 1)) div 2")).alias("w")
-    ).collect()[0]["w"]
+    wedges_rel = deg.agg(
+        F.coalesce(F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
+    )
     # final division through Spark's round (HALF_UP) — Python's round is
     # banker's and could diverge from the oracle on an exact half-ulp.
-    # Degenerate guards: empty graph sums to NULL wedges; zero wedges
-    # would make Spark NULL vs DuckDB inf diverge — both emit NULL.
-    return spark.createDataFrame(
-        [(n_edges, tri, int(wedges or 0))],
-        "n_edges long, n_triangles long, n_wedges long",
-    ).select(
-        "n_edges",
-        "n_triangles",
-        "n_wedges",
-        F.when(
-            F.col("n_wedges") > 0,
-            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
-        ).alias("clustering_coef"),
+    # Degenerate guards: zero wedges would make Spark NULL vs DuckDB inf
+    # diverge — both emit NULL.
+    return (
+        ne_rel.crossJoin(F.broadcast(tri_rel))
+        .crossJoin(F.broadcast(wedges_rel))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+            ).alias("clustering_coef"),
+        )
     )
 
 
@@ -4331,9 +4389,14 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingled=_shingle_sets(spark, sf_dir),
         ).select("a_id", "b_id")
     )
-    n_truth = truth.count()
-    n_det = det.count()
-    hits = det.join(truth, ["a_id", "b_id"]).count()
+    # Round 13 (guide §5): the three counting actions are now three
+    # 1-row aggregates crossJoined into one lazy plan (the persisted
+    # truth/det relations still materialize once and feed all three).
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nd = det.agg(F.count(F.lit(1)).alias("n_detected"))
+    nh = det.join(truth, ["a_id", "b_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
     # zero-denominator guards: Spark NULL vs DuckDB inf/NaN divergence
     # on degenerate corpora — both sides emit NULL instead
     prec = F.when(
@@ -4343,15 +4406,16 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = F.when(
         F.col("n_truth") > 0, F.round(F.col("n_hits") / F.col("n_truth"), 6)
     )
-    return spark.createDataFrame(
-        [(n_truth, n_det, hits)],
-        "n_truth long, n_detected long, n_hits long",
-    ).select(
-        "n_truth",
-        "n_detected",
-        "n_hits",
-        prec.alias("precision"),
-        rec.alias("recall"),
+    return (
+        nt.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_detected",
+            "n_hits",
+            prec.alias("precision"),
+            rec.alias("recall"),
+        )
     )
 
 
@@ -10768,12 +10832,18 @@ def q_semdedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    n_exact = exact.count()
-    n_within = within.count()
-    recall = n_within / n_exact if n_exact else 1.0
-    return exact.agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
-        F.lit(recall >= SEMDEDUP_RECALL_FLOOR).alias("recall_ok"),
+    # round 13 (guide §5): the two counting actions fold into one lazy
+    # plan; recall ≥ 0.5 is the exact integer comparison 2·within ≥
+    # exact (empty exact set ⇒ recall 1.0 ⇒ ok, as before)
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nw = within.agg(F.count(F.lit(1)).alias("n_within"))
+    assert SEMDEDUP_RECALL_FLOOR == 0.5  # integer form below encodes it
+    return ne.crossJoin(F.broadcast(nw)).select(
+        F.col("n_exact").cast("long").alias("n_exact_pairs"),
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_within") * 2 >= F.col("n_exact"))
+        ).alias("recall_ok"),
         F.lit(True).alias("precision_exact"),
     )
 
@@ -12412,21 +12482,29 @@ def q_hll_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = d.groupBy("source").agg(
         F.hll_sketch_agg(F.col("text")).alias("sk")
     )
+    # round 13 (guide §5): the two sketch estimates were collected
+    # scalars (2 extra driver actions); they now ride as broadcast
+    # 1-row relations crossJoined into one lazy plan
     merged = per_source.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
-    ).collect()[0]["est"]
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m_est")
+    )
     direct = d.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("text")).alias("est")
-    ).collect()[0]["est"]
-    ndv = F.count_distinct("text")
-    return d.agg(
-        ndv.cast("long").alias("true_ndv"),
-        (F.abs(F.lit(merged) - ndv) <= HLL_MAX_REL_ERR * ndv).alias(
-            "merged_within_error"
-        ),
-        (F.abs(F.lit(direct) - ndv) <= HLL_MAX_REL_ERR * ndv).alias(
-            "direct_within_error"
-        ),
+        F.hll_sketch_estimate(F.hll_sketch_agg("text")).alias("d_est")
+    )
+    base = d.agg(F.count_distinct("text").cast("long").alias("true_ndv"))
+    ndv = F.col("true_ndv")
+    return (
+        base.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(direct))
+        .select(
+            "true_ndv",
+            (F.abs(F.col("m_est") - ndv) <= HLL_MAX_REL_ERR * ndv).alias(
+                "merged_within_error"
+            ),
+            (F.abs(F.col("d_est") - ndv) <= HLL_MAX_REL_ERR * ndv).alias(
+                "direct_within_error"
+            ),
+        )
     )
 
 
@@ -16797,27 +16875,32 @@ def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and what fraction are NOVEL (first batch containing them). A
     flattening novel-rate curve means the source is exhausted and
     marginal data buys no new n-grams — the saturation readout
-    mixture planners act on. Relational core: distinct
-    (shingle, batch) pairs → min-batch per shingle → one join back;
-    linear in postings, text never shuffles (xxhash64 keys)."""
-    d = load_documents(spark, sf_dir)
-    mx = d.agg(F.max("doc_id").alias("mx"))
-    pairs = (
-        d.crossJoin(F.broadcast(mx))
+    mixture planners act on. Relational core (round 13, guide
+    §1.2/§2.4): NOVELTY_NGRAM equals the Jaccard family's width, so
+    the shingle arrays come from the SHARED materialized relation
+    (zero new tokenization work — the ngram_diversity precedent), and
+    the former distinct → min-per-shingle → join-back chain is ONE
+    groupBy(shingle) collecting the (bounded, ≤ DEDUP_BATCHES) sorted
+    batch set: element 1 IS the first batch, the explode re-emits the
+    distinct pairs. Two exchanges end to end; text never shuffles
+    (xxhash64 keys)."""
+    sh = _shingle_sets(spark, sf_dir)
+    mx = sh.agg(F.max("doc_id").alias("mx"))
+    sets = (
+        sh.crossJoin(F.broadcast(mx))
         .select(
             F.expr(f"doc_id * {DEDUP_BATCHES} div (mx + 1)").alias("batch"),
-            F.explode(
-                dedup.shingles("text", NOVELTY_NGRAM)
-            ).alias("s"),
+            F.explode("shingles").alias("s"),
         )
         .select("batch", F.xxhash64("s").alias("shingle"))
-        .distinct()
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("batch")).alias("bs"))
     )
-    pairs = _track_persist(pairs)
-    first = pairs.groupBy("shingle").agg(F.min("batch").alias("fb"))
+    per = sets.select(
+        F.explode("bs").alias("batch"), F.col("bs")[0].alias("fb")
+    )
     return (
-        pairs.join(first, "shingle")
-        .groupBy("batch")
+        per.groupBy("batch")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum((F.col("batch") == F.col("fb")).cast("long")).alias(
