@@ -6255,7 +6255,11 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cent = ex.groupBy("label", "i0").agg(F.round(F.avg("x"), 6).alias("c"))
-    dist = (
+    # round 13 (guide §1.2): persisted for the invocation — the label
+    # totals, the median grid, and the deviation relation all read
+    # `dist` (and `ad` feeds both the MAD grid and the final filter);
+    # unpersisted, the explode+join+groupBy chain re-executed 3×
+    dist = _track_persist(
         ex.join(cent, ["label", "i0"])
         .groupBy("vec_id", "label")
         .agg(
@@ -6287,8 +6291,10 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = per_label_lower_median(dist, "u", "m")
-    ad = dist.join(med, "label").select(
-        "vec_id", "label", "u", F.abs(F.col("u") - F.col("m")).alias("ad")
+    ad = _track_persist(
+        dist.join(med, "label").select(
+            "vec_id", "label", "u", F.abs(F.col("u") - F.col("m")).alias("ad")
+        )
     )
     mad = per_label_lower_median(ad, "ad", "d")
     return (
@@ -13894,14 +13900,18 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.src") < F.col("a.neighbor_id"))
         .select(F.col("a.src").alias("u"), F.col("a.neighbor_id").alias("v"))
     )
-    n_und = und.count()
-    if n_und <= KCORE_DRIVER_EDGE_CAP:
+    # round 13 (guide §5): one bounded cap+1-row collect replaces the
+    # full count + second collect — the limit stops scanning as soon as
+    # the cap is exceeded, so the guard never pays a full pass on big
+    # graphs and the driver tier pays one action instead of two
+    probe = und.limit(KCORE_DRIVER_EDGE_CAP + 1).collect()
+    if len(probe) <= KCORE_DRIVER_EDGE_CAP:
         # bounded driver tier (the dedup.py union-find discipline:
         # ≤500k 16-byte edge pairs collect safely; the peel itself is
         # O(E·rounds) in-memory). Identical fixpoint law to the
         # distributed loop below — equivalence pytest-pinned by
         # forcing the cap to 0.
-        return _kcore_peel_driver(spark, [(r.u, r.v) for r in und.collect()])
+        return _kcore_peel_driver(spark, [(r.u, r.v) for r in probe])
     edges = und
     prev_n = edges.select(
         F.explode(F.array("u", "v")).alias("x")
