@@ -4537,7 +4537,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out per shingle is bounded by #sources (20), never by docs —
     output is ≤ sources² rows at any corpus size."""
     d = load_documents(spark, sf_dir).select("doc_id", "source")
-    ss = (
+    # round 13 (guide §1.2): persisted — the vocabulary sizes and BOTH
+    # sides of the containment self-join read this relation;
+    # unpersisted, the explode+distinct chain executed three times
+    ss = _track_persist(
         _shingle_sets(spark, sf_dir)
         .join(d, "doc_id")
         .select("source", F.explode("shingles").alias("shingle"))
@@ -13311,9 +13314,15 @@ def q_dedup_rate_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("nfp"),
         F.expr(f"doc_id * {DEDUP_BATCHES} div (mx + 1)").alias("batch"),
     )
-    first = tagged.groupBy("nfp").agg(F.min("batch").alias("first_batch"))
+    # round 13 (guide §2.4): first_batch per fingerprint via a
+    # full-partition window on the nfp exchange instead of a groupBy
+    # branch joined back — the md5 corpus scan executes once, one
+    # exchange replaces two
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("nfp")
     return (
-        tagged.join(first, "nfp")
+        tagged.withColumn("first_batch", F.min("batch").over(wn))
         .groupBy("batch")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
