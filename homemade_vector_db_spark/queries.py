@@ -17137,28 +17137,39 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     grid = span.select(F.explode(F.expr("sequence(lo, hi)")).alias("d"))
-    days = grid.join(daily, "d", "left").select(
-        "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    # round 13 (guide §2.4): persist the shared day grid (moments and
+    # deviations both read it), and compute the total |deviation| mass
+    # as a full-frame window riding the SAME single sort the cumulative
+    # window already pays for (the oracle's own shape) — the separate
+    # aggregate branch and its crossJoin disappear
+    days = _track_persist(
+        grid.join(daily, "d", "left").select(
+            "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+        )
     )
     mom = days.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
     )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    dev = _track_persist(
-        days.crossJoin(F.broadcast(mom)).select(
-            "d",
-            "n",
-            (
-                F.col("n").cast("decimal(38,0)") * F.col("x")
-                - F.col("sx")
-            ).alias("ndev"),
-        )
+    wf = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    tot = dev.agg(F.sum(F.abs("ndev")).alias("tot_dev"))
-    cum = dev.select("d", "n", F.sum("ndev").over(w).alias("c"))
+    dev = days.crossJoin(F.broadcast(mom)).select(
+        "d",
+        "n",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("x")
+            - F.col("sx")
+        ).alias("ndev"),
+    )
+    cum = dev.select(
+        "d",
+        "n",
+        F.sum("ndev").over(w).alias("c"),
+        F.sum(F.abs("ndev")).over(wf).alias("tot_dev"),
+    )
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .orderBy(F.desc(F.abs("c")), F.asc("d"))
+        cum.orderBy(F.desc(F.abs("c")), F.asc("d"))
         .limit(1)
         .select(
             F.col("d").cast("long").alias("changepoint_day"),
@@ -17658,12 +17669,18 @@ def q_js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
     st = _track_persist(st)
-    tot_term = st.groupBy("t").agg(F.sum("c").alias("ct"))
-    tot_src = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    # round 13 (guide §2.4): per-term and per-source totals were groupBy
+    # branches joined back (re-reading st and paying a join exchange
+    # each); full-partition windows compute them on the exchanges the
+    # totals need anyway — two exchanges replace four plan branches
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("t")
+    ws = Window.partitionBy("source")
     n_all = st.agg(F.sum("c").alias("nn"))
     j = (
-        st.join(tot_term, "t")
-        .join(tot_src, "source")
+        st.withColumn("ct", F.sum("c").over(wt))
+        .withColumn("ns", F.sum("c").over(ws))
         .crossJoin(F.broadcast(n_all))
     )
     p = F.col("c").cast("double") / F.col("ns").cast("double")
