@@ -119,15 +119,23 @@ def _canonical_sets(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
     (~2^-64/pair) are noise relative to the threshold decision. Capped
     shingles (`max_shingle_freq`) leave the sets entirely, so similarity
     stays consistent over the pruned universe."""
+    from pyspark.sql import Window
+
     hashed = sh.select(
         "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
     ).transform(_track_persist)
     ex = hashed.select("doc_id", F.explode("hs").alias("shingle"))
-    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    # round 13 (guide §2.4): the frequency table was a groupBy branch
+    # joined back on shingle — a second execution of the explode plus a
+    # join exchange; a full-partition count window computes it on the
+    # one shingle exchange. A capped (stop-)shingle still pays its skew
+    # exactly once, same as the join form did, and leaves the sets in
+    # the same place (filter after the window).
+    wsh = Window.partitionBy("shingle")
+    ranked = ex.withColumn("freq", F.count(F.lit(1)).over(wsh))
     if max_shingle_freq is not None:
-        freq = freq.where(F.col("freq") <= max_shingle_freq)
-        ex = ex.join(freq.select("shingle"), "shingle")
-    ranked = ex.join(freq, "shingle").select(
+        ranked = ranked.where(F.col("freq") <= max_shingle_freq)
+    ranked = ranked.select(
         "doc_id", F.struct(F.col("freq"), F.col("shingle")).alias("fs")
     )
     return (
