@@ -4537,10 +4537,12 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out per shingle is bounded by #sources (20), never by docs —
     output is ≤ sources² rows at any corpus size."""
     d = load_documents(spark, sf_dir).select("doc_id", "source")
-    # round 13 (guide §1.2): persisted — the vocabulary sizes and BOTH
-    # sides of the containment self-join read this relation;
-    # unpersisted, the explode+distinct chain executed three times
-    ss = _track_persist(
+    # round 13 measurement note: a per-invocation persist of this
+    # relation was tried and REVERTED — AQE exchange reuse already
+    # shares the identical distinct subtree across the sizes aggregate
+    # and both self-join sides (A/B: 1.12 s vs 1.13 s, pure wash plus
+    # cache pressure).
+    ss = (
         _shingle_sets(spark, sf_dir)
         .join(d, "doc_id")
         .select("source", F.explode("shingles").alias("shingle"))
@@ -6258,11 +6260,12 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cent = ex.groupBy("label", "i0").agg(F.round(F.avg("x"), 6).alias("c"))
-    # round 13 (guide §1.2): persisted for the invocation — the label
-    # totals, the median grid, and the deviation relation all read
-    # `dist` (and `ad` feeds both the MAD grid and the final filter);
-    # unpersisted, the explode+join+groupBy chain re-executed 3×
-    dist = _track_persist(
+    # round 13 measurement note: a per-invocation persist of `dist`/`ad`
+    # was tried and REVERTED — AQE's exchange reuse already shares the
+    # identical subtrees across the branches inside this one action, so
+    # the persist only added cache-materialization cost (A/B measured
+    # 1.04 s no-persist vs 1.31 s persisted at sf0.1).
+    dist = (
         ex.join(cent, ["label", "i0"])
         .groupBy("vec_id", "label")
         .agg(
@@ -6294,10 +6297,8 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = per_label_lower_median(dist, "u", "m")
-    ad = _track_persist(
-        dist.join(med, "label").select(
-            "vec_id", "label", "u", F.abs(F.col("u") - F.col("m")).alias("ad")
-        )
+    ad = dist.join(med, "label").select(
+        "vec_id", "label", "u", F.abs(F.col("u") - F.col("m")).alias("ad")
     )
     mad = per_label_lower_median(ad, "ad", "d")
     return (
