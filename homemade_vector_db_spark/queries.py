@@ -16778,41 +16778,47 @@ def q_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per n: non-benchmark docs sharing ≥ 1 word n-gram with the
     benchmark source, flagged via a distinct-benchmark-shingle
     left-semi join — linear in postings, text never shuffles (xxhash64
-    shingle keys). Round 13 (guide §1.2/§2.4): the sweep's 4
-    independent shingle pipelines (4 corpus scans, 4 persisted explode
-    relations, ~42 Spark jobs) are FUSED into ONE corpus pass — the
-    text is tokenized once, all 4 shingle widths are built from the
-    one token array and exploded as (n, shingle) pairs in a single
-    generator, and the per-n gates become grouped aggregations over
-    the shared relation. Eligibility (docs with ≥ 1 n-shingle, i.e.
+    shingle keys). Round 13 (guide §1.2/§2.4): tokenize ONCE into a
+    persisted token relation (the expensive regex pass over the corpus
+    — at scale, the one base-data scan), then build each width as an
+    explode over the CACHED tokens and union the four. An earlier r13
+    shape computed all 4 widths in one giant tagged-struct projection
+    and persisted the 4-width explode; interleaved A/B at sf0.1 showed
+    that persisting the exploded relation (4× rows) costs more than
+    re-exploding cached token arrays per consumer (fused+persist
+    4.10 s / fused no-persist 3.46 s / THIS shape 2.50 s min, 5-round
+    interleave), so the persist sits on the narrow token relation and
+    the explodes stay lazy. Eligibility (docs with ≥ 1 n-shingle, i.e.
     ≥ n tokens) is unchanged: a too-short doc contributes no array
     elements for that n."""
-    # tokenize ONCE into a named column: the shingle builders reference
-    # it ~Σ(n+1) times, and CollapseProject keeps a multiply-referenced
-    # expensive expression in its own Project instead of inlining the
-    # regex split per reference.
-    dt = load_documents(spark, sf_dir).select(
-        "doc_id", "source", tokenize("text").alias("toks")
+    dt = _track_persist(
+        load_documents(spark, sf_dir).select(
+            "doc_id", "source", tokenize("text").alias("toks")
+        )
     )
 
-    def _tagged(n: int) -> Column:
-        # NOTE: the lambda must stay single-parameter — a second
-        # (defaulted) parameter flips pyspark into the (element, index)
-        # lambda form and silently rebinds it to the array index.
-        return F.transform(
-            F.array_distinct(dedup.windows_from_tokens(F.col("toks"), n)),
-            lambda s: F.struct(
-                F.lit(n).alias("n"), F.xxhash64(s).alias("shingle")
-            ),
+    def _width(n: int) -> DataFrame:
+        # NOTE: the transform lambda must stay single-parameter — a
+        # second (defaulted) parameter flips pyspark into the
+        # (element, index) lambda form and silently rebinds it.
+        return dt.select(
+            "doc_id",
+            "source",
+            F.lit(n).alias("n"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        dedup.windows_from_tokens(F.col("toks"), n),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("shingle"),
         )
 
-    parts = [_tagged(n) for n in CONTAM_SWEEP_NS]
-    e = _track_persist(
-        dt.select(
-            "doc_id", "source", F.explode(F.flatten(F.array(*parts))).alias("x")
-        )
-        .select("doc_id", "source", F.col("x.n").alias("n"), F.col("x.shingle").alias("shingle"))
-    )
+    parts = [_width(n) for n in CONTAM_SWEEP_NS]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
     bench = (
         e.where(F.col("source") == DECONTAM_BENCH_SOURCE)
         .select("n", "shingle")
