@@ -16778,77 +16778,69 @@ def q_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per n: non-benchmark docs sharing ≥ 1 word n-gram with the
     benchmark source, flagged via a distinct-benchmark-shingle
     left-semi join — linear in postings, text never shuffles (xxhash64
-    shingle keys). Round 13 (guide §1.2/§2.4): tokenize ONCE into a
-    persisted token relation (the expensive regex pass over the corpus
-    — at scale, the one base-data scan), then build each width as an
-    explode over the CACHED tokens and union the four. An earlier r13
-    shape computed all 4 widths in one giant tagged-struct projection
-    and persisted the 4-width explode; interleaved A/B at sf0.1 showed
-    that persisting the exploded relation (4× rows) costs more than
-    re-exploding cached token arrays per consumer (fused+persist
-    4.10 s / fused no-persist 3.46 s / THIS shape 2.50 s min, 5-round
-    interleave), so the persist sits on the narrow token relation and
-    the explodes stay lazy. Eligibility (docs with ≥ 1 n-shingle, i.e.
-    ≥ n tokens) is unchanged: a too-short doc contributes no array
+    shingle keys). Round 14 (VERDICT r13 Next #1 — the r13 shape
+    regressed 1.005→1.67 s on the driver at BOTH core counts): the
+    corpus is still tokenized ONCE into a persisted token relation
+    (the r13 win worth keeping — at scale, the one base-data scan),
+    but each width's exploded (doc_id, source, shingle) relation is
+    persisted per width again (the r12 consumers), instead of the r13
+    lazy union that made all three consumers (bench-distinct,
+    train-total, semi-join probe) re-execute the 4-width explode.
+    Interleaved 5-round A/B on a driver-quiet box (bench protocol,
+    results asserted identical): r13 shape 1.67–2.96 s min, r12 shape
+    1.08–2.19 s, THIS shape 0.74–1.25 s warm / best cold cost too
+    (scripts/ab_contam.py). Eligibility (docs with ≥ 1 n-shingle,
+    i.e. ≥ n tokens) unchanged: a too-short doc contributes no array
     elements for that n."""
     dt = _track_persist(
         load_documents(spark, sf_dir).select(
             "doc_id", "source", tokenize("text").alias("toks")
         )
     )
-
-    def _width(n: int) -> DataFrame:
+    parts = []
+    for n in CONTAM_SWEEP_NS:
         # NOTE: the transform lambda must stay single-parameter — a
         # second (defaulted) parameter flips pyspark into the
         # (element, index) lambda form and silently rebinds it.
-        return dt.select(
-            "doc_id",
-            "source",
-            F.lit(n).alias("n"),
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        dedup.windows_from_tokens(F.col("toks"), n),
-                        lambda s: F.xxhash64(s),
+        e = _track_persist(
+            dt.select(
+                "doc_id",
+                "source",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            dedup.windows_from_tokens(F.col("toks"), n),
+                            lambda s: F.xxhash64(s),
+                        )
                     )
-                )
-            ).alias("shingle"),
+                ).alias("shingle"),
+            )
         )
-
-    parts = [_width(n) for n in CONTAM_SWEEP_NS]
-    e = parts[0]
+        bench = (
+            e.where(F.col("source") == DECONTAM_BENCH_SOURCE)
+            .select("shingle")
+            .distinct()
+        )
+        train = e.where(F.col("source") != DECONTAM_BENCH_SOURCE)
+        tot = train.agg(F.countDistinct("doc_id").alias("n_train_docs"))
+        flagged = train.join(bench, "shingle", "left_semi").agg(
+            F.countDistinct("doc_id").alias("n_flagged")
+        )
+        parts.append(
+            flagged.crossJoin(tot).select(
+                F.lit(n).cast("long").alias("ngram_n"),
+                F.col("n_train_docs").cast("long").alias("n_train_docs"),
+                F.col("n_flagged").cast("long").alias("n_flagged"),
+                F.round(
+                    F.col("n_flagged") / F.col("n_train_docs").cast("double"),
+                    6,
+                ).alias("flag_rate"),
+            )
+        )
+    out = parts[0]
     for p in parts[1:]:
-        e = e.unionByName(p)
-    bench = (
-        e.where(F.col("source") == DECONTAM_BENCH_SOURCE)
-        .select("n", "shingle")
-        .distinct()
-    )
-    train = e.where(F.col("source") != DECONTAM_BENCH_SOURCE)
-    tot = train.groupBy("n").agg(
-        F.countDistinct("doc_id").alias("n_train_docs")
-    )
-    flagged = train.join(bench, ["n", "shingle"], "left_semi").groupBy("n").agg(
-        F.countDistinct("doc_id").alias("n_flagged")
-    )
-    ns = spark.createDataFrame(
-        [(n,) for n in CONTAM_SWEEP_NS], "ngram_n long"
-    )
-    return (
-        ns.join(tot.withColumnRenamed("n", "ngram_n"), "ngram_n", "left")
-        .join(flagged.withColumnRenamed("n", "ngram_n"), "ngram_n", "left")
-        .select(
-            "ngram_n",
-            F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
-            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
-            F.round(
-                F.coalesce("n_flagged", F.lit(0))
-                / F.col("n_train_docs").cast("double"),
-                6,
-            ).alias("flag_rate"),
-        )
-        .orderBy("ngram_n")
-    )
+        out = out.unionAll(p)
+    return out.orderBy("ngram_n")
 
 
 def _contam_sweep_oracle() -> str:
