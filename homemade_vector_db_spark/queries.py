@@ -4533,33 +4533,38 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     each other BEFORE you weight them independently (doc-level dedup
     sees the trees; this sees the forest). Scale shape: the corpus-scale
     work is the shared materialized shingle relation; everything after
-    runs on the DISTINCT (source, shingle) relation, and the self-join
-    fan-out per shingle is bounded by #sources (20), never by docs —
-    output is ≤ sources² rows at any corpus size."""
+    runs on the DISTINCT (source, shingle) relation. Round 14 (VERDICT
+    r13 Next #4 — this entry drifted to 1.45-1.66 s on the driver):
+    two changes, 4-round interleaved A/B each (scripts/ab_overlap.py,
+    results asserted identical; 1.10-1.18 s → 0.86-0.99 s min):
+    (1) the vocab self-join on shingle became one
+    groupBy(shingle).collect_set(source) + pair explode — the same
+    (source_a, source_b) rows with no SMJ sorts, and the per-shingle
+    fan-out is bounded by #sources on BOTH the map side (partial
+    collect_set) and the reduce side, where the self-join left a hot
+    shingle's postings as join-input skew; (2) the distinct/groupBy
+    shuffles 8-byte xxhash64 shingle keys instead of shingle strings
+    (guide §2.3 narrower types; the contamination_sweep precedent —
+    text never shuffles, collisions ~2^-64/pair are accepted noise)."""
     d = load_documents(spark, sf_dir).select("doc_id", "source")
-    # round 13 measurement note: a per-invocation persist of this
-    # relation was tried and REVERTED — AQE exchange reuse already
-    # shares the identical distinct subtree across the sizes aggregate
-    # and both self-join sides (A/B: 1.12 s vs 1.13 s, pure wash plus
-    # cache pressure).
     ss = (
         _shingle_sets(spark, sf_dir)
         .join(d, "doc_id")
-        .select("source", F.explode("shingles").alias("shingle"))
+        .select(
+            "source",
+            F.explode(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("shingle"),
+        )
         .distinct()
     )
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("na"))
-    a, b = ss.alias("a"), ss.alias("b")
+    srcs = ss.groupBy("shingle").agg(F.collect_set("source").alias("srcs"))
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") != F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
+        srcs.select(F.explode("srcs").alias("source_a"), "srcs")
+        .select("source_a", F.explode("srcs").alias("source_b"))
+        .where(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
