@@ -15329,31 +15329,33 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def survivors(df: DataFrame, part_cols: list) -> DataFrame:
-        # max(date) over STRICTLY-higher price, in LINEAR time: Spark
-        # executes RANGE …FOLLOWING frames by rescanning the frame per
-        # row (O(n²) per partition — measured 27.8 s at sf1 before this
-        # form), so group to distinct prices first and take a running
-        # max over the price-desc ROWS frame excluding the current
-        # group — every preceding group is strictly higher, and ROWS
-        # frames run as O(n) running aggregation.
-        grp = df.groupBy(*part_cols, "cents").agg(
-            F.max("dt_us").alias("gmax")
-        )
+        # max(date) over STRICTLY-higher price in LINEAR time as ONE
+        # window: orderBy(cents DESC) + rangeBetween(unboundedPreceding,
+        # -1) — with integer cents the -1 range offset admits exactly
+        # the rows with cents ≥ current+1, so price TIES are excluded
+        # without any groupBy. Spark executes unbounded-PRECEDING
+        # frames as O(n) running aggregation (the O(n²) per-row rescan
+        # trap is the unbounded-FOLLOWING frame the oracle uses —
+        # measured 27.8 s at sf1 in r10); this desc-order mirror is the
+        # same set. Round 14: replaces the r10 groupBy(cents)+ROWS
+        # window+join-back form — two exchanges and a probe
+        # re-execution per pass gone; interleaved A/B
+        # (scripts/ab_skyline.py, results asserted identical):
+        # 1.66→0.50 s at sf0.1, 3.0→0.65 s at sf1.
         w = (
             Window.partitionBy(*part_cols)
             .orderBy(F.desc("cents"))
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        mx = grp.select(
-            *part_cols, "cents", F.max("gmax").over(w).alias("mx")
+            .rangeBetween(Window.unboundedPreceding, -1)
         )
         # keep iff NOT strictly dominated: no strictly-higher-price row
         # has a strictly-later date ⇒ dt >= mx (a date TIE with a
         # higher-price row does not dominate — both axes must be
         # strictly greater; the >= was a > until the hypothesis fuzz
         # produced the date-tie counterexample)
-        return df.join(mx, [*part_cols, "cents"]).where(
-            F.col("mx").isNull() | (F.col("dt_us") >= F.col("mx"))
+        return (
+            df.withColumn("mx", F.max("dt_us").over(w))
+            .where(F.col("mx").isNull() | (F.col("dt_us") >= F.col("mx")))
+            .drop("mx")
         )
 
     cand = survivors(o, ["mon"])  # partitioned prune, parallel
