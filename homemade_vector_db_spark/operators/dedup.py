@@ -998,7 +998,17 @@ def connected_components(
     pairs = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint(eager=True)
-    if pairs.count() <= driver_threshold:
+    # round 14 (guide §5, the graph_kcore r13 precedent): ONE bounded
+    # limit-probe collect decides the tier AND, below the bound, already
+    # holds the edges — the separate count() action is gone. When the
+    # graph exceeds the bound, the probe stops at driver_threshold + 1
+    # rows (bounded driver memory) and the distributed loop runs.
+    # Union-find is edge-order-independent (parent always points to the
+    # smaller id, so every root is its component minimum), so the
+    # arbitrary rows a LIMIT returns below the bound — which are ALL
+    # rows there — feed it exactly as collect() did.
+    probe = pairs.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -1008,7 +1018,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in pairs.collect():
+        for r in probe:
             ra, rb = find(r.src), find(r.dst)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)

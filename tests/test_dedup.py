@@ -228,6 +228,25 @@ def test_connected_components_long_chain_converges(spark):
     assert set(got.values()) == {0} and len(got) == 12
 
 
+def test_connected_components_probe_tier_boundary(spark):
+    # r14: the driver-tier decision is a limit(threshold+1) probe, not a
+    # count — a graph ONE edge over the bound must take the distributed
+    # loop and still agree with the driver union-find result
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 5)], "a_id LONG, b_id LONG"
+    )
+    want = {1: 1, 2: 1, 3: 3, 4: 3, 5: 3}
+    over = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(pairs, driver_threshold=2).collect()
+    }
+    under = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(pairs, driver_threshold=3).collect()
+    }
+    assert over == want and under == want
+
+
 def test_embedding_neardup_auto_dispatches_blas_below_bound(spark):
     """Auto tier: under the row bound the plan is the broadcast-matmul
     form (MapInPandas) and the result equals the exact all-pairs form."""
