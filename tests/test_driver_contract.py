@@ -9,6 +9,8 @@ from __future__ import annotations
 import json
 import os
 import subprocess
+
+import pytest
 import sys
 
 import __spark_entry__ as entrymod
@@ -52,6 +54,7 @@ def test_registry_callables_run_on_smoke_sf(spark):
         assert df.count() >= 1, name
 
 
+@pytest.mark.slow
 def test_bench_prints_one_json_line():
     """bench.py end-to-end at the smoke SF with 1 run: last stdout line is
     the JSON contract the driver records."""

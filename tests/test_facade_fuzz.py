@@ -65,6 +65,7 @@ def _mk_text(rng):
     return " ".join(rng.choice(words) for _ in range(int(rng.integers(3, 8))))
 
 
+@pytest.mark.slow
 def test_facade_random_op_sequence_matches_model(spark):
     rng = np.random.default_rng(1234)
     db = VectorDatabase(spark, dim=DIM, index_type="flat")

@@ -172,6 +172,7 @@ def test_incremental_graph_stream_twin_laws(spark, embs, tmp_path):
     assert norm(g2.graph().collect()) == full
 
 
+@pytest.mark.slow
 def test_knn_graph_delete_update_equal_rebuild(spark, embs):
     """Mutation maintenance laws (VERDICT r10 Next #7): delete repairs
     only affected nodes, update = strip + re-insert — each must be
@@ -225,6 +226,7 @@ def test_knn_graph_delete_update_equal_rebuild(spark, embs):
     assert norm(inc2) == norm(full2)
 
 
+@pytest.mark.slow
 def test_incremental_graph_mutations_no_rebuild(spark, embs, tmp_path, monkeypatch):
     """A delete+update sequence refreshes IncrementalKnnGraph WITHOUT a
     full NN-Descent/auto rebuild (the Done bar of VERDICT r10 Next #7):
@@ -282,6 +284,7 @@ def test_incremental_graph_mutations_no_rebuild(spark, embs, tmp_path, monkeypat
     assert g.corpus().count() == embs.count() - len(dead)
 
 
+@pytest.mark.slow
 def test_label_propagation_laws(spark, embs):
     # seeds clamp; coverage grows monotonically with rounds; determinism
     from homemade_vector_db_spark.operators.nndescent import label_propagation

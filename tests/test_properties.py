@@ -138,6 +138,7 @@ def py_components(edges):
     return {n: find(n) for n in parent}
 
 
+@pytest.mark.slow
 @given(edges=edge_strategy)
 @SETTINGS
 def test_connected_components_matches_union_find(spark, edges):
@@ -195,6 +196,7 @@ def test_connected_components_warns_when_unconverged(spark):
         ).collect()
 
 
+@pytest.mark.slow
 @given(edges=edge_strategy)
 @SETTINGS
 def test_connected_components_star_matches_union_find(spark, edges):
@@ -744,6 +746,7 @@ def test_kcore_matches_python_peel(spark, edges, monkeypatch):
     )
 
 
+@pytest.mark.slow
 @SETTINGS
 @given(edges=graph_edges)
 def test_hits_matches_python_power_iteration(spark, edges, monkeypatch):
@@ -775,6 +778,7 @@ def test_hits_matches_python_power_iteration(spark, edges, monkeypatch):
     assert got == {n: (a[n], h[n]) for n in want_order}
 
 
+@pytest.mark.slow
 @SETTINGS
 @given(
     vals=st.lists(

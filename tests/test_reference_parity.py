@@ -122,6 +122,7 @@ def test_query_vector_with_filters(spark, index_type):
         assert meta.get("type") != "system"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("index_type", INDEX_TYPES)
 def test_save_load(spark, index_type, tmp_path):
     """test_local_db.py:127-162 — round-trip properties, docs/metas,
